@@ -1,0 +1,157 @@
+"""Source readers: driver testdata, TSV/gzip scans, pattern-routed load.
+
+Mirrors the reference's extract/load surface with Spark-native scans:
+
+- TSV/gzip scan with header, projection and sampling
+  (reference: pandas chunked reader `generate_snowflake_ddl.py:356-372`;
+  Snowflake file format `create_snowflake_objects.sh:330-333`).
+- Pattern routing + file-level error skip
+  (reference: `COPY INTO ... PATTERN='.*blocks.*' ON_ERROR='skip_file'`,
+  `load_data_to_snowflake.sh:109-134`).
+- Driver testdata loaders (parquet, TPC-H-ish star schema) with the
+  nanosecond-timestamp shim for events.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType, StructType
+
+from ..session import prepare_session
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-testdata parquet table, normalizing types.
+
+    events.ts is physically INT64 TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` (set by prepare_session)
+    it reads as a long which we convert to a naive microsecond
+    timestamp — the same truncation DuckDB applies when casting
+    TIMESTAMP_NS → TIMESTAMP, keeping oracle parity.
+    """
+    prepare_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # Integer DIV, not float division: nanosecond epochs (~1.7e18)
+        # exceed double's 2^53 integer range, so ts/1000.0 is off by ±1µs.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def read_tsv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    columns: list[str] | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """Tab-delimited, header-row, (optionally gzip'd) scan.
+
+    Spark picks the codec from the file extension; an explicit schema
+    keeps the scan single-pass (inference costs an extra read). Column
+    projection is expressed with ``.select`` so Catalyst prunes the
+    parse to the requested columns.
+    """
+    reader = (
+        spark.read.option("sep", "\t")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("dateFormat", "yyyy-MM-dd")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+# Filename convention of the daily dump feed:
+# blockchair_<coin>_<type>_<YYYYMMDD>.tsv.gz
+# (reference regex `download_blockchair_data.py:235`).
+DUMP_FILENAME_RE = re.compile(r"blockchair_(\w+?)_(\w+)_(\d{8})\.tsv(\.gz)?$")
+
+
+def parse_dump_filename(name: str) -> tuple[str, str, str] | None:
+    """→ (coin, data_type, yyyymmdd) or None if not a dump file."""
+    m = DUMP_FILENAME_RE.search(name)
+    if not m:
+        return None
+    return m.group(1), m.group(2), m.group(3)
+
+
+@dataclass
+class LoadReport:
+    """Outcome of a pattern-routed load (S4)."""
+
+    loaded: list[str] = field(default_factory=list)
+    skipped: list[tuple[str, str]] = field(default_factory=list)  # (file, error)
+
+
+def load_with_pattern_routing(
+    spark: SparkSession,
+    files: list[str],
+    table_patterns: dict[str, str],
+    schemas: dict[str, StructType],
+) -> tuple[dict[str, DataFrame], LoadReport]:
+    """Route staged files to tables by filename pattern, skipping bad files.
+
+    Semantics follow the reference's ``COPY INTO ... PATTERN=...
+    ON_ERROR='skip_file'`` (`load_data_to_snowflake.sh:128-130`): a file
+    whose contents fail to parse is skipped whole, the rest of the batch
+    still loads. File-level validation runs as a cheap driver-side probe
+    (schema-checked scan of the file with FAILFAST on a LIMIT) before the
+    file joins the table's scan list; the actual data path is one
+    multi-file Spark scan per table — no per-file job at scale.
+    """
+    routed: dict[str, list[str]] = {t: [] for t in table_patterns}
+    report = LoadReport()
+    for f in files:
+        for table, pattern in table_patterns.items():
+            if re.search(pattern, f):
+                try:
+                    # Probe: parse a small prefix strictly; malformed
+                    # files raise here and are skipped file-level.
+                    probe = (
+                        spark.read.option("sep", "\t")
+                        .option("header", "true")
+                        .option("mode", "FAILFAST")
+                        .schema(schemas[table])
+                        .csv(f)
+                    )
+                    probe.limit(100).collect()
+                    routed[table].append(f)
+                    report.loaded.append(f)
+                except Exception as e:  # noqa: BLE001 — any parse failure skips the file
+                    report.skipped.append((f, str(e).splitlines()[0]))
+                break
+    out: dict[str, DataFrame] = {}
+    for table, paths in routed.items():
+        if paths:
+            out[table] = read_tsv(spark, paths, schema=schemas[table])  # type: ignore[arg-type]
+    return out, report

@@ -1,0 +1,701 @@
+"""The engine's operator inventory, exercised on the driver testdata.
+
+Every operator class from SURVEY.md §2 gets (a) a Spark DataFrame
+implementation and (b) an equivalent ANSI-SQL oracle string that DuckDB
+runs on the same parquet tables. The verification driver hash-compares
+the two at sf=0.01; `tests/test_oracle_parity.py` runs the identical
+check locally at sf=0.001.
+
+Cross-engine determinism conventions (apply to every entry):
+
+- Aggregates over fixed-point-valued doubles (prices, quantities,
+  amounts) are computed as exact DECIMAL sums cast back to double
+  (`macros.exact_sum`) — order-insensitive, so bit-identical between
+  Spark's partial/final aggregation and DuckDB, and between any two
+  cluster runs. Pass-through doubles (no re-aggregation) are exact.
+- Every computed column is aliased identically in the Spark plan and
+  the oracle SQL (the driver sorts columns by name before hashing).
+- LIMIT/top-k queries order by a total ordering (unique tiebreak key)
+  so the selected *set* is deterministic.
+- `events.ts` is nanosecond-precision parquet; both engines truncate
+  to microseconds (see io/sources.load_table; oracles CAST to
+  TIMESTAMP).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .io.sources import load_table
+from .macros import exact_sum
+from .query.trace import trace_funds
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: SparkQuery
+    oracle: str | None
+    survey: str  # SURVEY.md §2 operator ids this entry exercises
+    desc: str
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, survey: str, desc: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, survey=survey, desc=desc)
+        return fn
+
+    return deco
+
+
+def _dec(c, scale: int = 6):
+    return F.col(c).cast(f"decimal(27,{scale})") if isinstance(c, str) else c.cast(f"decimal(27,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (A1 group-multi-agg + P3 arithmetic + agg suite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    survey="A1,P3,P8",
+    desc="TPC-H-Q1-style grouped aggregate over lineitem (the reference's "
+    "dim_addresses-style multi-aggregate, dim_addresses.sql:8-16)",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)       AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)  AS sum_base_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(1.0 - l_discount AS DECIMAL(6,4))
+              * CAST(1.0 + l_tax AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(27,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # Products stay exact decimals (per-row rounding would hit exact
+    # half-cent cases where Spark rounds HALF_UP but DuckDB HALF_EVEN);
+    # only the final sum is rounded to cents, which also keeps the
+    # decimal→double cast exact (sum×100 < 2^53) in both engines.
+    disc_price = _dec("l_extendedprice", 2).cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(6,4)")
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax")).cast("decimal(6,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", 2).alias("sum_qty"),
+            exact_sum("l_extendedprice", 2).alias("sum_base_price"),
+            # Inputs are exact 2dp, so products are exactly 4dp / 6dp:
+            # these casts only drop guaranteed-zero digits (no rounding),
+            # and keep sum×10^scale < 2^53 for an exact double cast.
+            F.sum(disc_price).cast("decimal(38,4)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity", 2)).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(_dec("l_discount", 4)).cast("double") / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / scalar expressions (P1-P8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_stg_projection",
+    survey="P1,P2,P3,P4,P6",
+    desc="staging-style projection+rename+unit-conversion+CASE over lineitem "
+    "(mirrors stg_blocks.sql:9-52 and the convert_to_btc/calculate_cdd macros)",
+    oracle="""
+SELECT l_orderkey                      AS order_key,
+       l_linenumber                    AS line_number,
+       l_quantity                      AS qty,
+       l_extendedprice                 AS price_usd,
+       l_extendedprice / 100.0         AS price_cents_converted,
+       (l_quantity / 7.0) * (l_extendedprice / 100.0) AS weighted_score,
+       CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'kept' END AS return_status
+FROM lineitem
+WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+""",
+)
+def p1_stg_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_linenumber").isNotNull()
+    ).select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price_usd"),
+        (F.col("l_extendedprice") / F.lit(100.0)).alias("price_cents_converted"),
+        ((F.col("l_quantity") / F.lit(7.0)) * (F.col("l_extendedprice") / F.lit(100.0))).alias(
+            "weighted_score"
+        ),
+        F.when(F.col("l_returnflag") == "R", "returned").otherwise("kept").alias("return_status"),
+    )
+
+
+@register(
+    "p7_avg_nonzero",
+    survey="P7,A3",
+    desc="COALESCE(AVG(NULLIF(x,0)),0) null-handling aggregate (app.py:304-308)",
+    oracle="""
+SELECT COALESCE(
+         CAST(SUM(CASE WHEN l_discount <> 0
+                       THEN CAST(l_discount AS DECIMAL(27,4)) END) AS DOUBLE)
+         / COUNT(CASE WHEN l_discount <> 0 THEN 1 END),
+         0.0)                                        AS avg_nonzero_discount,
+       COUNT(CASE WHEN l_discount = 0 THEN 1 END)    AS n_zero_discount
+FROM lineitem
+""",
+)
+def p7_avg_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    nz = F.when(F.col("l_discount") != 0, F.col("l_discount"))
+    return li.agg(
+        F.coalesce(
+            F.sum(nz.cast("decimal(27,4)")).cast("double") / F.count(nz), F.lit(0.0)
+        ).alias("avg_nonzero_discount"),
+        F.count(F.when(F.col("l_discount") == 0, F.lit(1))).alias("n_zero_discount"),
+    )
+
+
+@register(
+    "p8_time_range_scan",
+    survey="P8,P9,S9",
+    desc="timestamp-range + predicate scan over the events stream table "
+    "(app.py:292,350-351 date-window filters)",
+    oracle="""
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+FROM events
+WHERE CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                                AND TIMESTAMP '2024-01-20 00:00:00'
+  AND event_type IN ('purchase', 'signup')
+""",
+)
+def p8_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("ts").between(
+            F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"),
+            F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"),
+        )
+        & F.col("event_type").isin("purchase", "signup")
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
+    "p10_regex_filter",
+    survey="P10",
+    desc="regex predicate scan (address-format validation analog, app.py:99-102)",
+    oracle=r"""
+SELECT event_id, user_id, props
+FROM events
+WHERE regexp_matches(props, '"k": 1[0-9]$')
+""",
+)
+def p10_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("props").rlike(r'"k": 1[0-9]$')).select(
+        "event_id", "user_id", "props"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_enrich_lines",
+    survey="J1",
+    desc="left equi-join fact→dim on a single key "
+    "(int_transaction_flows.sql:44 tx LEFT JOIN blocks)",
+    oracle="""
+SELECT l.l_orderkey AS order_key, l.l_linenumber AS line_number,
+       l.l_extendedprice AS price_usd,
+       o.o_orderstatus AS order_status, o.o_orderpriority AS order_priority,
+       o.o_totalprice AS order_total
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+""",
+)
+def j1_enrich_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return li.join(orders, li.l_orderkey == orders.o_orderkey, "left").select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_extendedprice").alias("price_usd"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_orderpriority").alias("order_priority"),
+        F.col("o_totalprice").alias("order_total"),
+    )
+
+
+@register(
+    "j2_flow_fanout",
+    survey="J2,P5,P6",
+    desc="denormalized flow fan-out: per-parent cross product of child rows "
+    "(int_transaction_flows.sql:45-46 inputs×outputs per transaction), "
+    "with spend-side negation (P5) and CASE flow typing (P6)",
+    oracle="""
+SELECT o.o_orderkey                          AS order_key,
+       src.l_linenumber                      AS src_line,
+       dst.l_linenumber                      AS dst_line,
+       src.l_partkey                         AS src_part,
+       dst.l_partkey                         AS dst_part,
+       -src.l_extendedprice                  AS src_value_change,
+       dst.l_extendedprice                   AS dst_value,
+       CASE WHEN o.o_orderstatus = 'F' THEN 'final' ELSE 'open' END AS flow_type
+FROM orders o
+LEFT JOIN lineitem src ON o.o_orderkey = src.l_orderkey
+LEFT JOIN lineitem dst ON o.o_orderkey = dst.l_orderkey
+WHERE o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                        AND TIMESTAMP '1995-12-31 00:00:00'
+  AND src.l_linenumber <> dst.l_linenumber
+""",
+)
+def j2_flow_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
+            F.lit("1995-12-31 00:00:00").cast("timestamp_ntz"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_orderkey").alias("src_orderkey"),
+        F.col("l_linenumber").alias("src_line"),
+        F.col("l_partkey").alias("src_part"),
+        F.col("l_extendedprice").alias("src_price"),
+    )
+    dst = li.select(
+        F.col("l_orderkey").alias("dst_orderkey"),
+        F.col("l_linenumber").alias("dst_line"),
+        F.col("l_partkey").alias("dst_part"),
+        F.col("l_extendedprice").alias("dst_price"),
+    )
+    return (
+        orders.join(src, orders.o_orderkey == src.src_orderkey, "left")
+        .join(dst, orders.o_orderkey == dst.dst_orderkey, "left")
+        .filter(F.col("src_line") != F.col("dst_line"))
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            "src_line",
+            "dst_line",
+            "src_part",
+            "dst_part",
+            (-F.col("src_price")).alias("src_value_change"),
+            F.col("dst_price").alias("dst_value"),
+            F.when(F.col("o_orderstatus") == "F", "final").otherwise("open").alias("flow_type"),
+        )
+    )
+
+
+@register(
+    "j3_zero_activity_dims",
+    survey="J3,A1",
+    desc="left join dim→events keeping zero-activity rows "
+    "(int_address_balances_with_history.sql:49-50)",
+    oracle="""
+SELECT c.c_custkey AS cust_key,
+       COUNT(o.o_orderkey) AS order_count,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(27,2))), 0) AS DOUBLE) AS total_spend
+FROM customer c
+LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey
+ AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                       AND TIMESTAMP '1995-06-30 00:00:00'
+GROUP BY c.c_custkey
+""",
+)
+def j3_zero_activity_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
+            F.lit("1995-06-30 00:00:00").cast("timestamp_ntz"),
+        )
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("cust_key"))
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.coalesce(F.sum(_dec("o_totalprice", 2)), F.lit(0).cast("decimal(27,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "j4_region_rollup",
+    survey="J4,A1",
+    desc="inner equi-joins through broadcast-sized dims + rollup "
+    "(app.py:372 trace JOIN dim_blocks; dims broadcast)",
+    oracle="""
+SELECT r.r_name AS region_name,
+       COUNT(*) AS customer_count,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_acctbal
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY r.r_name
+""",
+)
+def j4_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            exact_sum("c_acctbal", 2).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A2, A4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a2_distinct_active",
+    survey="A2,P8",
+    desc="global COUNT DISTINCT over a date window (app.py:289-293)",
+    oracle="""
+SELECT COUNT(DISTINCT o_custkey) AS active_customers, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                      AND TIMESTAMP '1996-12-31 00:00:00'
+""",
+)
+def a2_distinct_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"),
+            F.lit("1996-12-31 00:00:00").cast("timestamp_ntz"),
+        )
+    ).agg(
+        F.countDistinct("o_custkey").alias("active_customers"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+
+
+@register(
+    "a4_most_active",
+    survey="A4,O1",
+    desc="group-count argmax: most-active key (app.py:239-246), "
+    "deterministic tiebreak on the key",
+    oracle="""
+SELECT l_suppkey AS supp_key, COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY n_lines DESC, supp_key ASC
+LIMIT 1
+""",
+)
+def a4_most_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_suppkey").alias("supp_key"))
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.desc("n_lines"), F.asc("supp_key"))
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows, unions (W1, W2, U1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u1_union_changes",
+    survey="U1,P5",
+    desc="schema-aligned UNION ALL of negated spends and receives "
+    "(int_address_balances_with_history.sql:8-35)",
+    oracle="""
+SELECT event_id, user_id, -value AS amount, 'spend' AS change_type
+FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT event_id, user_id, value AS amount, 'receive' AS change_type
+FROM events WHERE event_type <> 'purchase'
+""",
+)
+def u1_union_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spends = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", (-F.col("value")).alias("amount"), F.lit("spend").alias("change_type")
+    )
+    receives = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", F.col("value").alias("amount"), F.lit("receive").alias("change_type")
+    )
+    return spends.unionByName(receives)
+
+
+@register(
+    "w1_running_balance",
+    survey="W1,U1,P5",
+    desc="cumulative running balance per key ordered by event time, RANGE "
+    "frame with ties (int_address_balances_with_history.sql:44-46); ties "
+    "manufactured by minute truncation so peers share the running value",
+    oracle="""
+SELECT event_id, user_id,
+       date_trunc('minute', CAST(ts AS TIMESTAMP)) AS ts_minute,
+       CASE WHEN event_type = 'purchase' THEN -value ELSE value END AS value_change,
+       CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN -value ELSE value END
+                     AS DECIMAL(27,2)))
+            OVER (PARTITION BY user_id
+                  ORDER BY date_trunc('minute', CAST(ts AS TIMESTAMP)))
+            AS DOUBLE) AS running_balance
+FROM events
+""",
+)
+def w1_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    change = F.when(F.col("event_type") == "purchase", -F.col("value")).otherwise(F.col("value"))
+    ev = ev.select(
+        "event_id",
+        "user_id",
+        F.date_trunc("minute", F.col("ts")).cast("timestamp_ntz").alias("ts_minute"),
+        change.alias("value_change"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_minute")
+    return ev.withColumn(
+        "running_balance", F.sum(_dec("value_change", 2)).over(w).cast("double")
+    )
+
+
+@register(
+    "w2_trace_sequence",
+    survey="W2",
+    desc="ROW_NUMBER sequence within a partition (fct_transaction_traces.sql:24)",
+    oracle="""
+SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+       ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS trace_sequence
+FROM lineitem
+""",
+)
+def w2_trace_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.row_number().over(w).alias("trace_sequence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k (O1, O2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o1_top_balance",
+    survey="O1",
+    desc="top-1 by metric with deterministic tiebreak (app.py:319-324 "
+    "richest address)",
+    oracle="""
+SELECT c_custkey AS cust_key, c_name AS cust_name, c_acctbal AS balance
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey ASC
+LIMIT 1
+""",
+)
+def o1_top_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(1)
+        .select(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_name").alias("cust_name"),
+            F.col("c_acctbal").alias("balance"),
+        )
+    )
+
+
+@register(
+    "o2_page_events",
+    survey="O2",
+    desc="multi-key sort + LIMIT page (app.py:373-374 ORDER BY hop, tx_time "
+    "LIMIT 1000), total ordering via unique key",
+    oracle="""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+FROM events
+ORDER BY user_id ASC, ts ASC, event_id ASC
+LIMIT 1000
+""",
+)
+def o2_page_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.asc("user_id"), F.asc("ts"), F.asc("event_id"))
+        .limit(1000)
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality assertions (T1, T3) — expected-empty violation queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t1_unique_violations",
+    survey="T1,T2",
+    desc="dbt-style `unique` test: duplicate key values (schema.yml:66-69); "
+    "empty result = pass",
+    oracle="""
+SELECT o_orderkey AS dup_key, COUNT(*) AS n
+FROM orders
+WHERE o_orderkey IS NOT NULL
+GROUP BY o_orderkey
+HAVING COUNT(*) > 1
+""",
+)
+def t1_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey").isNotNull())
+        .groupBy(F.col("o_orderkey").alias("dup_key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@register(
+    "t3_composite_unique_violations",
+    survey="T3",
+    desc="composite-key uniqueness test (schema.yml:76-78 "
+    "[transaction_hash, block_id]); empty result = pass",
+    oracle="""
+SELECT l_orderkey AS key1, l_linenumber AS key2, COUNT(*) AS n
+FROM lineitem
+GROUP BY l_orderkey, l_linenumber
+HAVING COUNT(*) > 1
+""",
+)
+def t3_composite_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("key1"), F.col("l_linenumber").alias("key2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped batch: tumbling window aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tumbling_hourly_events",
+    survey="§2.10",
+    desc="tumbling 1h event-time window aggregate (batch form; the streaming "
+    "module runs the same plan with readStream + watermark)",
+    oracle="""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph trace (J5) — the reference's recursive-CTE fund tracing
+# ---------------------------------------------------------------------------
+
+_TRACE_EDGE_SQL = """
+SELECT CAST(user_id AS BIGINT)                       AS src,
+       CAST(FLOOR(value) AS BIGINT) % 150            AS dst,
+       event_id                                      AS tx_hash,
+       CAST(ts AS TIMESTAMP)                         AS tx_time
+FROM events
+WHERE CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                                AND TIMESTAMP '2024-01-25 00:00:00'
+"""
+
+
+def _trace_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transfer-graph edge list derived from events (src/dst share a key
+    domain so multi-hop chains exist, per FIXTURES.md §5 graph invariant)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("ts").between(
+            F.lit("2024-01-05 00:00:00").cast("timestamp_ntz"),
+            F.lit("2024-01-25 00:00:00").cast("timestamp_ntz"),
+        )
+    ).select(
+        F.col("user_id").cast("bigint").alias("src"),
+        (F.floor(F.col("value")).cast("bigint") % 150).alias("dst"),
+        F.col("event_id").alias("tx_hash"),
+        F.col("ts").alias("tx_time"),
+    )
+
+
+@register(
+    "j5_trace_2hop",
+    survey="J5,U2,J4",
+    desc="bounded-depth iterative fund trace (recursive CTE analog, "
+    "app.py:338-375): driver loop of frontier self-joins with hop counter; "
+    "oracle is the 2-hop unrolled SQL",
+    oracle=f"""
+WITH edges AS ({_TRACE_EDGE_SQL}),
+h1 AS (
+  SELECT 1 AS hop, src, dst, tx_hash, tx_time FROM edges WHERE src = 7
+),
+h2 AS (
+  SELECT 2 AS hop, e.src, e.dst, e.tx_hash, e.tx_time
+  FROM edges e JOIN h1 ON h1.dst = e.src
+)
+SELECT hop, src, dst, tx_hash, tx_time FROM h1
+UNION ALL
+SELECT hop, src, dst, tx_hash, tx_time FROM h2
+""",
+)
+def j5_trace_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _trace_edges(spark, sf_dir)
+    return trace_funds(edges, source=7, max_hops=2)

@@ -1,0 +1,133 @@
+"""Local oracle-parity harness mirroring the verification driver's gate.
+
+The driver runs each `queries()[name]` on Spark and the matching
+`oracle_sql()[name]` on DuckDB over the same parquet tables, then
+compares row count + schema + order-insensitive value hash. This module
+reproduces that comparison so parity regressions surface in `pytest`
+before a round ends.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import duckdb
+import pandas as pd
+
+from .io.sources import TESTDATA_TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize cell values, sort rows."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = s.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            s = s.astype(float)
+        elif s.dtype == object:
+            s = s.map(lambda v: float(v) if hasattr(v, "as_tuple") else v)  # Decimal
+        out[c] = s
+    norm = pd.DataFrame(out)
+    if len(norm):
+        norm = norm.sort_values(by=list(norm.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return norm
+
+
+@dataclass
+class ParityResult:
+    name: str
+    spark_rows: int
+    oracle_rows: int
+    columns_match: bool
+    exact_match: bool
+    max_float_diff: float = 0.0
+    mismatches: list[str] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return (
+            self.spark_rows == self.oracle_rows
+            and self.columns_match
+            and self.exact_match
+        )
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> ParityResult:
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    res = ParityResult(
+        name=name,
+        spark_rows=len(a),
+        oracle_rows=len(b),
+        columns_match=list(a.columns) == list(b.columns),
+        exact_match=False,
+    )
+    if not res.columns_match:
+        res.mismatches.append(f"columns: spark={list(a.columns)} oracle={list(b.columns)}")
+        return res
+    if len(a) != len(b):
+        res.mismatches.append(f"row count: spark={len(a)} oracle={len(b)}")
+        return res
+    exact = True
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av_f = av.astype(float).to_numpy()
+            bv_f = bv.astype(float).to_numpy()
+            both_nan = pd.isna(av_f) & pd.isna(bv_f)
+            diff = abs(av_f - bv_f)
+            diff[both_nan] = 0.0
+            mx = float(max(diff)) if len(diff) else 0.0
+            res.max_float_diff = max(res.max_float_diff, 0.0 if math.isnan(mx) else mx)
+            if not ((diff == 0) | both_nan).all():
+                exact = False
+                res.mismatches.append(f"column {c}: max abs diff {mx}")
+        else:
+            neq = ~((av == bv) | (pd.isna(av) & pd.isna(bv)))
+            if neq.any():
+                exact = False
+                i = int(neq.idxmax())
+                res.mismatches.append(
+                    f"column {c}: {int(neq.sum())} diffs, first at row {i}: "
+                    f"spark={av.iloc[i]!r} oracle={bv.iloc[i]!r}"
+                )
+    res.exact_match = exact
+    return res
+
+
+def check_query(spark, sf_dir: str, name: str, con=None) -> ParityResult:
+    from .queryset import QUERIES
+
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    own_con = con is None
+    if own_con:
+        con = duckdb_connection(sf_dir)
+    try:
+        if spec.oracle is None:
+            return ParityResult(
+                name=name,
+                spark_rows=len(sdf),
+                oracle_rows=len(sdf),
+                columns_match=True,
+                exact_match=True,
+            )
+        odf = con.execute(spec.oracle).fetchdf()
+    finally:
+        if own_con:
+            con.close()
+    return compare_frames(name, sdf, odf)
