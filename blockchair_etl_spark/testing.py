@@ -67,7 +67,16 @@ class ParityResult:
         )
 
 
-def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> ParityResult:
+def compare_frames(
+    name: str,
+    spark_pdf: pd.DataFrame,
+    oracle_pdf: pd.DataFrame,
+    float_tol: float = 0.0,
+) -> ParityResult:
+    """Driver-style comparison. ``float_tol`` (absolute) is 0 for the
+    driver-gate mirror (bit-exact); engine-internal tests of float
+    pipelines (e.g. running sums of doubles, where summation order is
+    legitimately unspecified) pass a small tolerance."""
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     res = ParityResult(
         name=name,
@@ -93,7 +102,7 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
             diff[both_nan] = 0.0
             mx = float(max(diff)) if len(diff) else 0.0
             res.max_float_diff = max(res.max_float_diff, 0.0 if math.isnan(mx) else mx)
-            if not ((diff == 0) | both_nan).all():
+            if not ((diff <= float_tol) | both_nan).all():
                 exact = False
                 res.mismatches.append(f"column {c}: max abs diff {mx}")
         else:
