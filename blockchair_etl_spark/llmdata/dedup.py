@@ -1,0 +1,264 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All variants are pure DataFrame compositions (no UDFs): hashing is
+md5-based so signatures are identical across engines and across cluster
+runs — a requirement for incremental dedup where yesterday's signatures
+must match today's.
+
+Scale design (100 TB):
+
+- Exact: one hash-aggregate shuffle on a 16-byte key. The canonical-id
+  min() makes the survivor choice deterministic under any partitioning.
+- MinHash+LSH: the candidate generator joins on (band_idx, band_key) —
+  cost is O(Σ bucket²) not O(n²). Signature computation is one shuffle
+  on doc_id over exploded distinct tokens; band keys are a map-side
+  projection of the signature row. Hot buckets (boilerplate docs) are
+  the skew risk — AQE skew-join splits them, and `max_bucket_size`
+  drops degenerate buckets (a standard MinHash-at-scale guardrail).
+- n-gram Jaccard: exact pair similarity; candidate pairs via shared
+  shingles, so cost tracks true overlap. Use for verification of the
+  LSH path or small/medium corpora; LSH is the scale path.
+- SimHash: fingerprint is a fixed-width int computable map-side; near-
+  dup = Hamming distance ≤ k over fingerprints (bucketable by bit
+  blocks).
+- Embedding cosine: pair join blocked on a coarse key (here: label /
+  cluster id; at scale: an LSH or IVF bucket from similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens_col
+
+DEC = "decimal(38,18)"
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", only_dups: bool = False
+) -> DataFrame:
+    """Exact dedup via content-hash group-by: one row per distinct
+    content, with the deterministic canonical (minimum) id and group size."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    g = (
+        df.select(F.md5(norm).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+    return g.filter(F.col("n_docs") > 1) if only_dups else g
+
+
+def distinct_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
+        .distinct()
+    )
+
+
+def shingles_col(text_col: str, n: int):
+    """n-token shingles as an array column (empty when doc has < n tokens)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size(filter(split(lower({text_col}), "
+        f"'[^a-z0-9]+'), x -> x != '')) - {n} + 1, 0)), "
+        f"i -> array_join(slice(filter(split(lower({text_col}), '[^a-z0-9]+'), "
+        f"x -> x != ''), i, {n}), ' '))"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
+
+    Candidates come from a self-join on shared shingles, so disjoint
+    documents never meet. jaccard = |∩| / (|A| + |B| - |∩|) computed
+    from integer counts — exact and engine-independent.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("doc"), F.explode(shingles_col(text_col, n)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc").alias("id_a"), "sh")
+    b = sh.select(F.col("doc").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document over n-token shingles: m_i = min
+    over shingles of md5('{i}|' + shingle). String-min over md5 hex is
+    deterministic, engine-independent, and needs no salted hash
+    families. Shingles (not unigrams) are the feature: unigram sets
+    saturate on small vocabularies and call everything a near-dup."""
+    feats = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles_col(text_col, shingle_n)).alias("feat"),
+        )
+        .distinct()
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("feat")))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return feats.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band signatures into num_hashes/band_size
+    buckets, candidate pairs share ≥1 bucket, estimated Jaccard =
+    fraction of matching minhashes ≥ threshold. Returns (id_a, id_b,
+    est_jaccard) with id_a < id_b."""
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    sig = minhash_signatures(df, num_hashes, text_col, id_col, shingle_n)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws("|", *[F.col(f"m{b * band_size + j}") for j in range(band_size)])
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc", F.posexplode(band_keys).alias("band_idx", "band_key"))
+    a = banded.select(F.col("doc").alias("id_a"), "band_idx", "band_key")
+    b = banded.select(F.col("doc").alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sig_a = sig.select(F.col("doc").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sig_b = sig.select(F.col("doc").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
+    )
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", matches / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash: per-token 32-bit hash from the md5 hex prefix; each bit
+    contributes +freq/−freq; fingerprint bit j is the sign. All-integer
+    arithmetic (nibble decode from hex chars), bit-exact across engines.
+    Computation is one (doc, token) aggregate then a doc aggregate over
+    bits×tokens rows — a pure shuffle pipeline, no UDFs.
+    """
+    tok_freq = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("doc", "token")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("h", F.substring(F.md5(F.col("token")), 1, bits // 4))
+    )
+    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    per_bit = (
+        tok_freq.select("doc", "w", "h", bit_idx)
+        .withColumn(
+            "nibble",
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.col("h"), (F.col("j") / 4 + 1).cast("int"), 1),
+            )
+            - 1,
+        )
+        .withColumn(
+            "pow2",
+            F.when(F.col("j") % 4 == 0, 1)
+            .when(F.col("j") % 4 == 1, 2)
+            .when(F.col("j") % 4 == 2, 4)
+            .otherwise(8),
+        )
+        .withColumn(
+            "contrib",
+            F.when((F.col("nibble") / F.col("pow2")).cast("bigint") % 2 == 1, F.col("w")).otherwise(
+                -F.col("w")
+            ),
+        )
+    )
+    bit_signs = (
+        per_bit.groupBy("doc", "j")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bit", F.when(F.col("s") >= 0, 1).otherwise(0))
+    )
+    # fingerprint = Σ bit_j · 2^j  (fits a bigint for bits ≤ 62)
+    return (
+        bit_signs.groupBy("doc")
+        .agg(
+            F.sum(
+                F.col("bit") * F.pow(F.lit(2.0), F.col("j")).cast("bigint")
+            ).alias("simhash")
+        )
+        .select(F.col("doc"), F.col("simhash"))
+    )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key. At scale
+    the block key is an LSH/IVF bucket (similarity.py); here any coarse
+    cluster id column works. Cosine uses exact-decimal accumulation so
+    pair scores are order- and engine-independent."""
+    from .similarity import cosine_expr
+
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,150 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Images/audio/video ride as `binary` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+functions over `mapInPandas` — the only place Python belongs in the
+pipeline, because codec work genuinely can't be expressed in SQL.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+environment): `decode_image` raises NotImplementedError unless
+`fake=True`, in which case a deterministic fake decoder (seeded by the
+content hash) produces stable pseudo-features so the Spark-side
+plumbing — schema, batching, partitioning — is real and testable.
+
+Scale notes: media bytes dominate row width, so feature extraction
+selects (id, media) only (column pruning keeps metadata scans cheap),
+and `spark.sql.files.maxPartitionBytes` should be sized so one task's
+Arrow batches fit comfortably in executor memory; `mapInPandas`
+streams batches, never materializing a whole partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),
+        StructField("mime_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("source_uri", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_sha256", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_image(content: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to an HxWxC array.
+
+    STUB: real decoding needs an image codec library not present in
+    this environment. With ``fake=True`` a deterministic pseudo-decode
+    (content-hash-seeded) stands in so downstream plumbing is testable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires a codec library (e.g. Pillow); "
+            "run with fake=True for deterministic pseudo-decode"
+        )
+    seed = int.from_bytes(hashlib.sha256(content).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+def extract_features(
+    media: DataFrame, feature_dim: int = 16, fake_decode: bool = True
+) -> DataFrame:
+    """Media → fixed-width feature vectors via Arrow-batched mapInPandas.
+
+    The feature extractor here is the deterministic stand-in (mean/std
+    moments of the fake-decoded array hashed into `feature_dim` floats);
+    swapping in a real model means replacing `_featurize` only — the
+    distributed shape stays identical.
+    """
+    cols = ["media_id", "kind", "content"]
+    out_cols = [f.name for f in FEATURE_SCHEMA.fields]
+
+    # Self-contained worker function: locals + in-function imports only,
+    # so cloudpickle ships it by value and Python workers need neither
+    # this package on sys.path nor addPyFile staging. (A module-level
+    # helper would be pickled by reference and break when the driver
+    # process runs outside the repo directory.)
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"]) if row["content"] is not None else b""
+                sha = _hashlib.sha256(content).hexdigest()
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "image decoding requires a codec library (e.g. Pillow); "
+                        "run with fake_decode=True for deterministic pseudo-decode"
+                    )
+                seed = int.from_bytes(_hashlib.sha256(content).digest()[:8], "big")
+                arr = _np.random.default_rng(seed).integers(
+                    0, 256, size=(8, 8, 3), dtype=_np.uint8
+                )
+                rng = _np.random.default_rng(int(sha[:8], 16))
+                feats = (rng.standard_normal(feature_dim) * float(arr.mean())).astype(
+                    _np.float32
+                )
+                out.append(
+                    dict(
+                        media_id=row["media_id"],
+                        kind=row["kind"],
+                        n_bytes=len(content),
+                        content_sha256=sha,
+                        features=feats.tolist(),
+                    )
+                )
+            yield _pd.DataFrame(out, columns=out_cols)
+
+    return media.select(*cols).mapInPandas(_featurize, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one output row per sampled timestamp.
+    The timestamp fan-out is pure SQL (sequence+explode — no Python);
+    only the per-frame decode (stubbed) would run in mapInPandas."""
+    from pyspark.sql import functions as F
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline; random-hyperplane
+LSH bucketing is the scale path (candidates drop from O(n) to O(n/2^p)
+per query at a measured recall cost — tested in tests/test_llmdata.py).
+
+Numeric policy: dot products accumulate in DECIMAL(38,18) via an
+array fold — exact enough that results are identical regardless of
+summation order, engine, or partitioning (float sums are not), then
+rounded to 9 decimals. No UDFs: `zip_with`/`aggregate` keep the whole
+computation inside codegen.
+
+100 TB notes: brute-force top-k against a query vector is a scan +
+TakeOrdered — embarrassingly parallel, no shuffle. The LSH variant
+pre-buckets the corpus (one write-time shuffle) so a query only scans
+its bucket partitions; IVF with learned centroids would slot into the
+same bucket-join shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+# (30,18) not (38,18): decimal addition at precision 38 overflows and
+# Spark shrinks the result scale to 17, rounding every fold step. With
+# precision 30 the add result is (31,18) — lossless — so the fold equals
+# an exact sum regardless of order, matching DuckDB's exact decimal SUM.
+DEC = "decimal(30,18)"
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Exact-decimal dot product of two float-array columns."""
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC))
+    acc = F.aggregate(
+        prods,
+        F.lit(0).cast(DEC),
+        lambda s, x: (s + x).cast(DEC),
+    )
+    # Explicit ROUND before the downscale: both engines round half away
+    # from zero, whereas a direct decimal→decimal downcast TRUNCATES in
+    # DuckDB but rounds in Spark. The (38,9) cast after rounding only
+    # drops guaranteed zeros, and keeps the int→double conversion exact.
+    return F.round(acc, 9).cast("decimal(38,9)").cast("double")
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    d = dot_expr(a, b)
+    na = dot_expr(a, a)
+    nb = dot_expr(b, b)
+    return d / (F.sqrt(na) * F.sqrt(nb))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+    Deterministic tiebreak on id."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = emb.select(
+        F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def _planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_col(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 7) -> Column:
+    """Random-hyperplane LSH bucket id: sign bit per plane → integer.
+    Planes are derived deterministically from the seed, so the bucket
+    function is stable across runs/sessions (incremental indexing)."""
+    planes = _planes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[p]])
+        prods = F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y.cast("double"))
+        d = F.aggregate(prods, F.lit(0.0), lambda s, x: s + x)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+    With p planes the candidate set is ~n/2^p; recall is tested against
+    the brute-force baseline."""
+    dim = len(query_vec)
+    qbucket = 0
+    planes = _planes(dim, n_planes, seed)
+    for p in range(n_planes):
+        if float(np.dot(planes[p], np.asarray(query_vec, dtype=float))) >= 0:
+            qbucket |= 1 << p
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cand = emb.filter(
+        lsh_bucket_col(F.col(vec_col), dim, n_planes, seed) == F.lit(qbucket)
+    )
+    scored = cand.select(F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def brute_force_pairs_cosine(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold (exact; O(n²) — verification tool,
+    not the scale path; see dedup.embedding_dup_pairs for blocked)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

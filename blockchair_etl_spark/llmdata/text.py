@@ -1,0 +1,131 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language ID (stopword heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting — all as
+pure Column expressions (JVM-side, whole-stage-codegen'd; no Python in
+the hot path). Every function is deterministic and has an exact ANSI-SQL
+equivalent, so the operators are oracle-checkable cross-engine.
+
+At 100 TB these are embarrassingly parallel scan-side maps: no shuffle,
+no state — the scan partitioning is the parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tokenization shared by every text operator (and by dedup.py): lowercase,
+# split on non-alphanumeric runs, drop empties. Simple enough to behave
+# identically under Java regex (Spark) and RE2 (DuckDB).
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# A BPE-ish pre-tokenizer: letter runs, single digits, or single
+# non-alphanumeric-non-space marks — approximates byte-pair-encoder
+# pre-segmentation counts without a vocab.
+BPE_ISH_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "los", "de", "que", "es", "una"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une"],
+    "zh": ["de", "le", "shi", "bu", "wo", "ni", "ta"],
+}
+
+
+def tokens_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish pre-tokens, chars."""
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(toks).alias("n_tokens_ws"),
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(BPE_ISH_RE)).alias("n_tokens_bpe"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document quality heuristics: length, mean word length, punctuation
+    density, stopword ratio, and a composite [0,1] score. Ratios are
+    expressed with integer counts and double division only (no float
+    aggregation), so results are bit-identical across engines."""
+    text = F.col(text_col)
+    toks = tokens_col(text_col)
+    n_chars = F.length(text)
+    n_words = F.size(toks)
+    n_punct = F.regexp_count(text, F.lit(r"[^a-zA-Z0-9\s]"))
+    en_stop = STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*en_stop)))
+    word_chars = F.length(F.array_join(toks, ""))
+    avg_word_len = F.when(n_words > 0, word_chars / n_words).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    # Composite: reward mid-length words and some stopword presence,
+    # penalize punctuation soup. Arbitrary but fixed weights.
+    score = (
+        F.least(F.lit(1.0), n_words / F.lit(50.0)) * F.lit(0.4)
+        + F.least(F.lit(1.0), stop_ratio * F.lit(5.0)) * F.lit(0.3)
+        + (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * F.lit(4.0))) * F.lit(0.3)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram/stopword language ID over a fixed language set. Scores =
+    stopword hits per language; argmax with a fixed priority order on
+    ties (en, de, es, fr, zh) keeps the choice deterministic."""
+    toks = tokens_col(text_col)
+
+    def _hit_count(sw: list[str]):
+        # single-arg lambda: a default-arg closure would make PySpark
+        # treat it as the 2-ary (element, index) form
+        return F.size(F.filter(toks, lambda x: x.isin(*sw)))
+
+    scores = {lang: _hit_count(sw) for lang, sw in STOPWORDS.items()}
+    s = {k: F.col(f"score_{k}") for k in STOPWORDS}
+    pred = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    scored = df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in STOPWORDS],
+    )
+    return scored.select(
+        id_col,
+        *[f"score_{lang}" for lang in STOPWORDS],
+        pred.alias("predicted_lang"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized lowercased
+    text (exact-dup key) plus a content minhash (min over md5'd tokens —
+    a 1-hash rolling sketch that survives token reordering)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    toks = tokens_col(text_col)
+    min_tok_hash = F.array_min(F.transform(toks, lambda t: F.md5(t)))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_md5"),
+        min_tok_hash.alias("min_token_hash"),
+    )

@@ -699,3 +699,346 @@ SELECT hop, src, dst, tx_hash, tx_time FROM h2
 def j5_trace_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _trace_edges(spark, sf_dir)
     return trace_funds(edges, source=7, max_hops=2)
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (dedup / similarity / text analysis /
+# multimodal) over the documents and embeddings tables
+# ---------------------------------------------------------------------------
+
+from .llmdata import dedup as _dedup  # noqa: E402
+from .llmdata import multimodal as _mm  # noqa: E402
+from .llmdata import similarity as _sim  # noqa: E402
+from .llmdata import text as _text  # noqa: E402
+
+# DuckDB fragment equivalent to text.tokens_col
+_SQL_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+@register(
+    "dedup_exact",
+    survey="LLM-dedup",
+    desc="exact dedup: whitespace-normalized content hash groups with "
+    "deterministic canonical id",
+    oracle=f"""
+SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_md5,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.exact_duplicate_groups(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    survey="LLM-dedup",
+    desc="exact 3-gram Jaccard near-dup pairs via shared-shingle self-join",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc, sh FROM (
+    SELECT doc_id AS doc,
+           unnest(list_transform(range(1, greatest(len(t) - 3 + 1, 0) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh
+    FROM toks)
+),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.n_common,
+       i.n_common / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc
+JOIN sizes sb ON i.id_b = sb.doc
+WHERE i.n_common / (sa.n_sh + sb.n_sh - i.n_common) >= 0.1
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+
+
+def _sql_minhash_sig(num_hashes: int = 16) -> str:
+    mins = ",\n         ".join(
+        f"MIN(md5('{i}|' || feat)) AS m{i}" for i in range(num_hashes)
+    )
+    return f"""
+  SELECT doc, {mins}
+  FROM (SELECT DISTINCT doc, feat FROM (
+          SELECT doc_id AS doc,
+                 unnest(list_transform(range(1, greatest(len({_SQL_TOKS}) - 3 + 1, 0) + 1),
+                        i -> array_to_string(list_slice({_SQL_TOKS}, i, i + 2), ' '))) AS feat
+          FROM documents))
+  GROUP BY doc
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    survey="LLM-dedup",
+    desc="MinHash(16)+LSH(4 bands) near-dup candidate pairs with "
+    "estimated Jaccard >= 0.5; md5-based hash family is engine-portable",
+    oracle=f"""
+WITH sig AS ({_sql_minhash_sig(16)}),
+bands AS (
+  SELECT doc, 0 AS band_idx, md5(concat_ws('|', m0, m1, m2, m3)) AS band_key FROM sig
+  UNION ALL
+  SELECT doc, 1, md5(concat_ws('|', m4, m5, m6, m7)) FROM sig
+  UNION ALL
+  SELECT doc, 2, md5(concat_ws('|', m8, m9, m10, m11)) FROM sig
+  UNION ALL
+  SELECT doc, 3, md5(concat_ws('|', m12, m13, m14, m15)) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+)
+SELECT c.id_a, c.id_b,
+       ((a.m0 = b.m0)::INT + (a.m1 = b.m1)::INT + (a.m2 = b.m2)::INT +
+        (a.m3 = b.m3)::INT + (a.m4 = b.m4)::INT + (a.m5 = b.m5)::INT +
+        (a.m6 = b.m6)::INT + (a.m7 = b.m7)::INT + (a.m8 = b.m8)::INT +
+        (a.m9 = b.m9)::INT + (a.m10 = b.m10)::INT + (a.m11 = b.m11)::INT +
+        (a.m12 = b.m12)::INT + (a.m13 = b.m13)::INT + (a.m14 = b.m14)::INT +
+        (a.m15 = b.m15)::INT) / 16.0 AS est_jaccard
+FROM cand c JOIN sig a ON c.id_a = a.doc JOIN sig b ON c.id_b = b.doc
+WHERE ((a.m0 = b.m0)::INT + (a.m1 = b.m1)::INT + (a.m2 = b.m2)::INT +
+       (a.m3 = b.m3)::INT + (a.m4 = b.m4)::INT + (a.m5 = b.m5)::INT +
+       (a.m6 = b.m6)::INT + (a.m7 = b.m7)::INT + (a.m8 = b.m8)::INT +
+       (a.m9 = b.m9)::INT + (a.m10 = b.m10)::INT + (a.m11 = b.m11)::INT +
+       (a.m12 = b.m12)::INT + (a.m13 = b.m13)::INT + (a.m14 = b.m14)::INT +
+       (a.m15 = b.m15)::INT) / 16.0 >= 0.5
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    survey="LLM-dedup",
+    desc="32-bit SimHash fingerprints from md5-derived token hashes, "
+    "frequency-weighted; all-integer arithmetic",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id AS doc, token, COUNT(*) AS w, substr(md5(token), 1, 8) AS h
+  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+               '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents)
+  GROUP BY 1, 2
+),
+bits AS (
+  SELECT doc, w, h, j,
+         instr('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1 AS nibble,
+         CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS pow2
+  FROM tf, unnest(range(0, 32)) AS u(j)
+),
+per_bit AS (
+  SELECT doc, j,
+         SUM(CASE WHEN (nibble // pow2) % 2 = 1 THEN w ELSE -w END) AS s
+  FROM bits GROUP BY 1, 2
+)
+SELECT doc,
+       SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+FROM per_bit GROUP BY doc
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.simhash_fingerprints(docs, bits=32)
+
+
+@register(
+    "dedup_embedding_cosine",
+    survey="LLM-dedup",
+    desc="embedding-cosine near-dup pairs blocked on the label column, "
+    "exact-decimal dot accumulation",
+    oracle="""
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(CAST(round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+              x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(38,18)))), 9)
+              AS DECIMAL(38,9)) AS DOUBLE)
+         / (sqrt(CAST(CAST(round(list_sum(list_transform(list_zip(a.embedding, a.embedding),
+              x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(38,18)))), 9)
+              AS DECIMAL(38,9)) AS DOUBLE))
+            * sqrt(CAST(CAST(round(list_sum(list_transform(list_zip(b.embedding, b.embedding),
+              x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(38,18)))), 9)
+              AS DECIMAL(38,9)) AS DOUBLE))) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _dedup.embedding_dup_pairs(emb, threshold=0.3, block_col="label")
+
+
+@register(
+    "ann_cosine_topk",
+    survey="LLM-similarity",
+    desc="brute-force cosine top-10 against the vec_id=0 query vector "
+    "(ANN exactness baseline; LSH variant tested for recall in pytest)",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         CAST(CAST(round(list_sum(list_transform(list_zip(e.embedding, q.qv),
+              x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(38,18)))), 9)
+              AS DECIMAL(38,9)) AS DOUBLE)
+         / (sqrt(CAST(CAST(round(list_sum(list_transform(list_zip(e.embedding, e.embedding),
+              x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(38,18)))), 9)
+              AS DECIMAL(38,9)) AS DOUBLE))
+            * sqrt(CAST(CAST(round(list_sum(list_transform(list_zip(q.qv, q.qv),
+              x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(38,18)))), 9)
+              AS DECIMAL(38,9)) AS DOUBLE))) AS cosine
+  FROM embeddings e, q
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return _sim.cosine_topk(emb, [float(v) for v in qv], k=10)
+
+
+@register(
+    "text_token_stats",
+    survey="LLM-text",
+    desc="token counting: whitespace tokens + BPE-ish pre-tokens + chars",
+    oracle=f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({_SQL_TOKS}) AS n_tokens_ws,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_tokens_bpe
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.token_stats(docs)
+
+
+@register(
+    "text_quality",
+    survey="LLM-text",
+    desc="quality scoring: length/punctuation/stopword heuristics + "
+    "composite score (integer counts, double division only)",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks,
+         length(text) AS n_chars,
+         len({_SQL_TOKS}) AS n_words,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+         len(list_filter({_SQL_TOKS},
+             x -> list_contains(['the','and','of','to','in','is','a'], x))) AS n_stop,
+         length(array_to_string({_SQL_TOKS}, '')) AS word_chars
+  FROM documents
+)
+SELECT doc_id, n_chars, n_words,
+       CASE WHEN n_words > 0 THEN word_chars / n_words ELSE 0.0 END AS avg_word_len,
+       CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+       CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END AS stopword_ratio,
+       least(1.0, n_words / 50.0) * 0.4
+         + least(1.0, (CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END) * 5.0) * 0.3
+         + (1.0 - least(1.0, (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 4.0)) * 0.3
+         AS quality_score
+FROM t
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.quality_scores(docs)
+
+
+def _sql_lang_scores() -> str:
+    parts = []
+    for lang, sw in _text.STOPWORDS.items():
+        lst = ",".join(f"'{w}'" for w in sw)
+        parts.append(
+            f"len(list_filter({_SQL_TOKS}, x -> list_contains([{lst}], x))) AS score_{lang}"
+        )
+    return ",\n       ".join(parts)
+
+
+@register(
+    "text_lang_id",
+    survey="LLM-text",
+    desc="stopword-heuristic language ID with deterministic tie priority",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+       {_sql_lang_scores()}
+  FROM documents
+)
+SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+       CASE
+         WHEN score_en >= score_de AND score_en >= score_es
+          AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+         WHEN score_de >= score_es AND score_de >= score_fr
+          AND score_de >= score_zh THEN 'de'
+         WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+         WHEN score_fr >= score_zh THEN 'fr'
+         ELSE 'zh'
+       END AS predicted_lang
+FROM s
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.lang_id(docs)
+
+
+@register(
+    "doc_fingerprints",
+    survey="LLM-text",
+    desc="document fingerprinting: normalized-content md5 + 1-hash token minhash",
+    oracle=f"""
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_md5,
+       list_min(list_transform({_SQL_TOKS}, t -> md5(t))) AS min_token_hash
+FROM documents
+""",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.fingerprints(docs)
+
+
+@register(
+    "multimodal_features",
+    survey="LLM-multimodal",
+    desc="binary media column -> Arrow-batched mapInPandas feature "
+    "extraction (decode stubbed deterministically); oracle covers the "
+    "SQL-expressible columns (byte length, content sha256)",
+    oracle="""
+SELECT doc_id AS media_id, 'image' AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha256
+FROM documents
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.lit("image/fake").alias("mime_type"),
+        F.lit(8).cast("bigint").alias("width"),
+        F.lit(8).cast("bigint").alias("height"),
+        F.lit(None).cast("bigint").alias("duration_ms"),
+        F.lit("synthetic://documents").alias("source_uri"),
+    )
+    feats = _mm.extract_features(media, feature_dim=16, fake_decode=True)
+    return feats.select("media_id", "kind", "n_bytes", "content_sha256")

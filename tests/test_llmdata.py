@@ -1,0 +1,129 @@
+"""Behavioral tests for the LLM-data operators beyond oracle parity:
+approximation quality (LSH recall), multimodal plumbing, simhash
+locality."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from blockchair_etl_spark.io.sources import load_table
+from blockchair_etl_spark.llmdata import multimodal as mm
+from blockchair_etl_spark.llmdata import similarity as sim
+from blockchair_etl_spark.llmdata.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_lsh_ann_correct_within_bucket(spark, emb):
+    # On uniform random unit vectors the nearest neighbors sit at ~72°,
+    # so absolute recall of hyperplane LSH is necessarily low — the
+    # testable contract is (a) the query's own bucket contains it,
+    # (b) the approximate result IS the exact ranking restricted to the
+    # bucket's candidates, (c) the candidate set actually shrinks.
+    dim = len(emb.head()["embedding"])
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    approx = sim.lsh_ann_topk(emb, qv, k=10, n_planes=4).collect()
+    got = [r.vec_id for r in approx]
+    assert 0 in got
+
+    import numpy as np
+
+    planes = sim._planes(dim, 4)
+    qbucket = sum(
+        1 << p for p in range(4) if float(np.dot(planes[p], np.asarray(qv))) >= 0
+    )
+    cand = emb.filter(
+        sim.lsh_bucket_col(F.col("embedding"), dim, 4) == F.lit(qbucket)
+    )
+    n_cand, n_total = cand.count(), emb.count()
+    assert n_cand < n_total / 4, f"bucket too large: {n_cand}/{n_total}"
+    exact_in_bucket = [r.vec_id for r in sim.cosine_topk(cand, qv, k=10).collect()]
+    assert got == exact_in_bucket
+
+
+def test_lsh_bucket_count(spark, emb):
+    dim = len(emb.head()["embedding"])
+    buckets = emb.select(
+        sim.lsh_bucket_col(F.col("embedding"), dim, n_planes=4).alias("b")
+    )
+    counts = buckets.groupBy("b").count().collect()
+    # 16 buckets, roughly balanced for random hyperplanes on random data
+    assert len(counts) == 16
+    assert max(c["count"] for c in counts) < 4 * min(c["count"] for c in counts)
+
+
+def test_minhash_catches_strong_near_dups(docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert exact, "fixture corpus should contain strong near-dups"
+    lsh = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    missed = exact - lsh
+    assert not missed, f"LSH missed strong near-dups: {missed}"
+
+
+def test_simhash_locality(docs):
+    # near-dup docs (jaccard >= 0.8) should have small hamming distance
+    fp = {r.doc: r.simhash for r in simhash_fingerprints(docs).collect()}
+    strong = ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    rng = np.random.default_rng(0)
+    all_ids = list(fp)
+    rand_hd = [
+        bin(fp[a] ^ fp[b]).count("1")
+        for a, b in zip(rng.choice(all_ids, 200), rng.choice(all_ids, 200))
+        if a != b
+    ]
+    for r in strong:
+        hd = bin(fp[r.id_a] ^ fp[r.id_b]).count("1")
+        assert hd <= 6, f"near-dup pair {r.id_a},{r.id_b} hamming {hd}"
+    assert np.mean(rand_hd) > 8, "random pairs should be far apart"
+
+
+def test_multimodal_features_batch_shape(spark, docs):
+    media = docs.limit(20).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.lit("image/fake").alias("mime_type"),
+        F.lit(8).cast("bigint").alias("width"),
+        F.lit(8).cast("bigint").alias("height"),
+        F.lit(None).cast("bigint").alias("duration_ms"),
+        F.lit("synthetic://x").alias("source_uri"),
+    )
+    feats = mm.extract_features(media, feature_dim=16, fake_decode=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r.features) == 16
+        assert len(r.content_sha256) == 64
+    # determinism: same content → same features
+    again = {r.media_id: r.features for r in feats.collect()}
+    for r in rows:
+        assert again[r.media_id] == r.features
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"bytes", fake=False)
+
+
+def test_frame_sampling_plan(spark):
+    media = spark.createDataFrame(
+        [(1, "video", None, "video/fake", None, None, 3500, "u")],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    frames = mm.sample_frames(media, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
