@@ -1,0 +1,139 @@
+"""Sinks: materialization modes, clustered writes, partitioned lake
+layout, retention sweeps.
+
+Maps the reference's storage-side operators to a parquet lake:
+
+- dbt materialization (`dbt_project.yml:19-30` — staged views vs
+  intermediate/mart tables) → lazy DataFrame vs `.write` (S7).
+- `cluster_by` hints on every model (e.g. `stg_blocks.sql:4`,
+  `fct_transaction_traces.sql:4`) → repartition + sortWithinPartitions
+  before write, giving parquet min/max row-group pruning the same
+  benefit Snowflake micro-partition clustering gives (S8).
+- Daily dump feed → `date=YYYYMMDD` partitioned layout (S2) with
+  overwrite-by-partition idempotent re-loads.
+- Retention (`download_blockchair_data.py:218-246`, 3-day default) →
+  partition drops by cutoff (S5).
+
+Scale notes: clustering keys double as the join/filter keys downstream,
+so a clustered write is also a bucketing opportunity — `materialize`
+exposes `buckets` to co-locate future joins (Spark bucketed tables skip
+the shuffle on equi-joins over the bucket key).
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Materialization:
+    """Per-model storage policy (the dbt config block equivalent)."""
+
+    mode: str = "view"  # view | table
+    cluster_by: tuple[str, ...] = ()
+    partition_by: tuple[str, ...] = ()
+    buckets: int = 0
+    bucket_by: tuple[str, ...] = ()
+
+
+def materialize(
+    df: DataFrame,
+    name: str,
+    config: Materialization,
+    base_path: str | None = None,
+) -> DataFrame:
+    """Apply a materialization policy and return the readable relation.
+
+    view  → register a temp view (lazy; Catalyst sees through it, so
+            downstream predicates still push into the source scan).
+    table → clustered/partitioned parquet write, then read back (cuts
+            lineage and freezes the layout, like a dbt table model).
+    """
+    spark = df.sparkSession
+    if config.mode == "view":
+        df.createOrReplaceTempView(name)
+        return df
+
+    writer_df = df
+    if config.cluster_by:
+        writer_df = df.repartition(*[df[c] for c in config.cluster_by]).sortWithinPartitions(
+            *config.cluster_by
+        )
+    if base_path:
+        path = f"{base_path}/{name}"
+        w = writer_df.write.mode("overwrite")
+        if config.partition_by:
+            w = w.partitionBy(*config.partition_by)
+        w.parquet(path)
+        return spark.read.parquet(path)
+    w = writer_df.write.mode("overwrite").format("parquet")
+    if config.partition_by:
+        w = w.partitionBy(*config.partition_by)
+    if config.buckets:
+        w = w.bucketBy(config.buckets, *config.bucket_by).sortBy(*config.bucket_by)
+        w.saveAsTable(name)
+    else:
+        w.saveAsTable(name)
+    return spark.table(name)
+
+
+# The reference's per-model clustering configuration (§2 S8).
+REFERENCE_MATERIALIZATIONS: dict[str, Materialization] = {
+    "stg_blocks": Materialization("view", cluster_by=("block_time",)),
+    "stg_transactions": Materialization("view", cluster_by=("tx_time",)),
+    "stg_inputs": Materialization("view", cluster_by=("time",)),
+    "stg_outputs": Materialization("view", cluster_by=("time",)),
+    "stg_addresses": Materialization("view", cluster_by=("address",)),
+    "int_transaction_flows": Materialization(
+        "table", cluster_by=("transaction_hash", "tx_time")
+    ),
+    "int_address_balances_with_history": Materialization(
+        "table", cluster_by=("address", "time")
+    ),
+    "fct_transaction_traces": Materialization(
+        "table", cluster_by=("source_address", "destination_address", "tx_time")
+    ),
+    "dim_addresses": Materialization("table", cluster_by=("address",)),
+    "dim_blocks": Materialization("table", cluster_by=("block_id",)),
+}
+
+
+def write_daily_partition(
+    df: DataFrame, base_path: str, table: str, yyyymmdd: str
+) -> str:
+    """Idempotent overwrite of one date partition (the daily-load
+    contract: re-running a day replaces that day, touching nothing else)."""
+    path = f"{base_path}/{table}/date={yyyymmdd}"
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def retention_sweep(base_path: str, table: str, keep_after: str) -> list[str]:
+    """Drop date partitions older than the cutoff
+    (clean_old_files, `download_blockchair_data.py:218-246`; stage
+    REMOVE by date pattern, `load_data_to_snowflake.sh:136-144`).
+    Returns the dropped partition names."""
+    dropped = []
+    table_dir = Path(base_path) / table
+    if not table_dir.exists():
+        return dropped
+    for part in sorted(table_dir.glob("date=*")):
+        m = re.match(r"date=(\d{8})$", part.name)
+        if m and m.group(1) < keep_after:
+            shutil.rmtree(part)
+            dropped.append(part.name)
+    return dropped
+
+
+def read_partitioned(spark: SparkSession, base_path: str, table: str) -> DataFrame:
+    """Partition-discovering read; date filters prune directories before
+    any file IO (partition pruning is the scan-level replacement for the
+    reference's per-day files)."""
+    return spark.read.option("basePath", f"{base_path}/{table}").parquet(
+        f"{base_path}/{table}"
+    )

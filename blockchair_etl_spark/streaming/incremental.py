@@ -1,0 +1,132 @@
+"""Incremental ingestion: the daily-batch contract, plus its Structured
+Streaming upgrade.
+
+The reference's incremental axis is batch-daily (SURVEY.md §2.10): one
+file per (coin, type, day), downloaded for yesterday
+(`download_blockchair_data.py:305-311`), idempotent re-load
+(`--skip-existing`), 3-day retention. Two Spark-native expressions:
+
+1. `incremental_batch_load` — the faithful mapping: per-day overwrite of
+   a `date=YYYYMMDD` partition + retention sweep. Deterministic,
+   replayable, no streaming state.
+2. `stream_daily_files` / `windowed_event_counts` — the idiomatic
+   upgrade: a file-source stream with `Trigger.AvailableNow` drains new
+   arrivals per run (same cadence, but exactly-once file tracking via
+   checkpoint instead of filename bookkeeping), and watermarked
+   event-time windows handle late data — capabilities the reference's
+   shell loop approximates manually.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..io.sinks import retention_sweep, write_daily_partition
+from ..io.sources import parse_dump_filename, read_tsv
+
+
+def incremental_batch_load(
+    spark: SparkSession,
+    files: list[str],
+    schemas: dict[str, StructType],
+    base_path: str,
+    retention_days_cutoff: str | None = None,
+) -> dict[str, list[str]]:
+    """Route daily dump files into date partitions (one overwrite per
+    (table, day) — idempotent), then sweep expired partitions."""
+    loaded: dict[str, list[str]] = {}
+    for f in files:
+        parsed = parse_dump_filename(f)
+        if not parsed:
+            continue
+        _, data_type, yyyymmdd = parsed
+        if data_type not in schemas:
+            continue
+        df = read_tsv(spark, f, schema=schemas[data_type])
+        write_daily_partition(df, base_path, data_type, yyyymmdd)
+        loaded.setdefault(data_type, []).append(yyyymmdd)
+    if retention_days_cutoff:
+        for table in loaded:
+            retention_sweep(base_path, table, retention_days_cutoff)
+    return loaded
+
+
+def stream_daily_files(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> StreamingQuery:
+    """File-source stream draining available files once per invocation
+    (Trigger.AvailableNow): exactly-once per-file processing with the
+    checkpoint as the source of truth — replaces `--skip-existing`
+    filename bookkeeping. Appends to a date-partitioned parquet sink."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("sep", "\t")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 16)
+        .csv(landing_dir)
+    )
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming form of
+    queryset.tumbling_hourly_events. Late rows within the watermark
+    still land in their event-time window; older ones are dropped and
+    the state store stays bounded (the 100 TB/day state-size guard)."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    events_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    out_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """End-to-end streaming pipeline: parquet file source → watermarked
+    windowed aggregate → parquet sink, drained with AvailableNow."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    agg = windowed_event_counts(stream, window, watermark)
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )

@@ -1,0 +1,305 @@
+"""Sources/sinks/extract/incremental/pipeline behavior (SURVEY §2
+S1-S8, §2.10, §3)."""
+
+import gzip
+import time
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchair_etl_spark.io.extract import (
+    DownloadConfig,
+    clean_old_files,
+    download_file,
+    dump_url,
+    write_gzip_tsv,
+)
+from blockchair_etl_spark.io.sinks import (
+    Materialization,
+    materialize,
+    read_partitioned,
+    retention_sweep,
+    write_daily_partition,
+)
+from blockchair_etl_spark.io.sources import (
+    load_with_pattern_routing,
+    parse_dump_filename,
+    read_tsv,
+)
+from blockchair_etl_spark.pipeline import QueryCache, run_transform_dag
+from blockchair_etl_spark.schema.registry import RAW_SCHEMAS, TABLE_FILE_PATTERNS
+from blockchair_etl_spark.streaming.incremental import (
+    incremental_batch_load,
+    stream_windowed_counts,
+)
+
+from blockchain_fixtures import generate, write_parquet
+
+
+def test_parse_dump_filename():
+    assert parse_dump_filename("blockchair_bitcoin_blocks_20250812.tsv.gz") == (
+        "bitcoin",
+        "blocks",
+        "20250812",
+    )
+    assert parse_dump_filename("blockchair_eth_inputs_20240101.tsv") == (
+        "eth",
+        "inputs",
+        "20240101",
+    )
+    assert parse_dump_filename("random.csv") is None
+
+
+def test_dump_url_and_download_retry(tmp_path):
+    cfg = DownloadConfig(api_key="k")
+    url = dump_url(cfg, "blocks", date(2025, 8, 12))
+    assert url.endswith("bitcoin/blocks/blockchair_bitcoin_blocks_20250812.tsv.gz?key=k")
+
+    calls = {"n": 0}
+
+    class FakeResp:
+        def __init__(self, data):
+            self.data = [data, b""]
+
+        def read(self, n):
+            return self.data.pop(0)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def flaky_opener(url, timeout):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("transient")
+        return FakeResp(b"payload")
+
+    import blockchair_etl_spark.io.extract as ex
+
+    orig_min = ex.BACKOFF_MIN_SECS
+    ex.BACKOFF_MIN_SECS = 0.0
+    try:
+        dest = download_file(url, tmp_path / "f.gz", _opener=flaky_opener)
+    finally:
+        ex.BACKOFF_MIN_SECS = orig_min
+    assert dest.read_bytes() == b"payload" and calls["n"] == 3
+
+    def dead_opener(url, timeout):
+        raise ConnectionError("down")
+
+    ex.BACKOFF_MIN_SECS = 0.0
+    try:
+        with pytest.raises(ConnectionError):
+            download_file(url, tmp_path / "g.gz", _opener=dead_opener)
+    finally:
+        ex.BACKOFF_MIN_SECS = orig_min
+
+
+def test_retention_sweep_landing(tmp_path):
+    cfg = DownloadConfig(landing_dir=str(tmp_path))
+    for day in ["20250801", "20250810", "20250812"]:
+        write_gzip_tsv(
+            tmp_path / "bitcoin" / "blocks" / f"blockchair_bitcoin_blocks_{day}.tsv.gz",
+            ["id"],
+            [[1]],
+        )
+    removed = clean_old_files(cfg, today=date(2025, 8, 13))
+    assert [p.name for p in removed] == ["blockchair_bitcoin_blocks_20250801.tsv.gz"]
+
+
+@pytest.fixture(scope="module")
+def tsv_files(tmp_path_factory):
+    """Three days of blocks TSVs + one deliberately malformed file
+    (FIXTURES.md file-format fixture)."""
+    d = tmp_path_factory.mktemp("landing")
+    fields = RAW_SCHEMAS["blocks"].fields
+    header = [f.name for f in fields]
+
+    def _cell(field, bid, day_iso):
+        t = field.dataType.typeName()
+        if field.name == "id":
+            return bid
+        if t == "long":
+            return 100
+        if t == "double":
+            return 1.5
+        if t == "timestamp":
+            return f"{day_iso} 00:00:00"
+        return f"s{bid}"
+
+    files = []
+    for i, day in enumerate(["20250810", "20250811", "20250812"]):
+        day_iso = f"2025-08-{10 + i}"
+        rows = [
+            [_cell(f, bid, day_iso) for f in fields]
+            for bid in range(i * 10, i * 10 + 5)
+        ]
+        files.append(
+            str(
+                write_gzip_tsv(
+                    d / f"blockchair_bitcoin_blocks_{day}.tsv.gz", header, rows
+                )
+            )
+        )
+    bad = d / "blockchair_bitcoin_blocks_20250813.tsv.gz"
+    with gzip.open(bad, "wt") as f:
+        f.write("id\thash\nnot_a_number\tx\ty\tz\textra\tgarbage\n")
+    files.append(str(bad))
+    return files
+
+
+def test_tsv_scan_and_pattern_routing_with_skip(spark, tsv_files):
+    # S3: schema'd TSV/gzip scan
+    df = read_tsv(spark, tsv_files[0], schema=RAW_SCHEMAS["blocks"])
+    assert df.count() == 5
+    assert df.schema["time"].dataType.typeName() == "timestamp"
+
+    # S4: route by pattern, skip the malformed file whole
+    routed, report = load_with_pattern_routing(
+        spark, tsv_files, TABLE_FILE_PATTERNS, RAW_SCHEMAS
+    )
+    assert len(report.loaded) == 3
+    assert len(report.skipped) == 1 and "20250813" in report.skipped[0][0]
+    assert routed["blocks"].count() == 15
+
+
+def test_daily_partitions_and_retention(spark, tmp_path):
+    base = str(tmp_path / "lake")
+    for day in ["20250810", "20250811", "20250812"]:
+        df = spark.range(3).withColumn("day", F.lit(day))
+        write_daily_partition(df, base, "blocks", day)
+    # idempotent overwrite of one partition
+    write_daily_partition(spark.range(5), base, "blocks", "20250812")
+    dropped = retention_sweep(base, "blocks", keep_after="20250811")
+    assert dropped == ["date=20250810"]
+    df = read_partitioned(spark, base, "blocks")
+    counts = {r["date"]: r["n"] for r in df.groupBy("date").agg(F.count("*").alias("n")).collect()}
+    assert counts == {20250811: 3, 20250812: 5}
+    # partition pruning reaches the plan
+    plan = df.filter(F.col("date") == 20250812)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "date" in plan
+
+
+def test_incremental_batch_load(spark, tsv_files, tmp_path):
+    base = str(tmp_path / "lake2")
+    loaded = incremental_batch_load(
+        spark, tsv_files[:3], RAW_SCHEMAS, base, retention_days_cutoff="20250811"
+    )
+    assert loaded == {"blocks": ["20250810", "20250811", "20250812"]}
+    df = read_partitioned(spark, base, "blocks")
+    assert sorted(r["date"] for r in df.select("date").distinct().collect()) == [
+        20250811,
+        20250812,
+    ]
+
+
+def test_materialize_modes(spark, tmp_path):
+    df = spark.range(100).withColumn("k", F.col("id") % 7)
+    v = materialize(df, "a_view", Materialization("view"))
+    assert v.count() == 100 and spark.table("a_view").count() == 100
+    t = materialize(
+        df, "a_table", Materialization("table", cluster_by=("k",)), base_path=str(tmp_path)
+    )
+    assert t.count() == 100
+    # clustered write produced sorted-within-file parquet
+    import pyarrow.parquet as pq
+    import glob
+
+    files = glob.glob(f"{tmp_path}/a_table/*.parquet")
+    assert files
+    for fpath in files:
+        ks = pq.read_table(fpath, columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks)
+
+
+def test_full_dag_runner_with_materialization(spark, tmp_path):
+    fixdir = tmp_path / "fix"
+    fixdir.mkdir()
+    write_parquet(generate(), str(fixdir))
+    raw = {
+        n: spark.read.parquet(f"{fixdir}/{n}.parquet")
+        for n in ["blocks", "transactions", "inputs", "outputs", "addresses"]
+    }
+    tables, checks = run_transform_dag(raw, base_path=str(tmp_path / "marts"))
+    assert set(tables) == {
+        "stg_blocks", "stg_transactions", "stg_inputs", "stg_outputs", "stg_addresses",
+        "int_transaction_flows", "int_address_balances_with_history",
+        "fct_transaction_traces", "dim_addresses", "dim_blocks",
+    }
+    assert all(c.passed for c in checks), [c.name for c in checks if not c.passed]
+    assert (tmp_path / "marts" / "fct_transaction_traces").exists()
+    assert tables["fct_transaction_traces"].count() > 0
+
+
+def test_query_cache_ttl_and_retry(spark):
+    clock = {"t": 0.0}
+    cache = QueryCache(ttl_secs=10.0, _clock=lambda: clock["t"], _sleep=lambda s: None)
+    builds = {"n": 0}
+
+    def build():
+        builds["n"] += 1
+        return spark.range(3)
+
+    assert len(cache.run("q", (1,), build)) == 3
+    cache.run("q", (1,), build)
+    assert builds["n"] == 1  # cached
+    clock["t"] = 11.0
+    cache.run("q", (1,), build)
+    assert builds["n"] == 2  # expired
+
+    fails = {"n": 0}
+
+    def flaky():
+        fails["n"] += 1
+        if fails["n"] < 3:
+            raise RuntimeError("boom")
+        return spark.range(1)
+
+    assert len(cache.run("flaky", (), flaky)) == 1 and fails["n"] == 3
+
+    def dead():
+        raise RuntimeError("always")
+
+    with pytest.raises(RuntimeError):
+        cache.run("dead", (), dead)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from blockchair_etl_spark.io.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    events_dir = str(tmp_path / "events_in")
+    ev.withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+    q = stream_windowed_counts(
+        spark,
+        events_dir,
+        schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        out_dir=str(tmp_path / "out"),
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    # append mode emits exactly the FINALIZED windows: those whose end
+    # precedes the final watermark (max event time - 2h)
+    max_ts = ev.agg(F.max("ts")).head()[0]
+    import datetime
+
+    wm = max_ts - datetime.timedelta(hours=2)
+    finalized = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("w"), "event_type")
+        .count()
+        .filter(F.col("w") + F.expr("INTERVAL 1 HOUR") <= F.lit(wm))
+        .count()
+    )
+    assert got.count() == finalized
+    # second drain with no new files adds nothing (exactly-once)
+    q2 = stream_windowed_counts(
+        spark, events_dir, schema,
+        checkpoint_dir=str(tmp_path / "ckpt"), out_dir=str(tmp_path / "out"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == finalized
