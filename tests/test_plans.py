@@ -1,0 +1,106 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast, codegen.
+
+Correctness says the answer is right; these tests say the PLAN is the
+one that survives a 100 TB scale-up — filters reach the parquet scan,
+projections prune columns, small dims broadcast, core queries stay
+JVM-side (no Python in the hot path)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchair_etl_spark.io.sources import events_between, load_table
+from blockchair_etl_spark.queryset import QUERIES
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def full_explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = full_explain(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # only the 7 referenced columns are read, not the full 11-column row
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    for needed in ["l_quantity", "l_extendedprice", "l_returnflag"]:
+        assert needed in read_schema
+    for pruned in ["l_partkey", "l_suppkey", "l_orderkey"]:
+        assert pruned not in read_schema
+
+
+def test_events_range_pushdown(spark, sf_dir):
+    df = events_between(spark, sf_dir, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    plan = full_explain(df)
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed
+    # the naive formulation (filter on converted ts) must NOT be the shape
+    naive = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").between(
+            F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"),
+            F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"),
+        )
+    )
+    naive_plan = full_explain(naive)
+    assert "GreaterThanOrEqual(ts" not in naive_plan.split("PushedFilters")[1][:300]
+    # and the rows agree
+    assert df.count() == naive.count()
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["j4_region_rollup"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_staged_views_stay_transparent_to_pushdown(spark, tmp_path):
+    # dashboard date filter reaches the RAW parquet scan through
+    # stg_blocks → dim_blocks (two "view" layers)
+    import sys
+
+    sys.path.insert(0, str(tmp_path))  # noqa — only for fixture import isolation
+    from blockchain_fixtures import generate, write_parquet
+
+    d = tmp_path / "fix"
+    d.mkdir()
+    write_parquet({"blocks": generate()["blocks"]}, str(d))
+    from blockchair_etl_spark.query.analytics import block_metrics
+    from blockchair_etl_spark.transform.marts import dim_blocks
+    from blockchair_etl_spark.transform.staging import stg_blocks
+
+    raw = spark.read.parquet(f"{d}/blocks.parquet")
+    q = block_metrics(dim_blocks(stg_blocks(raw)), "2024-03-01", "2024-03-02")
+    plan = full_explain(q)
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "IsNotNull(id)" in pushed  # staged not-null filter pushed
+    assert "GreaterThanOrEqual(time" in pushed  # dashboard window pushed
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "merkle_root" not in read_schema  # 13 of 37 columns read
+
+
+def test_core_queries_have_no_python_in_hot_path(spark, sf_dir):
+    for name, spec in QUERIES.items():
+        if name == "multimodal_features":
+            continue  # the one deliberate Arrow-batched Python stage
+        plan = plan_of(spec.fn(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} runs row-level Python"
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    # map-side partial agg (HashAggregate before the exchange) for the
+    # flagship group-by — halves shuffle volume at scale
+    plan = plan_of(QUERIES["q1_pricing_summary"].fn(spark, sf_dir))
+    first_agg = plan.index("HashAggregate")
+    assert "Exchange" in plan[first_agg:], "no exchange after partial agg?"
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    plan = plan_of(QUERIES["p1_stg_projection"].fn(spark, sf_dir))
+    # codegen'd operators carry the "*(stage)" prefix in toString
+    assert "*(1)" in plan
