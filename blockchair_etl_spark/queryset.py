@@ -1036,3 +1036,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = _mm.extract_features(media, feature_dim=16, fake_decode=True)
     return feats.select("media_id", "kind", "n_bytes", "content_sha256")
+
+
+# ---------------------------------------------------------------------------
+# Remaining coverage: per-key rollup with COUNT DISTINCT (A1), SQL API
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_supplier_rollup",
+    survey="A1",
+    desc="per-key multi-aggregate with COUNT DISTINCT "
+    "(dim_addresses.sql:8-16: sums + count(distinct transaction_hash))",
+    oracle="""
+SELECT l_suppkey AS supp_key,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_qty,
+       COUNT(DISTINCT l_orderkey) AS order_count,
+       COUNT(*) AS line_count
+FROM lineitem
+GROUP BY l_suppkey
+""",
+)
+def a1_supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_suppkey").alias("supp_key")).agg(
+        exact_sum("l_quantity", 2).alias("lifetime_qty"),
+        F.countDistinct("l_orderkey").alias("order_count"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+@register(
+    "sql_api_priority_counts",
+    survey="§3.3 (spark.sql surface)",
+    desc="the engine's SQL entry point: temp-view registration + "
+    "spark.sql text (the dashboard's parameterized-SQL path, app.py:289+)",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+""",
+)
+def sql_api_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders_v
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_orderpriority
+        """
+    )
