@@ -1092,3 +1092,220 @@ def sql_api_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytic shapes (join-reordering / broadcast surface) and
+# gap-based sessionization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    survey="J1,J4,A1,O2",
+    desc="3-way join + grouped revenue + top-10 (TPC-H Q3 shape; "
+    "exercises join ordering and TakeOrderedAndProject)",
+    oracle="""
+SELECT l.l_orderkey AS order_key,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+            * CAST(1.0 - l.l_discount AS DECIMAL(6,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+       CAST(o.o_orderdate AS DATE) AS order_date,
+       o.o_orderpriority AS order_priority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+ORDER BY revenue DESC, order_key ASC
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    revenue = _dec("l_extendedprice", 2).cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(6,4)")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(F.sum(revenue).cast("decimal(38,4)").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("order_key"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_supplier_revenue",
+    survey="J4,A1",
+    desc="6-way join through broadcast dims with co-nation constraint "
+    "(TPC-H Q5 shape)",
+    oracle="""
+SELECT n.n_name AS nation_name,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+            * CAST(1.0 - l.l_discount AS DECIMAL(6,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1996-12-31 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def q5_region_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"),
+            F.lit("1996-12-31 00:00:00").cast("timestamp_ntz"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = _dec("l_extendedprice", 2).cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(6,4)")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(revenue).cast("decimal(38,4)").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "sessionize_events",
+    survey="§2.10,W1",
+    desc="gap-based sessionization (30 min inactivity) via lag + running "
+    "session counter; the batch twin of the stateful-streaming "
+    "sessionizer in streaming/sessionize.py",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+               OR epoch_us(CAST(ts AS TIMESTAMP))
+                  - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+numbered AS (
+  SELECT user_id, event_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        # µs-exact gap test (a seconds cast truncates and can disagree
+        # with the oracle's exact interval compare at the boundary)
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                > 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(w))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        exact_sum("value", 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+_SQL_EST_MATCHES = " + ".join(f"(a.m{i} = b.m{i})::INT" for i in range(16))
+
+
+@register(
+    "dedup_connected_clusters",
+    survey="LLM-dedup,J5",
+    desc="transitive closure of MinHash near-dup pairs via iterative "
+    "min-label propagation (driver loop like the trace executor); "
+    "cluster_id = min member id; oracle is a recursive CTE",
+    oracle=f"""
+WITH RECURSIVE sig AS ({_sql_minhash_sig(16)}),
+bands AS (
+  SELECT doc, 0 AS band_idx, md5(concat_ws('|', m0, m1, m2, m3)) AS band_key FROM sig
+  UNION ALL SELECT doc, 1, md5(concat_ws('|', m4, m5, m6, m7)) FROM sig
+  UNION ALL SELECT doc, 2, md5(concat_ws('|', m8, m9, m10, m11)) FROM sig
+  UNION ALL SELECT doc, 3, md5(concat_ws('|', m12, m13, m14, m15)) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sig a ON c.id_a = a.doc JOIN sig b ON c.id_b = b.doc
+  WHERE ({_SQL_EST_MATCHES}) / 16.0 >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(v, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+)
+SELECT v AS doc, MIN(r) AS cluster_id FROM reach GROUP BY v
+""",
+)
+def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.clusters import connected_clusters
+    from .llmdata.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_size=4, threshold=0.5)
+    return connected_clusters(pairs)

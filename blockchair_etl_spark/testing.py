@@ -38,7 +38,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(s):
             s = s.astype(float)
         elif s.dtype == object:
-            s = s.map(lambda v: float(v) if hasattr(v, "as_tuple") else v)  # Decimal
+            def _norm_obj(v):
+                if hasattr(v, "as_tuple"):  # Decimal
+                    return float(v)
+                if hasattr(v, "isoformat"):  # date / datetime objects
+                    return str(v)
+                return v
+
+            s = s.map(_norm_obj)
         out[c] = s
     norm = pd.DataFrame(out)
     if len(norm):

@@ -1,0 +1,87 @@
+"""Connected-components clustering and stateful-streaming sessionization."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchair_etl_spark.io.sources import load_table
+from blockchair_etl_spark.llmdata.clusters import connected_clusters
+from blockchair_etl_spark.queryset import QUERIES
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_connected_clusters_vs_union_find(spark):
+    pairs = [(1, 2), (2, 3), (10, 11), (12, 11), (20, 21), (3, 10), (30, 31)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r.doc: r.cluster_id for r in connected_clusters(df).collect()}
+    want = _union_find(pairs)
+    assert got == want
+    # chain 1-2-3-10-11-12 collapses to min id 1
+    assert got[12] == 1 and got[11] == 1
+    assert got[21] == 20 and got[31] == 30
+
+
+def test_connected_clusters_cycle(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["id_a", "id_b"])
+    got = {r.doc: r.cluster_id for r in connected_clusters(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    from blockchair_etl_spark.streaming.sessionize import sessionize_stream
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    events_dir = str(tmp_path / "ev")
+    ev.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    ).write.parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    q = (
+        sessionize_stream(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(str(tmp_path / "out"))
+
+    # batch twin: sessions whose gap horizon precedes the final
+    # watermark are exactly the ones the stream must have emitted
+    batch = QUERIES["sessionize_events"].fn(spark, "/root/testdata/sf0.001")
+    max_ts = ev.agg(F.max("ts")).head()[0]
+    wm = max_ts - datetime.timedelta(hours=1)
+    flushed = batch.filter(
+        F.col("session_end") + F.expr("INTERVAL 30 MINUTE") < F.lit(wm)
+    )
+    got_keys = {
+        (r.user_id, r.session_start, r.n_events) for r in got.collect()
+    }
+    want_keys = {
+        (r.user_id, r.session_start, r.n_events) for r in flushed.collect()
+    }
+    assert want_keys, "fixture should contain flushed sessions"
+    assert want_keys <= got_keys
+    # nothing emitted twice
+    assert got.count() == got.dropDuplicates(["user_id", "session_start"]).count()
