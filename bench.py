@@ -32,8 +32,12 @@ HEADLINE = [
     "tumbling_hourly_events",
     "o2_page_events",
     "j5_trace_2hop",
+    "q3_shipping_priority",
+    "q5_region_supplier_revenue",
+    "sessionize_events",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_connected_clusters",
     "ann_cosine_topk",
     "text_quality",
 ]

@@ -1309,3 +1309,42 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, num_hashes=16, band_size=4, threshold=0.5)
     return connected_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# ANN scale paths (rows-only contract entries: bucketed approximations
+# have no exact SQL oracle; correctness vs the brute-force baseline is
+# asserted in tests/test_llmdata.py and tests/test_ivf.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_lsh_topk",
+    survey="LLM-similarity",
+    desc="hyperplane-LSH bucketed ANN top-10 (candidates ~n/2^planes; "
+    "exact-within-bucket verified in pytest)",
+    oracle=None,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.similarity import lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return lsh_ann_topk(emb, qv, k=10, n_planes=4)
+
+
+@register(
+    "ann_ivf_topk",
+    survey="LLM-similarity",
+    desc="IVF ANN top-10: k-means inverted lists (DataFrame-native "
+    "Lloyd iterations), n_probe=2 nearest lists scored",
+    oracle=None,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.ivf import build_ivf_index, ivf_ann_topk, train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    centroids = train_ivf_centroids(emb, n_centroids=8, iterations=3)
+    indexed = build_ivf_index(emb, centroids)
+    return ivf_ann_topk(indexed, centroids, qv, k=10, n_probe=2)

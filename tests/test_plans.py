@@ -104,3 +104,35 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     plan = plan_of(QUERIES["p1_stg_projection"].fn(spark, sf_dir))
     # codegen'd operators carry the "*(stage)" prefix in toString
     assert "*(1)" in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    # S8/bucketing scale path: two tables bucketed+sorted on the join key
+    # sort-merge join with NO Exchange on either side
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path}/bucketdb'")
+    left = spark.range(50_000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.range(20_000).select(
+        (F.col("id") % 997).alias("k"), (F.col("id") * 3).alias("rv")
+    )
+    for name, df in [("bl", left), ("br", right)]:
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, "k")
+            .sortBy("k")
+            .saveAsTable(f"bucketdb.{name}")
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bucketdb.bl").join(spark.table("bucketdb.br"), "k")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        # sanity: co-located join returns the right answer
+        plain = left.join(right, "k").count()
+        assert joined.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE bucketdb CASCADE")
