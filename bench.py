@@ -55,7 +55,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen + parquet-reader warmup on trivial plans so the first
-    # timed query doesn't pay session startup costs.
+    # timed query doesn't pay session startup costs. (Per-query plan
+    # pre-compilation at sf0.001 was measured and removed: run-to-run
+    # variance exceeds the ~1s codegen cost it saves.)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 

@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) for the engine's pure algebras:
+the widening partial order, varchar tiering, name sanitation, and the
+exact-decimal summation contract."""
+
+from decimal import Decimal
+
+from hypothesis import given, settings, strategies as st
+
+from blockchair_etl_spark.schema.inference import (
+    ColumnType,
+    SchemaSkip,
+    apply_ratchet,
+    sanitize_column_name,
+    varchar_tier,
+    VARCHAR_TIERS,
+)
+
+kinds = st.sampled_from(["integer", "float", "boolean", "date", "timestamp"])
+col_types = st.one_of(
+    kinds.map(lambda k: ColumnType(k)),
+    st.sampled_from(VARCHAR_TIERS).map(lambda n: ColumnType("varchar", n)),
+)
+
+
+@given(col_types)
+def test_widens_irreflexive(t):
+    assert t.widens(t) is False
+
+
+@given(col_types, col_types, col_types)
+def test_widens_transitive(a, b, c):
+    # b widens a, c widens b ⇒ c widens a (strict order transitivity)
+    if b.widens(a) is True and c.widens(b) is True:
+        assert c.widens(a) is True
+
+
+@given(col_types, col_types)
+def test_widens_antisymmetric(a, b):
+    if a != b:
+        assert not (a.widens(b) is True and b.widens(a) is True)
+
+
+@given(st.integers(min_value=0, max_value=10**7))
+def test_varchar_tier_covers(n):
+    t = varchar_tier(n)
+    assert t in VARCHAR_TIERS
+    assert t >= n or t == VARCHAR_TIERS[-1]
+    # minimality: no smaller tier suffices
+    smaller = [x for x in VARCHAR_TIERS if x < t]
+    assert all(x < n for x in smaller)
+
+
+@given(st.text(max_size=30), st.integers(min_value=0, max_value=99))
+def test_sanitize_idempotent_and_valid(name, pos):
+    s = sanitize_column_name(name, pos)
+    assert s == sanitize_column_name(s, pos) or s.startswith("COL_")
+    assert s[0].isalpha() or s.startswith("COL_")
+    assert all(c.isalnum() or c == "_" for c in s)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("ABCD"), col_types), min_size=1, max_size=4,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.sampled_from("ABCD"), col_types), min_size=1, max_size=4,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_ratchet_never_narrows(new, old):
+    try:
+        accepted = apply_ratchet(new, old)
+    except SchemaSkip:
+        return
+    # accepted schema is never narrower than old on any common column
+    old_d, acc_d = dict(old), dict(accepted)
+    for col in set(old_d) & set(acc_d):
+        assert acc_d[col].widens(old_d[col]) in (True, False)  # never None
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.decimals(
+            min_value=Decimal("-99999.99"),
+            max_value=Decimal("99999.99"),
+            places=2,
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_exact_sum_matches_decimal_arithmetic(spark, values):
+    from blockchair_etl_spark.macros import exact_sum
+
+    df = spark.createDataFrame([(float(v),) for v in values], ["x"])
+    got = df.agg(exact_sum("x", 2).alias("s")).head()["s"]
+    # doubles of 2dp values round-trip exactly through DECIMAL(18,2)
+    want = float(sum(Decimal(str(float(v))).quantize(Decimal("0.01")) for v in values))
+    assert got == want
