@@ -41,11 +41,13 @@ def tokens_col(text: Column | str) -> Column:
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token counting: whitespace tokens, BPE-ish pre-tokens, chars."""
     toks = tokens_col(text_col)
+    # bigint outputs: DuckDB's len()/length() return BIGINT, Spark's
+    # size()/length() return INT — align so result schemas agree too
     return df.select(
         F.col(id_col),
-        F.length(F.col(text_col)).alias("n_chars"),
-        F.size(toks).alias("n_tokens_ws"),
-        F.regexp_count(F.lower(F.col(text_col)), F.lit(BPE_ISH_RE)).alias("n_tokens_bpe"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens_ws"),
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(BPE_ISH_RE)).cast("bigint").alias("n_tokens_bpe"),
     )
 
 
@@ -74,8 +76,8 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_words.cast("bigint").alias("n_words"),
         avg_word_len.alias("avg_word_len"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
@@ -108,7 +110,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
     scored = df.select(
         F.col(id_col),
-        *[scores[lang].alias(f"score_{lang}") for lang in STOPWORDS],
+        *[scores[lang].cast("bigint").alias(f"score_{lang}") for lang in STOPWORDS],
     )
     return scored.select(
         id_col,

@@ -496,7 +496,7 @@ def w1_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     desc="ROW_NUMBER sequence within a partition (fct_transaction_traces.sql:24)",
     oracle="""
 SELECT l_orderkey AS order_key, l_linenumber AS line_number,
-       ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS trace_sequence
+       CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS BIGINT) AS trace_sequence
 FROM lineitem
 """,
 )
@@ -506,7 +506,7 @@ def w2_trace_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         F.col("l_orderkey").alias("order_key"),
         F.col("l_linenumber").alias("line_number"),
-        F.row_number().over(w).alias("trace_sequence"),
+        F.row_number().over(w).cast("bigint").alias("trace_sequence"),
     )
 
 
@@ -840,7 +840,8 @@ per_bit AS (
   FROM bits GROUP BY 1, 2
 )
 SELECT doc,
-       SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM per_bit GROUP BY doc
 """,
 )
@@ -1215,8 +1216,8 @@ WITH flagged AS (
 ),
 numbered AS (
   SELECT user_id, event_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -1250,7 +1251,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_session"),
     )
-    numbered = flagged.withColumn("session_id", F.sum("new_session").over(w))
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(w).cast("bigint"))
     return numbered.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
