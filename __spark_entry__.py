@@ -7,11 +7,19 @@ implementation, DuckDB oracle SQL) pairs.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from blockchair_etl_spark.queryset import QUERIES
+# Self-locating: the driver may load this file by path without the repo
+# root on sys.path; the package import must still resolve.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from blockchair_etl_spark.queryset import QUERIES  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 
