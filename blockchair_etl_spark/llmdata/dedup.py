@@ -319,3 +319,98 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batches against a persisted signature store
+# ---------------------------------------------------------------------------
+
+
+def minhash_band_store(
+    df: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Signature + band-key relation suitable for persisting as the
+    corpus dedup index: one row per doc with its minhash columns and a
+    band-key array. Because the hash family is md5-of-literal-seed,
+    signatures computed tomorrow are comparable with signatures stored
+    today — the property incremental dedup needs."""
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    sig = minhash_signatures(df, num_hashes, text_col, id_col, shingle_n)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"m{b * band_size + j}") for j in range(band_size)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.withColumn("bands", band_keys)
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an arriving batch against the existing corpus index.
+
+    Returns (pairs, updated_store):
+      pairs — (new_id, existing_id, est_jaccard ≥ threshold); an empty
+      `store` (or None) yields no pairs.
+      updated_store — store ∪ the new batch's signatures (write this
+      back; the next batch compares against it).
+
+    Scale shape: only the NEW batch is shingled/hashed; the candidate
+    join explodes band keys on both sides and meets on (band_idx,
+    band_key) — the store side is a pre-computed narrow relation, so the
+    daily cost is O(|batch|) hashing + one bucket join, never a corpus
+    rescan. Within-batch duplicates are found by the same join applied
+    batch-vs-batch (minhash_lsh_pairs).
+    """
+    new_store = minhash_band_store(
+        new_docs, num_hashes, band_size, text_col, id_col, shingle_n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if store is None:
+        empty = new_store.sparkSession.createDataFrame(
+            [], "id_a bigint, id_b bigint, est_jaccard double"
+        )
+        return empty, new_store
+
+    def banded(s: DataFrame, prefix: str) -> DataFrame:
+        return s.select(
+            F.col("doc").alias(f"{prefix}_doc"),
+            F.posexplode("bands").alias("band_idx", "band_key"),
+            *[F.col(f"m{i}").alias(f"{prefix}{i}") for i in range(num_hashes)],
+        )
+
+    a = banded(new_store, "a")
+    b = banded(store, "b")
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .select(
+            F.col("a_doc").alias("id_a"),
+            F.col("b_doc").alias("id_b"),
+            (matches / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )
+    updated = store.unionByName(new_store)
+    return pairs, updated

@@ -127,3 +127,33 @@ def test_frame_sampling_plan(spark):
     )
     frames = mm.sample_frames(media, every_ms=1000).collect()
     assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_incremental_minhash_dedup(spark, docs):
+    from blockchair_etl_spark.llmdata.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_store,
+        minhash_lsh_pairs,
+    )
+
+    # split the corpus into "yesterday" and "today"
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    store = minhash_band_store(old)
+    pairs, updated = incremental_minhash_dedup(new, store)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+
+    # ground truth: full-corpus LSH pairs that cross the old/new split
+    full = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    cross = {
+        (r.id_a, r.id_b) if r.id_a % 2 == 1 else (r.id_b, r.id_a)
+        for r in full
+        if (r.id_a % 2) != (r.id_b % 2)
+    }
+    assert got == cross
+    assert updated.count() == docs.count()
+
+    # bootstrap: no store yet → no pairs, store seeded
+    first_pairs, first_store = incremental_minhash_dedup(new, None)
+    assert first_pairs.count() == 0
+    assert first_store.count() == new.count()
