@@ -1,0 +1,51 @@
+"""Approximate aggregation variants — the bounded-memory scale options.
+
+Exact COUNT DISTINCT shuffles every distinct value; exact percentiles
+shuffle every row. At 100 TB the sketch forms trade bounded error for
+O(1) state per group: HyperLogLog++ for cardinality
+(`approx_count_distinct`, rsd-tunable) and the Greenwald-Khanna /
+KLL-style quantile sketch (`percentile_approx`). These wrappers pin the
+engine's accuracy defaults and give the dashboard metrics (SURVEY §2 A2)
+their large-scale drop-ins; error bounds are asserted in
+tests/test_approx.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_RSD = 0.02  # ~2% relative standard deviation (HLL++ precision)
+DEFAULT_QUANTILE_ACCURACY = 10_000  # 1/accuracy max rank error
+
+
+def approx_distinct(c: Column | str, rsd: float = DEFAULT_RSD) -> Column:
+    return F.approx_count_distinct(c, rsd=rsd)
+
+
+def approx_quantiles(
+    c: Column | str, probabilities: list[float], accuracy: int = DEFAULT_QUANTILE_ACCURACY
+) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.percentile_approx(
+        col, F.array(*[F.lit(p) for p in probabilities]), F.lit(accuracy)
+    )
+
+
+def approx_distinct_transactions(
+    fct_traces: DataFrame, start: str, end: str, rsd: float = DEFAULT_RSD
+) -> DataFrame:
+    """Sketch form of analytics.distinct_transaction_count (A2): same
+    query shape, HLL++ instead of an exact distinct shuffle."""
+    return fct_traces.filter(
+        F.col("tx_time").between(F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp"))
+    ).agg(approx_distinct("transaction_hash").alias("total_transactions_approx"))
+
+
+def fee_quantiles(
+    fct_traces: DataFrame, probabilities: list[float] | None = None
+) -> DataFrame:
+    """Fee distribution sketch (dashboard trend companion)."""
+    probs = probabilities or [0.5, 0.9, 0.99]
+    return fct_traces.agg(
+        approx_quantiles("fee_btc", probs).alias("fee_btc_quantiles")
+    )

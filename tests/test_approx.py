@@ -1,0 +1,31 @@
+"""Error bounds of the approximate aggregation variants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchair_etl_spark.io.sources import load_table
+from blockchair_etl_spark.operators.approx import approx_distinct, approx_quantiles
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    df = spark.range(100_000).select((F.col("id") % 34_567).alias("x"))
+    exact = 34_567
+    approx = df.agg(approx_distinct("x", rsd=0.02).alias("n")).head()["n"]
+    assert abs(approx - exact) / exact < 0.05  # 2% rsd → 5% is a safe gate
+
+
+def test_approx_quantiles_rank_error(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    probs = [0.5, 0.9, 0.99]
+    approx = li.agg(
+        approx_quantiles("l_extendedprice", probs, accuracy=10_000).alias("q")
+    ).head()["q"]
+    n = li.count()
+    vals = [r["l_extendedprice"] for r in li.select("l_extendedprice").collect()]
+    vals.sort()
+    for p, a in zip(probs, approx):
+        # rank error ≤ n/accuracy (plus discreteness slack)
+        rank = vals.index(a) if a in vals else min(
+            range(len(vals)), key=lambda i: abs(vals[i] - a)
+        )
+        assert abs(rank - p * n) <= n / 10_000 + 2

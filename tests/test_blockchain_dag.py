@@ -362,3 +362,76 @@ JOIN dim_blocks b ON tb.block_id = b.block_id
     assert r.ok, r.mismatches[:5]
     # the fixture's 4-hop cycle means hop 3 must exist and revisit addr0000
     assert (got["hop"] == 3).any()
+
+
+def test_flow_fanout_survives_hot_transaction(spark, tmp_path):
+    """Skew stress: one transaction with 150 inputs × 150 outputs
+    (22,500-row fan-out from a single join key) — the J2 hazard AQE's
+    skew-join splitting must absorb. Verifies row counts stay exact
+    under the skewed plan."""
+    import pandas as pd
+
+    from blockchair_etl_spark.transform.intermediate import int_transaction_flows
+    from blockchair_etl_spark.transform.staging import (
+        stg_blocks,
+        stg_inputs,
+        stg_outputs,
+        stg_transactions,
+    )
+
+    tables = generate()
+    hot_tx = "f" * 64
+    btime = pd.Timestamp("2024-03-01 00:00:00")
+    block_id = 800000
+    n = 150
+    hot_inputs = pd.DataFrame(
+        [
+            dict(tables["inputs"].iloc[0].to_dict(), transaction_hash=hot_tx,
+                 block_id=block_id, index=i, time=btime)
+            for i in range(n)
+        ]
+    )
+    hot_outputs = pd.DataFrame(
+        [
+            dict(tables["outputs"].iloc[0].to_dict(), transaction_hash=hot_tx,
+                 block_id=block_id, index=i, time=btime)
+            for i in range(n)
+        ]
+    )
+    hot_tx_row = pd.DataFrame(
+        [dict(tables["transactions"].iloc[1].to_dict(), hash=hot_tx,
+              block_id=block_id, input_count=n, output_count=n)]
+    )
+    tables["inputs"] = pd.concat([tables["inputs"], hot_inputs], ignore_index=True)
+    tables["outputs"] = pd.concat([tables["outputs"], hot_outputs], ignore_index=True)
+    tables["transactions"] = pd.concat(
+        [tables["transactions"], hot_tx_row], ignore_index=True
+    )
+    d = tmp_path / "skewfix"
+    d.mkdir()
+    write_parquet(tables, str(d))
+    raw = {
+        name: spark.read.parquet(f"{d}/{name}.parquet")
+        for name in ["blocks", "transactions", "inputs", "outputs"]
+    }
+    flows = int_transaction_flows(
+        stg_blocks(raw["blocks"]),
+        stg_transactions(raw["transactions"]),
+        stg_inputs(raw["inputs"]),
+        stg_outputs(raw["outputs"]),
+    )
+    hot_rows = flows.filter(flows.transaction_hash == hot_tx).count()
+    assert hot_rows == n * n
+    # total still matches the per-tx invariant
+    import pyspark.sql.functions as SF
+
+    per_tx = flows.groupBy("transaction_hash").count()
+    tx = raw["transactions"].select(
+        "hash",
+        (SF.greatest(SF.col("input_count"), SF.lit(1))
+         * SF.greatest(SF.col("output_count"), SF.lit(1))).alias("expect"),
+    )
+    bad = per_tx.join(tx, per_tx.transaction_hash == tx.hash).filter(
+        SF.col("count") != SF.col("expect")
+    )
+    assert bad.count() == 0
