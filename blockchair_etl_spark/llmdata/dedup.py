@@ -414,3 +414,52 @@ def incremental_minhash_dedup(
     )
     updated = store.unionByName(new_store)
     return pairs, updated
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    id_col: str = "doc",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole block index: split the fingerprint into (max_hamming+1)
+    bit blocks — any pair within the distance bound must agree exactly
+    on ≥1 block, so candidates come from equality joins on
+    (block_idx, block_value) instead of an all-pairs scan. The exact
+    Hamming filter (bit_count of xor) then prunes false candidates.
+    This is the standard web-scale simhash dedup shape: the block join
+    is O(Σ bucket²) on 8-bit buckets, never O(n²).
+    """
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_idx"),
+                F.shiftright(F.col(fp_col), i * block_bits).bitwiseAND(mask).alias("block_val"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    exploded = fingerprints.select(
+        F.col(id_col).alias("doc"), F.col(fp_col).alias("fp"), F.explode(blocks).alias("b")
+    ).select("doc", "fp", F.col("b.block_idx").alias("bi"), F.col("b.block_val").alias("bv"))
+    a = exploded.select(
+        F.col("doc").alias("id_a"), F.col("fp").alias("fp_a"), "bi", "bv"
+    )
+    b = exploded.select(
+        F.col("doc").alias("id_b"), F.col("fp").alias("fp_b"), "bi", "bv"
+    )
+    return (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+    )

@@ -1349,3 +1349,56 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = train_ivf_centroids(emb, n_centroids=8, iterations=3)
     indexed = build_ivf_index(emb, centroids)
     return ivf_ann_topk(indexed, centroids, qv, k=10, n_probe=2)
+
+
+@register(
+    "dedup_simhash_pairs",
+    survey="LLM-dedup",
+    desc="SimHash near-dup pairs (hamming <= 3) via pigeonhole 8-bit "
+    "block index + exact xor-popcount filter",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id AS doc, token, COUNT(*) AS w, substr(md5(token), 1, 8) AS h
+  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+               '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents)
+  GROUP BY 1, 2
+),
+bits AS (
+  SELECT doc, w, h, j,
+         instr('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1 AS nibble,
+         CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS pow2
+  FROM tf, unnest(range(0, 32)) AS u(j)
+),
+per_bit AS (
+  SELECT doc, j,
+         SUM(CASE WHEN (nibble // pow2) % 2 = 1 THEN w ELSE -w END) AS s
+  FROM bits GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc,
+         CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM per_bit GROUP BY doc
+),
+blocks AS (
+  SELECT doc, simhash, bi, (simhash >> (bi * 8)) & 255 AS bv
+  FROM fp, unnest(range(0, 4)) AS u(bi)
+),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+                  a.simhash AS fp_a, b.simhash AS fp_b
+  FROM blocks a JOIN blocks b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.doc < b.doc
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= 3
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.dedup import simhash_fingerprints, simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs, bits=32)
+    return simhash_near_pairs(fp, max_hamming=3, bits=32)
