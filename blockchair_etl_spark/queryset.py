@@ -1402,3 +1402,149 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = simhash_fingerprints(docs, bits=32)
     return simhash_near_pairs(fp, max_hamming=3, bits=32)
+
+
+# ---------------------------------------------------------------------------
+# OLAP pattern coverage: as-of join, top-k per group, pivot, cube
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_last_purchase",
+    survey="custom-op (as-of join)",
+    desc="backward as-of join: each view event matched to the user's "
+    "latest prior purchase (union + last-value window composition; "
+    "oracle uses DuckDB's native ASOF JOIN)",
+    oracle="""
+WITH views AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'view'
+),
+purchases AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         MAX(event_id) AS p_event_id
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(ts AS TIMESTAMP)
+)
+SELECT v.event_id, v.user_id, v.ts, v.value,
+       p.p_event_id AS matched_p_event_id,
+       p.ts AS matched_p_ts
+FROM views v
+ASOF LEFT JOIN purchases p
+  ON v.user_id = p.user_id AND v.ts >= p.ts
+""",
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_event_id"))
+        .select("user_id", F.col("ts").alias("p_ts"), "p_event_id")
+    )
+    return asof_join_backward(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        payload_cols=["p_event_id", "p_ts"],
+    )
+
+
+@register(
+    "topk_per_group",
+    survey="W2,O1 (top-k per group)",
+    desc="top-3 lines per supplier by price with deterministic tiebreak "
+    "(window row_number <= k)",
+    oracle="""
+SELECT supp_key, order_key, line_number, price_usd, rk
+FROM (
+  SELECT l_suppkey AS supp_key, l_orderkey AS order_key,
+         l_linenumber AS line_number, l_extendedprice AS price_usd,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         ) AS BIGINT) AS rk
+  FROM lineitem
+)
+WHERE rk <= 3
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.select(
+            F.col("l_suppkey").alias("supp_key"),
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_linenumber").alias("line_number"),
+            F.col("l_extendedprice").alias("price_usd"),
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "pivot_status_qty",
+    survey="pivot",
+    desc="pivot linestatus into columns of quantity sums (oracle uses "
+    "FILTER aggregates — the engine-portable pivot form)",
+    oracle="""
+SELECT l_returnflag AS return_flag,
+       CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+            FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_open,
+       CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+            FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    pivoted = (
+        li.groupBy(F.col("l_returnflag").alias("return_flag"))
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec("l_quantity", 2)))
+    )
+    return pivoted.select(
+        "return_flag",
+        F.coalesce(F.col("O"), dec0).cast("double").alias("qty_open"),
+        F.coalesce(F.col("F"), dec0).cast("double").alias("qty_filled"),
+    )
+
+
+@register(
+    "cube_flag_status",
+    survey="cube/rollup",
+    desc="CUBE over (returnflag, linestatus): all grouping-set subtotals "
+    "with NULL markers for rolled-up dimensions",
+    oracle="""
+SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(
+            exact_sum("l_quantity", 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
