@@ -1548,3 +1548,47 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "range_join_error_purchase",
+    survey="custom-op (range join)",
+    desc="interval join: error events paired with same-user purchases "
+    "within +/-10 minutes, via bucketized equi-join (no nested-loop)",
+    oracle="""
+SELECT e.event_id AS error_id, p.event_id AS purchase_id, e.user_id,
+       CAST(e.ts AS TIMESTAMP) AS error_ts,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts
+FROM events e JOIN events p
+  ON e.user_id = p.user_id
+ AND e.event_type = 'error' AND p.event_type = 'purchase'
+ AND abs(epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP)))
+     <= 600000000
+""",
+)
+def range_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.range_join import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = interval_join(
+        errors.withColumnRenamed("user_id", "k"),
+        purchases.withColumnRenamed("p_user_id", "k"),
+        on="k",
+        left_ts="error_ts",
+        right_ts="purchase_ts",
+        tolerance_secs=600,
+    )
+    return joined.select(
+        "error_id", "purchase_id", F.col("k").alias("user_id"),
+        "error_ts", "purchase_ts",
+    )
