@@ -1592,3 +1592,28 @@ def range_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error_id", "purchase_id", F.col("k").alias("user_id"),
         "error_ts", "purchase_ts",
     )
+
+
+@register(
+    "unpivot_totals",
+    survey="unpivot",
+    desc="unpivot wide unit columns into (unit, amount) rows via stack()",
+    oracle="""
+SELECT o_orderkey AS order_key, u.unit, u.amount
+FROM orders,
+     LATERAL (VALUES ('total', o_totalprice),
+                     ('total_half', o_totalprice / 2.0)) AS u(unit, amount)
+WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+""",
+)
+def unpivot_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return orders.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.expr(
+            "stack(2, 'total', o_totalprice, 'total_half', o_totalprice / 2.0) "
+            "AS (unit, amount)"
+        ),
+    )
