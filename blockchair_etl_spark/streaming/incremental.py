@@ -130,3 +130,28 @@ def stream_windowed_counts(
         .outputMode("append")
         .start()
     )
+
+
+def session_window_counts(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Native session windows (F.session_window): the built-in form of
+    the gap-based sessionizer. Three interchangeable expressions of the
+    same semantics exist in this engine — batch lag+cumsum
+    (queryset.sessionize_events), custom state (streaming/sessionize.py),
+    and this built-in — tested against each other."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

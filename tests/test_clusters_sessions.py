@@ -85,3 +85,42 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert want_keys <= got_keys
     # nothing emitted twice
     assert got.count() == got.dropDuplicates(["user_id", "session_start"]).count()
+
+
+def test_native_session_window_matches_batch_twin(spark, tmp_path):
+    from blockchair_etl_spark.streaming.incremental import session_window_counts
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    events_dir = str(tmp_path / "ev_native")
+    ev.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    ).write.parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    q = (
+        session_window_counts(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out_native"))
+        .option("checkpointLocation", str(tmp_path / "ckpt_native"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(str(tmp_path / "out_native"))
+
+    batch = QUERIES["sessionize_events"].fn(spark, "/root/testdata/sf0.001")
+    max_ts = ev.agg(F.max("ts")).head()[0]
+    wm = max_ts - datetime.timedelta(hours=1)
+    # native session windows close at session_end + gap; append emits
+    # those the final watermark passed
+    flushed = batch.filter(
+        F.col("session_end") + F.expr("INTERVAL 30 MINUTE") < F.lit(wm)
+    )
+    got_keys = {(r.user_id, r.session_start, r.n_events) for r in got.collect()}
+    want_keys = {
+        (r.user_id, r.session_start, r.n_events) for r in flushed.collect()
+    }
+    assert want_keys, "fixture should contain flushed sessions"
+    # every batch-identified flushed session appears identically
+    assert want_keys <= got_keys
