@@ -19,8 +19,6 @@ same bucket-join shape.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame, functions as F

@@ -32,7 +32,10 @@ def scd2_merge(
     valid_to: str = "valid_to",
 ) -> DataFrame:
     """→ new dimension state. `dim` columns: key, *tracked, valid_from,
-    valid_to (null = open). `updates` columns: key, *tracked."""
+    valid_to (null = open). `updates` columns: key, *tracked, and must
+    be unique per key (last-writer-wins reduction is the caller's
+    policy — apply it upstream, e.g. a row_number window over the CDC
+    ordering column)."""
     ts = F.lit(batch_ts).cast("timestamp")
     closed_history = dim.filter(F.col(valid_to).isNotNull())
     open_rows = dim.filter(F.col(valid_to).isNull())
