@@ -65,6 +65,15 @@ def materialize(
             *config.cluster_by
         )
     if base_path:
+        if config.buckets:
+            # Path-based parquet writes carry no bucket metadata; a
+            # silent plain write would defeat the bucketing contract
+            # (downstream joins would still shuffle).
+            raise ValueError(
+                f"{name}: buckets={config.buckets} requires a catalog table "
+                "(saveAsTable) — bucketing cannot be expressed on a bare "
+                "path write; drop base_path or drop buckets"
+            )
         path = f"{base_path}/{name}"
         w = writer_df.write.mode("overwrite")
         if config.partition_by:

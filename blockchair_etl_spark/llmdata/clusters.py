@@ -26,7 +26,12 @@ def connected_clusters(
     max_iterations: int = 20,
 ) -> DataFrame:
     """→ (doc, cluster_id) for every vertex in ≥1 pair; cluster_id is
-    the minimum member id (deterministic canonical representative)."""
+    the minimum member id (deterministic canonical representative).
+
+    Convergence is required: if min-label propagation has not reached a
+    fixpoint within ``max_iterations`` (a component whose diameter
+    exceeds the bound — e.g. a long chain of near-dup pairs), the labels
+    would silently be wrong, so we raise instead of returning them."""
     fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
     edges = edges.distinct().persist()
@@ -34,6 +39,7 @@ def connected_clusters(
     labels = edges.select(F.col("u").alias("vertex")).distinct().select(
         "vertex", F.col("vertex").alias("label")
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.v == labels.vertex)
@@ -58,6 +64,13 @@ def connected_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_clusters did not converge within {max_iterations} "
+            "rounds; a component's diameter exceeds the bound — raise "
+            "max_iterations (rounds needed = graph diameter)"
+        )
     return labels.select(F.col("vertex").alias("doc"), F.col("label").alias("cluster_id"))

@@ -384,8 +384,21 @@ def incremental_minhash_dedup(
         new_docs, num_hashes, band_size, text_col, id_col, shingle_n
     ).persist(StorageLevel.MEMORY_AND_DISK)
     if store is None:
+        # Pair-id types follow the doc-id type (string corpora exist);
+        # a hard-coded bigint here would fail to union with later
+        # batches' pairs.
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        id_type = new_store.schema["doc"].dataType
         empty = new_store.sparkSession.createDataFrame(
-            [], "id_a bigint, id_b bigint, est_jaccard double"
+            [],
+            StructType(
+                [
+                    StructField("id_a", id_type),
+                    StructField("id_b", id_type),
+                    StructField("est_jaccard", DoubleType()),
+                ]
+            ),
         )
         return empty, new_store
 

@@ -26,10 +26,17 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the left side's hot keys spread over `salt` buckets.
 
-    left gets a random salt ∈ [0, salt); right is replicated `salt`
+    left gets a salt ∈ [0, salt) derived deterministically from row
+    content (xxhash64 over all columns); right is replicated `salt`
     times (explode of a literal range) so every (key, salt) pair still
     meets. Use when the LEFT side is skewed and the right side is too
     large to broadcast but small enough to replicate `salt`×.
+
+    The salt is content-derived, not F.rand(): a nondeterministic salt
+    re-routes recomputed rows to different shuffle partitions on stage
+    retry (SPARK-23207-class duplicate/loss hazard) and makes output
+    partitioning irreproducible across runs. Hashing the whole row keeps
+    hot-key rows spread even when the join keys themselves are constant.
 
     Supported joins: inner / left (semantics preserved because right
     replication never invents left rows).
@@ -38,7 +45,7 @@ def salted_join(
         raise ValueError("salted_join preserves semantics for inner/left only")
     salt_col = "__salt"
     lsalted = left.withColumn(
-        salt_col, (F.rand(seed=7) * salt).cast("int")
+        salt_col, F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
     )
     rsalted = right.withColumn(
         salt_col, F.explode(F.array(*[F.lit(i) for i in range(salt)]))

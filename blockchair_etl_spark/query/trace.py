@@ -89,6 +89,16 @@ def trace_funds(
         frontier = frontier.localCheckpoint(eager=False)
         acc = acc.unionByName(frontier)
 
+    if persisted:
+        # Materialize the accumulated result, then release the cached
+        # edge relation — otherwise every dashboard trace leaves a
+        # MEMORY_AND_DISK copy of the full edge set resident in executor
+        # storage. The eager checkpoint severs the result's lineage from
+        # the cache, so unpersisting cannot trigger recomputation later.
+        acc = acc.localCheckpoint(eager=True)
+        for df in persisted:
+            df.unpersist()
+
     return acc
 
 
