@@ -18,19 +18,56 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .similarity import cosine_expr
+from .similarity import DEC, cosine_expr
 
 
 def _sq_dist(vec_col: Column, centroid: np.ndarray) -> Column:
+    """Squared L2 distance, accumulated in exact DECIMAL: the argmin
+    over centroids is then independent of summation order and engine
+    (a double fold could flip near-equidistant assignments)."""
     c = F.array(*[F.lit(float(v)) for v in centroid])
-    diffs = F.zip_with(vec_col, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
-    return F.aggregate(diffs, F.lit(0.0), lambda s, x: s + x)
+    diffs = F.zip_with(
+        vec_col,
+        c,
+        lambda x, y: ((x.cast("double") - y) * (x.cast("double") - y)).cast(DEC),
+    )
+    return F.aggregate(diffs, F.lit(0).cast(DEC), lambda s, x: (s + x).cast(DEC))
 
 
 def assign_cluster(vec_col: Column, centroids: np.ndarray) -> Column:
-    """argmin centroid id as a Column expression (codegen'd, no UDF)."""
+    """argmin centroid id as a Column expression (codegen'd, no UDF);
+    exact-decimal distances, first-minimum tiebreak."""
     dists = F.array(*[_sq_dist(vec_col, centroids[i]) for i in range(len(centroids))])
     return F.array_position(dists, F.array_min(dists)).cast("int") - 1
+
+
+# Driver-memory guard for the centroid matrix: training collects
+# O(n_centroids × dim) floats per round; realistic IVF sizes (65k lists
+# × 1k dims ≈ 0.5 GB) should train via sampled mini-batch k-means, not
+# full Lloyd rounds through the driver.
+MAX_CENTROID_CELLS = 10_000_000
+
+
+def seed_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic codebook: every ⌊n/k⌋-th vector by id. This is the
+    Lloyd init, exposed separately because a fixed data-derived codebook
+    is itself a valid IVF index (and, unlike trained centroids, is
+    expressible in the DuckDB oracle SQL)."""
+    n = emb.count()
+    step = max(n // n_centroids, 1)
+    init = (
+        emb.filter((F.col(id_col) % step == 0))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    return np.array([[float(v) for v in r[0]] for r in init])
 
 
 def train_ivf_centroids(
@@ -41,36 +78,39 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Lloyd's k-means; deterministic init (every k-th vector by id
-    rank), distributed assign/update, centroids collected per round."""
-    n = emb.count()
-    step = max(n // n_centroids, 1)
-    init = (
-        emb.filter((F.col(id_col) % step == 0))
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .select(vec_col)
-        .collect()
-    )
-    centroids = np.array([[float(v) for v in r[0]] for r in init])
+    rank), distributed assign/update; each round collects exactly one
+    row per non-empty cluster (its per-dimension sum array + count),
+    never the per-(cluster, dim) exploded relation."""
+    centroids = seed_centroids(emb, n_centroids, id_col, vec_col)
+    if centroids.size > MAX_CENTROID_CELLS:
+        raise ValueError(
+            f"centroid matrix {centroids.shape} exceeds {MAX_CENTROID_CELLS} "
+            "cells; train with sampled mini-batch k-means instead of "
+            "driver-collected Lloyd rounds"
+        )
 
     for _ in range(iterations):
         assigned = emb.select(
             F.col(vec_col).alias("v"), assign_cluster(F.col(vec_col), centroids).alias("c")
         )
+        # Two-stage rollup: per-(cluster, dim) partial sums shuffle once,
+        # then re-group to ONE array row per cluster so the driver
+        # collect is O(n_centroids) rows, not O(n_centroids × dim).
         sums = (
             assigned.select("c", F.posexplode("v").alias("dim", "val"))
             .groupBy("c", "dim")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
+            .agg(F.sum("val").alias("s"))
+            .groupBy("c")
+            .agg(F.sort_array(F.collect_list(F.struct("dim", "s"))).alias("dims"))
         )
+        counts = assigned.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+        rows = sums.join(counts, "c").collect()
         new = centroids.copy()
-        acc: dict[int, np.ndarray] = {}
-        cnt: dict[int, int] = {}
-        for r in sums:
-            acc.setdefault(r["c"], np.zeros(centroids.shape[1]))[r["dim"]] = r["s"]
-            cnt[r["c"]] = r["n"]
-        for c, vec in acc.items():
-            new[c] = vec / cnt[c]
+        for r in rows:
+            vec = np.zeros(centroids.shape[1])
+            for d in r["dims"]:
+                vec[d["dim"]] = d["s"]
+            new[r["c"]] = vec / r["n"]
         if np.allclose(new, centroids, atol=1e-7):
             break
         centroids = new
@@ -99,7 +139,9 @@ def ivf_ann_topk(
 ) -> DataFrame:
     """Score only the n_probe inverted lists nearest the query."""
     q = np.asarray(query_vec, dtype=float)
-    order = np.argsort(((centroids - q) ** 2).sum(axis=1))
+    # Stable sort: equidistant centroids tie-break by list id, matching
+    # the oracle's ORDER BY dist, c.
+    order = np.argsort(((centroids - q) ** 2).sum(axis=1), kind="stable")
     probes = [int(c) for c in order[:n_probe]]
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
     cand = indexed.filter(F.col("ivf_cluster").isin(probes))

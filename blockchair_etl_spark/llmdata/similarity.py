@@ -76,13 +76,20 @@ def _planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
 def lsh_bucket_col(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 7) -> Column:
     """Random-hyperplane LSH bucket id: sign bit per plane → integer.
     Planes are derived deterministically from the seed, so the bucket
-    function is stable across runs/sessions (incremental indexing)."""
+    function is stable across runs/sessions (incremental indexing).
+
+    The per-plane dot product accumulates in exact DECIMAL (like
+    dot_expr): the sign decision is then independent of summation order
+    and engine, so the bucket id computed here equals the one a DuckDB
+    oracle computes from the same plane literals."""
     planes = _planes(dim, n_planes, seed)
     bucket = F.lit(0)
     for p in range(n_planes):
         plane = F.array(*[F.lit(float(v)) for v in planes[p]])
-        prods = F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y.cast("double"))
-        d = F.aggregate(prods, F.lit(0.0), lambda s, x: s + x)
+        prods = F.zip_with(
+            vec_col, plane, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC)
+        )
+        d = F.aggregate(prods, F.lit(0).cast(DEC), lambda s, x: (s + x).cast(DEC))
         bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 

@@ -1313,18 +1313,84 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ANN scale paths (rows-only contract entries: bucketed approximations
-# have no exact SQL oracle; correctness vs the brute-force baseline is
-# asserted in tests/test_llmdata.py and tests/test_ivf.py)
+# ANN scale paths. Both bucketed approximations carry full DuckDB
+# oracles: the bucketing math is deterministic — LSH bucket = sign bits
+# of exact-decimal dot products against seed-derived plane literals
+# (inlined into the SQL below); IVF assignment = exact-decimal argmin
+# distance to a data-derived seed codebook (every ⌊n/k⌋-th vector,
+# expressible in SQL). Lloyd-trained centroids are exercised in
+# tests/test_ivf.py (training itself is iterative, not SQL).
 # ---------------------------------------------------------------------------
+
+
+def _sql_dot_dec(a: str, b: str) -> str:
+    """Exact-decimal list dot product (DuckDB mirror of the
+    similarity.dot_expr fold; order-insensitive, so engine-identical)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(38,18))))"
+    )
+
+
+def _sql_dot_final(d: str) -> str:
+    """round-to-9 + exact decimal→double, matching dot_expr's finish."""
+    return f"CAST(CAST(round({d}, 9) AS DECIMAL(38,9)) AS DOUBLE)"
+
+
+def _sql_cosine(v: str, q: str) -> str:
+    return (
+        f"{_sql_dot_final(_sql_dot_dec(v, q))}\n"
+        f"         / (sqrt({_sql_dot_final(_sql_dot_dec(v, v))})\n"
+        f"            * sqrt({_sql_dot_final(_sql_dot_dec(q, q))}))"
+    )
+
+
+def _sql_sq_dist(a: str, b: str) -> str:
+    """Exact-decimal squared L2 distance (mirror of ivf._sq_dist)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> CAST((CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+        "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS DECIMAL(38,18))))"
+    )
+
+
+def _sql_lsh_bucket(vec: str, dim: int, n_planes: int, seed: int = 7) -> str:
+    """LSH bucket id with the seed-derived hyperplanes inlined as SQL
+    array literals — byte-identical plane values to similarity._planes
+    (repr() round-trips float64 exactly)."""
+    from .llmdata.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    terms = []
+    for p in range(n_planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+        terms.append(
+            f"(CASE WHEN {_sql_dot_dec(vec, lit)} >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + "\n       + ".join(terms) + ")"
 
 
 @register(
     "ann_lsh_topk",
     survey="LLM-similarity",
     desc="hyperplane-LSH bucketed ANN top-10 (candidates ~n/2^planes; "
-    "exact-within-bucket verified in pytest)",
-    oracle=None,
+    "bucket function + within-bucket ranking oracle-checked; recall vs "
+    "brute force additionally verified in pytest)",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e, q
+  WHERE {_sql_lsh_bucket('e.embedding', dim=64, n_planes=4)}
+      = {_sql_lsh_bucket('q.qv', dim=64, n_planes=4)}
+),
+scored AS (
+  SELECT c.vec_id,
+         {_sql_cosine('c.embedding', 'q.qv')} AS cosine
+  FROM cand c, q
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmdata.similarity import lsh_ann_topk
@@ -1337,16 +1403,52 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     survey="LLM-similarity",
-    desc="IVF ANN top-10: k-means inverted lists (DataFrame-native "
-    "Lloyd iterations), n_probe=2 nearest lists scored",
-    oracle=None,
+    desc="IVF ANN top-10 over a deterministic seed codebook (every "
+    "⌊n/8⌋-th vector): exact-decimal argmin assignment, n_probe=2 "
+    "nearest inverted lists scored (Lloyd training covered in pytest)",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+n AS (SELECT GREATEST(COUNT(*) // 8, 1) AS step FROM embeddings),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS c, e.embedding AS cv
+  FROM embeddings e, n
+  WHERE e.vec_id % n.step = 0
+  ORDER BY e.vec_id
+  LIMIT 8
+),
+dists AS (
+  SELECT e.vec_id, e.embedding, cent.c,
+         {_sql_sq_dist('e.embedding', 'cent.cv')} AS d
+  FROM embeddings e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, embedding, c AS ivf_cluster
+  FROM (SELECT vec_id, embedding, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM dists)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT cent.c
+  FROM cent, q
+  ORDER BY {_sql_sq_dist('cent.cv', 'q.qv')} ASC, cent.c ASC
+  LIMIT 2
+),
+scored AS (
+  SELECT a.vec_id,
+         {_sql_cosine('a.embedding', 'q.qv')} AS cosine
+  FROM assigned a, probes p, q
+  WHERE a.ivf_cluster = p.c
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .llmdata.ivf import build_ivf_index, ivf_ann_topk, train_ivf_centroids
+    from .llmdata.ivf import build_ivf_index, ivf_ann_topk, seed_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    centroids = train_ivf_centroids(emb, n_centroids=8, iterations=3)
+    centroids = seed_centroids(emb, n_centroids=8)
     indexed = build_ivf_index(emb, centroids)
     return ivf_ann_topk(indexed, centroids, qv, k=10, n_probe=2)
 
