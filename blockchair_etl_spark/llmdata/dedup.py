@@ -296,21 +296,35 @@ def simhash_fingerprints(
 def embedding_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.99,
-    block_col: str = "label",
+    block_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lsh_planes: int = 4,
+    lsh_seed: int = 7,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs within a blocking key. At scale
-    the block key is an LSH/IVF bucket (similarity.py); here any coarse
-    cluster id column works. Cosine uses exact-decimal accumulation so
-    pair scores are order- and engine-independent."""
-    from .similarity import cosine_expr
+    """Embedding-cosine near-dup pairs within a blocking key.
 
+    Default blocking (``block_col=None``) computes a hyperplane-LSH
+    bucket (similarity.lsh_bucket_col) — the scale path: near-identical
+    vectors agree on every hyperplane sign, so true dups co-bucket and
+    the join is O(Σ bucket²), never all-pairs. Recall caveat: a dup pair
+    straddling a hyperplane (|dot| ≈ 0) lands in different buckets;
+    raise recall by unioning over rotated plane seeds. Passing an
+    explicit ``block_col`` (a cluster/label column) keeps the same join
+    shape with caller-supplied blocking. Cosine uses exact-decimal
+    accumulation so pair scores are order- and engine-independent."""
+    from .similarity import cosine_expr, lsh_bucket_col
+
+    if block_col is None:
+        dim = len(emb.select(vec_col).head()[0])
+        blk = lsh_bucket_col(F.col(vec_col), dim, n_planes=lsh_planes, seed=lsh_seed)
+    else:
+        blk = F.col(block_col)
     a = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk")
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), blk.alias("blk")
     )
     b = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk")
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), blk.alias("blk")
     )
     return (
         a.join(b, "blk")

@@ -1454,6 +1454,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_lsh_blocked",
+    survey="LLM-dedup,LLM-similarity",
+    desc="embedding-cosine near-dup pairs blocked on a COMPUTED "
+    "hyperplane-LSH bucket (the scale default — no semantic label "
+    "column needed), exact-decimal cosine",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {_sql_lsh_bucket('embedding', dim=64, n_planes=4)} AS blk
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         {_sql_cosine('a.embedding', 'b2.embedding')} AS cosine
+  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
+""",
+)
+def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _dedup.embedding_dup_pairs(emb, threshold=0.3)
+
+
+@register(
     "dedup_simhash_pairs",
     survey="LLM-dedup",
     desc="SimHash near-dup pairs (hamming <= 3) via pigeonhole 8-bit "
