@@ -80,15 +80,29 @@ def decode_image(content: bytes, fake: bool = False) -> np.ndarray:
 def extract_features(
     media: DataFrame, feature_dim: int = 16, fake_decode: bool = True
 ) -> DataFrame:
-    """Media → fixed-width feature vectors via Arrow-batched mapInPandas.
+    """Media → fixed-width feature vectors, vectorized end to end.
 
-    The feature extractor here is the deterministic stand-in (mean/std
-    moments of the fake-decoded array hashed into `feature_dim` floats);
-    swapping in a real model means replacing `_featurize` only — the
-    distributed shape stays identical.
+    Split by where each step belongs:
+    - n_bytes / content_sha256 are Column expressions (JVM-side,
+      codegen'd — no reason to ship bytes through Python for a hash the
+      engine computes natively).
+    - decode is the per-item Python boundary (a real codec is
+      row-at-a-time by nature; here it's the deterministic stub).
+    - featurize is ONE BLAS call per Arrow batch: decoded pixels are
+      stacked to a (batch, H·W·C) matrix and projected through a fixed
+      seeded random matrix — the shape a real linear probe / embedding
+      head would take, not a per-row loop.
     """
+    from pyspark.sql import functions as F
+
     cols = ["media_id", "kind", "content"]
     out_cols = [f.name for f in FEATURE_SCHEMA.fields]
+
+    annotated = media.select(
+        *cols,
+        F.length(F.coalesce(F.col("content"), F.lit(b""))).cast("bigint").alias("n_bytes"),
+        F.sha2(F.coalesce(F.col("content"), F.lit(b"")), 256).alias("content_sha256"),
+    )
 
     # Self-contained worker function: locals + in-function imports only,
     # so cloudpickle ships it by value and Python workers need neither
@@ -101,36 +115,39 @@ def extract_features(
         import numpy as _np
         import pandas as _pd
 
-        for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
-                sha = _hashlib.sha256(content).hexdigest()
-                if not fake_decode:
-                    raise NotImplementedError(
-                        "image decoding requires a codec library (e.g. Pillow); "
-                        "run with fake_decode=True for deterministic pseudo-decode"
-                    )
-                seed = int.from_bytes(_hashlib.sha256(content).digest()[:8], "big")
-                arr = _np.random.default_rng(seed).integers(
-                    0, 256, size=(8, 8, 3), dtype=_np.uint8
-                )
-                rng = _np.random.default_rng(int(sha[:8], 16))
-                feats = (rng.standard_normal(feature_dim) * float(arr.mean())).astype(
-                    _np.float32
-                )
-                out.append(
-                    dict(
-                        media_id=row["media_id"],
-                        kind=row["kind"],
-                        n_bytes=len(content),
-                        content_sha256=sha,
-                        features=feats.tolist(),
-                    )
-                )
-            yield _pd.DataFrame(out, columns=out_cols)
+        # Fixed projection head: (feature_dim, H·W·C), seeded once per
+        # task — identical on every executor, every run.
+        proj = _np.random.default_rng(42).standard_normal((feature_dim, 8 * 8 * 3))
 
-    return media.select(*cols).mapInPandas(_featurize, schema=FEATURE_SCHEMA)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield _pd.DataFrame({c: [] for c in out_cols})
+                continue
+            # Decode: the one per-item Python step (stubbed codec).
+            if not fake_decode:
+                raise NotImplementedError(
+                    "image decoding requires a codec library (e.g. Pillow); "
+                    "run with fake_decode=True for deterministic pseudo-decode"
+                )
+            decoded = [
+                _np.random.default_rng(
+                    int.from_bytes(
+                        _hashlib.sha256(
+                            bytes(c) if c is not None else b""
+                        ).digest()[:8],
+                        "big",
+                    )
+                ).integers(0, 256, size=(8, 8, 3), dtype=_np.uint8)
+                for c in pdf["content"]
+            ]
+            # Featurize: one matrix multiply for the whole batch.
+            pixels = _np.stack(decoded).reshape(len(decoded), -1).astype(_np.float64)
+            feats = ((pixels / 255.0) @ proj.T).astype(_np.float32)
+            out = pdf[["media_id", "kind", "n_bytes", "content_sha256"]].copy()
+            out["features"] = list(feats)
+            yield out[out_cols]
+
+    return annotated.mapInPandas(_featurize, schema=FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

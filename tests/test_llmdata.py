@@ -120,6 +120,26 @@ def test_multimodal_decode_stub_raises():
         mm.decode_image(b"bytes", fake=False)
 
 
+def test_multimodal_null_content_and_jvm_side_hash(spark):
+    import hashlib
+
+    media = spark.createDataFrame(
+        [(1, "image", None, "image/fake", None, None, None, "u"),
+         (2, "image", bytearray(b"abc"), "image/fake", None, None, None, "u")],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    feats = mm.extract_features(media, feature_dim=4, fake_decode=True)
+    # sha256/n_bytes are Column expressions before the Python stage, so
+    # they appear in the analyzed plan (not computed inside mapInPandas)
+    assert "sha2" in feats._jdf.queryExecution().analyzed().toString()
+    rows = {r.media_id: r for r in feats.collect()}
+    assert rows[1].n_bytes == 0
+    assert rows[1].content_sha256 == hashlib.sha256(b"").hexdigest()
+    assert rows[2].n_bytes == 3
+    assert rows[2].content_sha256 == hashlib.sha256(b"abc").hexdigest()
+    assert len(rows[1].features) == 4
+
+
 def test_frame_sampling_plan(spark):
     media = spark.createDataFrame(
         [(1, "video", None, "video/fake", None, None, 3500, "u")],
