@@ -14,11 +14,13 @@ Mirrors the reference's extract/load surface with Spark-native scans:
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..session import prepare_session
 
@@ -146,6 +148,85 @@ class LoadReport:
     skipped: list[tuple[str, str]] = field(default_factory=list)  # (file, error)
 
 
+def _file_key(p: str) -> str:
+    """Canonical local-path key for matching `input_file_name()` URIs
+    (file:/..., percent-encoded) against caller-supplied paths."""
+    if p.startswith("file:") or "://" in p:
+        p = unquote(urlparse(p).path)
+    return os.path.realpath(p)
+
+
+def _find_bad_files(
+    spark: SparkSession, paths: list[str], schema: StructType
+) -> dict[str, str]:
+    """→ {path: reason} for files with any unparseable row.
+
+    ONE Spark job for the whole candidate list: a PERMISSIVE scan with a
+    corrupt-record column, aggregated per `input_file_name()`. All files
+    parse in parallel across executor threads — at 10k+ daily files this
+    replaces 10k serial driver-side probe jobs. If the batch scan itself
+    dies (container-level failure — e.g. a truncated gzip aborts the
+    whole job before row-level tolerance applies), fall back to per-file
+    FAILFAST probes run concurrently, so one bad container still skips
+    only itself.
+    """
+    probe_schema = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    reader = (
+        spark.read.option("sep", "\t")
+        .option("header", "true")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(probe_schema)
+    )
+    try:
+        # The first data column must stay REFERENCED through the
+        # aggregation (F.count below): Spark disallows scans whose only
+        # referenced CSV column is the internal corrupt-record column,
+        # and Catalyst's column pruning would otherwise strip a merely
+        # selected column back out.
+        first = schema.fields[0].name
+        bad_rows = (
+            reader.option("mode", "PERMISSIVE")
+            .csv(paths)
+            .select(
+                F.input_file_name().alias("__file"),
+                F.col(first).alias("__c0"),
+                F.col("_corrupt_record").isNotNull().cast("int").alias("__bad"),
+            )
+            .groupBy("__file")
+            .agg(F.max("__bad").alias("__bad"), F.count("__c0").alias("__n"))
+            .filter(F.col("__bad") == 1)
+            .collect()
+        )
+        bad_keys = {_file_key(r["__file"]) for r in bad_rows}
+        return {
+            p: "malformed rows (corrupt-record scan)"
+            for p in paths
+            if _file_key(p) in bad_keys
+        }
+    except Exception:  # noqa: BLE001 — container-level failure: isolate per file
+        from concurrent.futures import ThreadPoolExecutor
+
+        def probe(p: str) -> tuple[str, str | None]:
+            try:
+                (
+                    spark.read.option("sep", "\t")
+                    .option("header", "true")
+                    .option("mode", "FAILFAST")
+                    .schema(schema)
+                    .csv(p)
+                    .limit(100)
+                    .collect()
+                )
+                return p, None
+            except Exception as e:  # noqa: BLE001 — any parse failure skips the file
+                return p, str(e).splitlines()[0]
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            return {p: err for p, err in ex.map(probe, paths) if err}
+
+
 def load_with_pattern_routing(
     spark: SparkSession,
     files: list[str],
@@ -157,34 +238,36 @@ def load_with_pattern_routing(
     Semantics follow the reference's ``COPY INTO ... PATTERN=...
     ON_ERROR='skip_file'`` (`load_data_to_snowflake.sh:128-130`): a file
     whose contents fail to parse is skipped whole, the rest of the batch
-    still loads. File-level validation runs as a cheap driver-side probe
-    (schema-checked scan of the file with FAILFAST on a LIMIT) before the
-    file joins the table's scan list; the actual data path is one
-    multi-file Spark scan per table — no per-file job at scale.
+    still loads. Validation is one batched corrupt-record scan per TABLE
+    (see :func:`_find_bad_files`), never a per-file driver loop; the
+    data path is then one clean multi-file scan per table.
     """
     routed: dict[str, list[str]] = {t: [] for t in table_patterns}
-    report = LoadReport()
+    owner: dict[str, str] = {}
     for f in files:
         for table, pattern in table_patterns.items():
             if re.search(pattern, f):
-                try:
-                    # Probe: parse a small prefix strictly; malformed
-                    # files raise here and are skipped file-level.
-                    probe = (
-                        spark.read.option("sep", "\t")
-                        .option("header", "true")
-                        .option("mode", "FAILFAST")
-                        .schema(schemas[table])
-                        .csv(f)
-                    )
-                    probe.limit(100).collect()
-                    routed[table].append(f)
-                    report.loaded.append(f)
-                except Exception as e:  # noqa: BLE001 — any parse failure skips the file
-                    report.skipped.append((f, str(e).splitlines()[0]))
+                routed[table].append(f)
+                owner[f] = table
                 break
-    out: dict[str, DataFrame] = {}
+
+    bad: dict[str, str] = {}
     for table, paths in routed.items():
         if paths:
-            out[table] = read_tsv(spark, paths, schema=schemas[table])  # type: ignore[arg-type]
+            bad.update(_find_bad_files(spark, paths, schemas[table]))
+
+    report = LoadReport()
+    for f in files:
+        if f not in owner:
+            continue
+        if f in bad:
+            report.skipped.append((f, bad[f]))
+        else:
+            report.loaded.append(f)
+
+    out: dict[str, DataFrame] = {}
+    for table, paths in routed.items():
+        good = [p for p in paths if p not in bad]
+        if good:
+            out[table] = read_tsv(spark, good, schema=schemas[table])  # type: ignore[arg-type]
     return out, report

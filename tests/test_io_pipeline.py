@@ -166,6 +166,25 @@ def test_tsv_scan_and_pattern_routing_with_skip(spark, tsv_files):
     assert routed["blocks"].count() == 15
 
 
+def test_pattern_routing_probes_in_one_job(spark, tsv_files):
+    # Validation must be ONE batched Spark job over all candidate files
+    # (corrupt-record scan grouped by input_file_name), not a serial
+    # driver-side probe job per file.
+    sc = spark.sparkContext
+    sc.setJobGroup("probe-batch", "pattern routing probe")
+    try:
+        routed, report = load_with_pattern_routing(
+            spark, tsv_files, TABLE_FILE_PATTERNS, RAW_SCHEMAS
+        )
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup("probe-batch")
+        sc.setJobGroup("", "")
+    assert len(report.loaded) == 3 and len(report.skipped) == 1
+    # Constant job count (scan + AQE final stage), NOT one probe job per
+    # file — the old shape was len(files) serial jobs.
+    assert len(jobs) <= 2, f"expected <=2 batched probe jobs for 4 files, got {len(jobs)}"
+
+
 def test_daily_partitions_and_retention(spark, tmp_path):
     base = str(tmp_path / "lake")
     for day in ["20250810", "20250811", "20250812"]:
