@@ -4,11 +4,15 @@
 Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "n": runs_per_query, "sf": ...}.
 
 Each query executes its full plan into the no-op sink (distributed
 execution, no driver collect) — wall time measures scan → shuffle →
-aggregate work, not result serialization.
+aggregate work, not result serialization. Per-query time is the MEDIAN
+of $SPARK_GRAFT_BENCH_RUNS (default 3) runs: run 1 absorbs codegen +
+parquet-footer warmup (~1-2 s on the heavy queries), and run-to-run
+variance on a shared box is ±15%, so a single sample can't support
+round-over-round comparisons.
 """
 
 from __future__ import annotations
@@ -16,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -61,13 +66,17 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     names = [n for n in HEADLINE if n in QUERIES]
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = QUERIES[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = QUERIES[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -76,6 +85,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "n": runs,
         "sf": sf,
     }
     print(json.dumps(result))
