@@ -9,10 +9,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from blockchair_etl_spark.io.extract import (
+    ConfigError,
     DownloadConfig,
     clean_old_files,
     download_file,
     dump_url,
+    load_download_config,
     write_gzip_tsv,
 )
 from blockchair_etl_spark.io.sinks import (
@@ -164,6 +166,56 @@ def test_tsv_scan_and_pattern_routing_with_skip(spark, tsv_files):
     assert len(report.loaded) == 3
     assert len(report.skipped) == 1 and "20250813" in report.skipped[0][0]
     assert routed["blocks"].count() == 15
+
+
+_VALID_DOWNLOAD_CFG = {
+    "base_url": "https://gz.blockchair.com",
+    "data_types": ["blocks", "transactions"],
+    "file_format": "tsv.gz",
+    "destination_dir": "data",
+    "retention_days": 3,
+}
+
+
+def test_download_config_env_substitution(tmp_path):
+    base = _VALID_DOWNLOAD_CFG
+    # ${VAR:-default} falls back when unset
+    cfg = load_download_config({**base, "api_key": "${BC_KEY:-sekrit}"}, env={})
+    assert cfg.api_key == "sekrit"
+    # ${VAR} resolves from the environment
+    cfg = load_download_config(
+        {**base, "base_url": "${BC_URL}"}, env={"BC_URL": "http://mirror.example"}
+    )
+    assert cfg.base_url == "http://mirror.example"
+    # required key resolving empty → error
+    with pytest.raises(ConfigError, match="BC_URL"):
+        load_download_config({**base, "base_url": "${BC_URL}"}, env={})
+    # JSON file path load + field mapping
+    import json
+
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({**base, "retention_days": "7"}))
+    loaded = load_download_config(p)
+    assert loaded.retention_days == 7
+    assert loaded.landing_dir == "data"
+    assert loaded.data_types == ("blocks", "transactions")
+
+
+def test_download_config_schema_rejections():
+    base = _VALID_DOWNLOAD_CFG
+    assert load_download_config(base).coin == "bitcoin"
+    bad_cases = {
+        "missing_required": {k: v for k, v in base.items() if k != "file_format"},
+        "url_pattern": {**base, "base_url": "ftp://x"},
+        "data_type_enum": {**base, "data_types": ["blocks", "wallets"]},
+        "file_format_enum": {**base, "file_format": "csv"},
+        "retention_type": {**base, "retention_days": 1.5},
+        "retention_pattern": {**base, "retention_days": "three"},
+    }
+    for label, cfg in bad_cases.items():
+        with pytest.raises(ConfigError):
+            load_download_config(cfg)
+            pytest.fail(f"{label} accepted")
 
 
 def test_pattern_routing_probes_in_one_job(spark, tsv_files):
