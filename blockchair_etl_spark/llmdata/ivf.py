@@ -81,13 +81,14 @@ def train_ivf_centroids(
     rank), distributed assign/update; each round collects exactly one
     row per non-empty cluster (its per-dimension sum array + count),
     never the per-(cluster, dim) exploded relation."""
-    centroids = seed_centroids(emb, n_centroids, id_col, vec_col)
-    if centroids.size > MAX_CENTROID_CELLS:
+    dim = len(emb.select(vec_col).head()[0])
+    if n_centroids * dim > MAX_CENTROID_CELLS:
         raise ValueError(
-            f"centroid matrix {centroids.shape} exceeds {MAX_CENTROID_CELLS} "
-            "cells; train with sampled mini-batch k-means instead of "
-            "driver-collected Lloyd rounds"
+            f"centroid matrix ({n_centroids}, {dim}) exceeds "
+            f"{MAX_CENTROID_CELLS} cells; train with sampled mini-batch "
+            "k-means instead of driver-collected Lloyd rounds"
         )
+    centroids = seed_centroids(emb, n_centroids, id_col, vec_col)
 
     for _ in range(iterations):
         assigned = emb.select(

@@ -590,6 +590,30 @@ def t1_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t2_not_null_violations",
+    survey="T2",
+    desc="dbt-style `not_null` test (schema.yml:9-11) routed through "
+    "quality.not_null_violations over a derived staging column "
+    "(NULLIF-injected nulls — the raw testdata has none); "
+    "empty result = pass",
+    oracle="""
+SELECT o_orderkey, CAST(NULL AS VARCHAR) AS status_checked
+FROM orders
+WHERE NULLIF(o_orderstatus, 'F') IS NULL
+""",
+)
+def t2_not_null_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .quality.checks import not_null_violations
+
+    orders = load_table(spark, sf_dir, "orders")
+    staged = orders.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("status_checked"),
+    )
+    return not_null_violations(staged, "status_checked")
+
+
+@register(
     "t3_composite_unique_violations",
     survey="T3",
     desc="composite-key uniqueness test (schema.yml:76-78 "

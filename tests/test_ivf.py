@@ -31,6 +31,13 @@ def test_ivf_training_shapes_and_determinism(emb):
     assert np.allclose(c1, c2)  # same data + same init → identical
 
 
+def test_ivf_training_guards_centroid_matrix_size(emb):
+    # 10M-cell codebooks must not flow through driver-collected Lloyd
+    # rounds (the guard fires before any seed collect happens)
+    with pytest.raises(ValueError, match="centroid matrix"):
+        train_ivf_centroids(emb, n_centroids=200_000)
+
+
 def test_ivf_index_covers_corpus(index, emb):
     centroids, idx = index
     counts = {r["ivf_cluster"]: r["count"] for r in idx.groupBy("ivf_cluster").count().collect()}
