@@ -32,13 +32,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 @dataclass(frozen=True)
 class Materialization:
-    """Per-model storage policy (the dbt config block equivalent)."""
+    """Per-model storage policy (the dbt config block equivalent).
+
+    cluster_algo: 'linear' repartitions+sorts lexicographically on
+    cluster_by (serves the first key); 'zorder' lays rows on a Morton
+    curve over cluster_by (operators/zorder.py) so file min/max pruning
+    serves EVERY clustered key."""
 
     mode: str = "view"  # view | table
     cluster_by: tuple[str, ...] = ()
     partition_by: tuple[str, ...] = ()
     buckets: int = 0
     bucket_by: tuple[str, ...] = ()
+    cluster_algo: str = "linear"  # linear | zorder
 
 
 def materialize(
@@ -60,7 +66,11 @@ def materialize(
         return df
 
     writer_df = df
-    if config.cluster_by:
+    if config.cluster_by and config.cluster_algo == "zorder":
+        from ..operators.zorder import zorder_layout
+
+        writer_df = zorder_layout(df, list(config.cluster_by))
+    elif config.cluster_by:
         writer_df = df.repartition(*[df[c] for c in config.cluster_by]).sortWithinPartitions(
             *config.cluster_by
         )

@@ -6,12 +6,13 @@ B~C puts A,C in one cluster even if A,C never paired. This is iterative
 min-label propagation, the same driver-loop shape as the trace executor
 (query/trace.py): no recursive SQL, no GraphFrames dependency.
 
-Scale notes: each round is one join + one aggregate, both shuffling on
-the vertex key; rounds needed = graph diameter (dup clusters are
-near-cliques, so 2-4 in practice). Labels are localCheckpointed per
-round to keep lineage O(1). For corpus-scale graphs the same loop runs
-unchanged — the join is the standard large-scale CC formulation
-(label propagation to a fixpoint).
+Scale notes: each round is one neighbor-min join + one pointer-doubling
+self-join, both shuffling on the vertex key; pointer doubling (L(v) ←
+L(L(v))) halves label-chain length every round, so rounds needed =
+O(log diameter), not O(diameter) — a 1M-long chain of near-dup pairs
+converges in ~20 rounds instead of 1M. Labels are localCheckpointed per
+round to keep lineage O(1), and the convergence count reads the
+checkpointed blocks (a carried flag column), not a second join job.
 """
 
 from __future__ import annotations
@@ -46,23 +47,37 @@ def connected_clusters(
             .groupBy(F.col("u").alias("vertex"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        cand = labels.join(neighbor_min, "vertex", "left").select(
+            "vertex",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+            F.coalesce(F.col("nbr_label") < F.col("label"), F.lit(False)).alias(
+                "__chg"
+            ),
+        )
+        # Pointer doubling: labels are vertex ids, so every label value
+        # is itself a row in `cand` — replace L(v) with L(L(v)). Min
+        # labels only ever decrease, so the looked-up label is <= ours.
+        hop = cand.select(
+            F.col("vertex").alias("lv"), F.col("label").alias("llabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, "vertex", "left")
+            cand.join(hop, cand.label == hop.lv, "left")
             .select(
-                "vertex",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                cand.vertex,
+                F.coalesce(hop.llabel, cand.label).alias("label"),
+                (
+                    cand["__chg"]
+                    | F.coalesce(hop.llabel < cand.label, F.lit(False))
+                ).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # Convergence count scans the just-checkpointed blocks — no
+        # extra join job against the previous round.
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             converged = True
             break
@@ -70,7 +85,7 @@ def connected_clusters(
     if not converged:
         raise RuntimeError(
             f"connected_clusters did not converge within {max_iterations} "
-            "rounds; a component's diameter exceeds the bound — raise "
-            "max_iterations (rounds needed = graph diameter)"
+            "rounds; raise max_iterations (rounds needed = O(log diameter) "
+            "under pointer doubling)"
         )
     return labels.select(F.col("vertex").alias("doc"), F.col("label").alias("cluster_id"))

@@ -38,6 +38,17 @@ def test_connected_clusters_vs_union_find(spark):
     assert got[21] == 20 and got[31] == 30
 
 
+def test_connected_clusters_long_chain_converges_in_log_rounds(spark):
+    # A 200-edge chain has diameter 200; pointer doubling must converge
+    # within O(log n) rounds — 12 would be far beyond plain min-label
+    # propagation's reach (it needs ~200 rounds here).
+    pairs = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r.doc: r.cluster_id for r in connected_clusters(df, max_iterations=12).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 201
+
+
 def test_connected_clusters_cycle(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["id_a", "id_b"])
     got = {r.doc: r.cluster_id for r in connected_clusters(df).collect()}
