@@ -1,0 +1,74 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Sampling a 100 TB corpus must be (a) reproducible — task retries and
+re-runs must select the SAME rows, which `rand()`-based sampling does
+not guarantee (recomputed partitions re-draw); (b) seedable — a new
+`salt` draws an independent sample; (c) portable — the same rows come
+out of any engine, so splits can be produced once and re-derived
+anywhere. Hash-prefix thresholds on a stable key give all three: a row
+is selected iff a hex prefix of ``md5(key || salt)`` falls below a
+threshold. Everything is a scan-side Column expression — no shuffle,
+no state, embarrassingly parallel.
+
+Hex-prefix comparison is equivalent to a numeric threshold on the hash
+value (fixed-width hex is lexicographically monotone), which keeps the
+predicate engine-portable without hex→integer conversion builtins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def hash_key_col(id_col: Column | str, salt: str = "") -> Column:
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    key = c.cast("string")
+    if salt:
+        key = F.concat(key, F.lit(salt))
+    return F.md5(key)
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    prefix_lt: str = "1a",
+    n_chars: int = 2,
+    salt: str = "",
+) -> DataFrame:
+    """Keep rows whose hash prefix sorts below ``prefix_lt``.
+
+    Sampling fraction ≈ int(prefix_lt, 16) / 16**n_chars (e.g. the
+    default '1a' over 2 chars ≈ 26/256 ≈ 10.2%). Deterministic in the
+    id: the same rows survive every run, engine, and retry.
+    """
+    if len(prefix_lt) != n_chars:
+        raise ValueError("prefix_lt must be exactly n_chars hex digits")
+    prefix = F.substring(hash_key_col(id_col, salt), 1, n_chars)
+    return df.filter(prefix < F.lit(prefix_lt.lower()))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    boundaries: tuple[tuple[str, str], ...] = (("val", "0c"), ("test", "1a")),
+    default_split: str = "train",
+    n_chars: int = 2,
+    salt: str = "",
+) -> DataFrame:
+    """df + a ``split`` column assigned by hash-prefix bands.
+
+    ``boundaries`` are (name, upper_bound_hex) pairs in ascending order:
+    the default puts ~4.7% in val (< '0c'), the next ~5.5% in test
+    (< '1a'), the rest in train — the standard reproducible
+    train/val/test split keyed on document identity, so re-ingesting a
+    document can never migrate it across splits.
+    """
+    prefix = F.substring(hash_key_col(id_col, salt), 1, n_chars)
+    expr = None
+    for name, bound in boundaries:
+        if len(bound) != n_chars:
+            raise ValueError(f"boundary {bound!r} must be {n_chars} hex digits")
+        cond = prefix < F.lit(bound.lower())
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = expr.otherwise(default_split) if expr is not None else F.lit(default_split)
+    return df.withColumn("split", split)

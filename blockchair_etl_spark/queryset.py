@@ -726,6 +726,8 @@ def j5_trace_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .llmdata import dedup as _dedup  # noqa: E402
 from .llmdata import multimodal as _mm  # noqa: E402
+from .llmdata import packing as _packing  # noqa: E402
+from .llmdata import sampling as _sampling  # noqa: E402
 from .llmdata import similarity as _sim  # noqa: E402
 from .llmdata import text as _text  # noqa: E402
 
@@ -1500,6 +1502,61 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
 def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return _dedup.embedding_dup_pairs(emb, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: reproducible sampling/splits + sequence packing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_hash_split",
+    survey="LLM-sampling",
+    desc="deterministic hash-banded train/val/test split keyed on "
+    "document identity (md5-prefix thresholds — reproducible across "
+    "runs, retries and engines, unlike rand() sampling)",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0c' THEN 'val'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+""",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _sampling.hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+@register(
+    "pack_sequences",
+    survey="LLM-packing",
+    desc="greedy contiguous sequence packing into 2048-token bins, "
+    "sharded so the ordered window never serializes globally "
+    "(per-shard running sum; straddlers split downstream)",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(cum_before // 2048 AS BIGINT) AS pack_id,
+       CAST(cum_before % 2048 AS BIGINT) AS pack_offset
+FROM c
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _packing.assign_packs(docs, budget=2048, n_shards=8)
 
 
 @register(

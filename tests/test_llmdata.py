@@ -120,6 +120,46 @@ def test_multimodal_decode_stub_raises():
         mm.decode_image(b"bytes", fake=False)
 
 
+def test_hash_sampling_deterministic_and_salted(spark, docs):
+    from blockchair_etl_spark.llmdata.sampling import hash_sample, hash_split
+
+    s1 = sorted(r.doc_id for r in hash_sample(docs, "doc_id").select("doc_id").collect())
+    s2 = sorted(r.doc_id for r in hash_sample(docs, "doc_id").select("doc_id").collect())
+    assert s1 == s2 and 0 < len(s1) < docs.count()  # reproducible, nontrivial
+    # a different salt draws an independent sample
+    s3 = sorted(
+        r.doc_id
+        for r in hash_sample(docs, "doc_id", salt="v2").select("doc_id").collect()
+    )
+    assert s3 != s1
+    # splits: total partition, stable under re-run
+    splits = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    assert set(splits.values()) == {"train", "val", "test"}
+    assert len(splits) == docs.count()
+
+
+def test_pack_assignment_invariants(spark, docs):
+    from blockchair_etl_spark.llmdata.packing import assign_packs
+
+    budget = 500
+    packs = assign_packs(docs, budget=budget, n_shards=4).collect()
+    assert len(packs) == docs.count()
+    by_shard: dict = {}
+    for r in sorted(packs, key=lambda r: (r.shard, r.doc_id)):
+        assert 0 <= r.pack_offset < budget
+        assert r.shard == r.doc_id % 4
+        prev = by_shard.get(r.shard)
+        if prev is None:
+            # first doc of a shard opens pack 0 at offset 0
+            assert (r.pack_id, r.pack_offset) == (0, 0)
+        else:
+            # cumulative reconstruction: this doc starts where the
+            # previous one ended
+            cum = prev["cum"] + prev["n_tokens"]
+            assert r.pack_id == cum // budget and r.pack_offset == cum % budget
+        by_shard[r.shard] = {"cum": r.pack_id * budget + r.pack_offset, "n_tokens": r.n_tokens}
+
+
 def test_multimodal_null_content_and_jvm_side_hash(spark):
     import hashlib
 
