@@ -44,6 +44,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_connected_clusters",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_lsh_blocked",
+    "sample_hash_split",
+    "pack_sequences",
     "text_quality",
 ]
 
