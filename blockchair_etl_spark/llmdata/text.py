@@ -119,6 +119,67 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition filters: duplicate-word fraction, most-
+    frequent-word fraction, and duplicate-bigram fraction per document.
+
+    Pure Column expressions over the token array — per-row compute is
+    O(words · distinct_words) which is fine for natural documents (the
+    distinct set is small); no shuffle, no UDF. High values flag the
+    boilerplate/keyword-stuffing documents a pretraining pipeline drops.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda x: x == w)),
+        )
+    )
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_grams = F.size(grams)
+    n_distinct_grams = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_words"),
+        n_distinct.cast("bigint").alias("n_distinct_words"),
+        F.when(n > 0, (n - n_distinct) / n).otherwise(F.lit(0.0)).alias("dup_word_ratio"),
+        F.when(n > 0, top_count / n).otherwise(F.lit(0.0)).alias("top_word_ratio"),
+        F.when(n_grams > 0, (n_grams - n_distinct_grams) / n_grams)
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_ratio"),
+    )
+
+
+# Conservative patterns that behave identically under Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_NUMBER_RE = "[0-9]{2,}"
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII redaction: replace emails and multi-digit number runs with
+    typed placeholders, keeping match counts for audit. Scan-side map —
+    the 100 TB shape is the scan partitioning itself."""
+    text = F.col(text_col)
+    n_emails = F.regexp_count(text, F.lit(PII_EMAIL_RE))
+    n_numbers = F.regexp_count(text, F.lit(PII_NUMBER_RE))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"), PII_NUMBER_RE, "<NUM>"
+    )
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed"),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_numbers.cast("bigint").alias("n_numbers"),
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprinting: md5 of whitespace-normalized lowercased
     text (exact-dup key) plus a content minhash (min over md5'd tokens —

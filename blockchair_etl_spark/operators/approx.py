@@ -31,6 +31,48 @@ def approx_quantiles(
     )
 
 
+def kmv_distinct(
+    df: DataFrame, c: Column | str, k: int = 64, hash_bits: int = 60
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch — the *deterministic*
+    cardinality estimator (HLL++ above is cheaper but its result depends
+    on Spark's internal hash, so it cannot be oracle-checked cross-engine).
+
+    Hash each value to a uniform 60-bit integer (first 15 hex chars of
+    md5 — both Spark and DuckDB produce identical lowercase-hex md5, and
+    60 bits fits a BIGINT exactly), keep the k smallest *distinct*
+    hashes, and estimate D ≈ (k-1) · 2^60 / h_(k). With fewer than k
+    distinct values the sketch degenerates to the exact count.
+
+    Scale shape: one hash-distinct shuffle over D values (map-side
+    partial dedup), then TakeOrderedAndProject — each partition forwards
+    at most k hashes to the driver-side merge, so the collected state is
+    O(k · partitions), independent of row count. Returns a 1-row frame
+    (n_taken, kth_min_hash, distinct_estimate).
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    space = float(1 << hash_bits)
+    hv = F.conv(F.substring(F.md5(col.cast("string")), 1, hash_bits // 4), 16, 10).cast(
+        "bigint"
+    )
+    mins = (
+        df.filter(col.isNotNull())
+        .select(hv.alias("hv"))
+        .distinct()
+        .orderBy(F.asc("hv"))
+        .limit(k)
+    )
+    n_taken = F.count(F.lit(1))
+    kth = F.max("hv")
+    return mins.agg(
+        n_taken.cast("bigint").alias("n_taken"),
+        kth.alias("kth_min_hash"),
+        F.when(n_taken < k, n_taken.cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(space) / kth.cast("double"))
+        .alias("distinct_estimate"),
+    )
+
+
 def approx_distinct_transactions(
     fct_traces: DataFrame, start: str, end: str, rsd: float = DEFAULT_RSD
 ) -> DataFrame:

@@ -1825,3 +1825,391 @@ def unpivot_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (unit, amount)"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-shape breadth: semi-join, anti-join, conditional aggregation, and
+# selective filter-aggregates (TPC-H Q4/Q6/Q10/Q12 shapes). These widen the
+# engine beyond the reference's own query list so a user can run the full
+# TPC-H-style interactive repertoire on the same tables.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_selective_revenue",
+    survey="A1,P8 (TPC-H Q6 shape)",
+    desc="highly-selective filter + single exact-decimal aggregate; the "
+    "whole query is one scan with every predicate pushed to parquet "
+    "(no shuffle beyond the final partial-agg merge)",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS DOUBLE) AS discounted_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_selective_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # 2dp x 4dp product is exactly 6dp: the DECIMAL(38,6) cast drops only
+    # guaranteed-zero digits and the final double cast stays within 2^53.
+    product = _dec("l_extendedprice", 2).cast("decimal(12,2)") * _dec(
+        "l_discount", 4
+    ).cast("decimal(6,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(product).cast("decimal(38,6)").cast("double").alias("discounted_revenue"))
+    )
+
+
+@register(
+    "j6_exists_priority",
+    survey="J-semi (TPC-H Q4 shape)",
+    desc="EXISTS-correlated subquery as a LEFT SEMI join: orders in a date "
+    "range having at least one returned line, counted per priority. The "
+    "semi-join never materializes lineitem columns, so the shuffle carries "
+    "only the join key",
+    oracle="""
+SELECT o.o_orderpriority AS order_priority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+""",
+)
+def j6_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "j7_anti_inactive_customers",
+    survey="J-anti",
+    desc="NOT EXISTS as a LEFT ANTI join: customers with no order since "
+    "2001-01-01 (churn list). Anti-join shuffles only the key column of "
+    "the probe side",
+    oracle="""
+SELECT c.c_custkey AS cust_key, c.c_name AS cust_name,
+       c.c_mktsegment AS segment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+""",
+)
+def j7_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_name").alias("cust_name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    survey="J1,J4,A1,O2 (TPC-H Q10 shape)",
+    desc="returned-item revenue per customer: fact-fact join with two "
+    "broadcast dims, grouped exact-decimal revenue, deterministic top-20",
+    oracle="""
+SELECT c.c_custkey AS cust_key, c.c_name AS cust_name,
+       n.n_name AS nation_name, c.c_acctbal AS acct_balance,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+            * CAST(1.0 - l.l_discount AS DECIMAL(6,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, cust_key ASC
+LIMIT 20
+""",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = _dec("l_extendedprice", 2).cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(6,4)")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("c_acctbal").alias("acct_balance"),
+        )
+        .agg(F.sum(revenue).cast("decimal(38,4)").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("cust_key"))
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_by_status",
+    survey="A1,P6 (TPC-H Q12 shape)",
+    desc="conditional aggregation: high/low-priority line counts per "
+    "linestatus via CASE inside SUM (single shuffle, map-side partials)",
+    oracle="""
+SELECT l.l_linestatus AS line_status,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+""",
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_linestatus").alias("line_status"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sketching, semi-structured extraction, and the remaining
+# LLM-text operators (repetition filters, PII scrubbing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_kmv_distinct",
+    survey="A2 (scale path)",
+    desc="k-minimum-values cardinality sketch over lineitem part keys: "
+    "deterministic (md5-derived 60-bit hashes) so — unlike HLL++ — it is "
+    "oracle-checkable bit-exactly; each partition forwards at most k "
+    "hashes to the merge",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL
+),
+mins AS (SELECT hv FROM h ORDER BY hv ASC LIMIT 64)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_taken,
+       MAX(hv) AS kth_min_hash,
+       CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE 63.0 * 1152921504606846976.0 / CAST(MAX(hv) AS DOUBLE)
+       END AS distinct_estimate
+FROM mins
+""",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.approx import kmv_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kmv_distinct(li, "l_partkey", k=64)
+
+
+@register(
+    "json_extract_props",
+    survey="P11 (semi-structured)",
+    desc="JSON path extraction from the events property bag + grouped "
+    "rollup; the extraction is a scan-side expression so predicate/column "
+    "pruning still reach parquet",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k_bucket = F.get_json_object(F.col("props"), "$.k").cast("bigint") % 10
+    return ev.groupBy(k_bucket.alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value", 2).alias("total_value"),
+    )
+
+
+@register(
+    "text_repetition",
+    survey="LLM-text",
+    desc="Gopher-style repetition filters: duplicate-word / top-word / "
+    "duplicate-bigram fractions per document (pure Column expressions, "
+    "no shuffle)",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks, len(toks) AS n, len(list_distinct(toks)) AS nd,
+         list_max(list_transform(list_distinct(toks),
+                  w -> len(list_filter(toks, x -> x = w)))) AS topc,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       CAST(nd AS BIGINT) AS n_distinct_words,
+       CASE WHEN n > 0 THEN CAST(n - nd AS DOUBLE) / n ELSE 0.0 END AS dup_word_ratio,
+       CASE WHEN n > 0 THEN CAST(topc AS DOUBLE) / n ELSE 0.0 END AS top_word_ratio,
+       CASE WHEN len(grams) > 0
+            THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+            ELSE 0.0 END AS dup_bigram_ratio
+FROM s
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.repetition_stats(docs)
+
+
+@register(
+    "pii_scrub_props",
+    survey="LLM-text (PII)",
+    desc="PII redaction over the events property bag: emails and "
+    "multi-digit runs replaced with typed placeholders, with audit "
+    "counts (regex subset common to Java regex and RE2)",
+    oracle="""
+SELECT event_id,
+       regexp_replace(regexp_replace(props,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{2,}', '<NUM>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(props,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT) AS n_numbers
+FROM events
+""",
+)
+def pii_scrub_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _text.pii_scrub(ev, text_col="props", id_col="event_id")
+
+
+@register(
+    "w3_value_deltas",
+    survey="W1,W2 (lag/lead)",
+    desc="LAG over a per-user event sequence: consecutive value deltas "
+    "with a total ordering (ts, event_id) so the frame is deterministic; "
+    "pass-through double subtraction is exact cross-engine",
+    oracle="""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_delta
+FROM events
+""",
+)
+def w3_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+    )
+
+
+@register(
+    "cohort_retention",
+    survey="A1,W1 (cohort analysis)",
+    desc="retention matrix: first-seen-day cohort x day offset -> distinct "
+    "active users. The Spark plan derives first_ts with a window min over "
+    "the same user partitioning the groupBy reuses (one shuffle, no "
+    "self-join); the oracle spells it as the equivalent join",
+    oracle="""
+WITH firstday AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_ts
+  FROM events GROUP BY user_id
+)
+SELECT CAST(date_trunc('day', f.first_ts) AS DATE) AS cohort_day,
+       CAST(date_diff('day', CAST(date_trunc('day', f.first_ts) AS DATE),
+                      CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS DATE)) AS BIGINT)
+         AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM events e JOIN firstday f ON e.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    cohort_day = F.date_trunc("day", F.min("ts").over(w)).cast("date")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    return (
+        ev.select(
+            "user_id",
+            cohort_day.alias("cohort_day"),
+            F.datediff(day, cohort_day).cast("bigint").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "histogram_value",
+    survey="A1 (binned agg)",
+    desc="fixed-width histogram of event values: floor-bucketed counts + "
+    "exact-decimal mass per bin (single partial-agg shuffle)",
+    oracle="""
+SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 25.0).cast("bigint")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value", 2).alias("total_value"),
+    )

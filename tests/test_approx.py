@@ -29,3 +29,18 @@ def test_approx_quantiles_rank_error(spark, sf_dir):
             range(len(vals)), key=lambda i: abs(vals[i] - a)
         )
         assert abs(rank - p * n) <= n / 10_000 + 2
+
+
+def test_kmv_sketch_accuracy_and_degeneracy(spark, sf_dir):
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.operators.approx import kmv_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = kmv_distinct(li, "l_partkey", k=64).first()
+    true = li.select("l_partkey").distinct().count()
+    assert row.n_taken == 64
+    # k=64 has ~12.7% stderr; the fixture's realized error is deterministic
+    assert abs(row.distinct_estimate - true) / true < 0.35
+    # cardinality below k degenerates to the exact count
+    row2 = kmv_distinct(li, "l_linestatus", k=64).first()
+    assert row2.n_taken == row2.distinct_estimate == 2

@@ -226,3 +226,30 @@ def test_pandas_udf_cosine_matches_expression_fold(spark, emb):
     assert [r.vec_id for r in udf_rows] == [r.vec_id for r in expr_rows]
     for a, b in zip(udf_rows, expr_rows):
         assert abs(a.cosine - b.cosine) < 1e-9
+
+
+def test_repetition_stats_edge_cases(spark):
+    from blockchair_etl_spark.llmdata.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "a a a b")], "doc_id bigint, text string"
+    )
+    rep = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rep[1].n_words == 0 and rep[1].dup_word_ratio == 0.0
+    assert rep[2].n_words == 1 and rep[2].dup_bigram_ratio == 0.0
+    assert rep[3].dup_word_ratio == 0.5 and rep[3].top_word_ratio == 0.75
+    assert abs(rep[3].dup_bigram_ratio - 1 / 3) < 1e-12  # [a a, a a, a b]
+
+
+def test_pii_scrub_replaces_and_counts(spark):
+    from blockchair_etl_spark.llmdata.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@c.de card 4111222233334444 ok x1")],
+        "doc_id bigint, text string",
+    )
+    row = pii_scrub(df, "text", "doc_id").first()
+    assert row.n_emails == 1 and row.n_numbers == 1
+    assert "<EMAIL>" in row.scrubbed and "<NUM>" in row.scrubbed
+    assert "4111" not in row.scrubbed and "a.b@c.de" not in row.scrubbed
+    assert "x1" in row.scrubbed  # single digits survive

@@ -136,3 +136,21 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP DATABASE bucketdb CASCADE")
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    # EXISTS/NOT EXISTS compile to semi/anti joins: the build side's
+    # payload columns never enter the shuffle
+    semi = plan_of(QUERIES["j6_exists_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in semi
+    anti = plan_of(QUERIES["j7_anti_inactive_customers"].fn(spark, sf_dir))
+    assert "LeftAnti" in anti
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = full_explain(QUERIES["q6_selective_revenue"].fn(spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1][:400]
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert col in pushed, f"{col} not pushed to scan"
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema  # only the 4 used columns read
