@@ -320,15 +320,38 @@ def embedding_dup_pairs(
         blk = lsh_bucket_col(F.col(vec_col), dim, n_planes=lsh_planes, seed=lsh_seed)
     else:
         blk = F.col(block_col)
+
+    # Candidate pruning runs in primitive double math (codegen'd, ~10x
+    # cheaper per pair than the boxed-decimal fold); the exact-decimal
+    # cosine then re-scores only the survivors, so the OUTPUT is still
+    # bit-identical: double cosine is within ~1e-13 of exact for unit-ish
+    # vectors, and the prefilter keeps a 1e-9 margin below the threshold,
+    # so no pair with exact cosine >= threshold can be pruned.
+    def _fdot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    vec = F.col(vec_col)
     a = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), blk.alias("blk")
+        F.col(id_col).alias("id_a"),
+        vec.alias("va"),
+        blk.alias("blk"),
+        F.sqrt(_fdot(vec, vec)).alias("norm_a"),  # once per ROW, not per pair
     )
     b = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), blk.alias("blk")
+        F.col(id_col).alias("id_b"),
+        vec.alias("vb"),
+        blk.alias("blk"),
+        F.sqrt(_fdot(vec, vec)).alias("norm_b"),
     )
+    fast_cosine = _fdot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(fast_cosine >= threshold - 1e-9)
         .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -132,6 +132,67 @@ def stream_windowed_counts(
     )
 
 
+def stream_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_secs: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the streaming twin of
+    `operators.range_join.interval_join` (same pair semantics: equal key,
+    |left_ts - right_ts| <= tolerance).
+
+    Both sides carry a watermark and the join condition bounds right_ts
+    to a window around left_ts, so Spark can evict state once the
+    watermark passes ts + tolerance: state is O(key-rate x (watermark +
+    tolerance)) regardless of total stream length — the unbounded-join
+    formulation that survives an always-on 100 TB/day feed.
+    """
+    lw = left_stream.withWatermark(left_ts, watermark).alias("l")
+    rw = right_stream.withWatermark(right_ts, watermark).alias("r")
+    cond = F.expr(
+        f"l.{on} = r.{on} AND "
+        f"r.{right_ts} >= l.{left_ts} - INTERVAL {tolerance_secs} SECONDS AND "
+        f"r.{right_ts} <= l.{left_ts} + INTERVAL {tolerance_secs} SECONDS"
+    )
+    return lw.join(rw, cond, "inner").drop(F.col(f"r.{on}"))
+
+
+def stream_upsert_daily(
+    spark: SparkSession,
+    events_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    out_dir: str,
+    ts_col: str = "ts",
+) -> StreamingQuery:
+    """foreachBatch incremental upsert: each micro-batch is rewritten
+    into `date=YYYYMMDD` partitions with dynamic partition overwrite —
+    the streaming form of `incremental_batch_load`'s idempotent per-day
+    contract. A replayed micro-batch (restart after a sink failure)
+    overwrites the same partitions instead of appending duplicates."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("date", F.date_format(F.col(ts_col), "yyyyMMdd"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def session_window_counts(
     events_stream: DataFrame,
     gap: str = "30 minutes",

@@ -135,3 +135,81 @@ def test_native_session_window_matches_batch_twin(spark, tmp_path):
     assert want_keys, "fixture should contain flushed sessions"
     # every batch-identified flushed session appears identically
     assert want_keys <= got_keys
+
+
+def test_stream_interval_join_matches_batch_twin(spark, tmp_path):
+    from blockchair_etl_spark.streaming.incremental import stream_interval_join
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    events_dir = str(tmp_path / "ev_join")
+    ev.select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    ).write.parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+
+    def side(event_type, id_alias, ts_alias):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(events_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                "user_id",
+                F.col("ts").alias(ts_alias),
+            )
+        )
+
+    joined = stream_interval_join(
+        side("error", "error_id", "error_ts"),
+        side("purchase", "purchase_id", "purchase_ts"),
+        on="user_id",
+        left_ts="error_ts",
+        right_ts="purchase_ts",
+        tolerance_secs=600,
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out_join"))
+        .option("checkpointLocation", str(tmp_path / "ckpt_join"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(str(tmp_path / "out_join"))
+
+    batch = QUERIES["range_join_error_purchase"].fn(spark, "/root/testdata/sf0.001")
+    got_pairs = {(r.error_id, r.purchase_id) for r in got.collect()}
+    want_pairs = {(r.error_id, r.purchase_id) for r in batch.collect()}
+    assert want_pairs, "fixture should contain error/purchase pairs"
+    assert got_pairs == want_pairs
+
+
+def test_stream_upsert_daily_idempotent(spark, tmp_path):
+    from blockchair_etl_spark.streaming.incremental import stream_upsert_daily
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    events_dir = str(tmp_path / "ev_upsert")
+    ev.select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    ).write.parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+    out_dir = str(tmp_path / "out_upsert")
+
+    q = stream_upsert_daily(
+        spark, events_dir, schema, str(tmp_path / "ckpt_upsert"), out_dir
+    )
+    q.awaitTermination(180)
+    n_expected = spark.read.parquet(events_dir).count()
+    first = spark.read.parquet(out_dir)
+    assert first.count() == n_expected
+    assert "date" in first.columns  # partitioned layout
+
+    # replay with a FRESH checkpoint: the same days are overwritten, not
+    # appended — the per-day idempotence contract
+    q2 = stream_upsert_daily(
+        spark, events_dir, schema, str(tmp_path / "ckpt_upsert2"), out_dir
+    )
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out_dir).count() == n_expected
