@@ -47,6 +47,39 @@ def hash_sample(
     return df.filter(prefix < F.lit(prefix_lt.lower()))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    thresholds: dict[str, str],
+    id_col: str,
+    n_chars: int = 2,
+    salt: str = "",
+    default_lt: str = "00",
+) -> DataFrame:
+    """Deterministic stratified sampling: each stratum gets its own
+    hash-prefix threshold (e.g. downsample dominant languages, keep all
+    of the rare ones — the standard corpus-rebalancing move). Strata
+    absent from ``thresholds`` fall to ``default_lt`` ('00' = drop).
+    Same reproducibility contract as hash_sample: selection depends only
+    on (id, salt), never on partitioning, retries, or engine."""
+    for stratum, bound in thresholds.items():
+        if len(bound) != n_chars:
+            raise ValueError(f"threshold {bound!r} for {stratum!r} must be {n_chars} hex digits")
+    prefix = F.substring(hash_key_col(id_col, salt), 1, n_chars)
+    bound_expr = None
+    for stratum, bound in thresholds.items():
+        cond = F.col(strata_col) == stratum
+        bound_expr = (
+            F.when(cond, bound.lower())
+            if bound_expr is None
+            else bound_expr.when(cond, bound.lower())
+        )
+    bound_col = (
+        bound_expr.otherwise(default_lt.lower()) if bound_expr is not None else F.lit(default_lt.lower())
+    )
+    return df.filter(prefix < bound_col)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

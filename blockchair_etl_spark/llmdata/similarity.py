@@ -94,6 +94,45 @@ def lsh_bucket_col(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 7) 
     return bucket
 
 
+def bucket_centroids(
+    emb: DataFrame,
+    n_planes: int = 4,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-LSH-bucket centroid in long format (bucket, dim, centroid_val,
+    n_vectors) — codebook construction for bucketed ANN / quantization.
+
+    posexplode turns the vector column into (dim, value) rows so the
+    centroid is ONE hash-agg shuffle keyed on (bucket, dim) with map-side
+    partials — no collect, no UDF; at 100 TB the shuffle carries
+    n_buckets x dim partial sums per map task, independent of row count.
+
+    Determinism: values are fixed-point-quantized at 2^-20 before
+    summing — multiplying a float by a power of two is always exact (the
+    mantissa is unchanged), so floor(x * 2^20) is the same integer in
+    every engine, and the mean is an exact BIGINT sum divided once.
+    (A base-10 DECIMAL cast is NOT portable here: Spark rounds the
+    shortest string repr, DuckDB the binary product — last-digit
+    disagreements ~1e-14 break hash equality.)"""
+    dim = len(emb.select(vec_col).head()[0])
+    q = 1 << 20
+    blk = lsh_bucket_col(F.col(vec_col), dim, n_planes=n_planes, seed=seed)
+    exploded = emb.select(
+        blk.alias("bucket"), F.posexplode(vec_col).alias("dim", "x")
+    )
+    return (
+        exploded.groupBy(F.col("bucket"), F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("x").cast("double") * q).cast("bigint")).cast("double")
+                / (F.count(F.lit(1)) * F.lit(float(q)))
+            ).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -2213,3 +2213,82 @@ def histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         exact_sum("value", 2).alias("total_value"),
     )
+
+
+@register(
+    "quantiles_by_type",
+    survey="A3 (exact quantiles)",
+    desc="exact grouped percentiles (median/p90/p99): both engines use "
+    "(n-1)*p linear interpolation in double, so values are bit-exact. "
+    "Exact percentile sorts within each group; operators/approx.py holds "
+    "the sketch form (percentile_approx) that is the 100 TB path",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events
+GROUP BY event_type
+""",
+)
+def quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+@register(
+    "centroid_by_bucket",
+    survey="LLM-similarity (vector aggregate)",
+    desc="per-LSH-bucket embedding centroids in long format: posexplode "
+    "to (bucket, dim, value) then one hash-agg shuffle; 2^-20 fixed-point "
+    "quantization makes the distributed mean an exact integer sum "
+    "(codebook construction without collect or UDF)",
+    oracle=f"""
+WITH b AS (
+  SELECT embedding, {_sql_lsh_bucket('embedding', dim=64, n_planes=4)} AS bucket
+  FROM embeddings
+)
+SELECT bucket, CAST(g.i - 1 AS BIGINT) AS dim,
+       CAST(SUM(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
+         / (COUNT(*) * 1048576.0) AS centroid_val,
+       COUNT(*) AS n_vectors
+FROM b, UNNEST(generate_series(1, 64)) AS g(i)
+GROUP BY 1, 2
+""",
+)
+def centroid_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _sim.bucket_centroids(emb, n_planes=4, seed=7)
+
+
+@register(
+    "sample_stratified_lang",
+    survey="LLM-sampling (stratified)",
+    desc="deterministic stratified sampling: per-language hash-prefix "
+    "thresholds downsample dominant languages and keep rare ones whole "
+    "(corpus rebalancing reproducible across runs, retries, engines)",
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE lang WHEN 'en' THEN '40'
+                WHEN 'fr' THEN '80'
+                WHEN 'es' THEN '80'
+                WHEN 'de' THEN 'ff'
+                WHEN 'zh' THEN 'ff'
+                ELSE '00' END
+""",
+)
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = _sampling.stratified_sample(
+        docs,
+        strata_col="lang",
+        thresholds={"en": "40", "fr": "80", "es": "80", "de": "ff", "zh": "ff"},
+        id_col="doc_id",
+    )
+    return sampled.select("doc_id", "lang")

@@ -253,3 +253,26 @@ def test_pii_scrub_replaces_and_counts(spark):
     assert "<EMAIL>" in row.scrubbed and "<NUM>" in row.scrubbed
     assert "4111" not in row.scrubbed and "a.b@c.de" not in row.scrubbed
     assert "x1" in row.scrubbed  # single digits survive
+
+
+def test_stratified_sample_rates_and_determinism(spark, docs):
+    from blockchair_etl_spark.llmdata.sampling import stratified_sample
+
+    thresholds = {"en": "40", "de": "ff"}
+    s1 = stratified_sample(docs, "lang", thresholds, "doc_id")
+    s2 = stratified_sample(docs, "lang", thresholds, "doc_id")
+    got1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    got2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert got1 == got2  # reproducible selection
+    rates = {
+        r.lang: r.n
+        for r in s1.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    totals = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    # 'ff' keeps ~all of de, '40' keeps ~25% of en, others dropped entirely
+    assert set(rates) <= {"en", "de"}
+    assert rates["de"] >= 0.9 * totals["de"]
+    assert 0.1 * totals["en"] < rates["en"] < 0.45 * totals["en"]
