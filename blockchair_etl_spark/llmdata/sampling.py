@@ -105,3 +105,23 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     split = expr.otherwise(default_split) if expr is not None else F.lit(default_split)
     return df.withColumn("split", split)
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-group 'reservoir': rank rows inside each group
+    by md5(id || salt) and keep the first k. Statistically equivalent to
+    uniform reservoir sampling but reproducible across runs, retries,
+    partitionings, and engines (unlike rand()-keyed reservoirs). One
+    window shuffle on the group key; at scale, heavy groups can be
+    pre-cut with an approximate per-group count + hash-prefix filter so
+    the window only sorts ~k x safety_factor rows per group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(hash_key_col(id_col, salt), F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

@@ -192,3 +192,82 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.md5(norm).alias("content_md5"),
         min_tok_hash.alias("min_token_hash"),
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF rank.
+
+    Shape at scale: tf is one (doc, term) hash-agg with map-side
+    partials; df is a |vocab|-row aggregate of tf (vocab << corpus, so
+    the back-join broadcasts); the corpus size N is a 1-row broadcast.
+    The raw text is tokenized exactly once.
+
+    The score is the rational idf-proxy ``tf * N / df`` rather than
+    ``tf * ln(N/df)``: ln is libm-dependent (not bit-identical across
+    engines), while integer multiply + one IEEE division is exactly
+    rounded everywhere — and ln is monotone, so the per-doc ranking is
+    identical to the textbook formula whenever tf ties are broken the
+    same way (they are: by term).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("term_rank") <= k)
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int = 1_000_000,
+) -> DataFrame:
+    """Posting lists: term -> sorted doc-id list (comma-joined) + df.
+
+    collect_list order is partition-dependent, so the list is
+    array_sort-ed before joining — making the output deterministic under
+    any partitioning/retry schedule. df bounds drop hapax noise and
+    stopword-scale lists (at corpus scale the max_df cut is what keeps
+    the widest posting rows bounded)."""
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )

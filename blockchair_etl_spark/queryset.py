@@ -2292,3 +2292,422 @@ def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
     )
     return sampled.select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Correlated / scalar-subquery join patterns (TPC-H q11/q13/q17/q22 shapes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_order_count_distribution",
+    survey="J3,A1 (two-level aggregate)",
+    desc="TPC-H-Q13 shape: customers left-joined to filtered orders, "
+    "orders-per-customer counted, then the distribution of those counts. "
+    "Two chained hash-aggs; the second groups on a tiny key domain so "
+    "the shuffle after the first agg is the only full-size exchange",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+""",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    survey="J1,A3 (agg-back-join)",
+    desc="TPC-H-Q17 shape: per-part average quantity computed once and "
+    "joined back to filter rows below 0.2x their part's average. The "
+    "agg-back-join (small per-group aggregate re-joined to the fact) "
+    "beats a window avg at scale: the window would shuffle the full "
+    "fact table, the aggregate is |parts| rows and broadcastable",
+    oracle="""
+WITH brand_lines AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#12'
+), part_avg AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM brand_lines GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM brand_lines b JOIN part_avg pa ON b.l_partkey = pa.l_partkey
+WHERE CAST(b.l_quantity AS DOUBLE) < 0.2::DOUBLE * pa.avg_qty
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    brand_lines = li.join(
+        F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    part_avg = brand_lines.groupBy("l_partkey").agg(
+        (F.sum(_dec("l_quantity", 2)).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    # avg is an exact decimal sum cast to double then one exactly-rounded
+    # division, so both engines compute the identical threshold.
+    return (
+        brand_lines.join(F.broadcast(part_avg), "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg((exact_sum("l_extendedprice", 2) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    survey="A1 + scalar subquery (global-share HAVING)",
+    desc="TPC-H-Q11 shape: per-part value filtered against a fraction of "
+    "the GLOBAL total — the scalar aggregate is a 1-row broadcast joined "
+    "into the per-part relation, so the fact table is aggregated exactly "
+    "once and never re-shuffled. All arithmetic stays DECIMAL-exact so "
+    "the threshold comparison is bit-identical across engines",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val_dec
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+FROM pv
+WHERE val_dec > (SELECT SUM(val_dec) FROM pv) * CAST(0.0006 AS DECIMAL(6,4))
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(F.sum(_dec("l_extendedprice", 2)).alias("val_dec"))
+    total = pv.agg(F.sum("val_dec").alias("total_dec"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("val_dec") > F.col("total_dec") * F.lit(0.0006).cast("decimal(6,4)"))
+        .select("l_partkey", F.col("val_dec").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q22_wealthy_inactive",
+    survey="J7 + scalar subquery (avg threshold + anti join)",
+    desc="TPC-H-Q22 shape: customers above the global average positive "
+    "balance with no finished ('F') order. One scalar aggregate "
+    "broadcast into the filter, then a shuffle-free broadcast anti join "
+    "against the filtered order keys",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_custkey, c.c_acctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""",
+)
+def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal", 2)).cast("double") / F.count(F.lit(1))).alias("ab")
+    )
+    wealthy = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    return wealthy.join(
+        orders, wealthy.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_acctbal")
+
+
+@register(
+    "rollup_priority_status",
+    survey="cube/rollup (ROLLUP + GROUPING flags)",
+    desc="ROLLUP over (priority, status) with GROUPING() indicator "
+    "columns distinguishing 'real NULL' from 'rolled-up' rows — the "
+    "subtotal-hierarchy companion to cube_flag_status",
+    oracle="""
+SELECT o_orderpriority AS priority, o_orderstatus AS status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+)
+def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .withColumnRenamed("o_orderpriority", "priority")
+        .withColumnRenamed("o_orderstatus", "status")
+    )
+    return (
+        orders.rollup("priority", "status")
+        .agg(
+            F.grouping("priority").cast("bigint").alias("g_priority"),
+            F.grouping("status").cast("bigint").alias("g_status"),
+            exact_sum("o_totalprice", 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: rolling windows, funnels, streaks, graph motifs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_active_users",
+    survey="A2,W1 (rolling distinct window)",
+    desc="trailing-7-day distinct active users per day. COUNT(DISTINCT) "
+    "over a sliding range isn't window-expressible, so each (user, day) "
+    "activity row is exploded to the <=7 window days it contributes to "
+    "and counted with one hash-agg — the contribution-explode shape "
+    "scales linearly in |activity| x window, vs the quadratic self-join",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+), days AS (SELECT DISTINCT d FROM ud)
+SELECT days.d AS day, COUNT(DISTINCT ud.user_id) AS active_7d
+FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+GROUP BY days.d
+""",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day")
+    )
+    return (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    survey="A1,J1 (staged funnel)",
+    desc="ordered conversion funnel view -> click -> purchase: stage N's "
+    "first qualifying timestamp must follow stage N-1's. Each stage is a "
+    "per-user MIN aggregate (<=|users| rows) joined back broadcast-style, "
+    "so the raw event table is scanned once per stage and never shuffled "
+    "on anything but user_id",
+    oracle="""
+WITH t1 AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1.t1
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t2.t2
+  GROUP BY e.user_id
+)
+SELECT COUNT(t1.t1) AS n_view, COUNT(t2.t2) AS n_click, COUNT(t3.t3) AS n_purchase
+FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        LEFT JOIN t3 ON t1.user_id = t3.user_id
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(t1), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .agg(
+            F.count("t1").alias("n_view"),
+            F.count("t2").alias("n_click"),
+            F.count("t3").alias("n_purchase"),
+        )
+    )
+
+
+@register(
+    "islands_activity_streaks",
+    survey="W2 (gaps-and-islands)",
+    desc="longest consecutive-active-day streak per user via the "
+    "gaps-and-islands trick: day minus per-user ROW_NUMBER is constant "
+    "within a consecutive run, so streaks fall out of two hash-aggs that "
+    "reuse the window's user_id partitioning (no extra shuffle)",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+), g AS (
+  SELECT user_id, d, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn FROM ud
+), s AS (
+  SELECT user_id, d - CAST(rn AS INTEGER) AS anchor, COUNT(*) AS len
+  FROM g GROUP BY user_id, d - CAST(rn AS INTEGER)
+)
+SELECT user_id, MAX(len) AS longest_streak FROM s GROUP BY user_id
+""",
+)
+def islands_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = ud.withColumn("anchor", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = g.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(F.max("len").alias("longest_streak"))
+
+
+@register(
+    "graph_triangle_count",
+    survey="J5/U2 (graph motif)",
+    desc="triangle count on the synthetic transfer graph (same edge "
+    "derivation as j5_trace_2hop). Edges are canonicalized a<b so each "
+    "triangle is counted once via two equi-joins — the node-iterator "
+    "shape; at scale, orienting edges low-degree -> high-degree bounds "
+    "the join fan-out by the arboricity instead of max degree",
+    oracle="""
+WITH ed AS (
+  SELECT DISTINCT user_id AS src, CAST(FLOOR(value) AS BIGINT) % 150 AS dst
+  FROM events
+), und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ed WHERE src <> dst
+)
+SELECT COUNT(*) AS n_triangles
+FROM und e1
+JOIN und e2 ON e2.a = e1.b
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ed = ev.select(
+        F.col("user_id").alias("src"),
+        (F.floor(F.col("value")).cast("bigint") % 150).alias("dst"),
+    ).distinct()
+    und = (
+        ed.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text retrieval: TF-IDF, posting lists, per-group reservoir sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_topk",
+    survey="LLM-text (TF-IDF ranking)",
+    desc="top-3 characteristic terms per document by TF-IDF rank; score "
+    "is the rational idf-proxy tf*N/df (one exactly-rounded division — "
+    "ln() is libm-dependent and not bit-portable; ln is monotone so the "
+    "ranking is the textbook one). tf/df/N are three chained aggregates, "
+    "vocab joined back broadcast-style",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, score, term_rank FROM (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df DESC,
+                                     tf.term) AS term_rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+) ranked
+WHERE term_rank <= 3
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.tfidf_topk(docs, k=3)
+
+
+@register(
+    "text_inverted_index",
+    survey="LLM-text (posting lists)",
+    desc="inverted index: term -> df + sorted comma-joined doc-id "
+    "posting list. collect_list is order-nondeterministic under "
+    "distributed execution, so postings are array_sort-ed before "
+    "joining — deterministic under any partitioning or retry",
+    oracle=f"""
+SELECT term, df, postings FROM (
+  SELECT term, COUNT(*) AS df,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+  FROM (SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS term FROM documents) pairs
+  GROUP BY term
+) t WHERE df >= 2
+""",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.inverted_index(docs, min_df=2)
+
+
+@register(
+    "sample_reservoir_lang",
+    survey="LLM-sampling (per-group reservoir)",
+    desc="deterministic 5-per-language reservoir: rows ranked inside "
+    "each group by md5(id) so the sample is uniform-ish yet identical "
+    "across runs, retries, partitionings, and engines",
+    oracle="""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) t WHERE rn <= 5
+""",
+)
+def sample_reservoir_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _sampling.reservoir_per_group(docs, "lang", "doc_id", k=5).select(
+        "doc_id", "lang"
+    )

@@ -276,3 +276,33 @@ def test_stratified_sample_rates_and_determinism(spark, docs):
     assert set(rates) <= {"en", "de"}
     assert rates["de"] >= 0.9 * totals["de"]
     assert 0.1 * totals["en"] < rates["en"] < 0.45 * totals["en"]
+
+
+def test_reservoir_per_group_deterministic_and_sized(spark, docs):
+    from blockchair_etl_spark.llmdata.sampling import reservoir_per_group
+
+    s1 = reservoir_per_group(docs, "lang", "doc_id", k=3)
+    s2 = reservoir_per_group(docs, "lang", "doc_id", k=3)
+    got1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    got2 = sorted(r.doc_id for r in s2.select("doc_id").collect())
+    assert got1 == got2
+    sizes = {r.lang: r.n for r in s1.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    for lang, n in sizes.items():
+        assert n == min(3, totals[lang])
+    # a different salt draws a different sample (same sizes)
+    s3 = reservoir_per_group(docs, "lang", "doc_id", k=3, salt="v2")
+    got3 = sorted(r.doc_id for r in s3.select("doc_id").collect())
+    assert got3 != got1
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from blockchair_etl_spark.llmdata.text import tfidf_topk
+
+    rows = [(1, "alpha shared shared"), (2, "beta shared shared"), (3, "gamma shared shared")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    top1 = tfidf_topk(docs, k=1).collect()
+    # 'shared' has tf=2 but df=3; each rare term has tf=1, df=1 →
+    # score 1*3/1=3 beats 2*3/3=2: idf dominates raw frequency
+    by_doc = {r.doc_id: r.term for r in top1}
+    assert by_doc == {1: "alpha", 2: "beta", 3: "gamma"}
