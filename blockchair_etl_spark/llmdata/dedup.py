@@ -513,3 +513,82 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
     )
+
+
+def bow_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.99,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact bag-of-words cosine similarity.
+
+    The dot product accumulates only over SHARED terms, so it is computed
+    as a term-keyed self-join of the (doc, term, tf) relation — one
+    shuffle on term, never an all-pairs cross join. The join fan-out is
+    sum(df^2) over terms, which stopword-frequency terms dominate; at
+    corpus scale pass ``max_df`` to generate candidate pairs from rare
+    terms only (sum over df<=max_df is near-linear) and the full vectors
+    are then re-joined per candidate pair, so reported scores stay EXACT
+    — only recall is traded (pairs sharing nothing but ultra-common
+    terms are missed, which for near-dup detection is the desired cut).
+
+    Determinism: tf/df/dot/norms are exact BIGINTs; the score performs
+    sqrt and divide on doubles — both exactly rounded IEEE ops, so the
+    result is bit-identical across engines and partitionings. Norms are
+    multiplied as sqrt(na)*sqrt(nb) (not sqrt(na*nb)) so the bigint
+    product cannot exceed 2^53 on large documents.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    left = tf.select(
+        F.col("doc_id").alias("id_a"), "term", F.col("tf").alias("tf_a")
+    )
+    right = tf.select(
+        F.col("doc_id").alias("id_b"), "term", F.col("tf").alias("tf_b")
+    )
+    if max_df is None:
+        dots = (
+            left.join(right, "term")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+        )
+    else:
+        rare = (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("term")
+        )
+        cand = (
+            left.join(rare, "term")
+            .select("id_a", "term")
+            .join(right.join(rare, "term").select("id_b", "term"), "term")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # exact rescore: full vectors re-joined per candidate pair
+        dots = (
+            cand.join(left.select("id_a", "term", "tf_a"), "id_a")
+            .join(right, ["id_b", "term"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+        )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("n2_b"))
+    cos = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double")))
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -91,3 +91,47 @@ def fee_quantiles(
     return fct_traces.agg(
         approx_quantiles("fee_btc", probs).alias("fee_btc_quantiles")
     )
+
+
+def kmv_union(
+    sketches: list[DataFrame], k: int = 64, hash_bits: int = 60
+) -> DataFrame:
+    """Merge KMV sketches: union their min-hash sets, re-take the k
+    smallest, re-estimate. This is the property that makes KMV a proper
+    distributed sketch — per-partition (or per-day, per-source) sketches
+    merge losslessly into the sketch of the union, so a 100 TB corpus
+    can be sketched incrementally and combined at O(k) cost per merge.
+    Inputs are `mins` relations of kmv_mins(); returns the same 1-row
+    estimate frame as kmv_distinct."""
+    space = float(1 << hash_bits)
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    mins = merged.distinct().orderBy(F.asc("hv")).limit(k)
+    n_taken = F.count(F.lit(1))
+    kth = F.max("hv")
+    return mins.agg(
+        n_taken.cast("bigint").alias("n_taken"),
+        kth.alias("kth_min_hash"),
+        F.when(n_taken < k, n_taken.cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(space) / kth.cast("double"))
+        .alias("distinct_estimate"),
+    )
+
+
+def kmv_mins(
+    df: DataFrame, c: Column | str, k: int = 64, hash_bits: int = 60
+) -> DataFrame:
+    """The reusable half of kmv_distinct: the k smallest distinct 60-bit
+    md5 hashes of a column, as a (hv) relation suitable for kmv_union."""
+    col = F.col(c) if isinstance(c, str) else c
+    hv = F.conv(F.substring(F.md5(col.cast("string")), 1, hash_bits // 4), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        df.filter(col.isNotNull())
+        .select(hv.alias("hv"))
+        .distinct()
+        .orderBy(F.asc("hv"))
+        .limit(k)
+    )

@@ -91,3 +91,22 @@ def run_checks(
             v = unique_combination_violations(df, list(cols) if isinstance(cols, list) else [cols])
         results.append(CheckResult(name=f"{table}.{kind}.{cols}", violations=v.count()))
     return results
+
+
+def accepted_values_violations(df: DataFrame, column: str, values: list) -> DataFrame:
+    """dbt `accepted_values`: non-null rows whose value is outside the
+    allowed set. Scan-only — the isin predicate pushes down to parquet."""
+    return df.filter(F.col(column).isNotNull() & ~F.col(column).isin(values))
+
+
+def relationship_violations(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
+) -> DataFrame:
+    """dbt `relationships` (referential integrity): child keys with no
+    matching parent row. The parent side is reduced to its distinct keys
+    first, so when the parent is dim-sized the anti join broadcasts; at
+    fact-fact scale it degrades to one shuffle on the key."""
+    parents = parent.select(F.col(parent_key).alias("__parent_key")).distinct()
+    return child.filter(F.col(child_key).isNotNull()).join(
+        parents, child[child_key] == parents["__parent_key"], "left_anti"
+    )

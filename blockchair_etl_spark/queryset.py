@@ -2711,3 +2711,180 @@ def sample_reservoir_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sampling.reservoir_per_group(docs, "lang", "doc_id", k=5).select(
         "doc_id", "lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-test family (T5/T6), calendar spine, sketch merge
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t5_accepted_values_violations",
+    survey="T-family (dbt accepted_values)",
+    desc="dbt accepted_values test: event types outside the allowed set, "
+    "grouped. The isin predicate pushes to the parquet scan",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events
+WHERE event_type IS NOT NULL
+  AND event_type NOT IN ('view', 'click', 'purchase', 'signup')
+GROUP BY event_type
+""",
+)
+def t5_accepted_values_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .quality.checks import accepted_values_violations
+
+    ev = load_table(spark, sf_dir, "events")
+    bad = accepted_values_violations(ev, "event_type", ["view", "click", "purchase", "signup"])
+    return bad.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "t6_referential_violations",
+    survey="T-family (dbt relationships)",
+    desc="dbt relationships test: transfer-graph destinations that are "
+    "not known users (anti join against the distinct parent keys; on "
+    "healthy data this returns ZERO rows — the dbt pass contract — and "
+    "the sparse sf0.001 run exercises the violating path)",
+    oracle="""
+WITH ed AS (
+  SELECT DISTINCT CAST(FLOOR(value) AS BIGINT) % 150 AS dst FROM events
+), u AS (SELECT DISTINCT user_id FROM events)
+SELECT dst
+FROM ed WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.user_id = ed.dst)
+""",
+)
+def t6_referential_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .quality.checks import relationship_violations
+
+    ev = load_table(spark, sf_dir, "events")
+    ed = ev.select((F.floor(F.col("value")).cast("bigint") % 150).alias("dst")).distinct()
+    users = ev.select("user_id")
+    return relationship_violations(ed, "dst", users, "user_id")
+
+
+@register(
+    "spine_fill_hourly",
+    survey="W1/U1 (calendar spine gap fill)",
+    desc="complete hourly spine over the observed range with zero-filled "
+    "gaps: bounds are a 1-row broadcast, the spine is generated (not "
+    "scanned), and the left join keys on the hour — the standard "
+    "missing-bucket densification before window math",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1
+), bounds AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM hourly),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+)
+SELECT spine.hour, COALESCE(hourly.n, 0) AS n_events
+FROM spine LEFT JOIN hourly ON spine.hour = hourly.hour
+""",
+)
+def spine_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = hourly.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    )
+    return spine.join(hourly, "hour", "left").select(
+        "hour", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events")
+    )
+
+
+@register(
+    "w4_moving_avg_daily",
+    survey="W1 (frame-based moving aggregate)",
+    desc="7-day moving average of daily event counts (ROWS BETWEEN 6 "
+    "PRECEDING): the windowed sum/count are over exact BIGINTs with one "
+    "final exactly-rounded division, so the doubles are bit-identical",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT day, n,
+       CAST(SUM(n) OVER w AS DOUBLE) / COUNT(n) OVER w AS avg_7d
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def w4_moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "n",
+        (F.sum("n").over(w).cast("double") / F.count("n").over(w)).alias("avg_7d"),
+    )
+
+
+@register(
+    "sketch_kmv_union",
+    survey="A2 (mergeable sketch)",
+    desc="KMV sketch MERGE: per-event-type user sketches unioned into "
+    "the sketch of the union — the property that lets per-partition/"
+    "per-day sketches combine at O(k) cost on a 100 TB corpus. Estimate "
+    "arithmetic is identical to sketch_kmv_distinct",
+    oracle="""
+WITH hv_view AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events WHERE event_type = 'view' ORDER BY hv LIMIT 64
+), hv_click AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events WHERE event_type = 'click' ORDER BY hv LIMIT 64
+), merged AS (
+  SELECT DISTINCT hv FROM (SELECT hv FROM hv_view UNION ALL SELECT hv FROM hv_click)
+  ORDER BY hv LIMIT 64
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_taken,
+       MAX(hv) AS kth_min_hash,
+       CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE 63.0 * 1152921504606846976.0 / CAST(MAX(hv) AS DOUBLE) END AS distinct_estimate
+FROM merged
+""",
+)
+def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.approx import kmv_mins, kmv_union
+
+    ev = load_table(spark, sf_dir, "events")
+    s_view = kmv_mins(ev.filter(F.col("event_type") == "view"), "user_id")
+    s_click = kmv_mins(ev.filter(F.col("event_type") == "click"), "user_id")
+    return kmv_union([s_view, s_click])
+
+
+@register(
+    "dedup_bow_cosine",
+    survey="LLM-dedup (lexical cosine)",
+    desc="near-dup pairs by exact bag-of-words cosine: dot products "
+    "accumulate over shared terms via a term-keyed self-join (one "
+    "shuffle, no cross join); tf/dot/norms are exact BIGINTs, the score "
+    "is sqrt+divide (exactly-rounded IEEE) so bit-identical; at corpus "
+    "scale candidates come from df-bounded terms with exact rescoring "
+    "(bow_cosine_pairs(max_df=...))",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents) toks
+  GROUP BY doc_id, term
+), norms AS (SELECT doc_id, SUM(tf*tf) AS n2 FROM tf GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf*b.tf) AS dot
+  FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_sim
+FROM dots JOIN norms na ON na.doc_id = dots.id_a
+          JOIN norms nb ON nb.doc_id = dots.id_b
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.99
+""",
+)
+def dedup_bow_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.bow_cosine_pairs(docs, threshold=0.99)

@@ -216,3 +216,23 @@ def session_window_counts(
             "n_events",
         )
     )
+
+
+def stream_dedup_events(
+    stream: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication — the streaming twin of
+    `llmdata.dedup.exact_dedup` for an append-only event feed.
+
+    dropDuplicatesWithinWatermark keeps one row per key and evicts each
+    key's state once the watermark passes its event time, so state is
+    O(key-rate x watermark window) instead of O(all keys ever seen) —
+    the only formulation that survives an unbounded feed. Duplicates
+    arriving later than the watermark window are NOT caught (the
+    standard at-least-once ingestion contract: upstream retries land
+    within seconds, so a watermark of hours bounds state with no
+    practical recall loss)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(id_cols)

@@ -213,3 +213,37 @@ def test_stream_upsert_daily_idempotent(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert spark.read.parquet(out_dir).count() == n_expected
+
+
+def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
+    from blockchair_etl_spark.streaming.incremental import stream_dedup_events
+
+    # event feed with in-window duplicate event_ids (upstream retries)
+    rows = []
+    for i in range(200):
+        ts = f"2024-01-01 00:{i % 60:02d}:{i % 50:02d}"
+        rows.append((i % 80, ts, float(i)))
+        if i % 3 == 0:  # duplicate delivery of the same event
+            rows.append((i % 80, ts, float(i)))
+    df = spark.createDataFrame(rows, "event_id bigint, ts_s string, value double")
+    df = df.select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    src = str(tmp_path / "dupe_events")
+    df.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    deduped = stream_dedup_events(stream, ["event_id"], watermark="2 hours")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == df.select("event_id").distinct().count()
+    assert got.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0

@@ -306,3 +306,19 @@ def test_tfidf_rare_term_outranks_common(spark):
     # score 1*3/1=3 beats 2*3/3=2: idf dominates raw frequency
     by_doc = {r.doc_id: r.term for r in top1}
     assert by_doc == {1: "alpha", 2: "beta", 3: "gamma"}
+
+
+def test_bow_cosine_max_df_subset_with_exact_scores(spark, docs):
+    from blockchair_etl_spark.llmdata.dedup import bow_cosine_pairs
+
+    full = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in bow_cosine_pairs(docs, threshold=0.9).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in bow_cosine_pairs(docs, threshold=0.9, max_df=200).collect()
+    }
+    assert set(pruned) <= set(full)
+    for pair, score in pruned.items():
+        assert score == full[pair]  # rescore is EXACT, only recall is traded
