@@ -156,3 +156,42 @@ def read_partitioned(spark: SparkSession, base_path: str, table: str) -> DataFra
     return spark.read.option("basePath", f"{base_path}/{table}").parquet(
         f"{base_path}/{table}"
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_file_bytes) files. Returns the new file
+    count (or the current one if already compact).
+
+    Streaming/incremental sinks accumulate per-trigger files; thousands
+    of KB-sized files make every downstream scan driver- and
+    open()-bound. Compaction trades one rewrite for every future scan.
+    The rewrite goes through a temp dir + atomic-ish swap so a crash
+    mid-compaction never leaves the table truncated (the temp dir is
+    simply orphaned). At warehouse scale this runs per partition, not
+    per table, so the rewrite unit stays bounded."""
+    import math
+
+    files = [
+        f
+        for f in Path(path).glob("*.parquet")
+        if f.is_file() and not f.name.startswith(("_", "."))
+    ]
+    if len(files) < min_files:
+        return len(files)
+    total = sum(f.stat().st_size for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    if n_out >= len(files):
+        return len(files)
+    tmp = str(Path(path).with_name(Path(path).name + "__compacting"))
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    bak = str(Path(path).with_name(Path(path).name + "__precompact"))
+    shutil.move(path, bak)
+    shutil.move(tmp, path)
+    shutil.rmtree(bak)
+    return len([f for f in Path(path).glob("*.parquet") if f.is_file()])

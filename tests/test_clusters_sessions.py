@@ -247,3 +247,38 @@ def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == df.select("event_id").distinct().count()
     assert got.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_stream_static_enrichment_no_state(spark, tmp_path):
+    from blockchair_etl_spark.streaming.incremental import stream_enrich_with_dim
+
+    events = spark.createDataFrame(
+        [(i, i % 5, f"2024-01-01 00:{i % 60:02d}:00") for i in range(120)],
+        "event_id bigint, dim_key bigint, ts_s string",
+    ).select("event_id", "dim_key", F.col("ts_s").cast("timestamp").alias("ts"))
+    src = str(tmp_path / "enrich_events")
+    events.write.parquet(src)
+    dim = spark.createDataFrame(
+        [(k, f"name-{k}") for k in range(5)], "dim_key bigint, dim_name string"
+    )
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = stream_enrich_with_dim(stream, dim, on="dim_key")
+    out = str(tmp_path / "enrich_out")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 120
+    assert got.filter(F.col("dim_name").isNull()).count() == 0
+    # batch twin produces the identical enrichment
+    twin = events.join(dim, "dim_key")
+    assert sorted((r.event_id, r.dim_name) for r in got.collect()) == sorted(
+        (r.event_id, r.dim_name) for r in twin.collect()
+    )

@@ -374,3 +374,22 @@ def test_streaming_windowed_counts(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "out")).count() == finalized
+
+
+def test_compact_small_files_preserves_rows_and_reduces_files(spark, tmp_path):
+    from blockchair_etl_spark.io.sinks import compact_small_files
+
+    path = str(tmp_path / "fragmented")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    df.repartition(64).write.parquet(path)
+    import pathlib
+
+    before = len(list(pathlib.Path(path).glob("*.parquet")))
+    assert before >= 32
+    after = compact_small_files(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert after < before
+    got = spark.read.parquet(path)
+    assert got.count() == 10_000
+    assert got.agg({"k": "sum"}).collect()[0][0] == sum(range(10_000))
+    # already-compact dirs are left alone
+    assert compact_small_files(spark, path, target_file_bytes=10 * 1024 * 1024) == after
