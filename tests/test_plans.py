@@ -154,3 +154,44 @@ def test_q6_all_predicates_pushed(spark, sf_dir):
         assert col in pushed, f"{col} not pushed to scan"
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "l_orderkey" not in read_schema  # only the 4 used columns read
+
+
+def test_correlated_shapes_broadcast_the_aggregate(spark, sf_dir):
+    # q17: per-part avg joins back via broadcast on BOTH joins (brand
+    # dim and the agg); a SortMergeJoin here would reshuffle the fact
+    plan = plan_of(QUERIES["q17_small_quantity_revenue"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # q11: the global-total scalar is a 1-row broadcast nested-loop,
+    # and the fact table is aggregated exactly once (one partial+final
+    # pair on l_partkey — not re-aggregated after the filter)
+    plan11 = plan_of(QUERIES["q11_important_parts"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan11 or "BroadcastHashJoin" in plan11
+    # q22: anti join against order keys stays broadcast
+    plan22 = plan_of(QUERIES["q22_wealthy_inactive"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan22 and "LeftAnti" in plan22
+
+
+def test_rolling_active_users_single_wide_shuffle(spark, sf_dir):
+    # contribution-explode shape: the only exchanges are the distinct
+    # and the final day aggregate — the 7x fan-out itself is map-side
+    # (explode), and the days dim joins broadcast
+    df = QUERIES["rolling_active_users"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate explode" in plan or "Explode" in plan
+
+
+def test_corr_is_one_hash_agg_with_partial(spark, sf_dir):
+    plan = plan_of(QUERIES["corr_value_by_type"].fn(spark, sf_dir))
+    # exactly one exchange: partial moment sums combine map-side, the
+    # closed-form math runs on the 5 grouped rows
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan.lower()
+
+
+def test_tfidf_vocab_joins_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["text_tfidf_topk"].fn(spark, sf_dir))
+    # df (vocab-sized) and N (1 row) both broadcast back onto tf
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
