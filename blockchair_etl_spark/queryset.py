@@ -3019,3 +3019,115 @@ def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+@register(
+    "w5_rank_family",
+    survey="W2 (rank-family breadth)",
+    desc="PERCENT_RANK / CUME_DIST / DENSE_RANK over customer balances "
+    "per market segment: all three derive from the same sort, so one "
+    "window shuffle serves the family; percent_rank's (rank-1)/(n-1) "
+    "division is a single exactly-rounded double op",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rnk
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+)
+def w5_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).cast("bigint").alias("dense_rnk"),
+    )
+
+
+@register(
+    "grouping_sets_api",
+    survey="cube/rollup (explicit GROUPING SETS, SQL surface)",
+    desc="explicit GROUPING SETS — only the two wanted subtotal "
+    "combinations, not the full cube lattice (at scale, each extra "
+    "grouping set is a whole extra aggregate pass under expand, so "
+    "naming exactly the sets you need is the cost control)",
+    oracle="""
+SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+""",
+)
+def grouping_sets_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@register(
+    "dedup_corpus_survivors",
+    survey="LLM-dedup (end-to-end pipeline)",
+    desc="the full dedup pipeline composed: MinHash-LSH candidates -> "
+    "signature-estimate verification -> connected-component clusters -> "
+    "keep the canonical (min-id) member per cluster -> surviving corpus. "
+    "Each stage is the already-verified operator; this entry checks the "
+    "COMPOSITION end-to-end (what a training-data pipeline actually runs)",
+    oracle=f"""
+WITH RECURSIVE sig AS ({_sql_minhash_sig(16)}),
+bands AS (
+  SELECT doc, 0 AS band_idx, md5(concat_ws('|', m0, m1, m2, m3)) AS band_key FROM sig
+  UNION ALL SELECT doc, 1, md5(concat_ws('|', m4, m5, m6, m7)) FROM sig
+  UNION ALL SELECT doc, 2, md5(concat_ws('|', m8, m9, m10, m11)) FROM sig
+  UNION ALL SELECT doc, 3, md5(concat_ws('|', m12, m13, m14, m15)) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sig a ON c.id_a = a.doc JOIN sig b ON c.id_b = b.doc
+  WHERE ({_SQL_EST_MATCHES}) / 16.0 >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(v, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+),
+clusters AS (SELECT v AS doc, MIN(r) AS cluster_id FROM reach GROUP BY v)
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM clusters c WHERE c.doc = d.doc_id AND c.doc <> c.cluster_id
+)
+""",
+)
+def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.clusters import connected_clusters
+    from .llmdata.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_size=4, threshold=0.5)
+    clusters = connected_clusters(pairs)
+    removed = clusters.filter(F.col("doc") != F.col("cluster_id")).select("doc")
+    return docs.join(
+        removed, docs.doc_id == removed.doc, "left_anti"
+    ).select("doc_id", "lang")
