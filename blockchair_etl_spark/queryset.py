@@ -3131,3 +3131,215 @@ def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         removed, docs.doc_id == removed.doc, "left_anti"
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Further TPC-H join/agg patterns (q7/q14/q15/q18/q19 shapes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q7_nation_volume",
+    survey="J4,A1 (multi-hop dim join, pair grouping)",
+    desc="TPC-H-Q7 shape: shipping volume between nation pairs — the "
+    "fact joins two independent dim chains (customer-nation and "
+    "supplier-nation), both broadcast; grouping on the derived pair key "
+    "plus year. Exercises join-order freedom Catalyst gets from "
+    "declarative chains",
+    oracle="""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+WHERE ns.n_nationkey < 3 AND nc.n_nationkey < 3
+  AND ns.n_nationkey <> nc.n_nationkey
+GROUP BY 1, 2, 3
+""",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nc = nation.filter(F.col("n_nationkey") < 3).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    ns = nation.filter(F.col("n_nationkey") < 3).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), cust.c_nationkey == nc.c_nk)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), supp.s_nationkey == ns.s_nk)
+        .filter(F.col("s_nk") != F.col("c_nk"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(exact_sum("l_extendedprice", 2).alias("volume"))
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    survey="A1 (conditional-aggregate ratio)",
+    desc="TPC-H-Q14 shape: promo revenue as a percentage of total — two "
+    "conditional exact-decimal sums in ONE aggregate pass (no second "
+    "scan), final ratio is one multiply + one divide in double",
+    oracle="""
+SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+""",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                     li.l_partkey == F.col("p_partkey"))
+    promo = F.when(F.col("p_type") == "PROMO", _dec("l_extendedprice", 2)).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(_dec("l_extendedprice", 2)).cast("double")
+        ).alias("promo_pct")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    survey="A4 + scalar subquery (argmax vs max-of-agg)",
+    desc="TPC-H-Q15 shape: supplier(s) whose revenue equals the maximum "
+    "— per-supplier aggregate computed ONCE, its max broadcast back as "
+    "a 1-row join; DECIMAL-exact equality so ties are engine-identical",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev_expr = _dec("l_extendedprice", 2).cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(6,4)")
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_expr).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    survey="A1 + IN-on-aggregate (HAVING semi join)",
+    desc="TPC-H-Q18 shape: orders whose total quantity exceeds a "
+    "threshold — the HAVING aggregate becomes a semi join of the fact "
+    "against its own grouped keys (aggregate once, probe broadcast)",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(150 AS DECIMAL(18,2))
+)
+SELECT c.c_custkey, o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS total_price,
+       CAST(sums.sum_qty AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+) sums ON sums.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sums = li.groupBy("l_orderkey").agg(F.sum(_dec("l_quantity", 2)).alias("sum_qty"))
+    big = sums.filter(F.col("sum_qty") > F.lit(150).cast("decimal(18,2)"))
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sums, orders.o_orderkey == sums.l_orderkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    survey="P-family (disjunctive pushdown) + J1",
+    desc="TPC-H-Q19 shape: OR of conjunct bundles across the join "
+    "boundary — Catalyst splits the common p_partkey join key out and "
+    "pushes the per-side conjuncts below it; the revenue sum is one "
+    "exact-decimal aggregate",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * CAST(1.0 - l.l_discount AS DECIMAL(6,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 30)
+""",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    rev = _dec("l_extendedprice", 2).cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(6,4)")
+    return joined.filter(cond).agg(
+        F.sum(rev).cast("decimal(38,4)").cast("double").alias("revenue")
+    )
