@@ -600,3 +600,44 @@ def bow_cosine_pairs(
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def contamination_scores(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for every training document, the
+    fraction of its distinct n-gram shingles that also appear in the
+    benchmark/eval set — the decontamination pass every serious training
+    pipeline runs before the corpus ships.
+
+    Shape at scale: training shingles are the linear exploded_shingles
+    relation; the benchmark side collapses to its DISTINCT shingle set
+    (eval suites are tiny relative to the corpus, so the join
+    broadcasts); one hash-agg per side. Scores are exact integer ratios
+    (one exactly-rounded division), so thresholding is reproducible."""
+    train_sh = exploded_shingles(docs, text_col, id_col, n)
+    bench_sh = (
+        exploded_shingles(bench, text_col, id_col, n).select("feat").distinct()
+    )
+    sizes = train_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train_sh.join(F.broadcast(bench_sh), "feat")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        sizes.join(hits, "doc", "left")
+        .select(
+            "doc",
+            "n_shingles",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("contamination"),
+        )
+    )

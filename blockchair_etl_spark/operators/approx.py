@@ -135,3 +135,34 @@ def kmv_mins(
         .orderBy(F.asc("hv"))
         .limit(k)
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clamp values to the group's exact
+    [lo_p, hi_p] percentiles — the standard outlier-trim before
+    training-statistics aggregation.
+
+    The percentile pair is one agg per group joined back broadcast-style
+    (groups << rows), so the fact table is scanned once and never
+    shuffled. Exact percentile sorts within each group; at corpus scale
+    swap in percentile_approx cutpoints (same clamp, sketch-derived
+    bounds). Both engines interpolate exact percentiles as
+    (n-1)*p in double, so the clamp bounds are bit-identical."""
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo_p})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {hi_p})").alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            f"{value_col}_winsorized",
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -3343,3 +3343,75 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(cond).agg(
         F.sum(rev).cast("decimal(38,4)").cast("double").alias("revenue")
     )
+
+
+@register(
+    "winsorize_values",
+    survey="A3/P-family (outlier clamp)",
+    desc="per-type winsorization: values clamped to the group's exact "
+    "[p05, p95] — percentile pair aggregated once per group and joined "
+    "back broadcast (one fact scan, no reshuffle); both engines "
+    "interpolate (n-1)*p in double so clamp bounds are bit-identical",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       LEAST(GREATEST(e.value, b.lo), b.hi) AS value_winsorized
+FROM events e JOIN b ON e.event_type = b.event_type
+""",
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.approx import winsorize
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return winsorize(ev, "value", "event_type", 0.05, 0.95)
+
+
+@register(
+    "text_contamination",
+    survey="LLM-dedup (benchmark decontamination)",
+    desc="eval-set contamination: fraction of each doc's distinct "
+    "3-gram shingles appearing in a (deterministically sampled) "
+    "benchmark set — benchmark shingles collapse to a broadcast "
+    "distinct set, scores are exact integer ratios",
+    oracle="""
+WITH bench_docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '15'
+), toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+), train_sh AS (
+  SELECT DISTINCT doc, sh FROM (
+    SELECT doc_id AS doc,
+           unnest(list_transform(range(1, greatest(len(t) - 3 + 1, 0) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh
+    FROM toks)
+), btoks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM bench_docs
+), bench_sh AS (
+  SELECT DISTINCT sh FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(t) - 3 + 1, 0) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh
+    FROM btoks)
+), sizes AS (SELECT doc, COUNT(*) AS n_shingles FROM train_sh GROUP BY doc),
+hits AS (
+  SELECT t.doc, COUNT(*) AS n_hits
+  FROM train_sh t JOIN bench_sh b ON t.sh = b.sh
+  GROUP BY t.doc
+)
+SELECT s.doc, s.n_shingles,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / s.n_shingles AS contamination
+FROM sizes s LEFT JOIN hits h ON s.doc = h.doc
+""",
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = _sampling.hash_sample(docs, id_col="doc_id", prefix_lt="15")
+    return _dedup.contamination_scores(docs, bench, n=3)

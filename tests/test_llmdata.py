@@ -322,3 +322,20 @@ def test_bow_cosine_max_df_subset_with_exact_scores(spark, docs):
     assert set(pruned) <= set(full)
     for pair, score in pruned.items():
         assert score == full[pair]  # rescore is EXACT, only recall is traded
+
+
+def test_contamination_benchmark_docs_score_one(spark, docs):
+    from blockchair_etl_spark.llmdata.dedup import contamination_scores
+    from blockchair_etl_spark.llmdata.sampling import hash_sample
+
+    bench = hash_sample(docs, id_col="doc_id", prefix_lt="20")
+    bench_ids = {r.doc_id for r in bench.select("doc_id").collect()}
+    assert bench_ids  # sample is non-empty
+    scores = contamination_scores(docs, bench, n=3)
+    by_doc = {r.doc: r.contamination for r in scores.collect()}
+    for b in bench_ids:
+        if b in by_doc:  # docs shorter than n produce no shingles
+            assert by_doc[b] == 1.0  # a benchmark member is fully contaminated
+    # and docs outside the benchmark are not all contaminated
+    outside = [v for k, v in by_doc.items() if k not in bench_ids]
+    assert any(v < 1.0 for v in outside)
