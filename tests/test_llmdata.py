@@ -339,3 +339,23 @@ def test_contamination_benchmark_docs_score_one(spark, docs):
     # and docs outside the benchmark are not all contaminated
     outside = [v for k, v in by_doc.items() if k not in bench_ids]
     assert any(v < 1.0 for v in outside)
+
+
+def test_winsorize_bounds_and_idempotence(spark):
+    from blockchair_etl_spark.operators.approx import winsorize
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    rows += [(100 + i, "b", float(v)) for i, v in enumerate([-50, 0, 0, 0, 0, 0, 0, 0, 0, 50])]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    w1 = winsorize(df, "value", "event_type", 0.1, 0.9)
+    got = {r.event_id: r.value_winsorized for r in w1.collect()}
+    assert got[9] < 1000.0  # the outlier is clamped
+    assert min(got[i] for i in range(10)) >= 1.0
+    # clamping already-clamped data changes nothing beyond re-deriving
+    # bounds from the clamped distribution being within the originals
+    w2 = winsorize(
+        w1.select("event_id", "event_type", F.col("value_winsorized").alias("value")),
+        "value", "event_type", 0.0, 1.0,
+    )
+    got2 = {r.event_id: r.value_winsorized for r in w2.collect()}
+    assert got2 == {k: v for k, v in got.items()}

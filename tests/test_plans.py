@@ -195,3 +195,13 @@ def test_tfidf_vocab_joins_broadcast(spark, sf_dir):
     plan = plan_of(QUERIES["text_tfidf_topk"].fn(spark, sf_dir))
     # df (vocab-sized) and N (1 row) both broadcast back onto tf
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_winsorize_and_contamination_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["winsorize_values"].fn(spark, sf_dir))
+    # the percentile-bounds relation (5 rows) joins broadcast: one fact scan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    plan_c = plan_of(QUERIES["text_contamination"].fn(spark, sf_dir))
+    # the benchmark shingle set joins broadcast onto training shingles
+    assert "BroadcastHashJoin" in plan_c
