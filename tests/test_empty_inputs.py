@@ -1,0 +1,77 @@
+"""Degenerate-input robustness: every reusable operator must behave on
+empty (and near-empty) relations — the cases a daily pipeline hits on a
+quiet partition, a fresh store, or a fully-filtered slice."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id bigint, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from blockchair_etl_spark.io.sources import load_table
+
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_dedup_pipeline_on_empty_corpus(spark, empty_docs):
+    from blockchair_etl_spark.llmdata.clusters import connected_clusters
+    from blockchair_etl_spark.llmdata.dedup import (
+        bow_cosine_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(empty_docs, num_hashes=16, band_size=4, threshold=0.5)
+    assert pairs.count() == 0
+    assert connected_clusters(pairs).count() == 0
+    assert ngram_jaccard_pairs(empty_docs, n=3, threshold=0.1).count() == 0
+    assert bow_cosine_pairs(empty_docs).count() == 0
+    assert bow_cosine_pairs(empty_docs, max_df=5).count() == 0
+
+
+def test_sampling_and_text_on_empty(spark, empty_docs):
+    from blockchair_etl_spark.llmdata.sampling import (
+        hash_sample,
+        reservoir_per_group,
+        stratified_sample,
+    )
+    from blockchair_etl_spark.llmdata.text import inverted_index, tfidf_topk
+
+    assert hash_sample(empty_docs, "doc_id").count() == 0
+    assert stratified_sample(empty_docs, "lang", {"en": "80"}, "doc_id").count() == 0
+    assert reservoir_per_group(empty_docs, "lang", "doc_id", k=3).count() == 0
+    assert tfidf_topk(empty_docs).count() == 0
+    assert inverted_index(empty_docs).count() == 0
+
+
+def test_contamination_empty_benchmark_scores_zero(spark, docs):
+    from blockchair_etl_spark.llmdata.dedup import contamination_scores
+
+    empty_bench = docs.filter(F.lit(False))
+    scores = contamination_scores(docs, empty_bench, n=3)
+    assert scores.filter(F.col("contamination") != 0.0).count() == 0
+    assert scores.count() > 0  # training docs still reported
+
+
+def test_winsorize_single_row_group(spark):
+    from blockchair_etl_spark.operators.approx import winsorize
+
+    df = spark.createDataFrame([(1, "a", 42.0)], "event_id bigint, event_type string, value double")
+    got = winsorize(df, "value", "event_type").collect()
+    assert len(got) == 1 and got[0].value_winsorized == 42.0
+
+
+def test_kmv_on_empty_and_singleton(spark):
+    from blockchair_etl_spark.operators.approx import kmv_distinct, kmv_mins, kmv_union
+
+    empty = spark.createDataFrame([], "user_id bigint")
+    row = kmv_distinct(empty, "user_id").collect()[0]
+    assert row.n_taken == 0 and row.distinct_estimate == 0.0
+    one = spark.createDataFrame([(7,)], "user_id bigint")
+    merged = kmv_union([kmv_mins(empty, "user_id"), kmv_mins(one, "user_id")]).collect()[0]
+    assert merged.n_taken == 1 and merged.distinct_estimate == 1.0
