@@ -3415,3 +3415,117 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = _sampling.hash_sample(docs, id_col="doc_id", prefix_lt="15")
     return _dedup.contamination_scores(docs, bench, n=3)
+
+
+@register(
+    "markov_event_transitions",
+    survey="W-family (sequence mining)",
+    desc="first-order transition counts between consecutive events per "
+    "user (LAG over the per-user timeline) plus the per-source "
+    "transition probability — an exactly-rounded division of BIGINT "
+    "counts. The window and both aggs share the user_id partitioning",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+), totals AS (
+  SELECT prev_type, SUM(n) AS n_from FROM trans GROUP BY prev_type
+)
+SELECT t.prev_type, t.next_type, t.n,
+       CAST(t.n AS DOUBLE) / tot.n_from AS p
+FROM trans t JOIN totals tot ON t.prev_type = tot.prev_type
+""",
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return trans.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from")).alias("p"),
+    )
+
+
+@register(
+    "mad_by_type",
+    survey="A3 (robust statistics)",
+    desc="median absolute deviation per event type: the group median is "
+    "aggregated once and joined back broadcast, then the median of "
+    "|x - median| is a second exact percentile — the two-pass "
+    "agg-back-join robust-scale estimator (no window over the fact)",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       quantile_cont(abs(e.value - med.m), 0.5) AS mad,
+       ANY_VALUE(med.m) AS median_value
+FROM events e JOIN med ON e.event_type = med.event_type
+GROUP BY e.event_type
+""",
+)
+def mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("m"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(value - m), 0.5)").alias("mad"),
+            F.first("m").alias("median_value"),
+        )
+    )
+
+
+@register(
+    "q2_min_balance_supplier",
+    survey="J-family (correlated argmin across a join)",
+    desc="TPC-H-Q2 shape: for each part, its supplier with the minimum "
+    "account balance (ties broken by suppkey). The argmin is a "
+    "ROW_NUMBER over the joined relation partitioned by part — one "
+    "shuffle on partkey; the alternative correlated subquery would "
+    "rescan suppliers per part",
+    oracle="""
+SELECT p_partkey, s_suppkey, s_acctbal FROM (
+  SELECT p.p_partkey, s.s_suppkey, s.s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+                            ORDER BY s.s_acctbal ASC, s.s_suppkey ASC) AS rn
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+  JOIN part p ON ps.l_partkey = p.p_partkey
+  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+  WHERE p.p_size <= 10
+) t WHERE rn = 1
+""",
+)
+def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    joined = (
+        ps.join(F.broadcast(part.select("p_partkey")), ps.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_acctbal")), ps.l_suppkey == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "s_suppkey", "s_acctbal")
+    )
