@@ -195,3 +195,35 @@ def compact_small_files(
     shutil.move(tmp, path)
     shutil.rmtree(bak)
     return len([f for f in Path(path).glob("*.parquet") if f.is_file()])
+
+
+def export_tsv(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+    single_file: bool = False,
+) -> None:
+    """TSV export — the reference's dump interchange format, written
+    back out (header row, tab sep, optional gzip). ``single_file``
+    coalesces to one task for dump-shaped consumers; leave it False at
+    scale so every partition writes in parallel."""
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode("overwrite").option("sep", "\t").option("header", "true")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.csv(path)
+
+
+def write_columnar(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    compression: str = "zstd",
+) -> None:
+    """Columnar write with an explicit codec (parquet or ORC — both
+    ship in Spark with no extra packages). zstd is the modern default:
+    ~gzip ratios at snappy-ish speeds; at 100 TB the codec choice is
+    a double-digit-percent storage/scan-cost knob."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar format: {fmt!r}")
+    df.write.mode("overwrite").option("compression", compression).format(fmt).save(path)

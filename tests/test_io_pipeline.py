@@ -393,3 +393,66 @@ def test_compact_small_files_preserves_rows_and_reduces_files(spark, tmp_path):
     assert got.agg({"k": "sum"}).collect()[0][0] == sum(range(10_000))
     # already-compact dirs are left alone
     assert compact_small_files(spark, path, target_file_bytes=10 * 1024 * 1024) == after
+
+
+def test_read_jsonl_with_corrupt_record_routing(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from blockchair_etl_spark.io.sources import read_jsonl
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "alpha"}\n'
+        '{"id": 2, "name": "beta"}\n'
+        "this is not json at all\n"
+        '{"id": 4, "name": "delta"}\n'
+    )
+    schema = StructType([StructField("id", LongType()), StructField("name", StringType())])
+    df = read_jsonl(spark, str(p), schema=schema, keep_corrupt=True)
+    rows = df.collect()
+    assert len(rows) == 4  # bad line kept in-band, not dropped, not fatal
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.id for r in good} == {1, 2, 4}
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+
+
+def test_tsv_export_round_trips_through_read_tsv(spark, tmp_path):
+    from blockchair_etl_spark.io.sinks import export_tsv
+    from blockchair_etl_spark.io.sources import read_tsv
+
+    df = spark.createDataFrame(
+        [(1, "a\tb escaped", 1.5), (2, "plain", -2.25)], "k bigint, s string, v double"
+    )
+    out = str(tmp_path / "dump")
+    export_tsv(df, out, compression="gzip", single_file=True)
+    import pathlib
+
+    files = list(pathlib.Path(out).glob("*.csv.gz"))
+    assert len(files) == 1  # single gzip'd dump part, like the reference feed
+    back = read_tsv(spark, out, schema=df.schema)
+    assert sorted((r.k, r.s, float(r.v)) for r in back.collect()) == sorted(
+        (r.k, r.s, float(r.v)) for r in df.collect()
+    )
+
+
+def test_columnar_write_orc_and_zstd_parquet(spark, tmp_path):
+    from blockchair_etl_spark.io.sinks import write_columnar
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    orc_path = str(tmp_path / "t_orc")
+    write_columnar(df, orc_path, fmt="orc", compression="zstd")
+    assert spark.read.orc(orc_path).count() == 1000
+    pq_path = str(tmp_path / "t_pq")
+    write_columnar(df, pq_path, fmt="parquet", compression="zstd")
+    got = spark.read.parquet(pq_path)
+    assert got.count() == 1000
+    import pathlib
+
+    assert any("zstd" in f.name for f in pathlib.Path(pq_path).glob("*.parquet"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_columnar(df, str(tmp_path / "t_avro"), fmt="avro")
