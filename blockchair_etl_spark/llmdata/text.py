@@ -271,3 +271,51 @@ def inverted_index(
         )
         .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into consecutive ``chunk_tokens``-token
+    chunks — the context-window preprocessing step upstream of
+    sequence packing (packing.assign_packs).
+
+    Linear shape: tokens are exploded ONCE (posexplode), each token is
+    assigned its chunk by integer division, and chunks reassemble with
+    one (doc, chunk) hash-agg using concat_ws over an ordered window —
+    never the array-lambda slice form, which re-tokenizes per chunk
+    (the same quadratic trap documented in dedup.exploded_shingles).
+
+    Output: (doc_id, chunk_idx, chunk_text, n_tokens); the final
+    partial chunk is kept (training pipelines drop or pad it downstream
+    — that policy belongs to the packer, not the chunker)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "token"),
+    )
+    assigned = toks.select(
+        "doc_id",
+        (F.col("pos") / chunk_tokens).cast("bigint").alias("chunk_idx"),
+        "pos",
+        "token",
+    )
+    # collect_list has no intra-group order guarantee; sorting by the
+    # in-chunk position via a struct sort keeps reassembly deterministic
+    return (
+        assigned.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s.getField("token"),
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

@@ -3529,3 +3529,33 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("p_partkey", "s_suppkey", "s_acctbal")
     )
+
+
+@register(
+    "text_chunking",
+    survey="LLM-text (context-window chunking)",
+    desc="split documents into 32-token chunks (the step before "
+    "pack_sequences): tokens explode ONCE, chunk assignment is integer "
+    "division, reassembly is one ordered hash-agg — linear, never the "
+    "per-chunk array-slice form that re-tokenizes quadratically",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), tok_rows AS (
+  SELECT doc_id,
+         unnest(range(1, len(t) + 1)) - 1 AS pos,
+         unnest(t) AS token
+  FROM toks
+), chunked AS (
+  SELECT doc_id, pos, token, pos // 32 AS chunk_idx FROM tok_rows
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       string_agg(token, ' ' ORDER BY pos) AS chunk_text,
+       COUNT(*) AS n_tokens
+FROM chunked
+GROUP BY doc_id, chunk_idx
+""",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.chunk_documents(docs, chunk_tokens=32)

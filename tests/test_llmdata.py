@@ -359,3 +359,41 @@ def test_winsorize_bounds_and_idempotence(spark):
     )
     got2 = {r.event_id: r.value_winsorized for r in w2.collect()}
     assert got2 == {k: v for k, v in got.items()}
+
+
+def test_udtf_chunker_matches_sql_chunker(spark):
+    """§2.11 surface demo: a Python UDTF (lateral generator) produces the
+    same chunks as the production SQL-expression chunker. The UDTF is the
+    escape hatch for generators SQL can't express; for chunking the
+    exploded-token SQL form is the production path (JVM-side, linear)."""
+    from pyspark.sql.functions import udtf
+
+    from blockchair_etl_spark.llmdata.text import chunk_documents
+
+    @udtf(returnType="chunk_idx bigint, chunk_text string, n_tokens bigint")
+    class Chunker:
+        def eval(self, text: str):
+            import re
+
+            toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+            for i in range(0, len(toks), 4):
+                chunk = toks[i : i + 4]
+                yield i // 4, " ".join(chunk), len(chunk)
+
+    rows = [
+        (1, "Alpha beta GAMMA delta epsilon zeta eta theta iota"),
+        (2, "one two"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spark.udtf.register("chunker", Chunker)
+    docs.createOrReplaceTempView("docs_v")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
+        "FROM docs_v d, LATERAL chunker(d.text) c"
+    )
+    via_sql = chunk_documents(docs, chunk_tokens=4)
+    key = lambda r: (r.doc_id, r.chunk_idx)
+    assert sorted(map(tuple, via_udtf.collect())) == sorted(
+        map(tuple, via_sql.select("doc_id", "chunk_idx", "chunk_text", "n_tokens").collect())
+    )
