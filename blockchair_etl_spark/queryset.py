@@ -3559,3 +3559,87 @@ GROUP BY doc_id, chunk_idx
 def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _text.chunk_documents(docs, chunk_tokens=32)
+
+
+@register(
+    "q4_late_shipment_orders",
+    survey="J6 (non-equi correlated EXISTS)",
+    desc="TPC-H-Q4 shape: orders with at least one lineitem shipped "
+    "after the order date — a correlated EXISTS whose condition mixes "
+    "the equi key with a non-equi date comparison; Spark plans the "
+    "semi join on the key and evaluates the residual date predicate "
+    "inside the join, so no fact-side pre-aggregation is needed",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+""",
+)
+def q4_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    survey="J4,A1 (profit arithmetic over multi-join)",
+    desc="TPC-H-Q9 shape: profit (discounted revenue minus cost proxy) "
+    "per supplier nation and year — per-row arithmetic spanning three "
+    "relations stays exact DECIMAL end-to-end, grouped after two "
+    "broadcast dim hops",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1.0 - l.l_discount AS DECIMAL(6,4))
+                  - CAST(p.p_retailprice AS DECIMAL(12,2))
+                    * CAST(l.l_quantity AS DECIMAL(12,2)) * CAST(0.01 AS DECIMAL(3,2))
+            ) AS DECIMAL(38,6)) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY 1, 2
+""",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice", 2).cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(6,4)")
+    cost = (
+        _dec("p_retailprice", 2).cast("decimal(12,2)")
+        * _dec("l_quantity", 2).cast("decimal(12,2)")
+        * F.lit(0.01).cast("decimal(3,2)")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(F.sum(revenue - cost).cast("decimal(38,6)").cast("double").alias("profit"))
+    )
