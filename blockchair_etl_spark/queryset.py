@@ -3643,3 +3643,78 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(revenue - cost).cast("decimal(38,6)").cast("double").alias("profit"))
     )
+
+
+@register(
+    "quality_report",
+    survey="T1-T6 (suite composition)",
+    desc="the dbt-build analog as ONE relation: every declared check "
+    "runs as a zero-row-expected aggregate and the report is their "
+    "UNION ALL — (check_name, n_violations); each branch is an "
+    "independent stage so the suite parallelizes across checks",
+    oracle="""
+SELECT 'orders_orderkey_unique' AS check_name,
+       (SELECT COUNT(*) FROM (
+          SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL
+          GROUP BY o_orderkey HAVING COUNT(*) > 1) t) AS n_violations
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+UNION ALL
+SELECT 'lineitem_order_line_unique',
+       (SELECT COUNT(*) FROM (
+          SELECT l_orderkey, l_linenumber FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) t)
+UNION ALL
+SELECT 'orders_priority_accepted_values',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderpriority IS NOT NULL
+          AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                                      '4-NOT SPECIFIED','5-LOW'))
+UNION ALL
+SELECT 'orders_custkey_references_customer',
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+""",
+)
+def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .quality.checks import (
+        accepted_values_violations,
+        not_null_violations,
+        relationship_violations,
+        unique_combination_violations,
+        unique_violations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    checks = [
+        ("orders_orderkey_unique", unique_violations(orders, "o_orderkey")),
+        ("orders_custkey_not_null", not_null_violations(orders, "o_custkey")),
+        (
+            "lineitem_order_line_unique",
+            unique_combination_violations(li, ["l_orderkey", "l_linenumber"]),
+        ),
+        (
+            "orders_priority_accepted_values",
+            accepted_values_violations(
+                orders,
+                "o_orderpriority",
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            ),
+        ),
+        (
+            "orders_custkey_references_customer",
+            relationship_violations(orders, "o_custkey", cust, "c_custkey"),
+        ),
+    ]
+    report = None
+    for name, viol in checks:
+        row = viol.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+        report = row if report is None else report.unionByName(row)
+    return report
