@@ -205,3 +205,19 @@ def test_winsorize_and_contamination_broadcast(spark, sf_dir):
     plan_c = plan_of(QUERIES["text_contamination"].fn(spark, sf_dir))
     # the benchmark shingle set joins broadcast onto training shingles
     assert "BroadcastHashJoin" in plan_c
+
+
+def test_late_tpch_shapes_stay_broadcast(spark, sf_dir):
+    # q4: non-equi EXISTS plans as a semi join (key equi + date residual)
+    plan4 = plan_of(QUERIES["q4_late_shipment_orders"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan4
+    # q9: all three dim hops broadcast; the only wide exchange is the
+    # final (nation, year) aggregate
+    plan9 = plan_of(QUERIES["q9_profit_by_nation_year"].fn(spark, sf_dir))
+    assert plan9.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan9
+    # q2: the argmin window partitions on partkey — one shuffle, the
+    # dims ride along broadcast
+    plan2 = plan_of(QUERIES["q2_min_balance_supplier"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan2
+    assert "SortMergeJoin" not in plan2
