@@ -3718,3 +3718,57 @@ def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         report = row if report is None else report.unionByName(row)
     return report
+
+
+@register(
+    "union_schema_drift",
+    survey="U1/I2 (schema-drift union)",
+    desc="union across schema drift: an old daily dump (no priority "
+    "column) unioned with a new one by NAME with missing columns "
+    "null-filled — the read-side companion of the widen-only ratchet "
+    "(schema/inference.py); positional UNION would silently misalign",
+    oracle="""
+SELECT * FROM (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL BY NAME
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+) t
+""",
+)
+def union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old_dump = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new_dump = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    return old_dump.unionByName(new_dump, allowMissingColumns=True)
+
+
+@register(
+    "explode_outer_tokens",
+    survey="P-family (null-preserving lateral)",
+    desc="explode_outer keeps zero-token documents as a NULL row — the "
+    "LEFT-JOIN-like lateral semantics that stop empty docs silently "
+    "vanishing from per-token pipelines (inner explode drops them)",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT d.doc_id, u.token
+FROM toks d LEFT JOIN (
+  SELECT doc_id, unnest(t) AS token FROM toks WHERE len(t) > 0
+) u ON d.doc_id = u.doc_id
+""",
+)
+def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode_outer(tokens_col("text")).alias("token")
+    )
