@@ -227,3 +227,24 @@ def write_columnar(
     if fmt not in ("parquet", "orc"):
         raise ValueError(f"unsupported columnar format: {fmt!r}")
     df.write.mode("overwrite").option("compression", compression).format(fmt).save(path)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int = 8,
+) -> None:
+    """Globally sorted output the scale-safe way: repartitionByRange
+    samples the sort-key distribution and assigns disjoint key ranges to
+    tasks, then each task sorts locally — a full global sort with
+    num_files-way parallelism. A naive .orderBy().write collapses the
+    final stage into ONE task at 100 TB; this shape never does. Files
+    are range-disjoint, so downstream range predicates prune whole
+    files via parquet min/max."""
+    (
+        df.repartitionByRange(num_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

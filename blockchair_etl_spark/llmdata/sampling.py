@@ -125,3 +125,27 @@ def reservoir_per_group(
 
     w = Window.partitionBy(group_col).orderBy(hash_key_col(id_col, salt), F.col(id_col))
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def importance_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    max_weight: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    weight/max_weight — the data-mixing primitive (e.g. upweight long or
+    high-quality documents) — implemented as hash_fraction < ratio so
+    selection is reproducible across runs, retries, partitionings, and
+    engines (rand()-based Bernoulli is none of those).
+
+    The hash fraction is the first 13 hex chars of md5 (52 bits — every
+    such integer is exactly representable in a double, so the division
+    by 2^52 and the comparison are bit-exact everywhere)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    frac = (
+        F.conv(F.substring(hash_key_col(id_col, salt), 1, 13), 16, 10).cast("bigint")
+        / F.lit(float(1 << 52))
+    )
+    return df.filter(frac < w.cast("double") / F.lit(float(max_weight)))

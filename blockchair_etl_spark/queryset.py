@@ -3772,3 +3772,29 @@ def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode_outer(tokens_col("text")).alias("token")
     )
+
+
+@register(
+    "sample_importance_weighted",
+    survey="LLM-sampling (importance/data mixing)",
+    desc="deterministic importance sampling: each doc kept with "
+    "probability n_chars/max_chars (longer docs upweighted — the "
+    "data-mixing primitive). hash-fraction Bernoulli, so the draw is "
+    "reproducible across runs, retries, partitionings, and engines",
+    oracle="""
+WITH mx AS (SELECT MAX(n_chars) AS m FROM documents)
+SELECT d.doc_id, d.n_chars
+FROM documents d, mx
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
+      / 4503599627370496.0
+      < CAST(d.n_chars AS DOUBLE) / CAST(mx.m AS DOUBLE)
+""",
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("m"))
+    docs_m = docs.crossJoin(F.broadcast(mx))
+    kept = _sampling.importance_sample(
+        docs_m, "doc_id", (F.col("n_chars").cast("double") / F.col("m")), max_weight=1.0
+    )
+    return kept.select("doc_id", "n_chars")

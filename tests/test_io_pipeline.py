@@ -456,3 +456,43 @@ def test_columnar_write_orc_and_zstd_parquet(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         write_columnar(df, str(tmp_path / "t_avro"), fmt="avro")
+
+
+def test_range_sorted_write_files_are_disjoint(spark, tmp_path):
+    from blockchair_etl_spark.io.sinks import write_range_sorted
+
+    df = spark.range(0, 100_000).select(
+        (F.col("id") * 7919 % 100_000).alias("k"), F.col("id").alias("payload")
+    )
+    path = str(tmp_path / "range_sorted")
+    write_range_sorted(df, path, ["k"], num_files=6)
+    import pathlib
+
+    spans = []
+    for f in pathlib.Path(path).glob("*.parquet"):
+        part = spark.read.parquet(str(f))
+        lo, hi = part.agg(F.min("k"), F.max("k")).collect()[0]
+        rows = part.select("k").collect()
+        assert [r.k for r in rows] == sorted(r.k for r in rows)  # sorted within file
+        spans.append((lo, hi))
+    spans.sort()
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 <= l2  # files cover disjoint key ranges → min/max pruning works
+    assert spark.read.parquet(path).count() == 100_000
+
+
+def test_observe_metrics_ride_the_batch_plan(spark):
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_metrics")
+    df = spark.range(0, 10_000).select(
+        F.col("id"), F.when(F.col("id") % 100 == 0, None).otherwise(F.col("id")).alias("v")
+    )
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("v").isNull().cast("bigint")).alias("null_v"),
+    )
+    # metrics accumulate during the SAME action — no second scan
+    assert observed.filter(F.col("v").isNotNull()).count() == 9_900
+    assert obs.get["rows_seen"] == 10_000 and obs.get["null_v"] == 100
