@@ -3798,3 +3798,80 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs_m, "doc_id", (F.col("n_chars").cast("double") / F.col("m")), max_weight=1.0
     )
     return kept.select("doc_id", "n_chars")
+
+
+@register(
+    "locf_forward_fill",
+    survey="W1 (LOCF gap fill)",
+    desc="last-observation-carried-forward: per-user forward fill of a "
+    "nullable reading via LAST_VALUE(... IGNORE NULLS) over an "
+    "unbounded-preceding frame with a total order — the standard "
+    "sensor/time-series densification, one window shuffle on user_id",
+    oracle="""
+SELECT event_id, user_id,
+       LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM events
+""",
+)
+def locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    reading = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(reading, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@register(
+    "null_safe_join",
+    survey="J-family (null-safe equality)",
+    desc="join on a nullable derived key with NULL-safe equality (<=>): "
+    "plain = drops every NULL-keyed row, <=> matches NULL to NULL — the "
+    "semantics gap that silently loses rows when joining on optional "
+    "attributes. Both engines hash NULL as a regular key value here",
+    oracle="""
+WITH k AS (
+  SELECT event_id,
+         CASE WHEN value >= 100 THEN NULL
+              ELSE CAST(CAST(FLOOR(value) AS BIGINT) % 5 AS BIGINT) END AS opt_key
+  FROM events
+), dim AS (
+  SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'bucket-0'), (1, 'bucket-1'),
+                        (2, 'bucket-2'), (3, 'bucket-3'), (4, 'bucket-4'),
+                        (NULL, 'bucket-null')) d(opt_key, bucket_name)
+)
+SELECT d.bucket_name, COUNT(*) AS n
+FROM k JOIN dim d ON k.opt_key IS NOT DISTINCT FROM d.opt_key
+GROUP BY d.bucket_name
+""",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.select(
+        "event_id",
+        F.when(F.col("value") >= 100, F.lit(None))
+        .otherwise(F.floor(F.col("value")).cast("bigint") % 5)
+        .cast("bigint")
+        .alias("opt_key"),
+    )
+    dim = ev.sparkSession.createDataFrame(
+        [(0, "bucket-0"), (1, "bucket-1"), (2, "bucket-2"), (3, "bucket-3"),
+         (4, "bucket-4"), (None, "bucket-null")],
+        "opt_key bigint, bucket_name string",
+    )
+    return (
+        k.join(F.broadcast(dim), k.opt_key.eqNullSafe(dim.opt_key))
+        .groupBy("bucket_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
