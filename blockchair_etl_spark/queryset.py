@@ -3875,3 +3875,46 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_name")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "fuzzy_name_pairs",
+    survey="J-family (edit-distance fuzzy join, blocked)",
+    desc="fuzzy matching: customer-name pairs within Levenshtein "
+    "distance 1, candidate-blocked on the shared 7-char id prefix so "
+    "the quadratic edit-distance only runs inside small blocks — the "
+    "record-linkage shape (block -> score -> threshold), never "
+    "all-pairs",
+    oracle="""
+WITH names AS (
+  SELECT c_custkey, substr(c_name, 10) AS suffix,
+         substr(c_name, 10, 7) AS blk
+  FROM customer
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.suffix, b.suffix) AS BIGINT) AS edit_dist
+FROM names a JOIN names b
+  ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.suffix, b.suffix) <= 1
+""",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    names = cust.select(
+        "c_custkey",
+        F.substring("c_name", 10, 100).alias("suffix"),
+        F.substring("c_name", 10, 7).alias("blk"),
+    )
+    a = names.select(
+        F.col("c_custkey").alias("id_a"), F.col("suffix").alias("sfx_a"), "blk"
+    )
+    b = names.select(
+        F.col("c_custkey").alias("id_b"), F.col("suffix").alias("sfx_b"), "blk"
+    )
+    dist = F.levenshtein("sfx_a", "sfx_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= 1)
+        .select("id_a", "id_b", dist.cast("bigint").alias("edit_dist"))
+    )
