@@ -3918,3 +3918,139 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 1)
         .select("id_a", "id_b", dist.cast("bigint").alias("edit_dist"))
     )
+
+
+@register(
+    "q8_market_share",
+    survey="A1 (grouped conditional ratio, q8 shape)",
+    desc="TPC-H-Q8 shape: one nation's share of yearly revenue — "
+    "numerator (CASE-gated) and denominator ride the SAME exact-decimal "
+    "aggregate pass per year; the share is one exactly-rounded division",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+       CAST(SUM(CASE WHEN s.s_nationkey = 1
+                THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * CAST(1.0 - l.l_discount AS DECIMAL(6,4))
+                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1.0 - l.l_discount AS DECIMAL(6,4))) AS DOUBLE)
+       AS nation1_share
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = _dec("l_extendedprice", 2).cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(6,4)")
+    gated = F.when(F.col("s_nationkey") == 1, rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(
+            (F.sum(gated).cast("double") / F.sum(rev).cast("double")).alias(
+                "nation1_share"
+            )
+        )
+    )
+
+
+@register(
+    "q16_supplier_count_excluding",
+    survey="A2/J7 (anti-join + grouped COUNT DISTINCT, q16 shape)",
+    desc="TPC-H-Q16 shape: distinct suppliers per (brand, size) "
+    "EXCLUDING a supplier denylist — the anti join prunes before the "
+    "distinct aggregation, so denied rows never reach the shuffle",
+    oracle="""
+WITH denied AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+)
+SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 5
+  AND NOT EXISTS (SELECT 1 FROM denied d WHERE d.s_suppkey = l.l_suppkey)
+GROUP BY p.p_brand, p.p_size
+""",
+)
+def q16_supplier_count_excluding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    denied = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(denied, li.l_suppkey == denied.s_suppkey, "left_anti")
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    survey="J6/J7 (dual correlated EXISTS + NOT EXISTS, q21 shape)",
+    desc="TPC-H-Q21 shape: late lineitems on multi-supplier orders where "
+    "NO other supplier was late — a positive EXISTS and a negative "
+    "NOT EXISTS correlated on the same fact, planned as a semi join "
+    "then an anti join on (orderkey, other-supplier) relations",
+    oracle="""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT lt.l_suppkey AS suppkey, COUNT(*) AS numwait
+FROM late lt
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = lt.l_orderkey
+                AND l2.l_suppkey <> lt.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late lt2
+                  WHERE lt2.l_orderkey = lt.l_orderkey
+                    AND lt2.l_suppkey <> lt.l_suppkey)
+GROUP BY lt.l_suppkey
+""",
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("lo_key"), F.col("l_suppkey").alias("lo_supp")
+    )
+    has_other = late.join(
+        others,
+        (late.l_orderkey == others.o_key) & (late.l_suppkey != others.o_supp),
+        "left_semi",
+    )
+    sole_late = has_other.join(
+        late_others,
+        (has_other.l_orderkey == late_others.lo_key)
+        & (has_other.l_suppkey != late_others.lo_supp),
+        "left_anti",
+    )
+    return sole_late.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
