@@ -4054,3 +4054,75 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sole_late.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.count(F.lit(1)).alias("numwait")
     )
+
+
+@register(
+    "w6_trailing_hour_sum",
+    survey="W1 (event-time RANGE INTERVAL frame)",
+    desc="per-event trailing-1-hour running sum per user: a RANGE frame "
+    "bounded by a time INTERVAL (not row counts) — every row sees its "
+    "own sliding event-time window without self-joining the fact; "
+    "exact-decimal sum keeps the frame aggregation bit-portable",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS hour_sum
+FROM events
+""",
+)
+def w6_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS hour_sum
+        FROM events_v
+        """
+    )
+
+
+@register(
+    "q20_half_stock_suppliers",
+    survey="J6 + agg-back-join (nested IN, q20 shape)",
+    desc="TPC-H-Q20 shape: suppliers whose shipped quantity of some "
+    "part exceeds half that part's total shipped quantity — a "
+    "per-(part,supplier) aggregate semi-filtered against the per-part "
+    "aggregate (both DECIMAL-exact), then a semi join up to suppliers",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), pt AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT ps.l_suppkey FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+  WHERE ps.supp_qty > pt.total_qty * CAST(0.2 AS DECIMAL(2,1))
+)
+""",
+)
+def q20_half_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity", 2)).alias("supp_qty")
+    )
+    pt = li.groupBy("l_partkey").agg(F.sum(_dec("l_quantity", 2)).alias("total_qty"))
+    dominant = (
+        ps.join(pt, "l_partkey")
+        .filter(F.col("supp_qty") > F.col("total_qty") * F.lit(0.2).cast("decimal(2,1)"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return supp.join(
+        dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
