@@ -50,14 +50,21 @@ HEADLINE = [
     "sample_hash_split",
     "pack_sequences",
     "text_quality",
-    # dedup_bow_cosine is excluded: the synthetic corpus has a 31-term
-    # vocab where every term is near-universal, so exact BoW cosine is
-    # inherently pair-quadratic here (sum df^2 ~ 6e8 at sf0.1). On real
-    # corpora the df-bounded candidate path (bow_cosine_pairs(max_df=...))
-    # is the scale config; correctness is still gated at sf0.01.
+    # dedup_bow_cosine runs only in fixture mode (see below): the driver
+    # corpus has a 31-term vocab where every term is near-universal, so
+    # exact BoW cosine is inherently pair-quadratic here (sum df^2 ~ 6e8
+    # at sf0.1). The Zipfian fixture benches the df-bounded candidate
+    # path (bow_cosine_pairs(max_df=...)) on data where it prunes.
     "text_tfidf_topk",
     "rolling_active_users",
     "graph_triangle_count",
+    # round-2 surface (largest part of the contract) — tracked since r4
+    "q9_profit_by_nation_year",
+    "q21_sole_late_supplier",
+    "q18_large_orders",
+    "dedup_corpus_survivors",
+    "winsorize_values",
+    "text_chunking",
 ]
 
 
@@ -90,6 +97,30 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+
+    # df-bounded BoW cosine on a Zipfian-vocabulary fixture: the driver
+    # corpus's 31-term vocab makes every term near-universal, so the
+    # rare-term candidate path has nothing to prune there. The fixture
+    # (deterministic, generated in-session, untimed) has a real Zipf
+    # tail; this benches the scale configuration of bow_cosine_pairs on
+    # data where the df bound actually does its job.
+    import shutil
+
+    from blockchair_etl_spark.llmdata.dedup import bow_cosine_pairs
+    from blockchair_etl_spark.testing import zipfian_corpus
+
+    zdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_tmp", "zipf_docs")
+    zipfian_corpus(spark, n_docs=10_000, vocab=50_000).write.mode("overwrite").parquet(zdir)
+    zdocs = spark.read.parquet(zdir)
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        bow_cosine_pairs(zdocs, threshold=0.8, max_df=20, min_shared_terms=2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    timings["dedup_bow_cosine_zipf"] = round(statistics.median(samples), 3)
+    shutil.rmtree(zdir, ignore_errors=True)
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None

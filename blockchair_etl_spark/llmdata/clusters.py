@@ -6,28 +6,41 @@ B~C puts A,C in one cluster even if A,C never paired. This is iterative
 min-label propagation, the same driver-loop shape as the trace executor
 (query/trace.py): no recursive SQL, no GraphFrames dependency.
 
-Scale notes: each round is one neighbor-min join + one pointer-doubling
-self-join, both shuffling on the vertex key; pointer doubling (L(v) ←
-L(L(v))) halves label-chain length every round, so rounds needed =
+Scale notes: each round is one neighbor-min join, shuffling on the
+vertex key. Pointer doubling (L(v) ← L(L(v)), a second self-join per
+round) halves label-chain length every round, so worst-case rounds =
 O(log diameter), not O(diameter) — a 1M-long chain of near-dup pairs
-converges in ~20 rounds instead of 1M. Labels are localCheckpointed per
-round to keep lineage O(1), and the convergence count reads the
-checkpointed blocks (a carried flag column), not a second join job.
+converges in ~20 rounds instead of 1M. But on the COMMON near-dup
+shape — near-clique clusters of diameter 2–4 — plain propagation
+already converges in ≤3 rounds and the hop join is pure tax, so
+doubling is adaptive: it engages only from round ``doubling_after``
+onward, once the component is demonstrably deeper than a near-clique.
+Labels are localCheckpointed per round to keep lineage O(1); the
+convergence count rides the checkpoint job itself via the Observation
+API (an ``observe`` node over the carried ``__chg`` flag), so each
+round is exactly one action and no separate count job.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 
 def connected_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iterations: int = 20,
+    max_iterations: int = 25,
+    doubling_after: int = 2,
 ) -> DataFrame:
     """→ (doc, cluster_id) for every vertex in ≥1 pair; cluster_id is
     the minimum member id (deterministic canonical representative).
+
+    ``doubling_after``: number of plain min-propagation rounds before
+    the pointer-doubling hop join engages (0 = always double, as the
+    pre-adaptive version did). The default 2 keeps the common
+    near-clique case hop-free while retaining the O(log diameter)
+    worst-case round bound for deep components.
 
     Convergence is required: if min-label propagation has not reached a
     fixpoint within ``max_iterations`` (a component whose diameter
@@ -41,7 +54,7 @@ def connected_clusters(
         "vertex", F.col("vertex").alias("label")
     )
     converged = False
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.v == labels.vertex)
             .groupBy(F.col("u").alias("vertex"))
@@ -56,15 +69,15 @@ def connected_clusters(
                 "__chg"
             ),
         )
-        # Pointer doubling: labels are vertex ids, so every label value
-        # is itself a row in `cand` — replace L(v) with L(L(v)). Min
-        # labels only ever decrease, so the looked-up label is <= ours.
-        hop = cand.select(
-            F.col("vertex").alias("lv"), F.col("label").alias("llabel")
-        )
-        new_labels = (
-            cand.join(hop, cand.label == hop.lv, "left")
-            .select(
+        if it >= doubling_after:
+            # Pointer doubling: labels are vertex ids, so every label
+            # value is itself a row in `cand` — replace L(v) with
+            # L(L(v)). Min labels only ever decrease, so the looked-up
+            # label is <= ours.
+            hop = cand.select(
+                F.col("vertex").alias("lv"), F.col("label").alias("llabel")
+            )
+            stepped = cand.join(hop, cand.label == hop.lv, "left").select(
                 cand.vertex,
                 F.coalesce(hop.llabel, cand.label).alias("label"),
                 (
@@ -72,13 +85,17 @@ def connected_clusters(
                     | F.coalesce(hop.llabel < cand.label, F.lit(False))
                 ).alias("__chg"),
             )
-            .localCheckpoint(eager=True)
-        )
-        # Convergence count scans the just-checkpointed blocks — no
-        # extra join job against the previous round.
-        changed = new_labels.filter(F.col("__chg")).count()
+        else:
+            stepped = cand
+        # Convergence count rides the checkpoint job: the observe node
+        # sums __chg while the blocks materialize — one action/round.
+        obs = Observation()
+        new_labels = stepped.observe(
+            obs, F.sum(F.col("__chg").cast("long")).alias("changed")
+        ).localCheckpoint(eager=True)
+        changed = obs.get["changed"]
         labels = new_labels.drop("__chg")
-        if changed == 0:
+        if not changed:
             converged = True
             break
     edges.unpersist()
@@ -86,6 +103,7 @@ def connected_clusters(
         raise RuntimeError(
             f"connected_clusters did not converge within {max_iterations} "
             "rounds; raise max_iterations (rounds needed = O(log diameter) "
-            "under pointer doubling)"
+            "once pointer doubling engages after round "
+            f"{doubling_after})"
         )
     return labels.select(F.col("vertex").alias("doc"), F.col("label").alias("cluster_id"))

@@ -57,13 +57,15 @@ def distinct_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
-def shingles_col(text_col: str, n: int):
+def _shingles_col_naive(text_col: str, n: int):
     """n-token shingles as an array column (empty when doc has < n tokens).
 
-    NOTE: embeds the tokenizer inside the per-index lambda, so Catalyst
-    re-evaluates tokenization per shingle — O(tokens²) per document.
-    Fine for a one-off expression; the exploded pipelines below use
-    :func:`exploded_shingles`, which materializes tokens once per row.
+    QUARANTINED (underscore name): embeds the tokenizer inside the
+    per-index lambda, so Catalyst re-evaluates tokenization per shingle
+    — O(tokens²) per document. Kept only as documentation of the trap;
+    not part of the public scale-safe surface. Every pipeline uses
+    :func:`exploded_shingles`, which materializes tokens once per row
+    and is strictly linear.
     """
     return F.expr(
         f"transform(sequence(1, greatest(size(filter(split(lower({text_col}), "
@@ -529,6 +531,7 @@ def bow_cosine_pairs(
     text_col: str = "text",
     threshold: float = 0.99,
     max_df: int | None = None,
+    min_shared_terms: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs by exact bag-of-words cosine similarity.
 
@@ -541,6 +544,14 @@ def bow_cosine_pairs(
     are then re-joined per candidate pair, so reported scores stay EXACT
     — only recall is traded (pairs sharing nothing but ultra-common
     terms are missed, which for near-dup detection is the desired cut).
+
+    ``min_shared_terms`` (df-bounded path only) prunes candidates to
+    pairs sharing at least that many distinct rare terms before the
+    exact rescore. On a Zipfian corpus most of the candidate set is
+    pairs that coincide on a single hapax; a high-cosine near-dup
+    shares dozens of rare terms, so ≥2 cuts the rescore fan-out by an
+    order of magnitude at negligible recall cost — the same
+    "minimum shared features" rule LSH banding applies structurally.
 
     Determinism: tf/df/dot/norms are exact BIGINTs; the score performs
     sqrt and divide on doubles — both exactly rounded IEEE ops, so the
@@ -578,8 +589,10 @@ def bow_cosine_pairs(
             .select("id_a", "term")
             .join(right.join(rare, "term").select("id_b", "term"), "term")
             .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__shared"))
+            .filter(F.col("__shared") >= min_shared_terms)
             .select("id_a", "id_b")
-            .distinct()
         )
         # exact rescore: full vectors re-joined per candidate pair
         dots = (

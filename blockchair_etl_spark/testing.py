@@ -147,3 +147,53 @@ def check_query(spark, sf_dir: str, name: str, con=None) -> ParityResult:
         if own_con:
             con.close()
     return compare_frames(name, sdf, odf)
+
+
+def zipfian_corpus(spark, n_docs: int = 20_000, vocab: int = 50_000, dup_frac: float = 0.1):
+    """Deterministic Zipf-vocabulary document corpus for dedup benching.
+
+    The driver's synthetic `documents` table has a 31-term vocabulary in
+    which every term is near-universal, so any term-keyed candidate
+    generation degenerates to all-pairs (sum df^2 ≈ n²/|V|). Real
+    corpora are Zipfian: a few stopword-frequency terms plus a long
+    rare-term tail, which is exactly the regime where a df-bounded
+    candidate path (``bow_cosine_pairs(max_df=...)``) prunes. This
+    builds such a corpus from pure Spark expressions — xxhash64-derived
+    uniforms pushed through the Zipf(s=1) inverse CDF — so it is
+    bit-deterministic across runs, sessions, and partitionings, with no
+    files and no driver-side RNG.
+
+    The last ``dup_frac`` of docs are near-duplicates of their base doc
+    (same token stream, one token appended), so the fixture contains
+    genuine near-dup pairs to find.
+
+    Columns: doc_id BIGINT, text STRING.
+    """
+    from pyspark.sql import functions as F
+
+    n_base = int(n_docs * (1.0 - dup_frac))
+    # tokens per doc: 40 + (h % 41) in [40, 80]
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n_base, F.col("id"))
+        .otherwise(F.col("id") - n_base)
+        .alias("seed_id"),
+        (F.col("id") >= n_base).alias("is_dup"),
+    )
+    # u_j = uniform in (0,1] from xxhash64(seed_id, j); rank = floor(V^u)
+    # has P(rank=r) ∝ 1/r (Zipf s=1 over ranks 1..V).
+    toks = (
+        f"transform(sequence(1, 40 + pmod(xxhash64(seed_id), 41)), "
+        f"j -> concat('t', cast(floor(pow({vocab}, "
+        f"(pmod(xxhash64(seed_id, j), 1000000) + 1) / 1000000.0)) as bigint)))"
+    )
+    return base.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.expr(toks),
+            F.when(F.col("is_dup"), F.concat(F.lit("t"), F.col("doc_id"))).otherwise(
+                F.lit(None)
+            ),
+        ).alias("text"),
+    )

@@ -49,6 +49,22 @@ def test_connected_clusters_long_chain_converges_in_log_rounds(spark):
     assert len(got) == 201
 
 
+def test_connected_clusters_adaptive_doubling_parity(spark):
+    # The hop join engages only after `doubling_after` plain rounds;
+    # every setting must produce identical clusters. A near-clique
+    # (star) converges inside the plain-propagation window, and the
+    # always-double setting reproduces the pre-adaptive behavior.
+    star = [(50, i) for i in range(40)]
+    df = spark.createDataFrame(star, ["id_a", "id_b"])
+    want = _union_find(star)
+    for k in (0, 2, 100):
+        got = {
+            r.doc: r.cluster_id
+            for r in connected_clusters(df, max_iterations=5, doubling_after=k).collect()
+        }
+        assert got == want
+
+
 def test_connected_clusters_cycle(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["id_a", "id_b"])
     got = {r.doc: r.cluster_id for r in connected_clusters(df).collect()}

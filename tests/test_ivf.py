@@ -68,3 +68,21 @@ def test_ivf_full_probe_equals_bruteforce(spark, index, emb):
     all_probe = ivf_ann_topk(idx, centroids, qv, k=5, n_probe=8).collect()
     brute = cosine_topk(emb, qv, k=5).collect()
     assert [r.vec_id for r in all_probe] == [r.vec_id for r in brute]
+
+
+def test_ivf_trained_centroids_oracle_hash_parity(spark, sf_dir, index):
+    # The registry entry hash-checks the SEED codebook (expressible in
+    # static oracle SQL); this closes the gap for the TRAINED path:
+    # train -> inline centroids into generated SQL -> DuckDB -> the
+    # same row/schema/value-hash comparison the driver runs.
+    from blockchair_etl_spark.queryset import trained_ivf_oracle_sql
+    from blockchair_etl_spark.testing import compare_frames, duckdb_connection
+
+    centroids, idx = index
+    qv = [float(v) for v in
+          load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = ivf_ann_topk(idx, centroids, qv, k=10, n_probe=2).toPandas()
+    con = duckdb_connection(sf_dir)
+    want = con.execute(trained_ivf_oracle_sql(centroids, k=10, n_probe=2)).fetchdf()
+    r = compare_frames("ann_ivf_trained", got, want)
+    assert r.ok, r.mismatches

@@ -324,6 +324,41 @@ def test_bow_cosine_max_df_subset_with_exact_scores(spark, docs):
         assert score == full[pair]  # rescore is EXACT, only recall is traded
 
 
+def test_bow_cosine_zipf_fixture_df_bound_prunes_and_recalls(spark):
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.llmdata.dedup import bow_cosine_pairs
+    from blockchair_etl_spark.testing import zipfian_corpus
+
+    docs = zipfian_corpus(spark, n_docs=600, vocab=20_000, dup_frac=0.1)
+    # deterministic generation: same args → bit-identical corpus
+    a = docs.selectExpr("sum(xxhash64(doc_id, text)) AS h").head().h
+    b = (
+        zipfian_corpus(spark, n_docs=600, vocab=20_000, dup_frac=0.1)
+        .selectExpr("sum(xxhash64(doc_id, text)) AS h")
+        .head()
+        .h
+    )
+    assert a == b
+    # Zipf tail: most terms are rare, so the df bound prunes candidates
+    tf = docs.select(F.col("doc_id"), F.explode(F.split("text", " ")).alias("t"))
+    df_counts = tf.distinct().groupBy("t").count()
+    rare_frac = df_counts.filter(F.col("count") <= 20).count() / df_counts.count()
+    assert rare_frac > 0.9
+    # the 60 planted near-dup pairs survive df-bounding + min_shared_terms
+    got = bow_cosine_pairs(
+        docs, threshold=0.8, max_df=20, min_shared_terms=2
+    ).collect()
+    planted = {(r.id_a, r.id_b) for r in got if r.id_b == r.id_a + 540}
+    assert len(planted) == 60
+    full = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in bow_cosine_pairs(docs, threshold=0.8).collect()
+    }
+    for r in got:
+        assert full[(r.id_a, r.id_b)] == r.cos_sim
+
+
 def test_contamination_benchmark_docs_score_one(spark, docs):
     from blockchair_etl_spark.llmdata.dedup import contamination_scores
     from blockchair_etl_spark.llmdata.sampling import hash_sample
