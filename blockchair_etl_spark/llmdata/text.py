@@ -319,3 +319,122 @@ def chunk_documents(
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    line_tokens: int = 2,
+    max_line_df: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style boilerplate line removal: drop every "line" that occurs
+    verbatim in more than ``max_line_df`` distinct documents, then
+    reassemble each document from its surviving lines in order.
+
+    Real corpora segment on newlines; the synthetic corpus is a flat
+    token stream, so a line is a fixed ``line_tokens``-token window —
+    the segmentation differs, the dedup semantics (the C4 pipeline's
+    "discard any line repeated across the corpus" rule) are the same.
+
+    Shape at scale: tokens explode once (linear), lines form with one
+    (doc, line_no) hash-agg, the line-frequency relation is one
+    hash-agg on line text, and the removal join shuffles on line text —
+    boilerplate lines are exactly the high-frequency (skewed) keys, and
+    AQE skew-join handles them. Reassembly is one ordered hash-agg per
+    doc. No window over the whole corpus, no driver state.
+
+    Output: (doc_id, clean_text, n_lines_kept, n_lines_removed); docs
+    whose every line was boilerplate keep a row with clean_text = ''.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "token"),
+    )
+    lines = (
+        toks.select(
+            "doc_id",
+            (F.col("pos") / line_tokens).cast("bigint").alias("line_no"),
+            "pos",
+            "token",
+        )
+        .groupBy("doc_id", "line_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s.getField("token"),
+                ),
+                " ",
+            ).alias("line_text")
+        )
+    )
+    line_df = lines.groupBy("line_text").agg(
+        F.count_distinct("doc_id").alias("line_df")
+    )
+    kept = lines.join(line_df, "line_text").filter(
+        F.col("line_df") <= max_line_df
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line_text"))),
+                lambda s: s.getField("line_text"),
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("bigint").alias("n_lines_kept"),
+            (F.col("n_lines") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_lines_removed"),
+        )
+    )
+
+
+def rarity_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram document-rarity score: the tf-weighted mean corpus
+    document frequency of a document's tokens. Boilerplate-heavy docs
+    (tokens that appear everywhere) score near n_docs; documents made
+    of corpus-rare vocabulary score near 1 — the unigram-LM quality
+    signal without the cross-engine hazard of log(): every accumulator
+    is an exact BIGINT and the only floating step is one final IEEE
+    division, so the score is bit-identical across engines.
+
+    Shape at scale: one distinct + hash-agg for the df relation, one
+    broadcast-or-shuffle join back on token, one per-doc hash-agg.
+
+    Output: (doc_id, n_tokens, mean_token_df DOUBLE).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("token")
+    )
+    df_rel = (
+        tok.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_df"))
+    )
+    return (
+        tok.join(df_rel, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("token_df").alias("sum_df"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("sum_df").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "mean_token_df"
+            ),
+        )
+    )

@@ -166,3 +166,88 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+# Count-min sketch: pairwise-independent-style integer hash rows
+# ((a*k + b) mod p) mod width with p prime. Every operation is exact
+# 64-bit integer arithmetic, so the sketch — unlike HLL++ — is
+# bit-identical across engines and oracle-checkable. a*k stays in
+# int64 because k is reduced mod p first (a < p ≈ 1e9 → product < 1e18).
+CMS_PRIME = 1_000_000_007
+CMS_PARAMS: tuple[tuple[int, int], ...] = (
+    (3, 17),
+    (1_299_709, 104_729),
+    (15_485_863, 32_452_843),
+    (49_979_687, 86_028_121),
+)
+
+
+def _cms_col(key: Column, a: int, b: int, width: int) -> Column:
+    p = F.lit(CMS_PRIME).cast("bigint")
+    return ((F.lit(a) * (key.cast("bigint") % p) + F.lit(b)) % p) % F.lit(width)
+
+
+def cms_build(
+    df: DataFrame, key_col: str, width: int = 256
+) -> DataFrame:
+    """Count-min sketch of a key column as a (row_id, col_id, cnt)
+    relation — depth = len(CMS_PARAMS) rows × ``width`` counters.
+
+    The sketch IS a DataFrame, which makes it mergeable the
+    map-reduce way: union two sketches and re-aggregate
+    (``cms_merge``) — the per-source/per-day rollup shape. Build cost
+    is one map-side explode (depth cells per row) plus one hash-agg on
+    (row, col): fixed O(depth × width) state per source regardless of
+    key cardinality, which is the entire point at 100 TB."""
+    key = F.col(key_col)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_id"),
+                        _cms_col(key, a, b, width).alias("col_id"),
+                    )
+                    for i, (a, b) in enumerate(CMS_PARAMS)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy(
+        F.col("cell.row_id").alias("row_id"), F.col("cell.col_id").alias("col_id")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same params: cell-wise sum."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row_id", "col_id").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, width: int = 256
+) -> DataFrame:
+    """Point-estimate counts for ``keys``: min over the depth rows of
+    the addressed counters. CMS never under-counts; collisions only
+    inflate, bounded by ε = e/width of the total stream length with
+    probability 1 - (1/e)^depth."""
+    key = F.col(key_col)
+    addressed = keys.select(
+        key.alias("__k"),
+        *[
+            _cms_col(key, a, b, width).alias(f"__c{i}")
+            for i, (a, b) in enumerate(CMS_PARAMS)
+        ],
+    )
+    est = None
+    for i in range(len(CMS_PARAMS)):
+        s = sketch.filter(F.col("row_id") == i).select(
+            F.col("col_id").alias(f"__c{i}"), F.col("cnt").alias(f"__cnt{i}")
+        )
+        addressed = addressed.join(F.broadcast(s), f"__c{i}")
+    est = F.least(*[F.col(f"__cnt{i}") for i in range(len(CMS_PARAMS))])
+    return addressed.select(
+        F.col("__k").alias(key_col), est.cast("bigint").alias("est_count")
+    )

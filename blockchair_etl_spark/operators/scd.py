@@ -35,8 +35,13 @@ def scd2_merge(
     valid_to (null = open). `updates` columns: key, *tracked, and must
     be unique per key (last-writer-wins reduction is the caller's
     policy — apply it upstream, e.g. a row_number window over the CDC
-    ordering column)."""
-    ts = F.lit(batch_ts).cast("timestamp")
+    ordering column).
+
+    The batch timestamp is cast to the dimension's own valid_from
+    type, so ntz and ltz dimensions both merge without union type
+    mismatches."""
+    ts_type = dim.schema[valid_from].dataType
+    ts = F.lit(batch_ts).cast(ts_type)
     closed_history = dim.filter(F.col(valid_to).isNotNull())
     open_rows = dim.filter(F.col(valid_to).isNull())
 
@@ -71,7 +76,7 @@ def scd2_merge(
     fresh = fresh_src.select(
         F.col("__k").alias(key),
         *[F.col(f"__u_{c}").alias(c) for c in tracked],
-    ).withColumn(valid_from, ts).withColumn(valid_to, F.lit(None).cast("timestamp"))
+    ).withColumn(valid_from, ts).withColumn(valid_to, F.lit(None).cast(ts_type))
 
     return closed_history.unionByName(untouched).unionByName(closed_now).unionByName(
         fresh.select(*dim.columns)

@@ -1,0 +1,77 @@
+"""Bounded-iteration PageRank over an edge DataFrame.
+
+The trace executor (query/trace.py) and connected components
+(llmdata/clusters.py) cover reachability; PageRank adds the
+importance-scoring member of the iterative-graph family — the shape a
+fund-flow dashboard uses to rank addresses by inbound transfer mass
+(reference surface: the recursive trace query
+`transaction_tracing/app.py:338-375` walks the same edge relation).
+
+Determinism: float PageRank is order-sensitive (double sums over
+in-edges), so ranks here are FIXED-POINT BIGINTs scaled by 1e12.
+Contributions divide with integer division and the damping factor is a
+percentage applied as (85 * mass) div 100 — every step is exact int64
+arithmetic, reproducible across engines, partitionings, and cluster
+sizes, and therefore oracle-checkable (the registry entry unrolls the
+same rounds in SQL). The deliberate cost: each division floors, so a
+little rank mass leaks per hop (as it also does for dangling nodes in
+the simplified formulation) — fine for ranking, documented here.
+
+Scale shape per round: one join of edges against the rank relation
+(shuffle on src), one hash-agg on dst, one left join back to the
+vertex set. Edges+outdeg are computed once and persisted; rounds are
+O(E) with no driver-side state beyond the loop counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 1_000_000_000_000  # rank 1.0 in fixed-point
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """→ (vertex, rank_s BIGINT, rank DOUBLE) after ``iterations``
+    synchronous rounds from a uniform init of SCALE (=1.0)."""
+    ed = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    vertices = (
+        ed.select(F.col("src").alias("vertex"))
+        .union(ed.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edd = ed.join(deg, "src").persist()
+    base = SCALE * (100 - damping_pct) // 100
+
+    ranks = vertices.select(
+        "vertex", F.lit(SCALE).cast("bigint").alias("rank_s")
+    )
+    for _ in range(iterations):
+        contrib = (
+            edd.join(ranks, edd.src == ranks.vertex)
+            .select(
+                F.col("dst").alias("vertex"),
+                F.expr("rank_s div outdeg").alias("c"),
+            )
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = vertices.join(contrib, "vertex", "left").select(
+            "vertex",
+            F.expr(
+                f"CAST({base} + ({damping_pct} * coalesce(in_mass, 0)) div 100 "
+                "AS BIGINT)"
+            ).alias("rank_s"),
+        )
+    edd.unpersist()
+    return ranks.select(
+        "vertex",
+        "rank_s",
+        (F.col("rank_s").cast("double") / F.lit(float(SCALE))).alias("rank"),
+    )

@@ -4171,6 +4171,313 @@ def q20_half_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name")
 
 
+@register(
+    "text_line_dedup",
+    survey="LLM-dedup (C4-style line-level boilerplate removal)",
+    desc="drop every 2-token 'line' occurring verbatim in more than 5 "
+    "distinct documents and reassemble the survivors in order — the C4 "
+    "pipeline's repeated-line rule on a corpus whose lines are fixed "
+    "token windows; linear explode, hash-aggs, and one skew-tolerant "
+    "join on line text",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+tok_rows AS (
+  SELECT doc_id,
+         unnest(range(1, len(t) + 1)) - 1 AS pos,
+         unnest(t) AS token
+  FROM toks
+),
+lines AS (
+  SELECT doc_id, pos // 2 AS line_no,
+         string_agg(token, ' ' ORDER BY pos) AS line_text
+  FROM tok_rows GROUP BY doc_id, pos // 2
+),
+ldf AS (
+  SELECT line_text, COUNT(DISTINCT doc_id) AS line_df
+  FROM lines GROUP BY line_text
+),
+kept AS (
+  SELECT l.doc_id, l.line_no, l.line_text
+  FROM lines l JOIN ldf USING (line_text)
+  WHERE ldf.line_df <= 5
+),
+kept_agg AS (
+  SELECT doc_id, string_agg(line_text, ' ' ORDER BY line_no) AS clean_text,
+         COUNT(*) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(COALESCE(k.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(t.n_lines - COALESCE(k.n_lines_kept, 0) AS BIGINT) AS n_lines_removed
+FROM tot t LEFT JOIN kept_agg k USING (doc_id)
+""",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.text import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup(docs, line_tokens=2, max_line_df=5)
+
+
+@register(
+    "text_rarity",
+    survey="LLM-text (unigram rarity / quality scoring)",
+    desc="tf-weighted mean corpus document frequency per document — the "
+    "unigram-LM quality signal with every accumulator an exact BIGINT "
+    "and one final IEEE division (no cross-engine log())",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+),
+dfr AS (
+  SELECT token, COUNT(*) AS token_df
+  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(d.token_df) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_token_df
+FROM tok t JOIN dfr d USING (token)
+GROUP BY t.doc_id
+""",
+)
+def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.text import rarity_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rarity_scores(docs)
+
+
+@register(
+    "scd2_customer_batch",
+    survey="§2.10 (incremental batch; SCD2 MERGE emulation)",
+    desc="SCD Type-2 merge of a CDC batch into the customer dimension "
+    "(changed keys close + re-open, new keys append, unchanged keys "
+    "untouched): anti-join + union composition, one shuffle on the "
+    "business key — the MERGE INTO emulation for non-transactional "
+    "table formats",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 1
+  UNION ALL
+  SELECT c_custkey + 10000000, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 2
+),
+changed AS (
+  SELECT d.c_custkey
+  FROM dim d JOIN upd u USING (c_custkey)
+  WHERE d.c_acctbal IS DISTINCT FROM u.c_acctbal
+     OR d.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+)
+SELECT d.c_custkey, d.c_acctbal, d.c_mktsegment, d.valid_from,
+       CASE WHEN c.c_custkey IS NOT NULL
+            THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to
+FROM dim d LEFT JOIN changed c USING (c_custkey)
+UNION ALL
+SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+       TIMESTAMP '2024-06-01 00:00:00' AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to
+FROM upd u
+WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+   OR u.c_custkey NOT IN (SELECT c_custkey FROM dim)
+""",
+)
+def scd2_customer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scd import scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("2024-01-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    upd = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + F.lit(100)).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 7 == 1).select(
+                "c_custkey", "c_acctbal", "c_mktsegment"
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 7 == 2).select(
+                (F.col("c_custkey") + F.lit(10000000)).alias("c_custkey"),
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    )
+    return scd2_merge(
+        dim,
+        upd,
+        key="c_custkey",
+        tracked=["c_acctbal", "c_mktsegment"],
+        batch_ts="2024-06-01 00:00:00",
+    )
+
+
+@register(
+    "hopping_window_events",
+    survey="§2.10 (hopping/sliding event-time window)",
+    desc="1h window hopping every 30min over events — the F.window "
+    "slide form, epoch-aligned, each event contributing to exactly 2 "
+    "overlapping windows; the identical groupBy(window(...)) plan runs "
+    "under readStream + watermark in the streaming module",
+    oracle="""
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+w AS (
+  SELECT unnest([
+           make_timestamp(epoch_us(ts) // 1800000000 * 1800000000),
+           make_timestamp(epoch_us(ts) // 1800000000 * 1800000000 - 1800000000)
+         ]) AS window_start,
+         event_type, value
+  FROM e
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM w
+GROUP BY 1, 2, 3
+""",
+)
+def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    survey="LLM-sketch (count-min heavy hitters, mergeable)",
+    desc="count-min sketch (4×256 integer-hash counters) over event "
+    "user_ids, then top-20 keys by min-over-rows point estimate — "
+    "fixed O(depth×width) state per source, cell-wise-sum mergeable, "
+    "and bit-exact across engines (pure int64 arithmetic, unlike "
+    "HLL++); estimates never under-count",
+    oracle="""
+WITH ev AS (SELECT CAST(user_id AS BIGINT) AS k FROM events),
+params(i, a, b) AS (VALUES (0, 3, 17), (1, 1299709, 104729),
+                           (2, 15485863, 32452843), (3, 49979687, 86028121)),
+cells AS (
+  SELECT p.i AS row_id,
+         ((p.a * (e.k % 1000000007) + p.b) % 1000000007) % 256 AS col_id,
+         COUNT(*) AS cnt
+  FROM ev e CROSS JOIN params p
+  GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT k FROM ev),
+est AS (
+  SELECT keys.k AS user_id, MIN(c.cnt) AS est_count
+  FROM keys CROSS JOIN params p
+  JOIN cells c
+    ON c.row_id = p.i
+   AND c.col_id = ((p.a * (keys.k % 1000000007) + p.b) % 1000000007) % 256
+  GROUP BY 1
+)
+SELECT user_id, est_count FROM est
+ORDER BY est_count DESC, user_id ASC LIMIT 20
+""",
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.approx import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sketch = cms_build(ev, "user_id", width=256)
+    keys = ev.distinct()
+    est = cms_estimate(sketch, keys, "user_id", width=256)
+    return est.orderBy(F.desc("est_count"), F.asc("user_id")).limit(20)
+
+
+@register(
+    "graph_pagerank",
+    survey="J5/U2 (iterative graph scoring)",
+    desc="3-round fixed-point PageRank on the synthetic transfer graph "
+    "(same edge derivation as graph_triangle_count): BIGINT ranks "
+    "scaled 1e12, integer-division contributions, (85·mass) div 100 "
+    "damping — bit-exact across engines, so the iterative rounds are "
+    "oracle-checkable unrolled; top-20 by rank",
+    oracle="""
+WITH ed AS (
+  SELECT DISTINCT user_id AS src, CAST(FLOOR(value) AS BIGINT) % 150 AS dst
+  FROM events
+),
+v AS (SELECT src AS vertex FROM ed UNION SELECT dst FROM ed),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY src),
+edd AS (SELECT e.src, e.dst, d.outdeg FROM ed e JOIN deg d USING (src)),
+r0 AS (SELECT vertex, CAST(1000000000000 AS BIGINT) AS rank_s FROM v),
+r1 AS (
+  SELECT v.vertex,
+         CAST(150000000000 + (85 * COALESCE(m.in_mass, 0)) // 100 AS BIGINT) AS rank_s
+  FROM v LEFT JOIN (
+    SELECT e.dst AS vertex, SUM(r.rank_s // e.outdeg) AS in_mass
+    FROM edd e JOIN r0 r ON r.vertex = e.src GROUP BY e.dst
+  ) m USING (vertex)
+),
+r2 AS (
+  SELECT v.vertex,
+         CAST(150000000000 + (85 * COALESCE(m.in_mass, 0)) // 100 AS BIGINT) AS rank_s
+  FROM v LEFT JOIN (
+    SELECT e.dst AS vertex, SUM(r.rank_s // e.outdeg) AS in_mass
+    FROM edd e JOIN r1 r ON r.vertex = e.src GROUP BY e.dst
+  ) m USING (vertex)
+),
+r3 AS (
+  SELECT v.vertex,
+         CAST(150000000000 + (85 * COALESCE(m.in_mass, 0)) // 100 AS BIGINT) AS rank_s
+  FROM v LEFT JOIN (
+    SELECT e.dst AS vertex, SUM(r.rank_s // e.outdeg) AS in_mass
+    FROM edd e JOIN r2 r ON r.vertex = e.src GROUP BY e.dst
+  ) m USING (vertex)
+)
+SELECT vertex, rank_s, CAST(rank_s AS DOUBLE) / 1000000000000 AS rank
+FROM r3 ORDER BY rank_s DESC, vertex ASC LIMIT 20
+""",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .query.graph import pagerank_fixed_point
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        (F.floor(F.col("value")).cast("bigint") % 150).alias("dst"),
+    )
+    pr = pagerank_fixed_point(edges, iterations=3)
+    return pr.orderBy(F.desc("rank_s"), F.asc("vertex")).limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the verification driver hash-checks the FIRST 50
 # entries of the registry per round. Entries already driver-verified in a

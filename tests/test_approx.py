@@ -44,3 +44,36 @@ def test_kmv_sketch_accuracy_and_degeneracy(spark, sf_dir):
     # cardinality below k degenerates to the exact count
     row2 = kmv_distinct(li, "l_linestatus", k=64).first()
     assert row2.n_taken == row2.distinct_estimate == 2
+
+
+def test_cms_never_undercounts_and_merges(spark, sf_dir):
+    from blockchair_etl_spark.operators.approx import cms_build, cms_estimate, cms_merge
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    true_counts = {
+        r.user_id: r.cnt
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    sketch = cms_build(ev, "user_id", width=256)
+    # sketch state is fixed: at most depth × width cells
+    assert sketch.count() <= 4 * 256
+    est = {
+        r.user_id: r.est_count
+        for r in cms_estimate(sketch, ev.distinct(), "user_id", width=256).collect()
+    }
+    assert set(est) == set(true_counts)
+    n_total = sum(true_counts.values())
+    for k, true in true_counts.items():
+        assert est[k] >= true  # CMS never under-counts
+        # generous epsilon bound: e/width of stream length per row
+        assert est[k] - true <= 3 * n_total / 256 + 1
+
+    # mergeability: union-of-halves sketch == whole-stream sketch
+    half_a = ev.filter(F.col("user_id") % 2 == 0)
+    half_b = ev.filter(F.col("user_id") % 2 == 1)
+    merged = cms_merge(
+        cms_build(half_a, "user_id", width=256), cms_build(half_b, "user_id", width=256)
+    )
+    whole = {(r.row_id, r.col_id): r.cnt for r in sketch.collect()}
+    got = {(r.row_id, r.col_id): r.cnt for r in merged.collect()}
+    assert got == whole

@@ -432,3 +432,44 @@ def test_udtf_chunker_matches_sql_chunker(spark):
     assert sorted(map(tuple, via_udtf.collect())) == sorted(
         map(tuple, via_sql.select("doc_id", "chunk_idx", "chunk_text", "n_tokens").collect())
     )
+
+
+def test_line_dedup_removes_boilerplate_keeps_order(spark):
+    from blockchair_etl_spark.llmdata.text import line_dedup
+
+    # 'cookie notice' is the repeated 2-token boilerplate line; with
+    # max_line_df=2 it is dropped from every doc once 3 docs carry it.
+    rows = [
+        (1, "cookie notice alpha beta gamma delta"),
+        (2, "cookie notice epsilon zeta"),
+        (3, "cookie notice eta theta"),
+        (4, "iota kappa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in line_dedup(docs, line_tokens=2, max_line_df=2).collect()}
+    assert out[1].clean_text == "alpha beta gamma delta"
+    assert out[1].n_lines_removed == 1 and out[1].n_lines_kept == 2
+    assert out[2].clean_text == "epsilon zeta"
+    assert out[4].clean_text == "iota kappa" and out[4].n_lines_removed == 0
+    # a doc that is pure boilerplate keeps a row with empty text
+    rows5 = rows + [(5, "cookie notice")]
+    out5 = {r.doc_id: r for r in line_dedup(
+        spark.createDataFrame(rows5, "doc_id bigint, text string"),
+        line_tokens=2, max_line_df=2).collect()}
+    assert out5[5].clean_text == "" and out5[5].n_lines_kept == 0
+
+
+def test_rarity_scores_orders_boilerplate_above_rare(spark):
+    from blockchair_etl_spark.llmdata.text import rarity_scores
+
+    rows = [
+        (1, "common common common"),   # df(common)=3 → mean 3
+        (2, "common rare"),            # (3+1)/2 = 2
+        (3, "common unique1 unique2"), # (3+1+1)/3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in rarity_scores(docs).collect()}
+    assert got[1].mean_token_df == 3.0
+    assert got[2].mean_token_df == 2.0
+    assert abs(got[3].mean_token_df - 5 / 3) < 1e-12
+    assert got[1].n_tokens == 3 and got[2].n_tokens == 2
