@@ -4478,6 +4478,41 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.desc("rank_s"), F.asc("vertex")).limit(20)
 
 
+@register(
+    "bloom_pruned_join_revenue",
+    survey="J4 + runtime-filter pruning (explicit bloom semi-reduction)",
+    desc="revenue by high-balance supplier, with the lineitem side "
+    "pre-filtered through an 8192-bit portable-integer-hash bloom of "
+    "the dimension keys BEFORE the join shuffle — no false negatives, "
+    "so the result is exactly the plain join (the oracle); false "
+    "positives only cost shuffle volume. The explicit, persistable "
+    "twin of AQE's runtime bloom injection",
+    oracle="""
+SELECT s.s_suppkey, s.s_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_acctbal > 9000
+GROUP BY s.s_suppkey, s.s_name
+""",
+)
+def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bloom import bloom_pruned_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select("s_suppkey", "s_name")
+    )
+    joined = bloom_pruned_join(li, supp, "l_suppkey", "s_suppkey")
+    return joined.groupBy("s_suppkey", "s_name").agg(
+        exact_sum("l_extendedprice", 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the verification driver hash-checks the FIRST 50
 # entries of the registry per round. Entries already driver-verified in a

@@ -230,3 +230,20 @@ def test_late_tpch_shapes_stay_broadcast(spark, sf_dir):
     plan2 = plan_of(QUERIES["q2_min_balance_supplier"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan2
     assert "SortMergeJoin" not in plan2
+
+
+def test_bloom_filter_sits_under_the_join(spark, sf_dir):
+    plan = plan_of(QUERIES["bloom_pruned_join_revenue"].fn(spark, sf_dir))
+    # the bitwise probe runs as a scan-side Filter (shiftleft visible),
+    # the small dim broadcasts, and no sort-merge shuffle join appears
+    assert "shiftleft" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    join_at = plan.index("BroadcastHashJoin")
+    assert "shiftleft" in plan[join_at:], "bloom probe must be below the join"
+
+
+def test_cms_estimate_broadcasts_sketch_rows(spark, sf_dir):
+    plan = plan_of(QUERIES["sketch_cms_heavy_hitters"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # 4 tiny sketch-row joins broadcast
+    assert "SortMergeJoin" not in plan
