@@ -87,7 +87,12 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    names = [n for n in HEADLINE if n in QUERIES]
+    # SPARK_GRAFT_BENCH_ALL=1 times every registry entry (full-surface
+    # sweep for regression hunting); default is the curated headline list.
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        names = list(QUERIES)
+    else:
+        names = [n for n in HEADLINE if n in QUERIES]
     timings: dict[str, float] = {}
     for name in names:
         samples = []

@@ -118,8 +118,20 @@ def bucket_centroids(
     dim = len(emb.select(vec_col).head()[0])
     q = 1 << 20
     blk = lsh_bucket_col(F.col(vec_col), dim, n_planes=n_planes, seed=seed)
-    exploded = emb.select(
-        blk.alias("bucket"), F.posexplode(vec_col).alias("dim", "x")
+    # The bucket id is an n_planes × dim decimal fold — expensive enough
+    # that it must be evaluated ONCE PER VECTOR, never per exploded
+    # (dim, value) row. Without a barrier Catalyst inlines it past the
+    # generator and re-evaluates it per exploded row (measured 10× at
+    # sf0.1). The repartition materializes the bucket AND hash-places
+    # rows by it, which already satisfies the (bucket, dim) grouping
+    # distribution below — so the explicit shuffle replaces the agg's
+    # exchange instead of adding one.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    pre = emb.select(blk.alias("bucket"), F.col(vec_col).alias("__v")).repartition(
+        par, "bucket"
+    )
+    exploded = pre.select(
+        "bucket", F.posexplode("__v").alias("dim", "x")
     )
     return (
         exploded.groupBy(F.col("bucket"), F.col("dim").cast("bigint").alias("dim"))

@@ -75,3 +75,44 @@ def test_kmv_on_empty_and_singleton(spark):
     one = spark.createDataFrame([(7,)], "user_id bigint")
     merged = kmv_union([kmv_mins(empty, "user_id"), kmv_mins(one, "user_id")]).collect()[0]
     assert merged.n_taken == 1 and merged.distinct_estimate == 1.0
+
+
+def test_round4_ops_on_empty(spark, empty_docs):
+    from blockchair_etl_spark.llmdata.text import line_dedup, rarity_scores
+    from blockchair_etl_spark.operators.approx import cms_build, cms_estimate
+    from blockchair_etl_spark.operators.bloom import bloom_build, bloom_might_contain
+    from blockchair_etl_spark.query.graph import pagerank_fixed_point
+
+    assert line_dedup(empty_docs).count() == 0
+    assert rarity_scores(empty_docs).count() == 0
+
+    empty_edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert pagerank_fixed_point(empty_edges, iterations=2).count() == 0
+
+    empty_keys = spark.createDataFrame([], "k bigint")
+    sketch = cms_build(empty_keys, "k")
+    assert sketch.count() == 0
+    assert cms_estimate(sketch, empty_keys, "k").count() == 0
+
+    # an empty dimension's bloom rejects everything (all-zero bitset)
+    words = bloom_build(empty_keys, "k")
+    assert all(w == 0 for w in words)
+    probes = spark.range(100).select(F.col("id").alias("k"))
+    assert probes.filter(bloom_might_contain("k", words)).count() == 0
+
+
+def test_scd2_merge_on_empty_updates(spark):
+    from blockchair_etl_spark.operators.scd import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01 00:00:00", None)],
+        "k bigint, v double, valid_from string, valid_to string",
+    ).select(
+        "k", "v",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
+    )
+    empty_upd = spark.createDataFrame([], "k bigint, v double")
+    out = scd2_merge(dim, empty_upd, key="k", tracked=["v"], batch_ts="2024-06-01 00:00:00")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].valid_to is None  # dim untouched

@@ -247,3 +247,12 @@ def test_cms_estimate_broadcasts_sketch_rows(spark, sf_dir):
     plan = plan_of(QUERIES["sketch_cms_heavy_hitters"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan  # 4 tiny sketch-row joins broadcast
     assert "SortMergeJoin" not in plan
+
+
+def test_bucket_centroids_single_exchange(spark, sf_dir):
+    # the LSH bucket id must be materialized behind the repartition
+    # (one Exchange total): re-evaluating the decimal fold per exploded
+    # (dim, value) row is a measured 10x regression, and the agg must
+    # reuse the bucket partitioning instead of re-shuffling
+    plan = plan_of(QUERIES["centroid_by_bucket"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
