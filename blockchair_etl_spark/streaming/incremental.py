@@ -87,14 +87,22 @@ def windowed_event_counts(
     watermark: str = "2 hours",
     ts_col: str = "ts",
     key_col: str = "event_type",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregation — the streaming form of
-    queryset.tumbling_hourly_events. Late rows within the watermark
+    """Watermarked event-time window aggregation — the streaming form
+    of queryset.tumbling_hourly_events (default) or, with ``slide``,
+    of queryset.hopping_window_events (each row lands in
+    window/slide overlapping windows). Late rows within the watermark
     still land in their event-time window; older ones are dropped and
     the state store stays bounded (the 100 TB/day state-size guard)."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     return (
         events_stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .groupBy(win.alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
@@ -117,11 +125,12 @@ def stream_windowed_counts(
     out_dir: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> StreamingQuery:
     """End-to-end streaming pipeline: parquet file source → watermarked
     windowed aggregate → parquet sink, drained with AvailableNow."""
     stream = spark.readStream.schema(schema).parquet(events_dir)
-    agg = windowed_event_counts(stream, window, watermark)
+    agg = windowed_event_counts(stream, window, watermark, slide=slide)
     return (
         agg.writeStream.format("parquet")
         .option("path", out_dir)

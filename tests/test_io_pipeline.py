@@ -496,3 +496,41 @@ def test_observe_metrics_ride_the_batch_plan(spark):
     # metrics accumulate during the SAME action — no second scan
     assert observed.filter(F.col("v").isNotNull()).count() == 9_900
     assert obs.get["rows_seen"] == 10_000 and obs.get["null_v"] == 100
+
+
+def test_streaming_hopping_windows_match_batch(spark, tmp_path):
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.queryset import QUERIES
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    events_dir = str(tmp_path / "hop_in")
+    ev.withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+    q = stream_windowed_counts(
+        spark,
+        events_dir,
+        schema,
+        checkpoint_dir=str(tmp_path / "hop_ckpt"),
+        out_dir=str(tmp_path / "hop_out"),
+        slide="30 minutes",
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "hop_out"))
+    # every emitted (finalized) window agrees exactly with the batch
+    # hopping query on the same data
+    batch = QUERIES["hopping_window_events"].fn(spark, "/root/testdata/sf0.001")
+    batch_rows = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    emitted = got.collect()
+    assert len(emitted) > 0
+    for r in emitted:
+        key = (r.window_start.replace(tzinfo=None), r.event_type)
+        assert key in batch_rows
+        assert (r.n_events, r.total_value) == batch_rows[key]
+    # hopping windows: each finalized timestamp appears in ~2 windows →
+    # strictly more emitted windows than the tumbling drain produces
+    assert got.select("window_start").distinct().count() > got.select(
+        F.date_trunc("hour", "window_start")
+    ).distinct().count()
