@@ -251,3 +251,59 @@ def cms_estimate(
     return addressed.select(
         F.col("__k").alias(key_col), est.cast("bigint").alias("est_count")
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantile_pcts: tuple[int, ...] = (50, 90, 99),
+    bin_scale: int = 8,
+) -> DataFrame:
+    """Quantiles from a fixed-bin histogram sketch — the mergeable,
+    DETERMINISTIC alternative to percentile_approx (whose GK sketch is
+    engine-internal and not oracle-checkable) and to exact percentiles
+    (a full sort per group at scale).
+
+    Values land in bins of width 1/bin_scale via floor(value × scale);
+    with scale a power of two the product is exact in binary floating
+    point, so binning is bit-identical across engines. The estimate for
+    quantile q is the lower bound of the first bin whose cumulative
+    count reaches ceil(q·n) — error bounded by the bin width, state
+    bounded by the value range × scale regardless of row count, and
+    two sketches merge by summing bin counts.
+
+    Rank thresholds use pure integer arithmetic ((n·pct + 99) div 100),
+    no float rounding at the decision boundary.
+
+    Output: (group, n, p<pct> DOUBLE per requested percentile)."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    b = F.floor(F.col(value_col).cast("double") * bin_scale).cast("bigint")
+    bins = df.select(g.alias("g"), b.alias("bin")).groupBy("g", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("g").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "g",
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("g")).alias("n"),
+    )
+    aggs = [F.max("n").alias("n")]
+    for pct in quantile_pcts:
+        aggs.append(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"(n * {pct} + 99) div 100"),
+                        F.col("bin"),
+                    )
+                )
+                / F.lit(float(bin_scale))
+            ).alias(f"p{pct}")
+        )
+    return cum.groupBy(F.col("g").alias(group_col)).agg(*aggs)

@@ -4513,6 +4513,44 @@ def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_histogram_quantiles",
+    survey="A3/LLM-sketch (mergeable deterministic quantiles)",
+    desc="p50/p90/p99 of event value per type from a fixed-bin "
+    "histogram sketch (floor(value×8) power-of-two bins): bounded "
+    "state, bin-count mergeable, and bit-identical across engines — "
+    "the oracle-checkable stand-in for percentile_approx; integer "
+    "rank thresholds, estimate = first bin reaching ceil(q·n)",
+    oracle="""
+WITH bins AS (
+  SELECT event_type AS g,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 8) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, bin,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY g) AS n
+  FROM bins
+)
+SELECT g AS event_type,
+       MAX(n) AS n,
+       CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) AS DOUBLE) / 8 AS p50,
+       CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bin END) AS DOUBLE) / 8 AS p90,
+       CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS DOUBLE) / 8 AS p99
+FROM cum
+GROUP BY g
+""",
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.approx import histogram_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_quantiles(ev, "value", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the verification driver hash-checks the FIRST 50
 # entries of the registry per round. Entries already driver-verified in a

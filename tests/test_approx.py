@@ -77,3 +77,26 @@ def test_cms_never_undercounts_and_merges(spark, sf_dir):
     whole = {(r.row_id, r.col_id): r.cnt for r in sketch.collect()}
     got = {(r.row_id, r.col_id): r.cnt for r in merged.collect()}
     assert got == whole
+
+
+def test_histogram_quantiles_within_bin_width_of_exact(spark, sf_dir):
+    from blockchair_etl_spark.operators.approx import histogram_quantiles
+
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {r.event_type: r for r in histogram_quantiles(ev, "value", "event_type").collect()}
+    by_type: dict = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for et, vals in by_type.items():
+        vals.sort()
+        r = got[et]
+        assert r.n == len(vals)
+        for pct in (50, 90, 99):
+            # contract: estimate is the bin FLOOR of the ceil(q·n)-th
+            # order statistic (not the interpolated percentile)
+            order_stat = vals[(len(vals) * pct + 99) // 100 - 1]
+            est = getattr(r, f"p{pct}")
+            assert est <= order_stat + 1e-9
+            assert order_stat - est < 0.125 + 1e-9

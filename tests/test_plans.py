@@ -256,3 +256,30 @@ def test_bucket_centroids_single_exchange(spark, sf_dir):
     # reuse the bucket partitioning instead of re-shuffling
     plan = plan_of(QUERIES["centroid_by_bucket"].fn(spark, sf_dir))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path, sf_dir):
+    # 100 TB posture: a date-partitioned fact joined to a filtered dim
+    # must prune fact partitions at RUNTIME from the dim's build side
+    # (DPP), not scan every partition. Gate: the fact scan carries a
+    # dynamicpruning subquery filter.
+    ev = load_table(spark, sf_dir, "events")
+    fact_dir = str(tmp_path / "fact_part")
+    (
+        ev.withColumn("day", F.to_date("ts"))
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(fact_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    # a GENUINE dim with a data-dependent filter: a constant-foldable
+    # predicate (e.g. lit('keep') == 'keep') is simplified away and DPP's
+    # selective-predicate heuristic never fires
+    days = [r.day for r in fact.select("day").distinct().orderBy("day").collect()]
+    dim = spark.createDataFrame(
+        [(d, "EU" if i % 7 == 0 else "US") for i, d in enumerate(days)],
+        "day date, region string",
+    )
+    joined = fact.join(dim.filter(F.col("region") == "EU"), "day")
+    phys = plan_of(joined)
+    assert "dynamicpruning" in phys.lower(), phys
