@@ -38,6 +38,13 @@ FAMILY = [
     "pack_sequences",
     "text_quality",
     "text_chunking",
+    # round-4 additions
+    "text_line_dedup",
+    "sketch_cms_heavy_hitters",
+    "sketch_histogram_quantiles",
+    "graph_pagerank",
+    "centroid_by_bucket",
+    "bloom_pruned_join_revenue",
 ]
 
 COPIES = 10

@@ -99,3 +99,56 @@ def test_exact_sum_matches_decimal_arithmetic(spark, values):
     # doubles of 2dp values round-trip exactly through DECIMAL(18,2)
     want = float(sum(Decimal(str(float(v))).quantize(Decimal("0.01")) for v in values))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Portable-hash contract: the CMS/bloom sketches claim bit-identical
+# behavior across engines because their addressing is pure int64
+# arithmetic. Property-check that claim: Python, DuckDB, and Spark must
+# compute identical positions for arbitrary keys.
+# ---------------------------------------------------------------------------
+
+
+def _py_pos(k: int, a: int, b: int, p: int, m: int) -> int:
+    return ((a * (k % p) + b) % p) % m
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50))
+@settings(max_examples=30, deadline=None)
+def test_sketch_hash_python_duckdb_agree(keys):
+    import duckdb
+
+    from blockchair_etl_spark.operators.approx import CMS_PARAMS, CMS_PRIME
+
+    con = duckdb.connect()
+    for a, b in CMS_PARAMS:
+        # CAST AS BIGINT mirrors the registry oracles: without it DuckDB
+        # types small literals INT32 and the hash arithmetic overflows —
+        # exactly the portability trap the cast exists to close
+        got = con.execute(
+            "SELECT ((%d * (CAST(k AS BIGINT) %% %d) + %d) %% %d) %% 256 "
+            "FROM (SELECT UNNEST(?) AS k)" % (a, CMS_PRIME, b, CMS_PRIME),
+            [keys],
+        ).fetchall()
+        want = [_py_pos(k, a, b, CMS_PRIME, 256) for k in keys]
+        assert [r[0] for r in got] == want
+
+
+def test_sketch_hash_spark_matches_python(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.operators.approx import CMS_PARAMS, CMS_PRIME, _cms_col
+
+    rng = random.Random(7)
+    keys = [rng.randrange(0, 2**62) for _ in range(1000)]
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    cols = [
+        _cms_col(F.col("k"), a, b, 256).alias(f"c{i}")
+        for i, (a, b) in enumerate(CMS_PARAMS)
+    ]
+    rows = {r.k: r for r in df.select("k", *cols).collect()}
+    for k in keys:
+        for i, (a, b) in enumerate(CMS_PARAMS):
+            assert rows[k][f"c{i}"] == _py_pos(k, a, b, CMS_PRIME, 256)
