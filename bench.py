@@ -65,6 +65,15 @@ HEADLINE = [
     "dedup_corpus_survivors",
     "winsorize_values",
     "text_chunking",
+    # round-4 additions
+    "text_line_dedup",
+    "sketch_cms_heavy_hitters",
+    "sketch_histogram_quantiles",
+    "graph_pagerank",
+    "bloom_pruned_join_revenue",
+    "hopping_window_events",
+    "corpus_prep_pipeline",
+    "centroid_by_bucket",
 ]
 
 

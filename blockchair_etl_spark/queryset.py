@@ -4551,6 +4551,90 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(ev, "value", "event_type")
 
 
+@register(
+    "corpus_prep_pipeline",
+    survey="LLM end-to-end (line dedup → quality gate → exact dedup → packing)",
+    desc="the full pretraining corpus-prep chain as ONE plan: C4-style "
+    "repeated-line removal (relative cutoff: a line is boilerplate in "
+    ">5% of docs — integer-exact (n+19) div 20, robust across scale "
+    "factors), a structural quality gate (≥2 surviving lines), exact "
+    "dedup of the CLEANED text (min-id canonical survivor), then "
+    "greedy sharded sequence packing of the survivors into 512-token "
+    "bins — every stage the scale-safe shape, one composed oracle",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+tok_rows AS (
+  SELECT doc_id,
+         unnest(range(1, len(t) + 1)) - 1 AS pos,
+         unnest(t) AS token
+  FROM toks
+),
+lines AS (
+  SELECT doc_id, pos // 2 AS line_no,
+         string_agg(token, ' ' ORDER BY pos) AS line_text
+  FROM tok_rows GROUP BY doc_id, pos // 2
+),
+ldf AS (
+  SELECT line_text, COUNT(DISTINCT doc_id) AS line_df
+  FROM lines GROUP BY line_text
+),
+kept_agg AS (
+  SELECT l.doc_id,
+         string_agg(l.line_text, ' ' ORDER BY l.line_no) AS clean_text,
+         COUNT(*) AS n_lines_kept
+  FROM lines l JOIN ldf USING (line_text)
+  WHERE ldf.line_df <= ((SELECT COUNT(*) FROM documents) + 19) // 20
+  GROUP BY l.doc_id
+),
+quality AS (
+  SELECT doc_id, clean_text FROM kept_agg WHERE n_lines_kept >= 2
+),
+canon AS (
+  SELECT md5(clean_text) AS h, MIN(doc_id) AS keep_id
+  FROM quality GROUP BY 1
+),
+survivors AS (
+  SELECT q.doc_id, q.clean_text
+  FROM quality q JOIN canon c ON q.doc_id = c.keep_id
+),
+t AS (
+  SELECT doc_id, doc_id % 4 AS shard,
+         CAST(len(list_filter(string_split(clean_text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM survivors
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(cum_before // 512 AS BIGINT) AS pack_id,
+       CAST(cum_before % 512 AS BIGINT) AS pack_offset
+FROM cum
+""",
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.text import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    rel_df = (docs.count() + 19) // 20  # 5% of docs, integer ceil
+    cleaned = line_dedup(docs, line_tokens=2, max_line_df=rel_df)
+    quality = cleaned.filter(F.col("n_lines_kept") >= 2).select(
+        "doc_id", "clean_text"
+    )
+    canon = quality.groupBy(F.md5("clean_text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    survivors = quality.join(
+        canon, quality.doc_id == canon.keep_id, "left_semi"
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    return _packing.assign_packs(survivors, budget=512, n_shards=4)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the verification driver hash-checks the FIRST 50
 # entries of the registry per round. Entries already driver-verified in a
