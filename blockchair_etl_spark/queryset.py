@@ -4642,6 +4642,10 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each round's 50-slot window lands on never-yet-driver-verified entries,
 # maximising cumulative hard-signal coverage. Key-based consumers are
 # unaffected (dict lookup); only iteration order changes.
+#
+# MAINTENANCE (next round): fold the keys of the newest CORRECTNESS_r*.json
+# into _DRIVER_VERIFIED_PRIOR_ROUNDS so the window rotates onto the
+# still-unverified remainder (after r04: the 24 entries at positions 51+).
 # ---------------------------------------------------------------------------
 
 _DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset({

@@ -18,3 +18,34 @@ def test_registry_has_oracles():
     # inventory must carry one (the driver's strong check).
     with_oracle = [n for n, s in QUERIES.items() if s.oracle]
     assert len(with_oracle) >= 0.8 * len(QUERIES)
+
+
+def test_harness_detects_mismatches(spark, sf_dir, oracle_con):
+    # Meta-test: a gate that can't fail is no gate. Perturb each class of
+    # defect against a real oracle and assert compare_frames flags it.
+    import pandas as pd
+
+    from blockchair_etl_spark.testing import compare_frames
+
+    want = oracle_con.execute(QUERIES["q1_pricing_summary"].oracle).fetchdf()
+
+    # 1. dropped row
+    r = compare_frames("meta_rows", want.iloc[:-1].copy(), want)
+    assert not r.ok
+
+    # 2. renamed column (schema drift)
+    renamed = want.rename(columns={want.columns[0]: "__wrong"})
+    r = compare_frames("meta_schema", renamed, want)
+    assert not r.ok
+
+    # 3. single perturbed value (hash sensitivity)
+    num_cols = [c for c in want.columns if pd.api.types.is_numeric_dtype(want[c])]
+    perturbed = want.copy()
+    perturbed.loc[perturbed.index[0], num_cols[0]] += 1
+    r = compare_frames("meta_value", perturbed, want)
+    assert not r.ok
+
+    # 4. identical frames pass even with shuffled row/column order
+    shuffled = want.sample(frac=1.0, random_state=7)[list(reversed(want.columns))]
+    r = compare_frames("meta_ok", shuffled, want)
+    assert r.ok
