@@ -4635,6 +4635,68 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _packing.assign_packs(survivors, budget=512, n_shards=4)
 
 
+@register(
+    "pointintime_dim_lookup",
+    survey="J4/§2.10 (temporal FK resolution against an SCD2 dimension)",
+    desc="each order resolved against the customer-dimension VERSION "
+    "valid at its order date (two synthetic SCD2 versions split at "
+    "1996-07-01, balances +100 for custkey%3=0 in v2): equi join on "
+    "the key with a validity-interval residual — the point-in-time "
+    "lookup every versioned-dim warehouse runs; distinct from event-"
+    "to-event as-of (asof_last_purchase)",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_acctbal,
+         TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+         CASE WHEN c_custkey % 3 = 0
+              THEN TIMESTAMP '1996-07-01 00:00:00' END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 100,
+         TIMESTAMP '1996-07-01 00:00:00',
+         CAST(NULL AS TIMESTAMP)
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT o.o_orderkey, o.o_custkey, d.c_acctbal AS acctbal_at_order
+FROM orders o
+JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND d.valid_from <= o.o_orderdate
+ AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+""",
+)
+def pointintime_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("1990-01-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("valid_to"),
+    )
+    v2 = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + F.lit(100)).alias("c_acctbal"),
+            F.lit("1996-07-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
+            F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        )
+    )
+    dim = v1.unionByName(v2)
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (
+        (orders.o_custkey == dim.c_custkey)
+        & (dim.valid_from <= orders.o_orderdate)
+        & (dim.valid_to.isNull() | (orders.o_orderdate < dim.valid_to))
+    )
+    return orders.join(dim, cond).select(
+        "o_orderkey", "o_custkey", F.col("c_acctbal").alias("acctbal_at_order")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the verification driver hash-checks the FIRST 50
 # entries of the registry per round. Entries already driver-verified in a
