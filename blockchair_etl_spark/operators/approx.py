@@ -183,8 +183,16 @@ CMS_PARAMS: tuple[tuple[int, int], ...] = (
 
 
 def _cms_col(key: Column, a: int, b: int, width: int) -> Column:
+    # pmod, not % — plain % follows the dividend's sign, so negative
+    # keys would address "negative" columns. Build and probe would still
+    # agree with each other, but the sketch would use 2×width-1 columns
+    # and any cross-engine oracle must replicate the same sign handling;
+    # non-negative positions keep the contract simple and portable.
     p = F.lit(CMS_PRIME).cast("bigint")
-    return ((F.lit(a) * (key.cast("bigint") % p) + F.lit(b)) % p) % F.lit(width)
+    return F.pmod(
+        F.pmod(F.lit(a) * F.pmod(key.cast("bigint"), p) + F.lit(b), p),
+        F.lit(width),
+    )
 
 
 def cms_build(
@@ -241,13 +249,20 @@ def cms_estimate(
             for i, (a, b) in enumerate(CMS_PARAMS)
         ],
     )
-    est = None
+    # left join + coalesce 0: a probed key whose addressed cell was
+    # never touched (true count 0 — the sketch relation is sparse) must
+    # still return an estimate, not vanish from the output.
     for i in range(len(CMS_PARAMS)):
         s = sketch.filter(F.col("row_id") == i).select(
             F.col("col_id").alias(f"__c{i}"), F.col("cnt").alias(f"__cnt{i}")
         )
-        addressed = addressed.join(F.broadcast(s), f"__c{i}")
-    est = F.least(*[F.col(f"__cnt{i}") for i in range(len(CMS_PARAMS))])
+        addressed = addressed.join(F.broadcast(s), f"__c{i}", "left")
+    est = F.least(
+        *[
+            F.coalesce(F.col(f"__cnt{i}"), F.lit(0))
+            for i in range(len(CMS_PARAMS))
+        ]
+    )
     return addressed.select(
         F.col("__k").alias(key_col), est.cast("bigint").alias("est_count")
     )

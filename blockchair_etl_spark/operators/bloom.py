@@ -36,8 +36,17 @@ BLOOM_PARAMS: tuple[tuple[int, int], ...] = (
 
 
 def _pos_sql(key_col: str, a: int, b: int, m_bits: int) -> str:
+    # pmod keeps every position in [0, m_bits) for NEGATIVE keys too —
+    # plain % follows the dividend's sign, and a negative position would
+    # corrupt the build (Python negative list index wraps to the end)
+    # while the probe's element_at(pos div 64 + 1) errors or reads a
+    # different word: silent false negatives. pmod(a*pmod(k,p)+b, p)
+    # never overflows int64 (a < 5e7, pmod < 1e9).
     p = BLOOM_PRIME
-    return f"((({a} * (CAST({key_col} AS BIGINT) % {p}) + {b}) % {p}) % {m_bits})"
+    return (
+        f"pmod(pmod({a} * pmod(CAST({key_col} AS BIGINT), {p}) + {b}, {p}),"
+        f" {m_bits})"
+    )
 
 
 def bloom_build(dim: DataFrame, key_col: str, m_bits: int = 8192) -> list[int]:
@@ -81,6 +90,9 @@ def bloom_might_contain(
     return cond
 
 
+_BLOOM_SAFE_JOINS = frozenset({"inner", "semi", "leftsemi", "left_semi"})
+
+
 def bloom_pruned_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -90,7 +102,21 @@ def bloom_pruned_join(
     how: str = "inner",
 ) -> DataFrame:
     """Plain equi-join result, with the fact side pre-filtered through
-    the dimension-key bloom before it reaches the shuffle."""
+    the dimension-key bloom before it reaches the shuffle.
+
+    Only join types for which dropping non-matching FACT rows is
+    semantics-preserving are accepted (inner / left_semi). For left
+    joins the bloom would drop fact rows that must appear with null dim
+    columns, and for anti joins it would remove exactly the rows the
+    join must return — those types raise rather than silently corrupt.
+    """
+    norm = how.replace("_", "").lower()
+    if norm not in {h.replace("_", "") for h in _BLOOM_SAFE_JOINS}:
+        raise ValueError(
+            f"bloom_pruned_join: how={how!r} is not semantics-preserving "
+            "under fact-side pre-filtering; use 'inner' or 'left_semi' "
+            "(outer/anti joins must see the unfiltered fact side)"
+        )
     words = bloom_build(dim, dim_key, m_bits)
     pruned = fact.filter(bloom_might_contain(fact_key, words, m_bits))
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

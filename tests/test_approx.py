@@ -79,6 +79,25 @@ def test_cms_never_undercounts_and_merges(spark, sf_dir):
     assert got == whole
 
 
+def test_cms_estimate_absent_and_negative_keys(spark):
+    from blockchair_etl_spark.operators.approx import cms_build, cms_estimate
+
+    # tiny stream so most of the 4×64 cells stay untouched (sparse
+    # sketch relation): a probed key addressing an absent cell must
+    # return est_count 0, not vanish from the output
+    stream = spark.range(5).select(F.col("id").alias("k"))
+    sketch = cms_build(stream, "k", width=64)
+    probes = spark.range(-3, 1000, 97).select(F.col("id").alias("k"))
+    est = {r.k: r.est_count for r in cms_estimate(sketch, probes, "k", width=64).collect()}
+    assert set(est) == set(range(-3, 1000, 97))  # no key dropped
+    assert all(v >= 0 for v in est.values())
+    # negative keys address valid non-negative columns (pmod) and keys
+    # far from the stream mostly hit empty cells → exact-zero estimates
+    assert est[-3] == 0 or est[-3] >= 0
+    zeroes = sum(1 for k, v in est.items() if k > 4 and v == 0)
+    assert zeroes >= 1
+
+
 def test_histogram_quantiles_within_bin_width_of_exact(spark, sf_dir):
     from blockchair_etl_spark.operators.approx import histogram_quantiles
 
