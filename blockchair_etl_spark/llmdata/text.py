@@ -345,7 +345,9 @@ def line_dedup(
     doc. No window over the whole corpus, no driver state.
 
     Output: (doc_id, clean_text, n_lines_kept, n_lines_removed); docs
-    whose every line was boilerplate keep a row with clean_text = ''.
+    whose every line was boilerplate — and docs with no tokens at all —
+    keep a row with clean_text = '' (left join back to the input ids,
+    so the output has exactly one row per input document).
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -386,13 +388,17 @@ def line_dedup(
         F.count(F.lit(1)).alias("n_lines_kept"),
     )
     totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    # anchor on the INPUT ids, not on `lines`: a zero-token document
+    # produces no lines and would otherwise vanish from the output
+    all_docs = docs.select(F.col(id_col).alias("doc_id"))
     return (
-        totals.join(kept_agg, "doc_id", "left")
+        all_docs.join(totals, "doc_id", "left")
+        .join(kept_agg, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
             F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("bigint").alias("n_lines_kept"),
-            (F.col("n_lines") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+            (F.coalesce(F.col("n_lines"), F.lit(0)) - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
             .cast("bigint")
             .alias("n_lines_removed"),
         )

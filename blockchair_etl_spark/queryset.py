@@ -4207,11 +4207,15 @@ kept_agg AS (
   FROM kept GROUP BY doc_id
 ),
 tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
-SELECT t.doc_id,
+-- anchor on the input ids: zero-token docs have no lines but still
+-- get an output row with clean_text = '' (matches line_dedup)
+SELECT d.doc_id,
        COALESCE(k.clean_text, '') AS clean_text,
        CAST(COALESCE(k.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
-       CAST(t.n_lines - COALESCE(k.n_lines_kept, 0) AS BIGINT) AS n_lines_removed
-FROM tot t LEFT JOIN kept_agg k USING (doc_id)
+       CAST(COALESCE(t.n_lines, 0) - COALESCE(k.n_lines_kept, 0) AS BIGINT) AS n_lines_removed
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN kept_agg k USING (doc_id)
 """,
 )
 def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -457,6 +457,16 @@ def test_line_dedup_removes_boilerplate_keeps_order(spark):
         spark.createDataFrame(rows5, "doc_id bigint, text string"),
         line_tokens=2, max_line_df=2).collect()}
     assert out5[5].clean_text == "" and out5[5].n_lines_kept == 0
+    # a ZERO-TOKEN doc (no lines at all) also keeps a row — one output
+    # row per input document, full stop
+    rows6 = rows + [(6, ""), (7, "   ")]
+    out6 = {r.doc_id: r for r in line_dedup(
+        spark.createDataFrame(rows6, "doc_id bigint, text string"),
+        line_tokens=2, max_line_df=2).collect()}
+    assert set(out6) == {1, 2, 3, 4, 6, 7}
+    for d in (6, 7):
+        assert out6[d].clean_text == ""
+        assert out6[d].n_lines_kept == 0 and out6[d].n_lines_removed == 0
 
 
 def test_rarity_scores_orders_boilerplate_above_rare(spark):
