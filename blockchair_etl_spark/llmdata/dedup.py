@@ -301,30 +301,45 @@ def embedding_dup_pairs(
     block_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    lsh_planes: int = 4,
+    lsh_planes: int | None = None,
     lsh_seed: int = 7,
     dim: int | None = None,
+    target_bucket_rows: int = 128,
+    min_planes: int = 2,
+    max_planes: int = 16,
+    seeds: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key.
 
     Default blocking (``block_col=None``) computes a hyperplane-LSH
     bucket (similarity.lsh_bucket_col) — the scale path: near-identical
     vectors agree on every hyperplane sign, so true dups co-bucket and
-    the join is O(Σ bucket²), never all-pairs. Recall caveat: a dup pair
-    straddling a hyperplane (|dot| ≈ 0) lands in different buckets;
-    raise recall by unioning over rotated plane seeds. Passing an
-    explicit ``block_col`` (a cluster/label column) keeps the same join
-    shape with caller-supplied blocking. Cosine uses exact-decimal
-    accumulation so pair scores are order- and engine-independent."""
-    from .similarity import cosine_expr, lsh_bucket_col
+    the join is O(Σ bucket²), never all-pairs.
+
+    The plane count is SCALE-ADAPTIVE by default (``lsh_planes=None``):
+    similarity.adaptive_n_planes picks the smallest p with
+    target_bucket_rows · 2^p >= n, so bucket occupancy — and with it the
+    within-bucket pair count per row — stays bounded as the corpus
+    grows; a fixed plane count is quadratic in corpus size at fixed
+    fan-out. Deriving n costs one count() job; pass ``lsh_planes``
+    explicitly to skip it on a hot path.
+
+    Recall caveat: a dup pair straddling a hyperplane (|dot| ≈ 0) lands
+    in different buckets. ``seeds`` is the recall lever: pass several
+    rotated plane seeds and the blocked join runs once per seed with the
+    pair set unioned (a pair is found if ANY seed co-buckets it —
+    recall 1-(1-r)^s for single-seed recall r), deduplicated before the
+    exact re-score so each surviving pair is scored once.
+
+    Passing an explicit ``block_col`` (a cluster/label column) keeps the
+    same join shape with caller-supplied blocking. Cosine uses
+    exact-decimal accumulation so pair scores are order- and
+    engine-independent."""
+    from .similarity import adaptive_n_planes, cosine_expr, lsh_bucket_col
 
     if dim is None:
         # a driver-side peek job; pass dim explicitly on a hot path
         dim = len(emb.select(vec_col).head()[0])
-    if block_col is None:
-        blk = lsh_bucket_col(F.col(vec_col), dim, n_planes=lsh_planes, seed=lsh_seed)
-    else:
-        blk = F.col(block_col)
 
     # Candidate pruning runs in primitive double math (codegen'd, ~10x
     # cheaper per pair than the boxed-decimal fold); the exact-decimal
@@ -345,24 +360,56 @@ def embedding_dup_pairs(
         )
 
     vec = F.col(vec_col)
-    a = emb.select(
-        F.col(id_col).alias("id_a"),
-        vec.alias("va"),
-        blk.alias("blk"),
-        F.sqrt(_fdot(vec, vec)).alias("norm_a"),  # once per ROW, not per pair
-    )
-    b = emb.select(
-        F.col(id_col).alias("id_b"),
-        vec.alias("vb"),
-        blk.alias("blk"),
-        F.sqrt(_fdot(vec, vec)).alias("norm_b"),
-    )
     fast_cosine = _fdot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
+
+    if block_col is not None:
+        blks = [F.col(block_col)]
+    else:
+        if lsh_planes is None:
+            n_rows = emb.count()  # one job; pass lsh_planes to skip
+            lsh_planes = adaptive_n_planes(
+                n_rows, target_bucket_rows, min_planes, max_planes
+            )
+        seed_list = tuple(seeds) if seeds else (lsh_seed,)
+        blks = [
+            lsh_bucket_col(F.col(vec_col), dim, n_planes=lsh_planes, seed=s)
+            for s in seed_list
+        ]
+
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    cand = None
+    for blk in blks:
+        # One bucketed relation feeds BOTH join sides: the repartition
+        # on blk makes the two sides byte-identical subplans up to the
+        # exchange, so Spark reuses it (ReusedExchange) and the
+        # expensive plane-fold bucket + norm are computed ONCE per row
+        # instead of once per side.
+        pre = emb.select(
+            F.col(id_col).alias("id"),
+            vec.alias("v"),
+            blk.alias("blk"),
+            F.sqrt(_fdot(vec, vec)).alias("norm"),  # once per ROW, not per pair
+        ).repartition(par, "blk")
+        a = pre.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"),
+            "blk", F.col("norm").alias("norm_a"),
+        )
+        b = pre.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            "blk", F.col("norm").alias("norm_b"),
+        )
+        c = (
+            a.join(b, "blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(fast_cosine >= threshold - 1e-9)
+            .select("id_a", "id_b", "va", "vb")
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    if len(blks) > 1:
+        # a pair co-bucketed under several seeds must be scored once
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(fast_cosine >= threshold - 1e-9)
-        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        cand.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -69,8 +69,34 @@ def cosine_topk(
 
 
 def _planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    # NOTE: standard_normal fills row-major from one stream, so the
+    # first k rows of an n-plane draw equal the k-plane draw for the
+    # same seed — adaptive plane counts stay prefix-consistent, which
+    # the masked adaptive SQL oracle relies on.
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
+
+
+def adaptive_n_planes(
+    n_rows: int,
+    target_bucket_rows: int = 128,
+    min_planes: int = 2,
+    max_planes: int = 16,
+) -> int:
+    """Plane count for hyperplane-LSH blocking, derived from corpus
+    size: the smallest p with target_bucket_rows · 2^p >= n_rows
+    (clamped to [min_planes, max_planes]).
+
+    This is the scale lever that keeps blocked pair-joins ~linear: a
+    FIXED plane count means per-bucket occupancy grows with the corpus
+    and within-bucket candidate pairs grow quadratically; doubling the
+    bucket count per data doubling holds expected bucket size — and so
+    per-bucket pair work — constant. Pure integer arithmetic so any
+    engine (or the SQL oracle) derives the identical count."""
+    p = min_planes
+    while p < max_planes and (target_bucket_rows << p) < n_rows:
+        p += 1
+    return p
 
 
 def lsh_bucket_col(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 7) -> Column:

@@ -1396,6 +1396,43 @@ def _sql_lsh_bucket(vec: str, dim: int, n_planes: int, seed: int = 7) -> str:
     return "(" + "\n       + ".join(terms) + ")"
 
 
+def _sql_lsh_nplanes_cte(
+    table: str = "embeddings",
+    target: int = 128,
+    min_planes: int = 2,
+    max_planes: int = 16,
+) -> str:
+    """CTE body computing similarity.adaptive_n_planes over ``table`` in
+    pure integer SQL: smallest p in [min,max] with target·2^p >= n."""
+    return (
+        f"SELECT COALESCE((SELECT MIN(p) FROM range({min_planes}, "
+        f"{max_planes + 1}) t(p) WHERE {target} * (CAST(1 AS BIGINT) << p) "
+        f">= (SELECT COUNT(*) FROM {table})), {max_planes}) AS n_planes"
+    )
+
+
+def _sql_lsh_bucket_adaptive(
+    vec: str, dim: int, seed: int = 7, max_planes: int = 16
+) -> str:
+    """Masked adaptive LSH bucket: plane terms for max_planes, each
+    gated on p < np.n_planes (the `np` CTE from _sql_lsh_nplanes_cte
+    must be in scope). Because _planes draws row-major from one seeded
+    stream, the first k of max_planes planes equal a k-plane draw — so
+    masking here computes exactly the bucket Spark computes with the
+    adaptively-chosen literal plane count."""
+    from .llmdata.similarity import _planes
+
+    planes = _planes(dim, max_planes, seed)
+    terms = []
+    for p in range(max_planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+        terms.append(
+            f"(CASE WHEN {p} < np.n_planes AND {_sql_dot_dec(vec, lit)} >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + "\n       + ".join(terms) + ")"
+
+
 @register(
     "ann_lsh_topk",
     survey="LLM-similarity",
@@ -1526,13 +1563,17 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {k}
     "dedup_embedding_lsh_blocked",
     survey="LLM-dedup,LLM-similarity",
     desc="embedding-cosine near-dup pairs blocked on a COMPUTED "
-    "hyperplane-LSH bucket (the scale default — no semantic label "
-    "column needed), exact-decimal cosine",
+    "hyperplane-LSH bucket whose plane count ADAPTS to corpus size "
+    "(smallest p with 128·2^p >= n — bucket occupancy, and so "
+    "within-bucket pair work, stays bounded as the corpus grows), "
+    "exact-decimal cosine; the oracle derives the identical plane "
+    "count in integer SQL and masks a max-plane bucket expression",
     oracle=f"""
-WITH b AS (
+WITH np AS ({_sql_lsh_nplanes_cte('embeddings')}),
+b AS (
   SELECT vec_id, embedding,
-         {_sql_lsh_bucket('embedding', dim=64, n_planes=4)} AS blk
-  FROM embeddings
+         {_sql_lsh_bucket_adaptive('embedding', dim=64)} AS blk
+  FROM embeddings, np
 ),
 scored AS (
   SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
@@ -1545,6 +1586,57 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
 def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return _dedup.embedding_dup_pairs(emb, threshold=0.3, dim=64)
+
+
+@register(
+    "dedup_embedding_multiprobe",
+    survey="LLM-dedup,LLM-similarity (rotated-seed LSH union — the recall lever)",
+    desc="embedding near-dup pairs as the UNION of hyperplane-LSH "
+    "blocked joins over 3 rotated plane seeds: a pair is found if ANY "
+    "seed co-buckets it (recall 1-(1-r)^3 for single-seed recall r), "
+    "deduplicated before one exact-decimal re-score per surviving "
+    "pair — the standard recall/cost dial for sign-LSH blocking",
+    oracle=f"""
+WITH b7 AS (
+  SELECT vec_id, embedding,
+         {_sql_lsh_bucket('embedding', dim=64, n_planes=4, seed=7)} AS blk
+  FROM embeddings
+),
+b19 AS (
+  SELECT vec_id, embedding,
+         {_sql_lsh_bucket('embedding', dim=64, n_planes=4, seed=19)} AS blk
+  FROM embeddings
+),
+b41 AS (
+  SELECT vec_id, embedding,
+         {_sql_lsh_bucket('embedding', dim=64, n_planes=4, seed=41)} AS blk
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b7 a JOIN b7 b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+  UNION
+  SELECT a.vec_id, b2.vec_id
+  FROM b19 a JOIN b19 b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+  UNION
+  SELECT a.vec_id, b2.vec_id
+  FROM b41 a JOIN b41 b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         {_sql_cosine('ea.embedding', 'eb.embedding')} AS cosine
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.id_a
+  JOIN embeddings eb ON eb.vec_id = p.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
+""",
+)
+def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _dedup.embedding_dup_pairs(
+        emb, threshold=0.3, dim=64, lsh_planes=4, seeds=(7, 19, 41)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,66 @@ def test_lsh_bucket_count(spark, emb):
     assert max(c["count"] for c in counts) < 4 * min(c["count"] for c in counts)
 
 
+def test_adaptive_n_planes_bounds_bucket_occupancy():
+    # smallest p with 128·2^p >= n, clamped; doubling data adds ~1 plane
+    assert sim.adaptive_n_planes(1) == 2
+    assert sim.adaptive_n_planes(512) == 2
+    assert sim.adaptive_n_planes(513) == 3
+    assert sim.adaptive_n_planes(2000) == 4
+    assert sim.adaptive_n_planes(20_000) == 8
+    assert sim.adaptive_n_planes(10**12) == 16  # max clamp
+    # expected bucket occupancy never exceeds the target by more than 2×
+    for n in (100, 1000, 10_000, 100_000, 1_000_000):
+        p = sim.adaptive_n_planes(n)
+        if p < 16:
+            assert n / (1 << p) <= 2 * 128
+
+
+def test_embedding_dup_recall_multiprobe(spark):
+    """Rotated-seed union recall vs the brute-force truth on a corpus
+    with PLANTED near-dups (cosine >= ~0.99 — the dedup regime; the
+    parquet fixture has no high-cosine pairs). Single-seed sign-LSH
+    misses pairs that straddle a hyperplane; 3 seeds must recover most
+    of them and never exceed 100% (no false pairs — exact re-score)."""
+    from blockchair_etl_spark.llmdata.dedup import embedding_dup_pairs
+    from blockchair_etl_spark.llmdata.similarity import brute_force_pairs_cosine
+
+    rng = np.random.default_rng(11)
+    dim, n_base = 16, 120
+    base = rng.standard_normal((n_base, dim))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # one near-dup per base vector: tiny perturbation → cosine ~0.999
+        rows.append((n_base + i, [float(x) for x in v + rng.standard_normal(dim) * 0.02]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    truth = {
+        (r.id_a, r.id_b)
+        for r in brute_force_pairs_cosine(emb, threshold=0.99).collect()
+    }
+    assert len(truth) >= n_base * 0.9, "fixture must contain planted dups"
+
+    one = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(
+            emb, threshold=0.99, dim=dim, lsh_planes=4
+        ).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(
+            emb, threshold=0.99, dim=dim, lsh_planes=4, seeds=(7, 19, 41)
+        ).collect()
+    }
+    # no false positives ever (exact re-score inside the same blocks)
+    assert one <= truth and multi <= truth
+    # the union is the recall lever: strictly no worse, and high in absolute
+    assert one <= multi
+    assert len(multi) / len(truth) >= 0.9
+    assert len(one) / len(truth) >= 0.5
+
+
 def test_minhash_catches_strong_near_dups(docs):
     exact = {
         (r.id_a, r.id_b)
