@@ -45,7 +45,29 @@ FAMILY = [
     "graph_pagerank",
     "centroid_by_bucket",
     "bloom_pruned_join_revenue",
+    # round-5 additions: the remaining quadratic-risk (pair-generating)
+    # operators, plus the multiprobe recall lever
+    "dedup_ngram_jaccard",
+    "fuzzy_name_pairs",
+    "corpus_prep_pipeline",
+    "dedup_embedding_multiprobe",
 ]
+
+# Pair-generating queries: any blocked self-join whose within-block pair
+# count is the scale hazard. These get the tight superlinear gate —
+# alpha just above 1 here means quadratic-in-waiting (the r4 bench let
+# dedup_embedding_lsh_blocked's alpha=1.08 / 12x wall-clock through a
+# 1.25 gate).
+PAIR_QUERIES = {
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_lsh_blocked",
+    "dedup_embedding_multiprobe",
+    "fuzzy_name_pairs",
+    "corpus_prep_pipeline",
+    "dedup_bow_cosine_zipf",
+}
 
 COPIES = 10
 
@@ -116,21 +138,76 @@ def synthesize(spark, src: str, dst: str) -> None:
         out = out.unionByName(p)
     out.coalesce(8).write.mode("overwrite").parquet(f"{dst}/events.parquet")
 
+    cust = spark.read.parquet(f"{src}/customer.parquet")
+    n_cust = cust.count()
+    other = [c for c in cust.columns if c not in ("c_custkey", "c_name")]
+    parts = [
+        cust.select(
+            (F.col("c_custkey") + F.lit(i * n_cust)).alias("c_custkey"),
+            # regenerate the name from the shifted key so the 7-char
+            # prefix blocking of fuzzy_name_pairs sees 10× the blocks
+            # (same per-block occupancy), not 10× occupancy per block
+            F.concat(
+                F.lit("Customer#"),
+                F.lpad((F.col("c_custkey") + F.lit(i * n_cust)).cast("string"), 9, "0"),
+            ).alias("c_name"),
+            *other,
+        )
+        for i in range(COPIES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.coalesce(8).write.mode("overwrite").parquet(f"{dst}/customer.parquet")
+
     for t in TESTDATA_TABLES:
         link = f"{dst}/{t}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{src}/{t}.parquet", link)
 
 
-def time_queries(spark, sf_dir: str, runs: int) -> dict[str, float]:
+def _custom_runners(spark, repo: str, scale: int):
+    """Family entries that aren't registry queries.
+
+    - dedup_bow_cosine_zipf: df-bounded BoW cosine over a Zipf-vocab
+      corpus (the driver corpus's 31-term vocab can't exercise the df
+      bound); scale multiplies n_docs, fixture generation is untimed.
+    - trace_funds_3hop: the dashboard's deep-trace envelope — 3 hops
+      over the event-derived edge graph; the timed cost is dominated by
+      the one up-front edge repartition, so alpha ≈ 1 is the pass.
+    """
+    from blockchair_etl_spark.llmdata.dedup import bow_cosine_pairs
+    from blockchair_etl_spark.queryset import _trace_edges
+    from blockchair_etl_spark.query.trace import trace_funds
+    from blockchair_etl_spark.testing import zipfian_corpus
+
+    zdir = os.path.join(repo, ".bench_tmp", f"zipf_docs_{scale}x")
+    if not os.path.exists(zdir):
+        zipfian_corpus(spark, n_docs=10_000 * scale, vocab=50_000).write.mode(
+            "overwrite"
+        ).parquet(zdir)
+    zdocs = spark.read.parquet(zdir)
+
+    def run_zipf(_spark, _sf_dir: str):
+        return bow_cosine_pairs(zdocs, threshold=0.8, max_df=20, min_shared_terms=2)
+
+    def run_trace3(spark_, sf_dir: str):
+        return trace_funds(_trace_edges(spark_, sf_dir), source=7, max_hops=3)
+
+    return {"dedup_bow_cosine_zipf": run_zipf, "trace_funds_3hop": run_trace3}
+
+
+def time_queries(spark, sf_dir: str, runs: int, repo: str, scale: int) -> dict[str, float]:
     from blockchair_etl_spark.queryset import QUERIES
 
+    runners = {name: QUERIES[name].fn for name in FAMILY}
+    runners.update(_custom_runners(spark, repo, scale))
     timings = {}
-    for name in FAMILY:
+    for name, fn in runners.items():
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
     return timings
@@ -153,12 +230,25 @@ def main() -> None:
     shutil.rmtree(dst, ignore_errors=True)
     synthesize(spark, src, dst)
 
-    t1 = time_queries(spark, src, runs)
-    t10 = time_queries(spark, dst, runs)
+    t1 = time_queries(spark, src, runs, repo, scale=1)
+    t10 = time_queries(spark, dst, runs, repo, scale=COPIES)
+    names = sorted(t1)
     alphas = {
         n: round(math.log(max(t10[n], 1e-3) / max(t1[n], 1e-3)) / math.log(COPIES), 2)
-        for n in FAMILY
+        for n in names
     }
+
+    def _superlinear(n: str) -> bool:
+        # alpha is wall-clock-derived on a box with fixed parallelism;
+        # sub-second base times are scheduling-noise-dominated, so gate
+        # only entries slow enough to measure. Pair-generating queries
+        # get the tight gate: alpha barely above 1 — or a wall-clock
+        # ratio already past 15× at 10× data — is quadratic-in-waiting.
+        if n in PAIR_QUERIES:
+            ratio = t10[n] / max(t1[n], 1e-3)
+            return t1[n] >= 0.2 and (alphas[n] > 1.05 or ratio > 15.0)
+        return t1[n] >= 0.5 and alphas[n] > 1.25
+
     result = {
         "metric": "family_scaling_exponent",
         "copies": COPIES,
@@ -166,13 +256,7 @@ def main() -> None:
         "t_base": t1,
         "t_10x": t10,
         "alpha": alphas,
-        # alpha is wall-clock-derived on a box with fixed parallelism;
-        # sub-second base times are scheduling-noise-dominated, so only
-        # flag entries that are both slow enough to measure and clearly
-        # super-linear.
-        "superlinear": sorted(
-            n for n in FAMILY if alphas[n] > 1.25 and t1[n] >= 0.5
-        ),
+        "superlinear": sorted(n for n in names if _superlinear(n)),
         "n": runs,
     }
     line = json.dumps(result)
@@ -180,6 +264,11 @@ def main() -> None:
     with open(os.path.join(repo, "BENCH_SCALING.json"), "w") as f:
         f.write(line + "\n")
     shutil.rmtree(dst, ignore_errors=True)
+    for scale in (1, COPIES):
+        shutil.rmtree(
+            os.path.join(repo, ".bench_tmp", f"zipf_docs_{scale}x"),
+            ignore_errors=True,
+        )
     spark.stop()
 
 

@@ -32,6 +32,7 @@ def connected_clusters(
     id_b: str = "id_b",
     max_iterations: int = 25,
     doubling_after: int = 2,
+    salt: int | None = None,
 ) -> DataFrame:
     """→ (doc, cluster_id) for every vertex in ≥1 pair; cluster_id is
     the minimum member id (deterministic canonical representative).
@@ -42,10 +43,20 @@ def connected_clusters(
     near-clique case hop-free while retaining the O(log diameter)
     worst-case round bound for deep components.
 
+    ``salt``: spread the per-round neighbor-min join over this many
+    salt buckets (operators/skew.salted_join) for POWER-LAW dup graphs
+    — a hub vertex with millions of neighbors otherwise pins every
+    edge row sharing its key to one shuffle partition each round. The
+    label side is replicated salt×, so reserve this for graphs where
+    the hub skew is measured (AQE's runtime skew split covers mild
+    cases); results are bit-identical to the unsalted form.
+
     Convergence is required: if min-label propagation has not reached a
     fixpoint within ``max_iterations`` (a component whose diameter
     exceeds the bound — e.g. a long chain of near-dup pairs), the labels
     would silently be wrong, so we raise instead of returning them."""
+    from ..operators.skew import salted_join
+
     fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
     edges = edges.distinct().persist()
@@ -55,10 +66,17 @@ def connected_clusters(
     )
     converged = False
     for it in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.v == labels.vertex)
-            .groupBy(F.col("u").alias("vertex"))
-            .agg(F.min("label").alias("nbr_label"))
+        if salt:
+            joined = salted_join(
+                edges,
+                labels.select(F.col("vertex").alias("v"), "label"),
+                on=["v"],
+                salt=salt,
+            )
+        else:
+            joined = edges.join(labels, edges.v == labels.vertex)
+        neighbor_min = joined.groupBy(F.col("u").alias("vertex")).agg(
+            F.min("label").alias("nbr_label")
         )
         cand = labels.join(neighbor_min, "vertex", "left").select(
             "vertex",

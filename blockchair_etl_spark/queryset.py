@@ -1595,22 +1595,25 @@ def dedup_embedding_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "blocked joins over 3 rotated plane seeds: a pair is found if ANY "
     "seed co-buckets it (recall 1-(1-r)^3 for single-seed recall r), "
     "deduplicated before one exact-decimal re-score per surviving "
-    "pair — the standard recall/cost dial for sign-LSH blocking",
+    "pair — the standard recall/cost dial for sign-LSH blocking; the "
+    "plane count stays SCALE-ADAPTIVE per seed, so the union buys "
+    "recall without reintroducing fixed fan-out",
     oracle=f"""
-WITH b7 AS (
+WITH np AS ({_sql_lsh_nplanes_cte('embeddings')}),
+b7 AS (
   SELECT vec_id, embedding,
-         {_sql_lsh_bucket('embedding', dim=64, n_planes=4, seed=7)} AS blk
-  FROM embeddings
+         {_sql_lsh_bucket_adaptive('embedding', dim=64, seed=7)} AS blk
+  FROM embeddings, np
 ),
 b19 AS (
   SELECT vec_id, embedding,
-         {_sql_lsh_bucket('embedding', dim=64, n_planes=4, seed=19)} AS blk
-  FROM embeddings
+         {_sql_lsh_bucket_adaptive('embedding', dim=64, seed=19)} AS blk
+  FROM embeddings, np
 ),
 b41 AS (
   SELECT vec_id, embedding,
-         {_sql_lsh_bucket('embedding', dim=64, n_planes=4, seed=41)} AS blk
-  FROM embeddings
+         {_sql_lsh_bucket_adaptive('embedding', dim=64, seed=41)} AS blk
+  FROM embeddings, np
 ),
 pairs AS (
   SELECT a.vec_id AS id_a, b2.vec_id AS id_b
@@ -1635,8 +1638,53 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
 def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return _dedup.embedding_dup_pairs(
-        emb, threshold=0.3, dim=64, lsh_planes=4, seeds=(7, 19, 41)
+        emb, threshold=0.3, dim=64, seeds=(7, 19, 41)
     )
+
+
+_MINHASH_MATCHES_SQL = " + ".join(f"(a.m{i} = b.m{i})::INT" for i in range(16))
+
+
+@register(
+    "dedup_incremental_minhash",
+    survey="LLM-dedup (incremental cross-day dedup against a persisted band store)",
+    desc="two-day arrival simulation of the production dedup story: "
+    "even doc_ids land on day 1 and their minhash band store is "
+    "persisted; day 2's odd-id batch is shingled/hashed alone and "
+    "joined against the store on (band_idx, band_key) — daily cost is "
+    "O(|batch|) hashing + one bucket join, never a corpus rescan. "
+    "Pairs are (new_id, stored_id, est_jaccard >= 0.5); the md5 hash "
+    "family makes today's signatures bit-comparable with yesterday's",
+    oracle=f"""
+WITH sig AS ({_sql_minhash_sig(16)}),
+bands AS (
+  SELECT doc, 0 AS band_idx, md5(concat_ws('|', m0, m1, m2, m3)) AS band_key FROM sig
+  UNION ALL
+  SELECT doc, 1, md5(concat_ws('|', m4, m5, m6, m7)) FROM sig
+  UNION ALL
+  SELECT doc, 2, md5(concat_ws('|', m8, m9, m10, m11)) FROM sig
+  UNION ALL
+  SELECT doc, 3, md5(concat_ws('|', m12, m13, m14, m15)) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc % 2 = 1 AND b.doc % 2 = 0
+)
+SELECT c.id_a, c.id_b,
+       ({_MINHASH_MATCHES_SQL}) / 16.0 AS est_jaccard
+FROM cand c JOIN sig a ON c.id_a = a.doc JOIN sig b ON c.id_b = b.doc
+WHERE ({_MINHASH_MATCHES_SQL}) / 16.0 >= 0.5
+""",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    day1 = docs.filter(F.col("doc_id") % 2 == 0)
+    day2 = docs.filter(F.col("doc_id") % 2 == 1)
+    store = _dedup.minhash_band_store(day1)
+    pairs, _updated = _dedup.incremental_minhash_dedup(day2, store)
+    return pairs
 
 
 # ---------------------------------------------------------------------------

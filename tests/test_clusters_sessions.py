@@ -65,6 +65,25 @@ def test_connected_clusters_adaptive_doubling_parity(spark):
         assert got == want
 
 
+def test_connected_clusters_salted_parity_on_hub_graph(spark):
+    # power-law shape: one hub vertex with many neighbors plus a chain;
+    # the salted neighbor-min join must produce bit-identical clusters
+    hub = [(0, i) for i in range(1, 400)]
+    chain = [(1000 + i, 1001 + i) for i in range(50)]
+    pairs = spark.createDataFrame(hub + chain, ["id_a", "id_b"])
+    plain = {
+        (r.doc, r.cluster_id) for r in connected_clusters(pairs).collect()
+    }
+    salted = {
+        (r.doc, r.cluster_id)
+        for r in connected_clusters(pairs, salt=8).collect()
+    }
+    assert plain == salted
+    # hub component collapses to min id 0; chain to 1000
+    labels = dict(salted)
+    assert labels[399] == 0 and labels[1050] == 1000
+
+
 def test_connected_clusters_cycle(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["id_a", "id_b"])
     got = {r.doc: r.cluster_id for r in connected_clusters(df).collect()}

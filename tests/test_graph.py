@@ -1,8 +1,15 @@
-"""PageRank fixed-point: structure, determinism, mass bounds."""
+"""PageRank fixed-point: structure, determinism, mass bounds; trace
+budget degradation."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from blockchair_etl_spark.query.graph import SCALE, pagerank_fixed_point
+from blockchair_etl_spark.query.trace import (
+    TraceBudgetExceeded,
+    trace_funds,
+    trace_funds_with_fallback,
+)
 
 
 def test_pagerank_star_center_wins(spark):
@@ -28,3 +35,40 @@ def test_pagerank_deterministic_and_bounded(spark):
     # total mass never exceeds n * SCALE (integer division only leaks)
     assert sum(a.values()) <= n * SCALE
     assert all(v >= SCALE * 15 // 100 for v in a.values())
+
+
+def _fanout_edges(spark, fan: int = 40):
+    """source 0 fans out to `fan` nodes; each of those fans out again —
+    hop-2 frontier is fan² rows, a deterministic budget blower."""
+    rows = [(0, i, f"t0_{i}", i) for i in range(1, fan + 1)]
+    for i in range(1, fan + 1):
+        rows += [
+            (i, fan * i + j, f"t{i}_{j}", fan * i + j) for j in range(1, fan + 1)
+        ]
+    return spark.createDataFrame(rows, ["src", "dst", "tx_hash", "tx_time"])
+
+
+def test_trace_budget_raises_at_documented_limit(spark):
+    edges = _fanout_edges(spark)
+    # hop-1 frontier is 40 rows; a 39-row budget must refuse hop 2
+    with pytest.raises(TraceBudgetExceeded, match="budget"):
+        trace_funds(edges, source=0, max_hops=2, max_frontier_rows=39)
+    # a budget >= the frontier lets the same trace through
+    out = trace_funds(edges, source=0, max_hops=2, max_frontier_rows=40)
+    assert out.filter(F.col("hop") == 2).count() == 40 * 40
+
+
+def test_trace_fallback_degrades_to_one_hop(spark):
+    """The reference dashboard's OOM contract: a too-deep trace re-runs
+    at depth 1 instead of failing (app.py:380-383 analog)."""
+    edges = _fanout_edges(spark)
+    df, hops = trace_funds_with_fallback(
+        edges, source=0, max_hops=2, max_frontier_rows=39
+    )
+    assert hops == 1
+    assert df.count() == 40 and df.agg(F.max("hop")).first()[0] == 1
+    # within budget → the requested depth is honored
+    df2, hops2 = trace_funds_with_fallback(
+        edges, source=0, max_hops=2, max_frontier_rows=1000
+    )
+    assert hops2 == 2 and df2.count() == 40 + 40 * 40
