@@ -1258,7 +1258,19 @@ GROUP BY user_id, session_id
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.select(
+    # lag materialized ONCE (inlining it into the CASE makes WindowExec
+    # evaluate the same lag twice); the running sum uses an explicit
+    # ROWS frame — the (ts, event_id) ordering is unique, so ROWS and
+    # the default RANGE frame agree, and ROWS skips per-row peer-group
+    # detection in WindowExec.
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("ts").over(w).alias("__prev_ts"),
+    )
+    flagged = lagged.select(
         "user_id",
         "event_id",
         "ts",
@@ -1266,10 +1278,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # µs-exact gap test (a seconds cast truncates and can disagree
         # with the oracle's exact interval compare at the boundary)
         F.when(
-            F.lag("ts").over(w).isNull()
+            F.col("__prev_ts").isNull()
             | (
                 F.unix_micros(F.col("ts").cast("timestamp"))
-                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                - F.unix_micros(F.col("__prev_ts").cast("timestamp"))
                 > 1_800_000_000
             ),
             1,
@@ -1277,7 +1289,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_session"),
     )
-    numbered = flagged.withColumn("session_id", F.sum("new_session").over(w).cast("bigint"))
+    w_rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w_rows).cast("bigint")
+    )
     return numbered.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
