@@ -376,35 +376,34 @@ def embedding_dup_pairs(
             for s in seed_list
         ]
 
+    # All seeds' bucket ids are computed in ONE scan and exploded to
+    # (seed_idx, blk) rows, so multi-seed probing joins ONCE on the
+    # composite key instead of running one blocked join per seed. The
+    # repartition on the join key makes the two sides byte-identical
+    # subplans up to the exchange, so Spark reuses it (ReusedExchange)
+    # and the expensive plane-fold buckets + norm are computed ONCE per
+    # row instead of once per side.
     par = emb.sparkSession.sparkContext.defaultParallelism
-    cand = None
-    for blk in blks:
-        # One bucketed relation feeds BOTH join sides: the repartition
-        # on blk makes the two sides byte-identical subplans up to the
-        # exchange, so Spark reuses it (ReusedExchange) and the
-        # expensive plane-fold bucket + norm are computed ONCE per row
-        # instead of once per side.
-        pre = emb.select(
-            F.col(id_col).alias("id"),
-            vec.alias("v"),
-            blk.alias("blk"),
-            F.sqrt(_fdot(vec, vec)).alias("norm"),  # once per ROW, not per pair
-        ).repartition(par, "blk")
-        a = pre.select(
-            F.col("id").alias("id_a"), F.col("v").alias("va"),
-            "blk", F.col("norm").alias("norm_a"),
-        )
-        b = pre.select(
-            F.col("id").alias("id_b"), F.col("v").alias("vb"),
-            "blk", F.col("norm").alias("norm_b"),
-        )
-        c = (
-            a.join(b, "blk")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .filter(fast_cosine >= threshold - 1e-9)
-            .select("id_a", "id_b", "va", "vb")
-        )
-        cand = c if cand is None else cand.unionByName(c)
+    pre = emb.select(
+        F.col(id_col).alias("id"),
+        vec.alias("v"),
+        F.posexplode(F.array(*blks)).alias("seed_idx", "blk"),
+        F.sqrt(_fdot(vec, vec)).alias("norm"),  # once per ROW, not per pair
+    ).repartition(par, "seed_idx", "blk")
+    a = pre.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        "seed_idx", "blk", F.col("norm").alias("norm_a"),
+    )
+    b = pre.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        "seed_idx", "blk", F.col("norm").alias("norm_b"),
+    )
+    cand = (
+        a.join(b, ["seed_idx", "blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(fast_cosine >= threshold - 1e-9)
+        .select("id_a", "id_b", "va", "vb")
+    )
     if len(blks) > 1:
         # a pair co-bucketed under several seeds must be scored once
         cand = cand.dropDuplicates(["id_a", "id_b"])
