@@ -74,6 +74,9 @@ HEADLINE = [
     "hopping_window_events",
     "corpus_prep_pipeline",
     "centroid_by_bucket",
+    # round-5 additions
+    "dedup_embedding_multiprobe",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -1702,6 +1702,52 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+@register(
+    "embedding_quantize_int8",
+    survey="LLM-similarity (vector-store prep: affine int8 quantization + error audit)",
+    desc="per-dimension affine int8 quantization of the embedding "
+    "column (corpus min/max per dim -> 0..255 codes) with a per-vector "
+    "reconstruction-error audit: sum(code) integrity checksum and max "
+    "|x̂-x| in 2^-20 fixed point — every step is a single IEEE op or an "
+    "exact integer, so codes and error are bit-identical across "
+    "engines; one 64-group range agg + broadcast-back + per-vector agg",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+rng AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM ex GROUP BY dim),
+codes AS (
+  SELECT e.vec_id,
+         CASE WHEN r.hi = r.lo THEN 0
+              ELSE GREATEST(0, LEAST(255,
+                   CAST(floor((e.x - r.lo) * 255.0 / (r.hi - r.lo) + 0.5)
+                        AS BIGINT))) END AS code,
+         e.x, r.lo, r.hi
+  FROM ex e JOIN rng r USING (dim)
+),
+errs AS (
+  SELECT vec_id, code,
+         CAST(floor(abs(lo + code * (hi - lo) / 255.0 - x) * 1048576.0)
+              AS BIGINT) AS err_q20
+  FROM codes
+)
+SELECT vec_id,
+       COUNT(*) AS n_dims,
+       CAST(SUM(code) AS BIGINT) AS sum_code,
+       MAX(err_q20) AS max_err_q20
+FROM errs GROUP BY vec_id
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.similarity import quantize_embeddings_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings_int8(emb)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: reproducible sampling/splits + sequence packing
 # ---------------------------------------------------------------------------

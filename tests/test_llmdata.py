@@ -124,6 +124,28 @@ def test_embedding_dup_recall_multiprobe(spark):
     assert len(one) / len(truth) >= 0.5
 
 
+def test_quantize_embeddings_int8_error_bound(spark):
+    from blockchair_etl_spark.llmdata.similarity import quantize_embeddings_int8
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.uniform(-1.0, 1.0, 8)]) for i in range(64)
+    ]
+    # pin the exact range endpoints so lo/hi are known
+    rows.append((900, [-1.0] * 8))
+    rows.append((901, [1.0] * 8))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings_int8(emb).collect()}
+    assert all(r.n_dims == 8 for r in out.values())
+    # endpoint vectors hit the exact code extremes with zero error
+    assert out[900].sum_code == 0 and out[900].max_err_q20 == 0
+    assert out[901].sum_code == 255 * 8 and out[901].max_err_q20 == 0
+    # reconstruction error never exceeds half a quantization step:
+    # step = (hi-lo)/255 = 2/255; half-step in q20 ≈ 4112
+    half_step_q20 = int((2.0 / 255 / 2) * (1 << 20)) + 1
+    assert all(r.max_err_q20 <= half_step_q20 for r in out.values())
+
+
 def test_minhash_catches_strong_near_dups(docs):
     exact = {
         (r.id_a, r.id_b)
