@@ -405,6 +405,60 @@ def line_dedup(
     )
 
 
+def bigram_fluency_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram-LM fluency proxy: the mean corpus conditional probability
+    p(w2|w1) = c(w1,w2)/c(w1,·) over a document's consecutive token
+    pairs. Fluent/boilerplate-heavy text (bigrams the corpus repeats)
+    scores high; token salad scores near 1/|V|. The complement of
+    rarity_scores (which ranks tokens, not transitions).
+
+    Cross-engine discipline: probabilities are quantized to 2^-20 by
+    PURE INTEGER arithmetic — (c12 · 2^20) div c1 — and accumulated as
+    exact BIGINTs; the only floating step is one final IEEE division,
+    so scores are bit-identical across engines and partitionings (no
+    log(), no float sums).
+
+    Scale shape: one posexplode (linear), one window lead per doc (one
+    shuffle on doc id), one bigram hash-agg + one prefix hash-agg, and
+    two equi-joins back on the bigram/prefix keys (hot boilerplate
+    bigrams are skewed keys — AQE skew split applies). No UDF, no
+    driver state.
+
+    Output: (doc_id, n_bigrams, sum_p_q20, mean_prob)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.expr("(c12 * 1048576) div c1").alias("p_q20"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("p_q20").alias("sum_p_q20"),
+        (
+            F.sum("p_q20").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1048576)).cast("double")
+        ).alias("mean_prob"),
+    )
+
+
 def rarity_scores(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1748,6 +1748,51 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings_int8(emb)
 
 
+@register(
+    "text_bigram_fluency",
+    survey="LLM-text (bigram-LM fluency scoring, integer-portable)",
+    desc="mean corpus conditional probability p(w2|w1) over each "
+    "document's consecutive token pairs — the LM-fluency quality "
+    "signal next to rarity (tokens) and repetition (self-similarity); "
+    "probabilities quantized 2^-20 by pure integer arithmetic "
+    "((c12·2^20) div c1) and summed as exact BIGINTs, one final IEEE "
+    "division — no log(), no float sums, bit-identical across engines. "
+    "Docs with < 2 tokens have no bigrams and are excluded",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(range(1, len({_SQL_TOKS}) + 1)) - 1 AS pos,
+         unnest({_SQL_TOKS}) AS w1
+  FROM documents
+),
+big AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, w1,
+           lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+  ) WHERE w2 IS NOT NULL
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+scored AS (
+  SELECT b.doc_id, (c.c12 * 1048576) // p.c1 AS p_q20
+  FROM big b JOIN c12 c USING (w1, w2) JOIN c1 p USING (w1)
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(p_q20) AS BIGINT) AS sum_p_q20,
+       CAST(SUM(p_q20) AS DOUBLE) / CAST(COUNT(*) * 1048576 AS DOUBLE)
+         AS mean_prob
+FROM scored GROUP BY doc_id
+""",
+)
+def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.text import bigram_fluency_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_fluency_scores(docs)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: reproducible sampling/splits + sequence packing
 # ---------------------------------------------------------------------------

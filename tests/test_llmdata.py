@@ -551,6 +551,30 @@ def test_line_dedup_removes_boilerplate_keeps_order(spark):
         assert out6[d].n_lines_kept == 0 and out6[d].n_lines_removed == 0
 
 
+def test_bigram_fluency_hand_computed(spark):
+    from blockchair_etl_spark.llmdata.text import bigram_fluency_scores
+
+    rows = [
+        (1, "a b a b"),   # bigrams: ab, ba, ab
+        (2, "a b c"),     # bigrams: ab, bc
+        (3, "x"),         # no bigrams → excluded
+        (4, ""),          # no tokens → excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in bigram_fluency_scores(docs).collect()}
+    assert set(out) == {1, 2}
+    # corpus: c(a,b)=3, c(b,a)=1, c(b,c)=1; prefixes c(a·)=3, c(b·)=2
+    # doc1: p(ab)=3/3=1 (q20=1048576), p(ba)=1/2 (524288), p(ab)=1
+    assert out[1].n_bigrams == 3
+    assert out[1].sum_p_q20 == 1048576 + 524288 + 1048576
+    assert abs(out[1].mean_prob - (1 + 0.5 + 1) / 3) < 1e-12
+    # doc2: p(ab)=1, p(bc)=1/2
+    assert out[2].n_bigrams == 2
+    assert out[2].sum_p_q20 == 1048576 + 524288
+    # fluent repetition ranks above novel transitions
+    assert out[1].mean_prob > out[2].mean_prob
+
+
 def test_rarity_scores_orders_boilerplate_above_rare(spark):
     from blockchair_etl_spark.llmdata.text import rarity_scores
 
