@@ -110,10 +110,16 @@ def test_exact_sum_matches_decimal_arithmetic(spark, values):
 
 
 def _py_pos(k: int, a: int, b: int, p: int, m: int) -> int:
+    # Python % is already non-negative for positive modulus — i.e. pmod
+    # semantics, matching the Spark-side F.pmod addressing
     return ((a * (k % p) + b) % p) % m
 
 
-@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50))
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=50
+    )
+)
 @settings(max_examples=30, deadline=None)
 def test_sketch_hash_python_duckdb_agree(keys):
     import duckdb
@@ -124,10 +130,13 @@ def test_sketch_hash_python_duckdb_agree(keys):
     for a, b in CMS_PARAMS:
         # CAST AS BIGINT mirrors the registry oracles: without it DuckDB
         # types small literals INT32 and the hash arithmetic overflows —
-        # exactly the portability trap the cast exists to close
+        # exactly the portability trap the cast exists to close. The
+        # ((k % p) + p) % p wrap is DuckDB's pmod spelling (its % keeps
+        # the dividend's sign); a*pmod+b >= 0, so outer mods need none.
         got = con.execute(
-            "SELECT ((%d * (CAST(k AS BIGINT) %% %d) + %d) %% %d) %% 256 "
-            "FROM (SELECT UNNEST(?) AS k)" % (a, CMS_PRIME, b, CMS_PRIME),
+            "SELECT ((%d * (((CAST(k AS BIGINT) %% %d) + %d) %% %d) + %d) %% %d) %% 256 "
+            "FROM (SELECT UNNEST(?) AS k)"
+            % (a, CMS_PRIME, CMS_PRIME, CMS_PRIME, b, CMS_PRIME),
             [keys],
         ).fetchall()
         want = [_py_pos(k, a, b, CMS_PRIME, 256) for k in keys]
@@ -142,7 +151,7 @@ def test_sketch_hash_spark_matches_python(spark):
     from blockchair_etl_spark.operators.approx import CMS_PARAMS, CMS_PRIME, _cms_col
 
     rng = random.Random(7)
-    keys = [rng.randrange(0, 2**62) for _ in range(1000)]
+    keys = [rng.randrange(-(2**62), 2**62) for _ in range(1000)]
     df = spark.createDataFrame([(k,) for k in keys], "k bigint")
     cols = [
         _cms_col(F.col("k"), a, b, 256).alias(f"c{i}")
