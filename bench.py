@@ -77,6 +77,8 @@ HEADLINE = [
     # round-5 additions
     "dedup_embedding_multiprobe",
     "dedup_incremental_minhash",
+    "embedding_quantize_int8",
+    "text_bigram_fluency",
 ]
 
 

@@ -82,12 +82,36 @@ def synthesize(spark, src: str, dst: str) -> None:
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
     n_docs = docs.count()
+
+    def copy_text(i: int):
+        if i == 0:
+            return F.col("text")
+        # Every 4th token becomes a copy-and-position-specific tag: a
+        # 3-token shingle survives in two copies only if it spans no
+        # tagged position (1/4 of shingles), so cross-copy Jaccard is
+        # ~0.25/1.75 ≈ 0.14 — below every dedup threshold in the
+        # family. A single SUFFIX tag (the old scheme) left shingle
+        # sets ~95% identical, so each base doc's 10 copies formed a
+        # 45-pair near-dup clique and "10× data" actually meant ~45×
+        # dup pairs — a fixture artifact that made every exact
+        # pair-materializing operator read as superlinear. With
+        # periodic tags the base corpus's REAL near-dups replicate
+        # 10×, which is the linear dup growth the fixture promises.
+        return F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda tok, j: F.when(
+                    j % 4 == 0,
+                    F.concat(F.lit(f"c{i}t"), j.cast("string")),
+                ).otherwise(tok),
+            ),
+            " ",
+        )
+
     parts = [
         docs.select(
             (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
-            # per-copy suffix token: copies are near-dups of the base,
-            # not exact dups, so dup-pair volume grows ~linearly
-            F.concat_ws(" ", F.col("text"), F.lit(f"copytag{i}")).alias("text"),
+            copy_text(i).alias("text"),
             "lang",
             "source",
             "n_chars",

@@ -258,6 +258,18 @@ def test_bucket_centroids_single_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_embedding_dup_pairs_one_bucket_exchange_no_cartesian(spark, sf_dir):
+    # the blocked self-join must never degenerate to a cross join, and
+    # both sides must come off ONE repartition-by-bucket exchange (the
+    # plane-fold bucket + norm are computed once per row, with the
+    # second side served by exchange reuse, not a recompute)
+    for name in ("dedup_embedding_lsh_blocked", "dedup_embedding_multiprobe"):
+        plan = plan_of(QUERIES[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan, name
+        n_root_exchanges = plan.count("+- Exchange hashpartitioning")
+        assert n_root_exchanges >= 1, f"{name}: bucket exchange missing"
+
+
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path, sf_dir):
     # 100 TB posture: a date-partitioned fact joined to a filtered dim
     # must prune fact partitions at RUNTIME from the dim's build side
