@@ -79,6 +79,7 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "embedding_quantize_int8",
     "text_bigram_fluency",
+    "ann_knn_join",
 ]
 
 

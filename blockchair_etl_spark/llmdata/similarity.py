@@ -197,6 +197,97 @@ def lsh_ann_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def knn_join_lsh(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int | None = None,
+    seed: int = 7,
+    target_bucket_rows: int = 128,
+) -> DataFrame:
+    """Approximate kNN JOIN: every vector's top-k cosine neighbors from
+    within its hyperplane-LSH bucket — the all-rows twin of
+    lsh_ann_topk (single query) and the primitive behind hard-negative
+    mining and cluster seeding.
+
+    Plane count adapts to corpus size (adaptive_n_planes) so per-bucket
+    candidate work stays bounded; ranking uses the exact-decimal cosine
+    (order- and engine-independent) with the neighbor id as tiebreak,
+    so the selected top-k SET is deterministic. A vector alone in its
+    bucket has no candidates and is absent from the output.
+
+    Scale shape: one repartition-by-bucket exchange feeding both join
+    sides (exchange reuse), within-bucket pairs only — O(Σ bucket²),
+    never all-pairs. Ranking is two-phase: every in-bucket pair gets a
+    primitive-double cosine (codegen'd, ~10× cheaper than the boxed
+    decimal fold) and only pairs within 1e-9 of the per-vector kth
+    double score are exact-decimal re-scored and re-ranked — double is
+    within ~1e-13 of exact for unit-ish vectors, so no true top-k
+    member can fall outside the margin and the OUTPUT is bit-identical
+    to ranking everything exactly. Output: (id_a, rank, id_b, cosine)."""
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(emb.select(vec_col).head()[0])
+    if n_planes is None:
+        n_planes = adaptive_n_planes(emb.count(), target_bucket_rows)
+    blk = lsh_bucket_col(F.col(vec_col), dim, n_planes=n_planes, seed=seed)
+
+    def _fdot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    vec = F.col(vec_col)
+    pre = emb.select(
+        F.col(id_col).alias("id"),
+        vec.alias("v"),
+        blk.alias("blk"),
+        F.sqrt(_fdot(vec, vec)).alias("norm"),  # once per ROW, not per pair
+    ).repartition(par, "blk")
+    a = pre.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        "blk", F.col("norm").alias("norm_a"),
+    )
+    b = pre.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        "blk", F.col("norm").alias("norm_b"),
+    )
+    fast = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a", "id_b", "va", "vb",
+            (_fdot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias("__fc"),
+        )
+    )
+    w_fast = Window.partitionBy("id_a").orderBy(F.desc("__fc"), F.asc("id_b"))
+    w_part = Window.partitionBy("id_a")
+    cand = (
+        fast.withColumn("__rn", F.row_number().over(w_fast))
+        .withColumn(
+            # the kth-best double score = MIN over the top-k rows
+            "__kth",
+            F.min(F.when(F.col("__rn") <= k, F.col("__fc"))).over(w_part.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )),
+        )
+        .filter(F.col("__fc") >= F.col("__kth") - F.lit(1e-9))
+    )
+    w_exact = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        cand.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .withColumn("rank", F.row_number().over(w_exact).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("id_a", "rank", "id_b", "cosine")
+    )
+
+
 def quantize_embeddings_int8(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -1793,6 +1793,43 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_fluency_scores(docs)
 
 
+@register(
+    "ann_knn_join",
+    survey="LLM-similarity (kNN JOIN: per-vector top-k neighbors, LSH-bucketed)",
+    desc="every vector's top-3 cosine neighbors from within its "
+    "adaptive-plane LSH bucket — the all-rows twin of ann_lsh_topk and "
+    "the hard-negative-mining / cluster-seeding primitive; exact-"
+    "decimal cosine ranking with id tiebreak makes the selected top-k "
+    "set deterministic; within-bucket pairs only, never all-pairs",
+    oracle=f"""
+WITH np AS ({_sql_lsh_nplanes_cte('embeddings')}),
+b AS (
+  SELECT vec_id, embedding,
+         {_sql_lsh_bucket_adaptive('embedding', dim=64)} AS blk
+  FROM embeddings, np
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         {_sql_cosine('a.embedding', 'b2.embedding')} AS cosine
+  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id <> b2.vec_id
+),
+ranked AS (
+  SELECT id_a, id_b, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY id_a
+                                 ORDER BY cosine DESC, id_b ASC) AS BIGINT)
+           AS rank
+  FROM scored
+)
+SELECT id_a, rank, id_b, cosine FROM ranked WHERE rank <= 3
+""",
+)
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.similarity import knn_join_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join_lsh(emb, k=3, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: reproducible sampling/splits + sequence packing
 # ---------------------------------------------------------------------------

@@ -124,6 +124,45 @@ def test_embedding_dup_recall_multiprobe(spark):
     assert len(one) / len(truth) >= 0.5
 
 
+def test_knn_join_is_exact_within_buckets(spark, emb):
+    """The kNN join's per-vector result must BE the exact cosine top-k
+    restricted to that vector's LSH bucket (same contract the
+    single-query ANN test asserts, across all rows at once)."""
+    from blockchair_etl_spark.llmdata.similarity import (
+        adaptive_n_planes,
+        knn_join_lsh,
+        lsh_bucket_col,
+    )
+
+    dim = len(emb.head()["embedding"])
+    n = emb.count()
+    p = adaptive_n_planes(n)
+    rows = emb.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket_col(F.col("embedding"), dim, n_planes=p).alias("blk"),
+    ).collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=float) for r in rows}
+    blks = {r.vec_id: r.blk for r in rows}
+
+    got = knn_join_lsh(emb, k=3, dim=dim).collect()
+    by_a = {}
+    for r in got:
+        by_a.setdefault(r.id_a, []).append(r)
+    for id_a, neigh in list(by_a.items())[:50]:
+        neigh.sort(key=lambda r: r.rank)
+        assert [r.rank for r in neigh] == list(range(1, len(neigh) + 1))
+        # exact top-k among co-bucketed candidates (cosine desc, id asc)
+        va = vecs[id_a]
+        cand = [
+            (float(np.dot(va, vecs[i]) / (np.linalg.norm(va) * np.linalg.norm(vecs[i]))), i)
+            for i in vecs
+            if i != id_a and blks[i] == blks[id_a]
+        ]
+        want = sorted(cand, key=lambda t: (-t[0], t[1]))[: len(neigh)]
+        assert [r.id_b for r in neigh] == [i for _, i in want]
+
+
 def test_quantize_embeddings_int8_error_bound(spark):
     from blockchair_etl_spark.llmdata.similarity import quantize_embeddings_int8
 
