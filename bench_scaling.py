@@ -51,6 +51,7 @@ FAMILY = [
     "fuzzy_name_pairs",
     "corpus_prep_pipeline",
     "dedup_embedding_multiprobe",
+    "ann_knn_join",
 ]
 
 # Pair-generating queries: any blocked self-join whose within-block pair
@@ -67,6 +68,7 @@ PAIR_QUERIES = {
     "fuzzy_name_pairs",
     "corpus_prep_pipeline",
     "dedup_bow_cosine_zipf",
+    "ann_knn_join",
 }
 
 COPIES = 10

@@ -116,3 +116,30 @@ def test_scd2_merge_on_empty_updates(spark):
     out = scd2_merge(dim, empty_upd, key="k", tracked=["v"], batch_ts="2024-06-01 00:00:00")
     rows = out.collect()
     assert len(rows) == 1 and rows[0].valid_to is None  # dim untouched
+
+def test_round5_ops_on_empty_inputs(spark, empty_docs):
+    from blockchair_etl_spark.llmdata.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_store,
+    )
+    from blockchair_etl_spark.llmdata.similarity import (
+        knn_join_lsh,
+        quantize_embeddings_int8,
+    )
+    from blockchair_etl_spark.llmdata.text import bigram_fluency_scores
+
+    empty_emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    # explicit planes/dim: adaptive peeks need >= 1 row by contract
+    assert knn_join_lsh(empty_emb, k=3, dim=8, n_planes=2).count() == 0
+    assert quantize_embeddings_int8(empty_emb).count() == 0
+    assert bigram_fluency_scores(empty_docs).count() == 0
+    # empty day-2 batch against a populated store → no pairs; empty
+    # store (None) → no pairs, store seeded from the batch
+    some = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id bigint, text string"
+    )
+    store = minhash_band_store(some)
+    pairs, updated = incremental_minhash_dedup(empty_docs.select("doc_id", "text"), store)
+    assert pairs.count() == 0 and updated.count() == 1
+    pairs2, seeded = incremental_minhash_dedup(some, None)
+    assert pairs2.count() == 0 and seeded.count() == 1
