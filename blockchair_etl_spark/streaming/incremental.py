@@ -247,6 +247,60 @@ def stream_dedup_events(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(id_cols)
 
 
+def stream_cms_maintain(
+    spark: SparkSession,
+    events_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    store_dir: str,
+    key_col: str = "user_id",
+    width: int = 256,
+) -> "StreamingQuery":
+    """Continuously maintained count-min sketch — the streaming form of
+    `operators/approx.cms_build` for always-on heavy-hitter tracking.
+
+    Each micro-batch is sketched with the same portable hash family and
+    CELL-WISE MERGED into the persisted sketch store (read → cms_merge →
+    atomic overwrite via a temp-dir rename), so the store after any
+    prefix of the stream equals `cms_build` over exactly the events seen
+    so far — the mergeability contract tested batch-vs-stream. State is
+    the fixed O(depth×width) cell relation regardless of stream length;
+    the per-batch cost is one map-side explode + two tiny hash-aggs.
+
+    foreachBatch (not a stateful agg) on purpose: the sketch must
+    outlive the query and be readable by any engine mid-stream, which a
+    parquet relation gives for free."""
+    import os
+    import shutil
+
+    from ..operators.approx import cms_build, cms_merge
+
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sketch = cms_build(
+            batch_df.select(F.col(key_col).cast("bigint").alias("k")), "k", width
+        )
+        if os.path.exists(store_dir):
+            prior = batch_df.sparkSession.read.parquet(store_dir)
+            merged = cms_merge(prior, batch_sketch)
+        else:
+            merged = batch_sketch
+        tmp = store_dir + f".tmp{batch_id}"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # atomic swap so a crash mid-write never leaves a torn store
+        if os.path.exists(store_dir):
+            shutil.rmtree(store_dir)
+        os.rename(tmp, store_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_enrich_with_dim(
     stream: DataFrame,
     dim: DataFrame,

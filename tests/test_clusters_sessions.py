@@ -317,3 +317,38 @@ def test_stream_static_enrichment_no_state(spark, tmp_path):
     assert sorted((r.event_id, r.dim_name) for r in got.collect()) == sorted(
         (r.event_id, r.dim_name) for r in twin.collect()
     )
+
+
+def test_stream_cms_maintain_equals_batch_sketch(spark, tmp_path):
+    """The continuously-maintained sketch store after draining the
+    stream must CELL-FOR-CELL equal cms_build over all events — the
+    mergeability contract, batch vs stream."""
+    from blockchair_etl_spark.operators.approx import cms_build
+    from blockchair_etl_spark.streaming.incremental import stream_cms_maintain
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    events_dir = str(tmp_path / "ev_cms")
+    # two files → at least one micro-batch each under availableNow
+    ev.select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    ).repartition(2).write.parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+    store = str(tmp_path / "cms_store")
+
+    q = stream_cms_maintain(
+        spark, events_dir, schema,
+        checkpoint_dir=str(tmp_path / "ckpt_cms"), store_dir=store,
+        key_col="user_id", width=64,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.row_id, r.col_id): r.cnt for r in spark.read.parquet(store).collect()
+    }
+    want = {
+        (r.row_id, r.col_id): r.cnt
+        for r in cms_build(
+            ev.select(F.col("user_id").cast("bigint").alias("k")), "k", 64
+        ).collect()
+    }
+    assert got == want
