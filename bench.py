@@ -80,6 +80,8 @@ HEADLINE = [
     "embedding_quantize_int8",
     "text_bigram_fluency",
     "ann_knn_join",
+    "pack_split_straddlers",
+    "corpus_shuffle_shards",
 ]
 
 

@@ -56,3 +56,60 @@ def assign_packs(
         F.expr(f"__cum DIV {budget}").cast("bigint").alias("pack_id"),
         F.pmod(F.col("__cum"), F.lit(budget)).cast("bigint").alias("pack_offset"),
     )
+
+
+def split_straddlers(
+    packed: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-level chunk assignment for bin-crossing documents — the
+    step assign_packs defers "downstream to tensorization", made
+    explicit: each (doc, covered-bin) pair becomes one chunk row with
+    the doc-relative token slice and its offset inside the bin.
+
+    A document occupying global token span [cum, cum+n) within its
+    shard covers bins first=cum div B .. last=(cum+n-1) div B; for bin
+    b the chunk is the overlap of the span with [b·B, (b+1)·B). Pure
+    integer arithmetic end to end. The explode emits exactly
+    (1 + bins_crossed) rows per doc — linear, no window beyond the one
+    assign_packs already ran.
+
+    Invariants (tested): per-doc slice lengths sum to n_tokens; chunks
+    tile each bin without overlap; every slice_len <= budget.
+
+    Output: (doc_id, shard, pack_id, slice_start, slice_len,
+    bin_offset)."""
+    b = F.lit(budget).cast("bigint")
+    cum = (F.col("pack_id") * b + F.col("pack_offset")).cast("bigint")
+    rows = (
+        packed.filter(F.col("n_tokens") > 0)
+        .select(
+            id_col,
+            "shard",
+            F.col("pack_id").cast("bigint").alias("__first"),
+            cum.alias("__cum"),
+            F.col("n_tokens").alias("__n"),
+        )
+        # integer div, not float division + cast: exact for any bigint
+        .withColumn("__last", F.expr(f"(__cum + __n - 1) div {budget}"))
+        .select(
+            id_col,
+            "shard",
+            "__cum",
+            "__n",
+            F.explode(F.sequence(F.col("__first"), F.col("__last"))).alias(
+                "pack_id"
+            ),
+        )
+    )
+    start_g = F.greatest(F.col("__cum"), F.col("pack_id") * b)
+    end_g = F.least(F.col("__cum") + F.col("__n"), (F.col("pack_id") + 1) * b)
+    return rows.select(
+        id_col,
+        "shard",
+        "pack_id",
+        (start_g - F.col("__cum")).cast("bigint").alias("slice_start"),
+        (end_g - start_g).cast("bigint").alias("slice_len"),
+        (start_g - F.col("pack_id") * b).cast("bigint").alias("bin_offset"),
+    )

@@ -149,3 +149,36 @@ def importance_sample(
         / F.lit(float(1 << 52))
     )
     return df.filter(frac < w.cast("double") / F.lit(float(max_weight)))
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    salt: str = "ep0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus shuffle into training shards — the
+    epoch-order primitive: every row gets a (shard, pos) from the md5
+    of its id and a salt, so the training order is reproducible across
+    runs, engines, and retries, and re-salting ("ep1") yields an
+    independent order for the next epoch. rand() can do neither.
+
+    shard comes from the first two hex nibbles (md5 is uniform, so
+    shards are balanced to ~ n/256 variance); pos is the rank of the
+    hash within the shard — a per-shard window, never a global sort.
+    Output: (id, shard, pos)."""
+    from pyspark.sql import Window
+
+    hexd = "0123456789abcdef"
+    h = hash_key_col(id_col, salt)
+    # nibble value via position-in-alphabet: portable to any SQL engine
+    n1 = F.expr(f"instr('{hexd}', substring(md5(concat(cast({id_col} as string), '{salt}')), 1, 1))") - 1
+    n2 = F.expr(f"instr('{hexd}', substring(md5(concat(cast({id_col} as string), '{salt}')), 2, 1))") - 1
+    shard = F.pmod(n1 * 16 + n2, F.lit(n_shards)).cast("bigint")
+    out = df.select(F.col(id_col), h.alias("__h"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return out.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

@@ -1830,6 +1830,87 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_lsh(emb, k=3, dim=64)
 
 
+@register(
+    "pack_split_straddlers",
+    survey="LLM-packing (token-level chunking of bin-crossing documents)",
+    desc="completes the packing story: every document's token span is "
+    "cut at its pack's 2048-token bin boundaries, emitting one chunk "
+    "row per (doc, covered bin) with the doc-relative slice and the "
+    "offset inside the bin — the exact relation a tensorizing data "
+    "loader consumes; pure integer arithmetic, one explode over the "
+    "bins each doc covers",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum
+  FROM t
+),
+bins AS (
+  SELECT doc_id, shard, cum, n_tokens,
+         unnest(range(cum // 2048, (cum + n_tokens - 1) // 2048 + 1))
+           AS pack_id
+  FROM c WHERE n_tokens > 0
+)
+SELECT doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(GREATEST(cum, pack_id * 2048) - cum AS BIGINT) AS slice_start,
+       CAST(LEAST(cum + n_tokens, (pack_id + 1) * 2048)
+            - GREATEST(cum, pack_id * 2048) AS BIGINT) AS slice_len,
+       CAST(GREATEST(cum, pack_id * 2048) - pack_id * 2048 AS BIGINT)
+         AS bin_offset
+FROM bins
+""",
+)
+def pack_split_straddlers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.packing import assign_packs, split_straddlers
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_straddlers(assign_packs(docs, budget=2048, n_shards=8), budget=2048)
+
+
+@register(
+    "corpus_shuffle_shards",
+    survey="LLM-sampling (deterministic epoch shuffle into training shards)",
+    desc="reproducible corpus shuffle: shard from the first two md5 "
+    "nibbles of (id || salt), position = per-shard hash rank — the "
+    "training-order primitive (re-salt for the next epoch's "
+    "independent order), identical across runs/engines/retries where "
+    "rand() is neither; per-shard windows only, never a global sort",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         md5(concat(CAST(doc_id AS VARCHAR), 'ep0')) AS hh
+  FROM documents
+),
+s AS (
+  SELECT doc_id, hh,
+         CAST(((instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substr(hh, 2, 1)) - 1)) % 8
+           AS BIGINT) AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+            AS BIGINT) AS pos
+FROM s
+""",
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.sampling import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs, n_shards=8, salt="ep0")
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: reproducible sampling/splits + sequence packing
 # ---------------------------------------------------------------------------

@@ -590,6 +590,59 @@ def test_line_dedup_removes_boilerplate_keeps_order(spark):
         assert out6[d].n_lines_kept == 0 and out6[d].n_lines_removed == 0
 
 
+def test_shuffle_shards_deterministic_and_epoch_independent(spark, docs):
+    from blockchair_etl_spark.llmdata.sampling import shuffle_shards
+
+    a = {(r.doc_id): (r.shard, r.pos) for r in shuffle_shards(docs, salt="ep0").collect()}
+    b = {(r.doc_id): (r.shard, r.pos) for r in shuffle_shards(docs, salt="ep0").collect()}
+    assert a == b  # bit-reproducible across runs
+    c = {(r.doc_id): (r.shard, r.pos) for r in shuffle_shards(docs, salt="ep1").collect()}
+    assert set(a) == set(c)  # same rows...
+    moved = sum(1 for k in a if a[k] != c[k])
+    assert moved > len(a) * 0.9  # ...nearly all in new positions
+    # positions are contiguous 1..n within each shard
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for shard, pos in a.values():
+        by_shard[shard].append(pos)
+    assert set(by_shard) == set(range(8))
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_split_straddlers_tiles_bins_exactly(spark, docs):
+    from blockchair_etl_spark.llmdata.packing import assign_packs, split_straddlers
+
+    budget = 256  # small budget so many docs straddle
+    packed = assign_packs(docs, budget=budget, n_shards=4)
+    chunks = split_straddlers(packed, budget=budget).cache()
+    # per-doc slices reassemble the document: lengths sum to n_tokens
+    # and starts are contiguous from 0
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("slice_len").alias("tot"),
+        F.min("slice_start").alias("mn"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    joined = per_doc.join(packed, "doc_id")
+    assert joined.filter(F.col("tot") != F.col("n_tokens")).count() == 0
+    assert joined.filter((F.col("n_tokens") > 0) & (F.col("mn") != 0)).count() == 0
+    # chunks tile each bin: within (shard, pack_id), offsets+lens never
+    # overlap and never exceed the budget
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard", "pack_id").orderBy("bin_offset")
+    lagged = chunks.withColumn(
+        "prev_end", F.lag(F.col("bin_offset") + F.col("slice_len")).over(w)
+    )
+    assert lagged.filter(F.col("prev_end") > F.col("bin_offset")).count() == 0
+    assert chunks.filter(F.col("bin_offset") + F.col("slice_len") > budget).count() == 0
+    assert chunks.filter(F.col("slice_len") <= 0).count() == 0
+    # straddlers exist in the fixture (docs longer than the gap to the
+    # next boundary), so the op is actually exercised
+    assert chunks.groupBy("doc_id").count().filter(F.col("count") > 1).count() > 0
+
+
 def test_bigram_fluency_hand_computed(spark):
     from blockchair_etl_spark.llmdata.text import bigram_fluency_scores
 
