@@ -175,14 +175,20 @@ def lsh_ann_topk(
     emb: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_rows: int = 128,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH bucket.
     With p planes the candidate set is ~n/2^p; recall is tested against
-    the brute-force baseline."""
+    the brute-force baseline. Pass ``n_planes=None`` to derive p from
+    the corpus size (adaptive_n_planes) so the per-query candidate set
+    stays ~target_bucket_rows as the corpus grows instead of n/2^p
+    with fixed fan-out."""
+    if n_planes is None:
+        n_planes = adaptive_n_planes(emb.count(), target_bucket_rows)
     dim = len(query_vec)
     qbucket = 0
     planes = _planes(dim, n_planes, seed)

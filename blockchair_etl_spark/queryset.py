@@ -1451,16 +1451,19 @@ def _sql_lsh_bucket_adaptive(
 @register(
     "ann_lsh_topk",
     survey="LLM-similarity",
-    desc="hyperplane-LSH bucketed ANN top-10 (candidates ~n/2^planes; "
-    "bucket function + within-bucket ranking oracle-checked; recall vs "
-    "brute force additionally verified in pytest)",
+    desc="hyperplane-LSH bucketed ANN top-10 with a SCALE-ADAPTIVE "
+    "plane count (the per-query candidate set stays ~128 rows as the "
+    "corpus grows, instead of n/2^p at fixed fan-out); bucket function "
+    "+ within-bucket ranking oracle-checked; recall vs brute force "
+    "additionally verified in pytest",
     oracle=f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+WITH np AS ({_sql_lsh_nplanes_cte('embeddings')}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 cand AS (
   SELECT e.vec_id, e.embedding
-  FROM embeddings e, q
-  WHERE {_sql_lsh_bucket('e.embedding', dim=64, n_planes=4)}
-      = {_sql_lsh_bucket('q.qv', dim=64, n_planes=4)}
+  FROM embeddings e, q, np
+  WHERE {_sql_lsh_bucket_adaptive('e.embedding', dim=64)}
+      = {_sql_lsh_bucket_adaptive('q.qv', dim=64)}
 ),
 scored AS (
   SELECT c.vec_id,
@@ -1475,7 +1478,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    return lsh_ann_topk(emb, qv, k=10, n_planes=4)
+    return lsh_ann_topk(emb, qv, k=10, n_planes=None)
 
 
 @register(
