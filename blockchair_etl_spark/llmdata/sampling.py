@@ -182,3 +182,78 @@ def shuffle_shards(
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    total_target: int | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-balanced domain mixture (tau = 0.5), the data-mixing
+    primitive behind multilingual/multi-source corpus rebalancing:
+    domain d gets a row budget proportional to sqrt(n_d), which
+    upsamples tail domains and downsamples dominant ones (the standard
+    temperature-sampling mixture with T=2 applied to corpus counts).
+
+    Every step is integer/deterministic so the SAME physical copies
+    come out of any engine, run, or retry:
+
+    - weight  s_d = floor(sqrt(n_d) * 2^20)  (sqrt of an integer is
+      correctly rounded IEEE, and the 2^20 scale keeps 6 hex digits of
+      sub-integer precision through the floor);
+    - budget  target_d = total_target * s_d div sum(s_d)  (BIGINT);
+    - each row's copy count is target_d div n_d, plus one for the
+      target_d mod n_d rows ranked first by md5(id || salt) inside the
+      domain — a deterministic 'which rows get the remainder' rule;
+    - copies materialize as explode(sequence(1, n_copies)), so a
+      domain downsampled below 1x simply drops its unranked rows.
+
+    Scale: one tiny domain-count aggregate broadcast back, one
+    per-domain window for the remainder rank, one explode. No driver
+    loop; the explode fan-out equals the output row count by
+    construction. Default total_target = current corpus size (pure
+    rebalancing at constant scale).
+
+    Output: (id, domain, copy_id) with copy_id in 1..n_copies.
+    """
+    from pyspark.sql import Window
+
+    dom = F.col(domain_col)
+    if total_target is None:
+        total_target = df.count()  # one job; pass explicitly to skip
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_d"))
+    weights = counts.withColumn(
+        "s_d", F.floor(F.sqrt(F.col("n_d")) * F.lit(float(1 << 20))).cast("bigint")
+    )
+    # sum(s_d) over the (tiny) domain relation: window-total avoids a
+    # second aggregate job and keeps everything one plan
+    # BIGINT-exact budget: bigint*bigint stays bigint and `div` is
+    # integer division — a double product would lose ulps past 2^53
+    weights = weights.withColumn(
+        "s_tot", F.sum("s_d").over(Window.partitionBy(F.lit(1)))
+    ).withColumn(
+        "target_d",
+        F.expr(f"CAST({int(total_target)} AS BIGINT) * s_d div s_tot"),
+    )
+
+    w = Window.partitionBy(domain_col).orderBy(hash_key_col(id_col, salt), F.col(id_col))
+    ranked = df.select(F.col(id_col), dom.alias(domain_col)).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    sized = ranked.join(F.broadcast(weights), domain_col).withColumn(
+        "n_copies",
+        F.expr("target_d div n_d")
+        + F.when(F.col("rk") <= F.col("target_d") % F.col("n_d"), 1).otherwise(0),
+    )
+    # sequence(1, 0) in Spark DESCENDS to [1, 0]; guard with an empty
+    # array so zero-copy rows drop out of the inner explode
+    seq = F.when(
+        F.col("n_copies") >= 1, F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return sized.select(
+        id_col,
+        domain_col,
+        F.explode(seq).alias("copy_id"),
+    )

@@ -498,3 +498,42 @@ def rarity_scores(
             ),
         )
     )
+
+
+# Accent-fold map shared by normalize_text and its SQL oracle: the two
+# strings MUST stay index-aligned (translate maps position-for-position).
+ACCENT_SRC = "áàâäãåéèêëíìîïóòôöõøúùûüçñýÿœæ"
+ACCENT_DST = "aaaaaaeeeeiiiioooooouuuucnyyoa"
+assert len(ACCENT_SRC) == len(ACCENT_DST), "accent fold map misaligned"
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical text normalization — the first stage of every corpus
+    pipeline, so downstream exact-dedup keys and shingles agree across
+    crawls that differ only in case/diacritics/whitespace:
+
+    1. strip C0/C1 control characters (replaced with a space so words
+       split by a control char don't fuse);
+    2. lowercase;
+    3. accent-fold via an explicit position-aligned `translate` map
+       (deterministic and engine-portable, unlike locale-dependent
+       ICU/NFKD normalizers whose tables drift between versions);
+    4. collapse whitespace runs to single spaces and trim.
+
+    Pure Column pipeline — scan-side map, no shuffle, no UDF; at 100 TB
+    the scan partitioning is the parallelism. Emits the normalized text
+    plus changed flag and char delta for pipeline monitoring.
+    """
+    text = F.col(text_col)
+    step = F.regexp_replace(text, "[\\x00-\\x1f\\x7f-\\x9f]", " ")
+    step = F.lower(step)
+    step = F.translate(step, ACCENT_SRC, ACCENT_DST)
+    step = F.trim(F.regexp_replace(step, "\\s+", " "))
+    return df.select(
+        F.col(id_col),
+        step.alias("norm_text"),
+        (step != text).cast("boolean").alias("changed"),
+        (F.length(text) - F.length(step)).cast("bigint").alias("chars_removed"),
+    )

@@ -5072,6 +5072,94 @@ def pointintime_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mixture_domain_resample",
+    survey="LLM-sampling (temperature mixture)",
+    desc="temperature-balanced domain mixture (tau=0.5): each source's "
+    "row budget is proportional to sqrt(n_d) — tail sources upsample, "
+    "dominant ones downsample — with BIGINT-exact budgets and a "
+    "deterministic md5-ranked remainder rule, materialized by one "
+    "explode(sequence(1, n_copies)); the standard multilingual/"
+    "multi-source rebalancing step before training-corpus assembly",
+    oracle="""
+WITH n AS (SELECT source, COUNT(*) AS n_d FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_d,
+         CAST(FLOOR(SQRT(n_d) * 1048576.0) AS BIGINT) AS s_d
+  FROM n
+),
+t AS (
+  SELECT source, n_d, s_d,
+         (SELECT SUM(s_d) FROM w) AS s_tot,
+         (SELECT SUM(n_d) FROM n) AS total
+  FROM w
+),
+tgt AS (
+  -- DuckDB promotes BIGINT*BIGINT to HUGEINT; cast back so the copy
+  -- arithmetic (and generate_series) stays BIGINT like the Spark plan
+  SELECT source, n_d, CAST((total * s_d) // s_tot AS BIGINT) AS target_d FROM t
+),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR) || 'mix'), d.doc_id
+         ) AS rk
+  FROM documents d
+),
+sized AS (
+  SELECT r.doc_id, r.source,
+         (g.target_d // g.n_d)
+         + CASE WHEN r.rk <= (g.target_d % g.n_d) THEN 1 ELSE 0 END AS n_copies
+  FROM ranked r JOIN tgt g USING (source)
+)
+SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS copy_id
+FROM sized
+""",
+)
+def mixture_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.sampling import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_resample(docs, domain_col="source", id_col="doc_id")
+
+
+def _text_normalize_oracle() -> str:
+    from .llmdata.text import ACCENT_DST, ACCENT_SRC
+
+    norm = (
+        "trim(regexp_replace(translate(lower(regexp_replace("
+        "text, '[\\x00-\\x1f\\x7f-\\x9f]', ' ', 'g')), "
+        f"'{ACCENT_SRC}', '{ACCENT_DST}'), "
+        "'\\s+', ' ', 'g'))"
+    )
+    return f"""
+SELECT doc_id,
+       {norm} AS norm_text,
+       ({norm} <> text) AS changed,
+       CAST(length(text) - length({norm}) AS BIGINT) AS chars_removed
+FROM documents
+"""
+
+
+@register(
+    "text_normalize",
+    survey="LLM-text (canonical normalization)",
+    desc="canonical text normalization (control-char strip, lowercase, "
+    "position-aligned accent-fold translate map, whitespace collapse) "
+    "— the stage-zero map every corpus pipeline runs so downstream "
+    "dedup keys and shingles agree across crawls; pure scan-side "
+    "Column pipeline, the explicit translate map is engine-portable "
+    "where locale-dependent ICU/NFKD normalizers are not",
+    oracle=_text_normalize_oracle(),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return normalize_text(docs)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the verification driver hash-checks the FIRST 50
 # entries of the registry per round. Entries never yet driver-verified are

@@ -681,3 +681,67 @@ def test_rarity_scores_orders_boilerplate_above_rare(spark):
     assert got[2].mean_token_df == 2.0
     assert abs(got[3].mean_token_df - 5 / 3) < 1e-12
     assert got[1].n_tokens == 3 and got[2].n_tokens == 2
+
+
+def test_temperature_resample_budgets_and_determinism(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.llmdata.sampling import temperature_resample
+
+    # skewed fixture: dominant domain 900 rows, mid 90, tail 10
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(900 + i, "mid") for i in range(90)]
+        + [(990 + i, "tail") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = temperature_resample(df, "source", "doc_id").cache()
+
+    per = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n = {"big": 900, "mid": 90, "tail": 10}
+    s = {d: math.floor(math.sqrt(c) * (1 << 20)) for d, c in n.items()}
+    s_tot = sum(s.values())
+    # per-domain output EXACTLY matches the integer sqrt-weight budget
+    for d in n:
+        assert per[d] == (1000 * s[d]) // s_tot
+    # tau=0.5 behavior: dominant downsampled, tail upsampled
+    assert per["big"] < 900 and per["tail"] > 10
+    # total conserved up to one-row-per-domain rounding
+    assert 1000 - len(n) <= sum(per.values()) <= 1000
+    # copies are dense 1..k per doc and bit-reproducible across runs
+    copies = out.groupBy("doc_id").agg(
+        F.count("*").alias("k"), F.max("copy_id").alias("mx"), F.min("copy_id").alias("mn")
+    )
+    assert copies.filter((F.col("mx") != F.col("k")) | (F.col("mn") != 1)).count() == 0
+    again = {(r.doc_id, r.copy_id) for r in temperature_resample(df, "source", "doc_id").collect()}
+    assert again == {(r.doc_id, r.copy_id) for r in out.collect()}
+
+
+def test_normalize_text_messy_unicode(spark):
+    from blockchair_etl_spark.llmdata.text import normalize_text
+
+    rows = [
+        (1, "Café  \tRÉSUMÉ\nÜber\x07straße"),
+        (2, "already clean"),
+        (3, "  \t\n  "),  # whitespace-only -> empty
+        (4, "naïve œuvre æon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in normalize_text(df).collect()}
+    # control char becomes a word break, accents fold, case lowers,
+    # whitespace runs collapse (note U+00DF sharp-s has no 1:1 ASCII
+    # fold and survives — the map is explicit, not locale magic)
+    assert out[1].norm_text == "cafe resume uber straße"
+    assert out[1].changed and out[1].chars_removed > 0
+    assert out[2].norm_text == "already clean" and not out[2].changed
+    assert out[3].norm_text == "" and out[3].chars_removed == 6
+    assert out[4].norm_text == "naive ouvre aon"
+    # idempotence: normalizing normalized text is a no-op
+    again = normalize_text(
+        spark.createDataFrame(
+            [(k, v.norm_text) for k, v in out.items()], "doc_id bigint, text string"
+        )
+    )
+    assert again.filter("changed").count() == 0
