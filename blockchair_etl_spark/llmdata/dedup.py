@@ -700,3 +700,48 @@ def contamination_scores(
             ).alias("contamination"),
         )
     )
+
+
+def semantic_dedup_survivors(
+    emb: DataFrame,
+    centroids,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    cluster the embedding space with a k-means codebook, then inside
+    each cluster drop every vector whose cosine to ANY lower-id cluster
+    member reaches the threshold — one deterministic representative
+    (the minimum id) survives per near-duplicate neighborhood.
+
+    The paper keeps an arbitrary/centroid-farthest member per epsilon-
+    ball; min-id is the engine-portable choice (no float tiebreaks).
+    The drop rule is greedy-by-id, evaluated against ALL lower-id
+    members (dropped or not), so it needs no iteration: membership is
+    one blocked pair join, never a sequential scan.
+
+    Scale shape: cluster assignment is a scan-side Column argmin against
+    broadcast-by-value centroid literals (ivf.assign_cluster); the pair
+    step reuses embedding_dup_pairs with the cluster as the blocking
+    key, so pair work is O(sum cluster^2) bounded by codebook size — at
+    100 TB you raise n_centroids (paper uses ~100k clusters) to keep
+    cluster occupancy flat, exactly like the adaptive LSH plane count.
+    Survivors come back via one left_anti join on id.
+
+    Returns (id, sem_cluster) survivors.
+    """
+    from .ivf import assign_cluster
+
+    indexed = emb.withColumn("sem_cluster", assign_cluster(F.col(vec_col), centroids))
+    pairs = embedding_dup_pairs(
+        indexed,
+        threshold=threshold,
+        block_col="sem_cluster",
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return indexed.join(dropped, id_col, "left_anti").select(id_col, "sem_cluster")

@@ -5143,6 +5143,114 @@ FROM documents
 
 
 @register(
+    "ann_pq_topk",
+    survey="LLM-similarity (product quantization / ADC)",
+    desc="product-quantization ANN: 4 subspaces x 16-codeword seed "
+    "codebooks (the ivf seed vectors sliced per subspace), scan-side "
+    "exact-decimal argmin encoding, then asymmetric-distance top-10 "
+    "via a constant-folded m x ksub lookup table probed by element_at "
+    "— codes are m smallints (16 bytes -> 4) so the rerank tier fits "
+    "in RAM at vector-store scale",
+    oracle=f"""
+WITH n AS (SELECT GREATEST(COUNT(*) // 16, 1) AS step FROM embeddings),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS c, e.embedding AS cv
+  FROM embeddings e, n
+  WHERE e.vec_id % n.step = 0
+  ORDER BY e.vec_id
+  LIMIT 16
+),
+js AS (SELECT unnest(range(0, 4)) AS j),
+cb AS (SELECT c, j, cv[j*16+1 : j*16+16] AS cbv FROM cent, js),
+sub AS (
+  SELECT e.vec_id, j.j, e.embedding[j.j*16+1 : j.j*16+16] AS sv
+  FROM embeddings e, js j
+),
+q AS (SELECT j, sv AS qv FROM sub WHERE vec_id = 0),
+dists AS (
+  SELECT s.vec_id, s.j, cb.c, {_sql_sq_dist('s.sv', 'cb.cbv')} AS d
+  FROM sub s JOIN cb ON s.j = cb.j
+),
+codes AS (
+  SELECT vec_id, j, c
+  FROM (SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM dists)
+  WHERE rn = 1
+),
+scored AS (
+  SELECT co.vec_id,
+         CAST(CAST(round(SUM({_sql_sq_dist('q.qv', 'cb.cbv')}), 9)
+              AS DECIMAL(38,9)) AS DOUBLE) AS adc
+  FROM codes co
+  JOIN cb ON co.j = cb.j AND co.c = cb.c
+  JOIN q ON q.j = co.j
+  GROUP BY co.vec_id
+)
+SELECT vec_id, adc FROM scored ORDER BY adc ASC, vec_id ASC LIMIT 10
+""",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.pq import pq_adc_topk, seed_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    books = seed_pq_codebooks(emb, dim=64, m=4, ksub=16)
+    return pq_adc_topk(emb, books, qv, k=10)
+
+
+@register(
+    "dedup_semantic_semdedup",
+    survey="LLM-dedup (SemDeDup semantic pruning)",
+    desc="SemDeDup-style semantic dedup: k-means-codebook clusters "
+    "(deterministic 8-centroid seed codebook, exact-decimal argmin "
+    "assignment) then within-cluster cosine pruning — every vector "
+    "with cosine >= 0.3 to a lower-id cluster member drops, one "
+    "min-id representative survives per neighborhood; pair work is "
+    "cluster-blocked (never all-pairs), survivors via one anti join",
+    oracle=f"""
+WITH n AS (SELECT GREATEST(COUNT(*) // 8, 1) AS step FROM embeddings),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS c, e.embedding AS cv
+  FROM embeddings e, n
+  WHERE e.vec_id % n.step = 0
+  ORDER BY e.vec_id
+  LIMIT 8
+),
+dists AS (
+  SELECT e.vec_id, e.embedding, cent.c,
+         {_sql_sq_dist('e.embedding', 'cent.cv')} AS d
+  FROM embeddings e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, embedding, c AS sem_cluster
+  FROM (SELECT vec_id, embedding, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM dists)
+  WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a
+  JOIN assigned b
+    ON a.sem_cluster = b.sem_cluster AND a.vec_id < b.vec_id
+  WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.3
+)
+SELECT a.vec_id, CAST(a.sem_cluster AS INT) AS sem_cluster
+FROM assigned a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+""",
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.dedup import semantic_dedup_survivors
+    from .llmdata.ivf import seed_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = seed_centroids(emb, n_centroids=8)
+    return semantic_dedup_survivors(emb, centroids, threshold=0.3, dim=64)
+
+
+@register(
     "text_normalize",
     survey="LLM-text (canonical normalization)",
     desc="canonical text normalization (control-char strip, lowercase, "

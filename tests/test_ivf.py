@@ -86,3 +86,62 @@ def test_ivf_trained_centroids_oracle_hash_parity(spark, sf_dir, index):
     want = con.execute(trained_ivf_oracle_sql(centroids, k=10, n_probe=2)).fetchdf()
     r = compare_frames("ann_ivf_trained", got, want)
     assert r.ok, r.mismatches
+
+
+def test_pq_encode_and_adc(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.pq import (
+        pq_adc_topk,
+        pq_encode,
+        seed_pq_codebooks,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = seed_pq_codebooks(emb, dim=64, m=4, ksub=16)
+    assert books.shape == (4, 16, 16)
+
+    codes = pq_encode(emb, books).collect()
+    assert all(len(r.codes) == 4 and all(0 <= c < 16 for c in r.codes) for r in codes)
+    # encoding is the argmin numpy computes (same codebooks, double math)
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").limit(50).collect()}
+    for r in codes[:50]:
+        if r.vec_id not in vecs:
+            continue
+        v = vecs[r.vec_id]
+        for j in range(4):
+            sub = v[j * 16 : (j + 1) * 16]
+            d = ((books[j] - sub) ** 2).sum(axis=1)
+            assert r.codes[j] == int(np.argmin(d))
+
+    # ADC score == numpy table-lookup distance for the same codes
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    top = pq_adc_topk(emb, books, qv, k=10).collect()
+    q = np.array(qv)
+    code_map = {r.vec_id: r.codes for r in codes}
+    for r in top:
+        expect = sum(
+            ((q[j * 16 : (j + 1) * 16] - books[j][code_map[r.vec_id][j]]) ** 2).sum()
+            for j in range(4)
+        )
+        assert abs(r.adc - expect) < 1e-6
+
+    # trained codebooks: deterministic, and total quantization error
+    # does not get worse than the seed codebooks
+    t1 = train_pq_codebooks(emb, dim=64, m=4, ksub=16, iterations=3)
+    t2 = train_pq_codebooks(emb, dim=64, m=4, ksub=16, iterations=3)
+    assert np.array_equal(t1, t2)
+
+    def qerr(bk):
+        err = 0.0
+        for vid, v in vecs.items():
+            for j in range(4):
+                sub = v[j * 16 : (j + 1) * 16]
+                err += ((bk[j] - sub) ** 2).sum(axis=1).min()
+        return err
+
+    assert qerr(t1) <= qerr(books) + 1e-9

@@ -745,3 +745,36 @@ def test_normalize_text_messy_unicode(spark):
         )
     )
     assert again.filter("changed").count() == 0
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.dedup import (
+        embedding_dup_pairs,
+        semantic_dedup_survivors,
+    )
+    from blockchair_etl_spark.llmdata.ivf import assign_cluster, seed_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, n_centroids=8)
+    surv = semantic_dedup_survivors(emb, cents, threshold=0.3, dim=64).cache()
+    indexed = emb.withColumn("sem_cluster", assign_cluster(F.col("embedding"), cents))
+    pairs = embedding_dup_pairs(
+        indexed, threshold=0.3, block_col="sem_cluster", dim=64
+    ).cache()
+
+    n_total, n_surv = emb.count(), surv.count()
+    assert 0 < n_surv < n_total  # pruning engaged, not everything dropped
+    # the min id of every cluster survives (it has no lower-id neighbor)
+    min_ids = indexed.groupBy("sem_cluster").agg(F.min("vec_id").alias("vec_id"))
+    assert min_ids.join(surv, ["vec_id"], "left_anti").count() == 0
+    # no two SURVIVORS in the same cluster are above-threshold neighbors
+    surv_ids = {r.vec_id for r in surv.collect()}
+    for p in pairs.collect():
+        assert not (p.id_a in surv_ids and p.id_b in surv_ids)
+    # every dropped vector has an above-threshold lower-id cluster neighbor
+    dropped = {r.vec_id for r in emb.select("vec_id").collect()} - surv_ids
+    explained = {p.id_b for p in pairs.collect()}
+    assert dropped == explained
