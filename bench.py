@@ -82,6 +82,10 @@ HEADLINE = [
     "ann_knn_join",
     "pack_split_straddlers",
     "corpus_shuffle_shards",
+    "mixture_domain_resample",
+    "text_normalize",
+    "dedup_semantic_semdedup",
+    "ann_pq_topk",
 ]
 
 

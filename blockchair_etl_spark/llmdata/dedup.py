@@ -745,3 +745,77 @@ def semantic_dedup_survivors(
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return indexed.join(dropped, id_col, "left_anti").select(id_col, "sem_cluster")
+
+
+def repeated_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document duplicated n-gram-SPAN statistics — the window-level
+    analog of exact-substring training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    window is 'duplicated' iff its n-token shingle occurs in at least
+    one OTHER document, and a document's dup_fraction is the share of
+    its windows that are duplicated. Within-doc repetition is
+    deliberately excluded (that is text.repetition_stats' job) — this
+    measures cross-document boilerplate/contamination at span level,
+    finer than line_dedup's exact lines.
+
+    Unlike exploded_shingles this keeps EVERY window position (no
+    distinct): the fraction weighs a shingle by how often the doc uses
+    it. Linear shape: one tokenize+posexplode per doc, lead() windows,
+    one groupBy on the shingle for the document-frequency, one join
+    back. At 100 TB the shingle df agg is the big shuffle — same key
+    distribution as every shingle pipeline here, and the join back is
+    shuffle-on-shingle too, so AQE can co-plan them.
+
+    Output: (id, n_windows, n_dup_windows, dup_fraction) — one row per
+    input document, zeros for docs shorter than n tokens.
+    """
+    from pyspark.sql import Window
+
+    from .text import tokens_col
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok_rows = df.repartition(par).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.lead("token", k).over(w) for k in range(1, n)]
+    windows = (
+        tok_rows.select(
+            "doc",
+            F.concat_ws(" ", F.col("token"), *leads).alias("feat"),
+            leads[-1].alias("last"),
+        )
+        .filter(F.col("last").isNotNull())
+        .select("doc", "feat")
+    )
+    docs_per_feat = windows.groupBy("feat").agg(
+        F.count_distinct("doc").alias("n_docs")
+    )
+    flagged = windows.join(docs_per_feat, "feat").select(
+        "doc", (F.col("n_docs") >= 2).cast("int").alias("is_dup")
+    )
+    per_doc = flagged.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_windows"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("doc"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.col("n_dup_windows") / F.col("n_windows"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )

@@ -20,9 +20,10 @@ Spark shape:
 - codes are m smallints (m·log2(ksub) bits/vector vs dim·32) — the
   memory story that makes 100 TB-scale rerank tiers fit in RAM.
 
-Everything is exact-decimal (ivf._sq_dist / similarity.DEC), so
-encoding and ADC ranking are bit-identical across engines and
-partitionings, and the DuckDB oracle can replay them from the same
+Distances are fixed-point BIGINT (see FIXED_SCALE): bit-identical
+across engines and partitionings like the decimal path elsewhere, but
+plain long arithmetic that stays inside whole-stage codegen — the
+DuckDB oracle replays the identical quantization from the same
 codebook values.
 
 Reference parity: this extends the reference's similarity surface the
@@ -35,7 +36,54 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .ivf import _sq_dist, seed_centroids, train_ivf_centroids
+from .ivf import seed_centroids, train_ivf_centroids
+
+# Fixed-point scale for PQ distances: every per-dimension squared diff
+# is floor(diff^2 * 2^24) as a BIGINT. Long arithmetic keeps the m*ksub
+# distance expressions inside whole-stage codegen (an exact-DECIMAL fold
+# here was measured 5x+ slower — 64 boxed BigDecimal folds per row blow
+# the generated-method budget and fall back to interpreted eval), while
+# floor(double * 2^24) is still bit-deterministic on any IEEE engine, so
+# encode/ADC stay engine-portable BY DEFINITION of the operator: the
+# oracle applies the identical quantization. Distances within 2^-24 of
+# each other may order differently than true doubles — that is part of
+# the operator contract, same convention as the 2^-20 fixed-point
+# centroid means and the 1e12-scale integer PageRank.
+FIXED_SCALE = 1 << 24
+
+
+def _q_dist(vec_col: Column, centroid: Column) -> Column:
+    """Fixed-point squared L2 distance as BIGINT (see FIXED_SCALE)
+    between an array column and a codeword (array Column or literal)."""
+    terms = F.zip_with(
+        vec_col,
+        centroid,
+        lambda x, y: F.floor(
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+            * F.lit(float(FIXED_SCALE))
+        ).cast("bigint"),
+    )
+    return F.aggregate(terms, F.lit(0).cast("bigint"), lambda s, v: s + v)
+
+
+def _book_lit(book: np.ndarray) -> Column:
+    """(ksub, dsub) codebook as ONE array<array<double>> literal.
+
+    Shaping the codebook as data rather than ksub separate distance
+    expressions matters on the driver: per-codeword expression copies
+    put ksub aggregate-lambda subtrees PER SUBSPACE into the plan
+    (m*ksub total), and Catalyst analysis alone took ~5 s per build at
+    m=4, ksub=16. One transform() over a literal array keeps a single
+    lambda subtree per subspace — same generated work per row, ~20x
+    smaller tree."""
+    return F.array(*[F.array(*[F.lit(float(v)) for v in cw]) for cw in book])
+
+
+def _dists_over_book(sub: Column, book_lit: Column) -> Column:
+    """array<bigint> of fixed-point distances from `sub` to every
+    codeword — one higher-order transform, not ksub expression copies."""
+    return F.transform(book_lit, lambda cw: _q_dist(sub, cw))
 
 
 def _check_geometry(dim: int, m: int) -> int:
@@ -90,10 +138,10 @@ def train_pq_codebooks(
 
 
 def _sub_code(vec: Column, book: np.ndarray, j: int, dsub: int) -> Column:
-    """argmin codeword id for subspace j — exact-decimal distances,
-    first-minimum tiebreak (mirrors ivf.assign_cluster)."""
+    """argmin codeword id for subspace j — fixed-point BIGINT distances,
+    first-minimum tiebreak (the long-math analog of ivf.assign_cluster)."""
     sub = F.slice(vec, j * dsub + 1, dsub)
-    dists = F.array(*[_sq_dist(sub, book[c]) for c in range(len(book))])
+    dists = _dists_over_book(sub, _book_lit(book))
     return (F.array_position(dists, F.array_min(dists)).cast("int") - 1)
 
 
@@ -107,7 +155,10 @@ def pq_encode(
     m, _, dsub = codebooks.shape
     vec = F.col(vec_col)
     codes = F.array(*[_sub_code(vec, codebooks[j], j, dsub) for j in range(m)])
-    return emb.select(F.col(id_col), codes.alias("codes"))
+    # corpora often arrive as few large files; the encode math is the
+    # cost, so spread it across the cluster before the map
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    return emb.repartition(par).select(F.col(id_col), codes.alias("codes"))
 
 
 def pq_adc_topk(
@@ -120,24 +171,28 @@ def pq_adc_topk(
 ) -> DataFrame:
     """Top-k by asymmetric PQ distance (ascending; id tiebreak).
 
-    Builds the m × ksub ADC lookup table as constant decimal
-    expressions from the literal query and codebooks; each row pays
-    one encode (if not pre-encoded) + m element_at probes + m decimal
-    adds. Returns (id, adc) with adc the round-9 exact-decimal→double
-    finish (same convention as similarity.dot_expr)."""
+    Builds the m × ksub ADC lookup table as constant fixed-point
+    BIGINT expressions from the literal query and codebooks (Catalyst
+    constant-folds them once per plan); each row pays one encode (if
+    not pre-encoded) + m element_at probes + m long adds. Returns
+    (id, adc) with adc the exact BIGINT total divided by 2^24 — both
+    steps bit-deterministic (sum < 2^53, power-of-two divide)."""
     m, ksub, dsub = codebooks.shape
     q = [float(v) for v in query_vec]
     if len(q) != m * dsub:
         raise ValueError(f"query dim {len(q)} != {m * dsub}")
     vec = F.col(vec_col)
 
-    total = F.lit(0).cast("decimal(38,18)")
+    total = F.lit(0).cast("bigint")
     for j in range(m):
         qsub = F.array(*[F.lit(v) for v in q[j * dsub : (j + 1) * dsub]])
-        table = F.array(*[_sq_dist(qsub, codebooks[j][c]) for c in range(ksub)])
+        table = _dists_over_book(qsub, _book_lit(codebooks[j]))
         code = _sub_code(vec, codebooks[j], j, dsub)
-        total = (total + F.element_at(table, code + 1)).cast("decimal(38,18)")
-    adc = F.round(total, 9).cast("decimal(38,9)").cast("double")
+        total = total + F.element_at(table, code + 1)
+    adc = (total.cast("double") / F.lit(float(FIXED_SCALE))).alias("adc")
 
-    scored = emb.select(F.col(id_col), adc.alias("adc"))
+    # encode+probe is per-row compute; don't let a single input split
+    # serialize it (same rationale as pq_encode)
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    scored = emb.repartition(par).select(F.col(id_col), adc)
     return scored.orderBy(F.asc("adc"), F.asc(id_col)).limit(k)

@@ -1386,6 +1386,18 @@ def _sql_cosine(v: str, q: str) -> str:
     )
 
 
+def _sql_q_dist(a: str, b: str) -> str:
+    """Fixed-point BIGINT squared L2 distance (mirror of pq._q_dist:
+    floor(diff^2 * 2^24) per dim, summed; cast back from DuckDB's
+    HUGEINT list_sum)."""
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> CAST(FLOOR((CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+        "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+        "* 16777216.0) AS BIGINT))) AS BIGINT)"
+    )
+
+
 def _sql_sq_dist(a: str, b: str) -> str:
     """Exact-decimal squared L2 distance (mirror of ivf._sq_dist)."""
     return (
@@ -5143,14 +5155,53 @@ FROM documents
 
 
 @register(
+    "dedup_repeated_ngram_spans",
+    survey="LLM-dedup (cross-doc span duplication, Lee et al. shape)",
+    desc="per-document duplicated 5-gram-SPAN statistics: a window "
+    "counts as duplicated iff its shingle occurs in >= 2 distinct "
+    "documents (cross-doc boilerplate at span level, finer than "
+    "line_dedup's exact lines; within-doc repetition excluded — "
+    "that's text_repetition); every window position kept, so "
+    "dup_fraction weighs a shingle by how often the doc uses it",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+win AS (
+  SELECT doc_id AS doc,
+         unnest(list_transform(range(1, greatest(len(t) - 5 + 1, 0) + 1),
+                i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS feat
+  FROM toks
+),
+dfreq AS (SELECT feat, COUNT(DISTINCT doc) AS n_docs FROM win GROUP BY feat),
+per AS (
+  SELECT w.doc, COUNT(*) AS n_windows,
+         SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_windows
+  FROM win w JOIN dfreq f USING (feat) GROUP BY w.doc
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CASE WHEN COALESCE(p.n_windows, 0) > 0
+            THEN p.n_dup_windows / p.n_windows ELSE 0.0
+       END AS dup_fraction
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc
+""",
+)
+def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.repeated_ngram_stats(docs, n=5)
+
+
+@register(
     "ann_pq_topk",
     survey="LLM-similarity (product quantization / ADC)",
     desc="product-quantization ANN: 4 subspaces x 16-codeword seed "
     "codebooks (the ivf seed vectors sliced per subspace), scan-side "
-    "exact-decimal argmin encoding, then asymmetric-distance top-10 "
-    "via a constant-folded m x ksub lookup table probed by element_at "
-    "— codes are m smallints (16 bytes -> 4) so the rerank tier fits "
-    "in RAM at vector-store scale",
+    "fixed-point-BIGINT argmin encoding (floor(diff^2 * 2^24) per "
+    "dim — long math that stays codegen'd where a decimal fold "
+    "cannot), then asymmetric-distance top-10 via a constant-folded "
+    "m x ksub lookup table probed by element_at — codes are m "
+    "smallints (16 bytes -> 4) so the rerank tier fits in RAM at "
+    "vector-store scale",
     oracle=f"""
 WITH n AS (SELECT GREATEST(COUNT(*) // 16, 1) AS step FROM embeddings),
 cent AS (
@@ -5168,7 +5219,7 @@ sub AS (
 ),
 q AS (SELECT j, sv AS qv FROM sub WHERE vec_id = 0),
 dists AS (
-  SELECT s.vec_id, s.j, cb.c, {_sql_sq_dist('s.sv', 'cb.cbv')} AS d
+  SELECT s.vec_id, s.j, cb.c, {_sql_q_dist('s.sv', 'cb.cbv')} AS d
   FROM sub s JOIN cb ON s.j = cb.j
 ),
 codes AS (
@@ -5180,8 +5231,7 @@ codes AS (
 ),
 scored AS (
   SELECT co.vec_id,
-         CAST(CAST(round(SUM({_sql_sq_dist('q.qv', 'cb.cbv')}), 9)
-              AS DECIMAL(38,9)) AS DOUBLE) AS adc
+         CAST(SUM({_sql_q_dist('q.qv', 'cb.cbv')}) AS DOUBLE) / 16777216.0 AS adc
   FROM codes co
   JOIN cb ON co.j = cb.j AND co.c = cb.c
   JOIN q ON q.j = co.j

@@ -149,6 +149,7 @@ def stream_interval_join(
     right_ts: str,
     tolerance_secs: int = 600,
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join — the streaming twin of
     `operators.range_join.interval_join` (same pair semantics: equal key,
@@ -159,7 +160,18 @@ def stream_interval_join(
     watermark passes ts + tolerance: state is O(key-rate x (watermark +
     tolerance)) regardless of total stream length — the unbounded-join
     formulation that survives an always-on 100 TB/day feed.
+
+    `how='left_outer'` additionally emits every unmatched left row
+    (right columns null) — but only once the watermark passes its
+    match window, because until then a matching right row could still
+    arrive; late-data completeness and result latency trade off via
+    the watermark delay. Same state bound as inner.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            "stream-stream interval join supports how='inner'/'left_outer' "
+            f"(got {how!r}); right_outer is the mirrored call"
+        )
     lw = left_stream.withWatermark(left_ts, watermark).alias("l")
     rw = right_stream.withWatermark(right_ts, watermark).alias("r")
     cond = F.expr(
@@ -167,7 +179,7 @@ def stream_interval_join(
         f"r.{right_ts} >= l.{left_ts} - INTERVAL {tolerance_secs} SECONDS AND "
         f"r.{right_ts} <= l.{left_ts} + INTERVAL {tolerance_secs} SECONDS"
     )
-    return lw.join(rw, cond, "inner").drop(F.col(f"r.{on}"))
+    return lw.join(rw, cond, how).drop(F.col(f"r.{on}"))
 
 
 def stream_upsert_daily(

@@ -352,3 +352,90 @@ def test_stream_cms_maintain_equals_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_interval_join_left_outer_flushes_unmatched(spark, tmp_path):
+    """Left-outer stream-stream interval join: unmatched left rows emit
+    with null right columns once the watermark passes their match
+    window. A far-future sentinel file (processed as its own later
+    micro-batch) advances the watermark past all main data, so every
+    unmatched main row must flush; the flushed set is compared
+    pair-for-pair against the batch left join."""
+    import glob
+    import shutil
+
+    from blockchair_etl_spark.streaming.incremental import stream_interval_join
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    max_ts = base.agg(F.max("ts")).head()[0]
+
+    events_dir = tmp_path / "ev_outer"
+    events_dir.mkdir()
+
+    def _one_file(df, dest_name):
+        stage = tmp_path / ("stage_" + dest_name)
+        df.coalesce(1).write.parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, str(events_dir / dest_name))
+
+    # a_main sorts before b_late -> main batch first, sentinel second
+    _one_file(base, "a_main.parquet")
+    sentinel = spark.createDataFrame(
+        [(999_999_999, -999, "error", max_ts)],
+        "event_id bigint, user_id bigint, event_type string, ts timestamp",
+    ).select("event_id", "user_id", "event_type", (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"))
+    _one_file(sentinel.select("event_id", "user_id", "event_type", "ts"), "b_late.parquet")
+
+    schema = spark.read.parquet(str(events_dir)).schema
+
+    def side(event_type, id_alias, ts_alias):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(events_dir))
+            .filter(F.col("event_type") == event_type)
+            .select(F.col("event_id").alias(id_alias), "user_id", F.col("ts").alias(ts_alias))
+        )
+
+    joined = stream_interval_join(
+        side("error", "error_id", "error_ts"),
+        side("purchase", "purchase_id", "purchase_ts"),
+        on="user_id", left_ts="error_ts", right_ts="purchase_ts",
+        tolerance_secs=600, how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out_outer"))
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(240)
+    got = spark.read.parquet(str(tmp_path / "out_outer")).filter(
+        F.col("error_id") != 999_999_999  # drop the sentinel's own row
+    )
+
+    err = base.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("error_ts")
+    )
+    pur = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    twin = err.join(
+        pur,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("error_ts") - F.expr("INTERVAL 600 SECONDS"))
+        & (F.col("purchase_ts") <= F.col("error_ts") + F.expr("INTERVAL 600 SECONDS")),
+        "left",
+    )
+    want = {(r.error_id, r.purchase_id) for r in twin.collect()}
+    got_pairs = {(r.error_id, r.purchase_id) for r in got.collect()}
+    assert any(p is None for _, p in want), "fixture should contain unmatched errors"
+    assert got_pairs == want

@@ -104,9 +104,15 @@ def test_pq_encode_and_adc(spark, sf_dir):
     books = seed_pq_codebooks(emb, dim=64, m=4, ksub=16)
     assert books.shape == (4, 16, 16)
 
+    from blockchair_etl_spark.llmdata.pq import FIXED_SCALE
+
+    def qd(sub, cw):
+        # the operator's fixed-point distance, replayed in numpy
+        return int(np.floor((sub - cw) * (sub - cw) * FIXED_SCALE).sum())
+
     codes = pq_encode(emb, books).collect()
     assert all(len(r.codes) == 4 and all(0 <= c < 16 for c in r.codes) for r in codes)
-    # encoding is the argmin numpy computes (same codebooks, double math)
+    # encoding is the fixed-point argmin numpy replays bit-for-bit
     vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
             for r in emb.select("vec_id", "embedding").limit(50).collect()}
     for r in codes[:50]:
@@ -115,7 +121,7 @@ def test_pq_encode_and_adc(spark, sf_dir):
         v = vecs[r.vec_id]
         for j in range(4):
             sub = v[j * 16 : (j + 1) * 16]
-            d = ((books[j] - sub) ** 2).sum(axis=1)
+            d = [qd(sub, books[j][c]) for c in range(16)]
             assert r.codes[j] == int(np.argmin(d))
 
     # ADC score == numpy table-lookup distance for the same codes
@@ -125,10 +131,10 @@ def test_pq_encode_and_adc(spark, sf_dir):
     code_map = {r.vec_id: r.codes for r in codes}
     for r in top:
         expect = sum(
-            ((q[j * 16 : (j + 1) * 16] - books[j][code_map[r.vec_id][j]]) ** 2).sum()
+            qd(q[j * 16 : (j + 1) * 16], books[j][code_map[r.vec_id][j]])
             for j in range(4)
-        )
-        assert abs(r.adc - expect) < 1e-6
+        ) / FIXED_SCALE
+        assert r.adc == expect
 
     # trained codebooks: deterministic, and total quantization error
     # does not get worse than the seed codebooks

@@ -778,3 +778,32 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     dropped = {r.vec_id for r in emb.select("vec_id").collect()} - surv_ids
     explained = {p.id_b for p in pairs.collect()}
     assert dropped == explained
+
+
+def test_repeated_ngram_spans_planted(spark):
+    from blockchair_etl_spark.llmdata.dedup import repeated_ngram_stats
+
+    boiler = "all rights reserved contact us for details"  # 7 tokens
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta " + boiler),
+        (2, "one two three four five six seven " + boiler),
+        (3, "unique words only here nothing shared at all"),
+        (4, "short doc"),  # < n tokens -> zero windows
+        (5, "alpha beta gamma delta epsilon zeta " + boiler),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in repeated_ngram_stats(df, n=5).collect()}
+
+    assert len(out) == 5  # every doc keeps a row
+    assert out[4].n_windows == 0 and out[4].dup_fraction == 0.0
+    assert out[3].n_dup_windows == 0 and out[3].dup_fraction == 0.0
+    # docs 1 and 5 are identical: every window duplicated
+    for d in (1, 5):
+        assert out[d].n_windows == 13 - 4  # 13 tokens -> 9 windows
+        assert out[d].n_dup_windows == out[d].n_windows
+        assert out[d].dup_fraction == 1.0
+    # doc 2 shares only the boilerplate tail: the 3 pure-boilerplate
+    # windows (within its 7-token suffix) are duplicated, prefix is not
+    assert out[2].n_windows == 10  # 14 tokens -> 10 windows
+    assert out[2].n_dup_windows == 3
+    assert 0 < out[2].dup_fraction < 1
