@@ -52,6 +52,11 @@ FAMILY = [
     "corpus_prep_pipeline",
     "dedup_embedding_multiprobe",
     "ann_knn_join",
+    # round-5 wave 2
+    "dedup_repeated_ngram_spans",
+    "ann_pq_topk",
+    "mixture_domain_resample",
+    "text_normalize",
 ]
 
 # Pair-generating queries: any blocked self-join whose within-block pair
@@ -69,6 +74,8 @@ PAIR_QUERIES = {
     "corpus_prep_pipeline",
     "dedup_bow_cosine_zipf",
     "ann_knn_join",
+    "dedup_repeated_ngram_spans",
+    "dedup_semantic_semdedup",
 }
 
 COPIES = 10
@@ -201,8 +208,20 @@ def _custom_runners(spark, repo: str, scale: int):
     - trace_funds_3hop: the dashboard's deep-trace envelope — 3 hops
       over the event-derived edge graph; the timed cost is dominated by
       the one up-front edge repartition, so alpha ≈ 1 is the pass.
+    - dedup_semantic_semdedup: the registry entry pins n_centroids=8
+      for the SQL oracle, which is quadratic-in-waiting by construction
+      (fixed cluster count = growing occupancy — the same trap the
+      fixed LSH plane count had in r4). The SCALE path raises k with
+      the corpus (k = max(8, n/512), paper-style big codebooks), so
+      that's what the scaling bench measures; codebook seeding is part
+      of the timed run, as in the registry entries.
     """
-    from blockchair_etl_spark.llmdata.dedup import bow_cosine_pairs
+    from blockchair_etl_spark.llmdata.dedup import (
+        bow_cosine_pairs,
+        semantic_dedup_survivors,
+    )
+    from blockchair_etl_spark.llmdata.ivf import seed_centroids
+    from blockchair_etl_spark.io.sources import load_table
     from blockchair_etl_spark.queryset import _trace_edges
     from blockchair_etl_spark.query.trace import trace_funds
     from blockchair_etl_spark.testing import zipfian_corpus
@@ -220,7 +239,17 @@ def _custom_runners(spark, repo: str, scale: int):
     def run_trace3(spark_, sf_dir: str):
         return trace_funds(_trace_edges(spark_, sf_dir), source=7, max_hops=3)
 
-    return {"dedup_bow_cosine_zipf": run_zipf, "trace_funds_3hop": run_trace3}
+    def run_semdedup_adaptive(spark_, sf_dir: str):
+        emb = load_table(spark_, sf_dir, "embeddings")
+        k = max(8, emb.count() // 512)
+        cents = seed_centroids(emb, n_centroids=k)
+        return semantic_dedup_survivors(emb, cents, threshold=0.3, dim=64)
+
+    return {
+        "dedup_bow_cosine_zipf": run_zipf,
+        "trace_funds_3hop": run_trace3,
+        "dedup_semantic_semdedup": run_semdedup_adaptive,
+    }
 
 
 def time_queries(spark, sf_dir: str, runs: int, repo: str, scale: int) -> dict[str, float]:

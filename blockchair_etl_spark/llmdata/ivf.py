@@ -21,23 +21,40 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .similarity import DEC, cosine_expr
 
 
-def _sq_dist(vec_col: Column, centroid: np.ndarray) -> Column:
-    """Squared L2 distance, accumulated in exact DECIMAL: the argmin
-    over centroids is then independent of summation order and engine
-    (a double fold could flip near-equidistant assignments)."""
-    c = F.array(*[F.lit(float(v)) for v in centroid])
+def _sq_dist_col(vec_col: Column, centroid: Column) -> Column:
+    """Squared L2 distance to a centroid (array Column or literal),
+    accumulated in exact DECIMAL: the argmin over centroids is then
+    independent of summation order and engine (a double fold could
+    flip near-equidistant assignments)."""
     diffs = F.zip_with(
         vec_col,
-        c,
-        lambda x, y: ((x.cast("double") - y) * (x.cast("double") - y)).cast(DEC),
+        centroid,
+        lambda x, y: (
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ).cast(DEC),
     )
     return F.aggregate(diffs, F.lit(0).cast(DEC), lambda s, x: (s + x).cast(DEC))
 
 
+def _sq_dist(vec_col: Column, centroid: np.ndarray) -> Column:
+    return _sq_dist_col(vec_col, F.array(*[F.lit(float(v)) for v in centroid]))
+
+
 def assign_cluster(vec_col: Column, centroids: np.ndarray) -> Column:
     """argmin centroid id as a Column expression (codegen'd, no UDF);
-    exact-decimal distances, first-minimum tiebreak."""
-    dists = F.array(*[_sq_dist(vec_col, centroids[i]) for i in range(len(centroids))])
+    exact-decimal distances, first-minimum tiebreak.
+
+    The centroid matrix enters the plan as ONE array<array<double>>
+    literal probed by a single transform() lambda — k separate
+    distance-expression copies made Catalyst analysis itself the
+    bottleneck (~5 s per plan build at k=64, growing linearly in k),
+    which caps the usable codebook size long before executor time does.
+    Same distances, same assignment, ~k-fold smaller expression tree."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    dists = F.transform(cents, lambda c: _sq_dist_col(vec_col, c))
     return F.array_position(dists, F.array_min(dists)).cast("int") - 1
 
 

@@ -5155,6 +5155,95 @@ FROM documents
 
 
 @register(
+    "dedup_best_quality_survivors",
+    survey="LLM-dedup (quality-aware canonicalization)",
+    desc="dedup pipeline with QUALITY-AWARE survivor selection: "
+    "MinHash-LSH candidates -> estimate verification -> connected "
+    "components -> keep the HIGHEST-quality_scores member per cluster "
+    "(min-id tiebreak) instead of the min id — what production corpus "
+    "prep actually wants (drop the worse copy, not the later one); "
+    "quality ordering is bit-portable because the score expression "
+    "hash-matches cross-engine (text_quality)",
+    oracle=f"""
+WITH RECURSIVE sig AS ({_sql_minhash_sig(16)}),
+bands AS (
+  SELECT doc, 0 AS band_idx, md5(concat_ws('|', m0, m1, m2, m3)) AS band_key FROM sig
+  UNION ALL SELECT doc, 1, md5(concat_ws('|', m4, m5, m6, m7)) FROM sig
+  UNION ALL SELECT doc, 2, md5(concat_ws('|', m8, m9, m10, m11)) FROM sig
+  UNION ALL SELECT doc, 3, md5(concat_ws('|', m12, m13, m14, m15)) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sig a ON c.id_a = a.doc JOIN sig b ON c.id_b = b.doc
+  WHERE ({_SQL_EST_MATCHES}) / 16.0 >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(v, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+),
+clusters AS (SELECT v AS doc, MIN(r) AS cluster_id FROM reach GROUP BY v),
+q AS (
+  SELECT doc_id,
+         least(1.0, len({_SQL_TOKS}) / 50.0) * 0.4
+         + least(1.0, (CASE WHEN len({_SQL_TOKS}) > 0
+                 THEN len(list_filter({_SQL_TOKS},
+                      x -> list_contains(['the','and','of','to','in','is','a'], x)))
+                      / len({_SQL_TOKS}) ELSE 0.0 END) * 5.0) * 0.3
+         + (1.0 - least(1.0, (CASE WHEN length(text) > 0
+                 THEN len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) / length(text)
+                 ELSE 0.0 END) * 4.0)) * 0.3 AS quality_score
+  FROM documents
+),
+ranked AS (
+  SELECT c.doc,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc ASC) AS rn
+  FROM clusters c JOIN q ON q.doc_id = c.doc
+),
+removed AS (SELECT doc FROM ranked WHERE rn > 1)
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc FROM removed)
+""",
+)
+def dedup_best_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.clusters import connected_clusters
+    from .llmdata.dedup import minhash_lsh_pairs
+    from .llmdata.text import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, band_size=4, threshold=0.5)
+    clusters = connected_clusters(pairs)
+    quality = quality_scores(docs).select("doc_id", "quality_score")
+    ranked = (
+        clusters.join(quality, clusters.doc == quality.doc_id)
+        .select("doc", "cluster_id", "quality_score")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("quality_score"), F.asc("doc")
+                )
+            ),
+        )
+    )
+    removed = ranked.filter(F.col("rn") > 1).select("doc")
+    return docs.join(removed, docs.doc_id == removed.doc, "left_anti").select(
+        "doc_id", "lang"
+    )
+
+
+@register(
     "dedup_repeated_ngram_spans",
     survey="LLM-dedup (cross-doc span duplication, Lee et al. shape)",
     desc="per-document duplicated 5-gram-SPAN statistics: a window "

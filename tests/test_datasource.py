@@ -1,0 +1,117 @@
+"""The Spark-4 Python DataSource for the daily dump feed: registration,
+file-per-partition planning, dump_date filter pushdown pruning whole
+files, row-level error policy."""
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+DDL = "hash string, block_id bigint, fee double, time timestamp, dump_date date"
+
+
+def _write_dump(dirpath, name, rows, header="hash\tblock_id\tfee\ttime"):
+    with gzip.open(dirpath / name, "wt", encoding="utf-8") as fh:
+        fh.write(header + "\n")
+        for r in rows:
+            fh.write("\t".join(r) + "\n")
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tmp_path / "landing"
+    d.mkdir()
+    _write_dump(
+        d,
+        "blockchair_bitcoin_transactions_20240101.tsv.gz",
+        [
+            ("aa", "100", "0.5", "2024-01-01 10:00:00"),
+            ("bb", "101", "", "2024-01-01 11:00:00"),  # empty cell -> NULL
+        ],
+    )
+    _write_dump(
+        d,
+        "blockchair_bitcoin_transactions_20240102.tsv.gz",
+        [("cc", "102", "1.25", "2024-01-02 09:30:00")],
+    )
+    # other table + non-dump junk must be ignored by the table router
+    _write_dump(
+        d,
+        "blockchair_bitcoin_blocks_20240101.tsv.gz",
+        [("zz", "1", "0", "2024-01-01 00:00:00")],
+    )
+    (d / "README.txt").write_text("not a dump")
+    return d
+
+
+@pytest.fixture()
+def registered(spark):
+    from blockchair_etl_spark.io.datasource import register_dump_source
+
+    register_dump_source(spark)
+    return spark
+
+
+def _load(spark, landing, **opts):
+    r = (
+        spark.read.format("blockchair_dump")
+        .option("path", str(landing))
+        .option("table", "transactions")
+        .option("schema_ddl", DDL)
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_reads_typed_rows_with_dump_date(registered, landing):
+    df = _load(registered, landing)
+    rows = {r.hash: r for r in df.collect()}
+    assert set(rows) == {"aa", "bb", "cc"}  # blocks/README ignored
+    assert rows["aa"].block_id == 100 and rows["aa"].fee == 0.5
+    assert rows["bb"].fee is None  # empty cell
+    assert str(rows["cc"].dump_date) == "2024-01-02"
+    assert rows["aa"].time.hour == 10
+    # one partition per dump file: planner-visible parallelism
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_dump_date_pushdown_prunes_files(registered, landing):
+    df = _load(registered, landing)
+    one_day = df.filter(F.col("dump_date") == "2024-01-02")
+    assert {r.hash for r in one_day.collect()} == {"cc"}
+    # the consumed filter prunes at PLANNING time: the scan has exactly
+    # one partition (file), not two-then-filter
+    assert one_day.rdd.getNumPartitions() == 1
+
+    rng = df.filter(F.col("dump_date") >= "2024-01-02")
+    assert rng.rdd.getNumPartitions() == 1
+    lt = df.filter(F.col("dump_date") < "2024-01-02")
+    assert {r.hash for r in lt.collect()} == {"aa", "bb"}
+    assert lt.rdd.getNumPartitions() == 1
+    # unsatisfiable range -> empty result, single placeholder partition
+    none = df.filter(F.col("dump_date") > "2024-03-01")
+    assert none.count() == 0
+
+    # non-date filters are NOT consumed: Spark evaluates them post-scan
+    # over the full file set, and results stay correct
+    big = df.filter(F.col("block_id") >= 101)
+    assert {r.hash for r in big.collect()} == {"bb", "cc"}
+
+
+def test_row_error_policy(registered, landing, tmp_path):
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    _write_dump(
+        bad,
+        "blockchair_bitcoin_transactions_20240103.tsv.gz",
+        [
+            ("dd", "103", "2.0", "2024-01-03 01:00:00"),
+            ("ee", "not_an_int", "0.1", "2024-01-03 02:00:00"),
+        ],
+    )
+    with pytest.raises(Exception, match="cannot parse"):
+        _load(registered, bad).collect()
+    got = {r.hash: r for r in _load(registered, bad, mode="permissive").collect()}
+    assert got["dd"].block_id == 103
+    assert got["ee"].block_id is None  # unparseable cell nulled, row kept

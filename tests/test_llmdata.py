@@ -807,3 +807,30 @@ def test_repeated_ngram_spans_planted(spark):
     assert out[2].n_windows == 10  # 14 tokens -> 10 windows
     assert out[2].n_dup_windows == 3
     assert 0 < out[2].dup_fraction < 1
+
+
+def test_best_quality_survivors_differ_from_min_id(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.queryset import QUERIES
+
+    best = QUERIES["dedup_best_quality_survivors"].fn(spark, sf_dir)
+    minid = QUERIES["dedup_corpus_survivors"].fn(spark, sf_dir)
+    b = {r.doc_id for r in best.collect()}
+    m = {r.doc_id for r in minid.collect()}
+    # one survivor per cluster either way -> same cardinality...
+    assert len(b) == len(m)
+    # ...but quality selection must actually flip at least one cluster
+    # (if every cluster's min id were also its best-quality member the
+    # entry would be vacuous)
+    assert b != m
+
+    # and the flipped survivors really do have >= quality than the
+    # min-id members they replaced
+    from blockchair_etl_spark.llmdata.text import quality_scores
+    from blockchair_etl_spark.io.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = {r.doc_id: r.quality_score for r in quality_scores(docs).collect()}
+    for kept in b - m:
+        assert q[kept] >= min(q[d] for d in (m - b))
