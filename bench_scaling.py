@@ -240,10 +240,15 @@ def _custom_runners(spark, repo: str, scale: int):
         return trace_funds(_trace_edges(spark_, sf_dir), source=7, max_hops=3)
 
     def run_semdedup_adaptive(spark_, sf_dir: str):
+        # k grows with the corpus (flat occupancy) AND assignment is
+        # LSH-pruned so per-row cost stays O(1) in k — the flat argmin
+        # at k ∝ n was itself the superlinearity (alpha 1.08 measured)
         emb = load_table(spark_, sf_dir, "embeddings")
         k = max(8, emb.count() // 512)
         cents = seed_centroids(emb, n_centroids=k)
-        return semantic_dedup_survivors(emb, cents, threshold=0.3, dim=64)
+        return semantic_dedup_survivors(
+            emb, cents, threshold=0.3, dim=64, pruned_assign=True
+        )
 
     return {
         "dedup_bow_cosine_zipf": run_zipf,

@@ -709,6 +709,8 @@ def semantic_dedup_survivors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    pruned_assign: bool = False,
+    seed: int = 7,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
     cluster the embedding space with a k-means codebook, then inside
@@ -728,13 +730,24 @@ def semantic_dedup_survivors(
     key, so pair work is O(sum cluster^2) bounded by codebook size — at
     100 TB you raise n_centroids (paper uses ~100k clusters) to keep
     cluster occupancy flat, exactly like the adaptive LSH plane count.
-    Survivors come back via one left_anti join on id.
+    BUT flat assignment is O(k·dim) per row, so k ∝ n makes the assign
+    stage itself quadratic (measured: alpha 1.08 at 10×) — pass
+    ``pruned_assign=True`` (requires ``dim``) for the hierarchical
+    LSH-pruned assignment (ivf.assign_cluster_pruned) whose per-row
+    cost stays O(target_cands·dim) regardless of k; that is the 100 TB
+    configuration. Survivors come back via one left_anti join on id.
 
     Returns (id, sem_cluster) survivors.
     """
-    from .ivf import assign_cluster
+    from .ivf import assign_cluster, assign_cluster_pruned
 
-    indexed = emb.withColumn("sem_cluster", assign_cluster(F.col(vec_col), centroids))
+    if pruned_assign:
+        if dim is None:
+            raise ValueError("pruned_assign requires dim")
+        assigned = assign_cluster_pruned(F.col(vec_col), centroids, dim=dim, seed=seed)
+    else:
+        assigned = assign_cluster(F.col(vec_col), centroids)
+    indexed = emb.withColumn("sem_cluster", assigned)
     pairs = embedding_dup_pairs(
         indexed,
         threshold=threshold,

@@ -537,3 +537,75 @@ def normalize_text(
         (step != text).cast("boolean").alias("changed"),
         (F.length(text) - F.length(step)).cast("bigint").alias("chars_removed"),
     )
+
+
+def gopher_quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 25,
+    min_stop_ratio: float = 0.02,
+    max_dup_word_ratio: float = 0.6,
+    max_top_word_ratio: float = 0.15,
+    max_dup_bigram_ratio: float = 0.08,
+) -> DataFrame:
+    """Gopher-style composite quality GATE (Rae et al. 2021 shape): the
+    document survives iff every rule holds; violated rules come back as
+    a sorted `reasons` array so the pipeline can report WHY a document
+    dropped (the audit column every production filter needs).
+
+    Deliberately ONE projection over one scan — composing
+    quality_scores + repetition_stats would re-scan and self-join the
+    corpus on doc_id for stats that are all per-row expressions over
+    the same token array. No shuffle, no UDF; ratios are integer
+    counts + one double division, bit-portable like the component
+    operators.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda x: x == w)),
+        )
+    )
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    ng = F.size(grams)
+    ndg = F.size(F.array_distinct(grams))
+    en_stop = STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*en_stop)))
+
+    dup_word = F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0))
+    top_word = F.when(n > 0, top_count / n).otherwise(F.lit(0.0))
+    dup_bigram = F.when(ng > 0, (ng - ndg) / ng).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+
+    checks = [
+        (n < F.lit(min_words), "too_few_words"),
+        (stop_ratio < F.lit(min_stop_ratio), "low_stopword_ratio"),
+        (dup_word > F.lit(max_dup_word_ratio), "dup_words"),
+        (top_word > F.lit(max_top_word_ratio), "dominant_word"),
+        (dup_bigram > F.lit(max_dup_bigram_ratio), "dup_bigrams"),
+    ]
+    reasons = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(cond, F.lit(label)).otherwise(F.lit(None))
+                    for cond, label in checks
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_words"),
+        (F.size(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"),
+    )

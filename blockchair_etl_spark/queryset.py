@@ -5155,6 +5155,63 @@ FROM documents
 
 
 @register(
+    "quality_gopher_gate",
+    survey="LLM-text (composite quality gate)",
+    desc="Gopher-style composite quality gate: min length, stopword "
+    "floor, dup-word/dominant-word/dup-bigram ceilings — keep boolean "
+    "plus a sorted `reasons` audit array naming every violated rule; "
+    "ONE projection over one scan (composing the component stat "
+    "operators would re-scan and self-join for per-row expressions)",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+         list_max(list_transform(list_distinct(toks),
+                  w -> len(list_filter(toks, x -> x = w)))) AS topc,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS grams,
+         len(list_filter(toks,
+             x -> list_contains(['the','and','of','to','in','is','a'], x))) AS n_stop
+  FROM t
+),
+r AS (
+  SELECT doc_id, n,
+         CASE WHEN n > 0 THEN CAST(n - nd AS DOUBLE) / n ELSE 0.0 END AS dup_word,
+         CASE WHEN n > 0 THEN CAST(topc AS DOUBLE) / n ELSE 0.0 END AS top_word,
+         CASE WHEN len(grams) > 0
+              THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+              ELSE 0.0 END AS dup_bigram,
+         CASE WHEN n > 0 THEN CAST(n_stop AS DOUBLE) / n ELSE 0.0 END AS stop_ratio
+  FROM s
+),
+g AS (
+  SELECT doc_id, n,
+         list_sort(list_filter([
+           CASE WHEN n < 25 THEN 'too_few_words' END,
+           CASE WHEN stop_ratio < 0.02 THEN 'low_stopword_ratio' END,
+           CASE WHEN dup_word > 0.6 THEN 'dup_words' END,
+           CASE WHEN top_word > 0.15 THEN 'dominant_word' END,
+           CASE WHEN dup_bigram > 0.08 THEN 'dup_bigrams' END
+         ], x -> x IS NOT NULL)) AS reasons
+  FROM r
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       len(reasons) = 0 AS keep,
+       COALESCE(array_to_string(reasons, ','), '') AS reasons
+FROM g
+""",
+)
+def quality_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gated = _text.gopher_quality_gate(docs)
+    # the hash harness compares scalars; the sorted audit array joins
+    # to a canonical string (the library output keeps the typed array)
+    return gated.select(
+        "doc_id", "n_words", "keep", F.array_join("reasons", ",").alias("reasons")
+    )
+
+
+@register(
     "dedup_best_quality_survivors",
     survey="LLM-dedup (quality-aware canonicalization)",
     desc="dedup pipeline with QUALITY-AWARE survivor selection: "

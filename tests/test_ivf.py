@@ -151,3 +151,51 @@ def test_pq_encode_and_adc(spark, sf_dir):
         return err
 
     assert qerr(t1) <= qerr(books) + 1e-9
+
+
+def test_assign_cluster_pruned_contract(spark, sf_dir):
+    """Pruned assignment == argmin over the vector's LSH-bucket centroid
+    subset (replayed in numpy), with the -1-bucket fallback for empty
+    buckets; and agreement with flat assignment is high (the bounded
+    approximation the docstring promises)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.ivf import (
+        assign_cluster,
+        assign_cluster_pruned,
+        seed_centroids,
+    )
+    from blockchair_etl_spark.llmdata.similarity import _planes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 32
+    cents = seed_centroids(emb, n_centroids=k)
+    dim = 64
+    n_planes = 1  # k/target = 32/16 -> 1 plane, 2 buckets
+    got = emb.select(
+        "vec_id",
+        "embedding",
+        assign_cluster_pruned(F.col("embedding"), cents, dim=dim).alias("pc"),
+        assign_cluster(F.col("embedding"), cents).alias("fc"),
+    ).collect()
+
+    planes = _planes(dim, n_planes)
+    cent_bucket = {
+        c: sum(1 << p for p in range(n_planes) if float(np.dot(planes[p], cents[c])) >= 0)
+        for c in range(k)
+    }
+    agree = 0
+    for r in got:
+        v = np.asarray(r.embedding, dtype=float)
+        b = sum(1 << p for p in range(n_planes) if float(np.dot(planes[p], v)) >= 0)
+        cands = [c for c in range(k) if cent_bucket[c] == b]
+        if not cands:
+            assert r.pc == -1 - b
+            continue
+        d = [((cents[c] - v) ** 2).sum() for c in cands]
+        assert r.pc == cands[int(np.argmin(d))]
+        agree += r.pc == r.fc
+    # bounded approximation: most vectors still get their true centroid
+    assert agree / len(got) > 0.6
