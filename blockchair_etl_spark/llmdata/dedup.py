@@ -832,3 +832,110 @@ def repeated_ngram_stats(
             .alias("dup_fraction"),
         )
     )
+
+
+def build_embedding_store(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed embedding index: (id, v, blk, norm) — the persisted
+    side of incremental_embedding_dedup. Buckets and norms are computed
+    ONCE when a batch enters the store, so later batches never re-scan
+    or re-hash the corpus.
+
+    The plane count is pinned by the store (bucket ids from different
+    plane counts are incompatible) — the adaptive count used for
+    one-shot dedup doesn't apply incrementally; pick planes for the
+    corpus size you expect and re-shard the store when you outgrow it
+    (same operational contract as any partitioned index)."""
+    from .similarity import lsh_bucket_col
+
+    def _fdot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    vec = F.col(vec_col)
+    return emb.select(
+        F.col(id_col).alias("id"),
+        vec.alias("v"),
+        lsh_bucket_col(vec, dim, n_planes=n_planes, seed=seed).alias("blk"),
+        F.sqrt(_fdot(vec, vec)).alias("norm"),
+    )
+
+
+def incremental_embedding_dedup(
+    new_emb: DataFrame,
+    store: DataFrame | None,
+    dim: int,
+    threshold: float = 0.99,
+    n_planes: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an arriving embedding batch against the persisted bucketed
+    store — the embedding-space twin of incremental_minhash_dedup (the
+    cross-day production path; one-shot corpus dedup is
+    embedding_dup_pairs).
+
+    Returns (pairs, updated_store): pairs = (new_id, existing_id,
+    cosine >= threshold), new-vs-store only (within-batch dups are the
+    one-shot operator's job); updated_store = store ∪ batch index, to
+    be written back for tomorrow.
+
+    Scale shape: O(|batch|) hashing, then a bucket equi-join against
+    the narrow store relation — never a corpus rescan; the double-math
+    prefilter + exact-decimal rescore mirrors embedding_dup_pairs, so
+    scores are bit-identical to the one-shot path."""
+    from .similarity import cosine_expr
+
+    def _fdot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    new_store = build_embedding_store(
+        new_emb, dim, n_planes, seed, id_col, vec_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if store is None:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        id_type = new_store.schema["id"].dataType
+        empty = new_store.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("new_id", id_type),
+                    StructField("existing_id", id_type),
+                    StructField("cosine", DoubleType()),
+                ]
+            ),
+        )
+        return empty, new_store
+
+    a = new_store.select(
+        F.col("id").alias("new_id"), F.col("v").alias("va"),
+        "blk", F.col("norm").alias("norm_a"),
+    )
+    b = store.select(
+        F.col("id").alias("existing_id"), F.col("v").alias("vb"),
+        "blk", F.col("norm").alias("norm_b"),
+    )
+    fast = _fdot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
+    pairs = (
+        a.join(b, "blk")
+        .filter(fast >= threshold - 1e-9)
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("new_id", "existing_id", "cosine")
+    )
+    return pairs, store.unionByName(new_store)

@@ -5155,6 +5155,44 @@ FROM documents
 
 
 @register(
+    "dedup_incremental_embedding",
+    survey="LLM-dedup (incremental embedding dedup against a persisted bucket store)",
+    desc="two-day arrival for EMBEDDING near-dup (the vector twin of "
+    "dedup_incremental_minhash): even vec_ids land on day 1 and their "
+    "LSH-bucketed store (id, vec, bucket, norm) persists; day 2's "
+    "odd-id batch is hashed alone and bucket-joined against the store "
+    "— O(|batch|) daily cost, never a corpus rescan; double-math "
+    "prefilter + exact-decimal rescore keeps scores bit-identical to "
+    "the one-shot path; plane count pinned by the store (4)",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {_sql_lsh_bucket('embedding', dim=64, n_planes=4)} AS blk
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS new_id, s.vec_id AS existing_id,
+         {_sql_cosine('a.embedding', 's.embedding')} AS cosine
+  FROM b a JOIN b s ON a.blk = s.blk
+  WHERE a.vec_id % 2 = 1 AND s.vec_id % 2 = 0
+)
+SELECT new_id, existing_id, cosine FROM scored WHERE cosine >= 0.3
+""",
+)
+def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.dedup import build_embedding_store, incremental_embedding_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % 2 == 0)
+    day2 = emb.filter(F.col("vec_id") % 2 == 1)
+    store = build_embedding_store(day1, dim=64, n_planes=4)
+    pairs, _updated = incremental_embedding_dedup(
+        day2, store, dim=64, threshold=0.3, n_planes=4
+    )
+    return pairs
+
+
+@register(
     "quality_gopher_gate",
     survey="LLM-text (composite quality gate)",
     desc="Gopher-style composite quality gate: min length, stopword "

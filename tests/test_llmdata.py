@@ -834,3 +834,49 @@ def test_best_quality_survivors_differ_from_min_id(spark, sf_dir):
     q = {r.doc_id: r.quality_score for r in quality_scores(docs).collect()}
     for kept in b - m:
         assert q[kept] >= min(q[d] for d in (m - b))
+
+
+def test_incremental_embedding_dedup_matches_oneshot(spark, emb):
+    """Two-day incremental arrival must find exactly the cross-day
+    pairs the one-shot full-corpus operator finds (same buckets, same
+    scores), and the updated store must bit-match a from-scratch
+    rebuild over both days — the same contract the minhash incremental
+    path guarantees."""
+    from blockchair_etl_spark.llmdata.dedup import (
+        build_embedding_store,
+        embedding_dup_pairs,
+        incremental_embedding_dedup,
+    )
+
+    day1 = emb.filter(F.col("vec_id") % 2 == 0)
+    day2 = emb.filter(F.col("vec_id") % 2 == 1)
+
+    store = build_embedding_store(day1, dim=64, n_planes=4)
+    pairs, updated = incremental_embedding_dedup(
+        day2, store, dim=64, threshold=0.3, n_planes=4
+    )
+    got = {(r.new_id, r.existing_id): r.cosine for r in pairs.collect()}
+
+    oneshot = embedding_dup_pairs(emb, threshold=0.3, dim=64, lsh_planes=4)
+    want = {}
+    for r in oneshot.collect():
+        lo, hi = sorted((r.id_a, r.id_b))
+        if lo % 2 != hi % 2:  # cross-day pairs only
+            new, old = (lo, hi) if lo % 2 == 1 else (hi, lo)
+            want[(new, old)] = r.cosine
+    assert got == want and want  # identical pairs AND scores, non-empty
+
+    # first-day bootstrap: None store -> no pairs, store == batch index
+    empty_pairs, boot = incremental_embedding_dedup(
+        day1, None, dim=64, threshold=0.3, n_planes=4
+    )
+    assert empty_pairs.count() == 0
+    a = {r.id: (r.blk, round(r.norm, 12)) for r in boot.collect()}
+    b = {r.id: (r.blk, round(r.norm, 12)) for r in store.collect()}
+    assert a == b
+
+    # the returned updated store == rebuild over both days
+    rebuilt = build_embedding_store(emb, dim=64, n_planes=4)
+    assert {r.id: r.blk for r in updated.collect()} == {
+        r.id: r.blk for r in rebuilt.collect()
+    }
