@@ -86,6 +86,10 @@ HEADLINE = [
     "text_normalize",
     "dedup_semantic_semdedup",
     "ann_pq_topk",
+    "dedup_repeated_ngram_spans",
+    "quality_gopher_gate",
+    "dedup_best_quality_survivors",
+    "dedup_incremental_embedding",
 ]
 
 

@@ -36,9 +36,18 @@ def pagerank_fixed_point(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
+    personalization: list | None = None,
 ) -> DataFrame:
     """→ (vertex, rank_s BIGINT, rank DOUBLE) after ``iterations``
-    synchronous rounds from a uniform init of SCALE (=1.0)."""
+    synchronous rounds from a uniform init of SCALE (=1.0).
+
+    ``personalization``: a (small, literal) vertex set restricting the
+    teleport — init mass and the (1-d) restart term go ONLY to these
+    vertices, giving rank-relative-to-the-seed-set (personalized
+    PageRank, the "importance as seen from these addresses" query a
+    fund-flow investigation runs). Same integer arithmetic, still
+    bit-exact; the set enters the plan as an isin literal (broadcast by
+    value), so no extra join."""
     ed = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     vertices = (
         ed.select(F.col("src").alias("vertex"))
@@ -49,9 +58,15 @@ def pagerank_fixed_point(
     edd = ed.join(deg, "src").persist()
     base = SCALE * (100 - damping_pct) // 100
 
-    ranks = vertices.select(
-        "vertex", F.lit(SCALE).cast("bigint").alias("rank_s")
-    )
+    if personalization is None:
+        init_col = F.lit(SCALE).cast("bigint")
+        base_col = F.lit(base).cast("bigint")
+    else:
+        in_set = F.col("vertex").isin(*personalization)
+        init_col = F.when(in_set, F.lit(SCALE)).otherwise(F.lit(0)).cast("bigint")
+        base_col = F.when(in_set, F.lit(base)).otherwise(F.lit(0)).cast("bigint")
+
+    ranks = vertices.select("vertex", init_col.alias("rank_s"))
     for _ in range(iterations):
         contrib = (
             edd.join(ranks, edd.src == ranks.vertex)
@@ -64,10 +79,12 @@ def pagerank_fixed_point(
         )
         ranks = vertices.join(contrib, "vertex", "left").select(
             "vertex",
-            F.expr(
-                f"CAST({base} + ({damping_pct} * coalesce(in_mass, 0)) div 100 "
-                "AS BIGINT)"
-            ).alias("rank_s"),
+            (
+                base_col
+                + F.expr(f"({damping_pct} * coalesce(in_mass, 0)) div 100")
+            )
+            .cast("bigint")
+            .alias("rank_s"),
         )
     edd.unpersist()
     return ranks.select(

@@ -4866,6 +4866,72 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_personalized_pagerank",
+    survey="J5/U2 (seed-set-relative iterative graph scoring)",
+    desc="3-round PERSONALIZED fixed-point PageRank: teleport mass "
+    "(init + restart term) restricted to seed vertices {1,2,3} — "
+    "importance relative to a seed set, the 'rank addresses as seen "
+    "from these wallets' query of a fund-flow investigation; same "
+    "BIGINT 1e12 integer arithmetic as graph_pagerank, seed set as an "
+    "isin literal (no extra join); top-20 by rank",
+    oracle="""
+WITH ed AS (
+  SELECT DISTINCT user_id AS src, CAST(FLOOR(value) AS BIGINT) % 150 AS dst
+  FROM events
+),
+v AS (SELECT src AS vertex FROM ed UNION SELECT dst FROM ed),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY src),
+edd AS (SELECT e.src, e.dst, d.outdeg FROM ed e JOIN deg d USING (src)),
+r0 AS (
+  SELECT vertex,
+         CAST(CASE WHEN vertex IN (1, 2, 3) THEN 1000000000000 ELSE 0 END
+              AS BIGINT) AS rank_s
+  FROM v
+),
+r1 AS (
+  SELECT v.vertex,
+         CAST(CASE WHEN v.vertex IN (1, 2, 3) THEN 150000000000 ELSE 0 END
+              + (85 * COALESCE(m.in_mass, 0)) // 100 AS BIGINT) AS rank_s
+  FROM v LEFT JOIN (
+    SELECT e.dst AS vertex, SUM(r.rank_s // e.outdeg) AS in_mass
+    FROM edd e JOIN r0 r ON r.vertex = e.src GROUP BY e.dst
+  ) m USING (vertex)
+),
+r2 AS (
+  SELECT v.vertex,
+         CAST(CASE WHEN v.vertex IN (1, 2, 3) THEN 150000000000 ELSE 0 END
+              + (85 * COALESCE(m.in_mass, 0)) // 100 AS BIGINT) AS rank_s
+  FROM v LEFT JOIN (
+    SELECT e.dst AS vertex, SUM(r.rank_s // e.outdeg) AS in_mass
+    FROM edd e JOIN r1 r ON r.vertex = e.src GROUP BY e.dst
+  ) m USING (vertex)
+),
+r3 AS (
+  SELECT v.vertex,
+         CAST(CASE WHEN v.vertex IN (1, 2, 3) THEN 150000000000 ELSE 0 END
+              + (85 * COALESCE(m.in_mass, 0)) // 100 AS BIGINT) AS rank_s
+  FROM v LEFT JOIN (
+    SELECT e.dst AS vertex, SUM(r.rank_s // e.outdeg) AS in_mass
+    FROM edd e JOIN r2 r ON r.vertex = e.src GROUP BY e.dst
+  ) m USING (vertex)
+)
+SELECT vertex, rank_s, CAST(rank_s AS DOUBLE) / 1000000000000 AS rank
+FROM r3 ORDER BY rank_s DESC, vertex ASC LIMIT 20
+""",
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .query.graph import pagerank_fixed_point
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        (F.floor(F.col("value")).cast("bigint") % 150).alias("dst"),
+    )
+    pr = pagerank_fixed_point(edges, iterations=3, personalization=[1, 2, 3])
+    return pr.orderBy(F.desc("rank_s"), F.asc("vertex")).limit(20)
+
+
+@register(
     "bloom_pruned_join_revenue",
     survey="J4 + runtime-filter pruning (explicit bloom semi-reduction)",
     desc="revenue by high-balance supplier, with the lineitem side "

@@ -72,3 +72,29 @@ def test_trace_fallback_degrades_to_one_hop(spark):
         edges, source=0, max_hops=2, max_frontier_rows=1000
     )
     assert hops2 == 2 and df2.count() == 40 + 40 * 40
+
+
+def test_personalized_pagerank_mass_follows_seeds(spark):
+    from blockchair_etl_spark.query.graph import SCALE, pagerank_fixed_point
+
+    # two disconnected components: seeds live in the first
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10)], "src bigint, dst bigint"
+    )
+    pr = {r.vertex: r.rank_s for r in pagerank_fixed_point(
+        edges, iterations=3, personalization=[1]
+    ).collect()}
+    # the other component receives NO mass (teleport never lands there)
+    assert pr[10] == 0 and pr[11] == 0
+    # seed keeps restart mass; its cycle accumulates propagated mass
+    assert pr[1] > 0 and pr[2] > 0 and pr[3] > 0
+    # uniform variant ranks the second component non-zero
+    uni = {r.vertex: r.rank_s for r in pagerank_fixed_point(
+        edges, iterations=3
+    ).collect()}
+    assert uni[10] > 0 and uni[11] > 0
+    # determinism: identical reruns bit-match
+    again = {r.vertex: r.rank_s for r in pagerank_fixed_point(
+        edges, iterations=3, personalization=[1]
+    ).collect()}
+    assert again == pr
