@@ -43,6 +43,7 @@ from typing import TYPE_CHECKING, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -158,45 +159,51 @@ class BlockchairDumpReader(DataSourceReader):
     def read(self, partition: DumpFilePartition):
         if not partition.path:
             return
-        fields = self.schema_struct.fields
-        dump_dt = datetime.strptime(partition.yyyymmdd, "%Y%m%d").date()
-        opener = gzip.open if partition.path.endswith(".gz") else open
-        with opener(partition.path, "rt", encoding="utf-8") as fh:
-            header = fh.readline().rstrip("\n").split("\t")
-            col_idx = {c: i for i, c in enumerate(header)}
-            plan = []  # (header position | None for dump_date, field)
-            for f in fields:
-                if f.name == "dump_date":
-                    plan.append((None, f))
-                elif f.name in col_idx:
-                    plan.append((col_idx[f.name], f))
-                else:
-                    raise ValueError(
-                        f"{partition.path}: column {f.name!r} not in header {header}"
-                    )
-            for lineno, line in enumerate(fh, start=2):
-                cells = line.rstrip("\n").split("\t")
-                if len(cells) != len(header) and self.mode == "failfast":
-                    raise ValueError(
-                        f"{partition.path}:{lineno}: expected {len(header)} "
-                        f"cells, got {len(cells)}"
-                    )
-                out = []
-                for pos, f in plan:
-                    if pos is None:
-                        out.append(dump_dt)
-                        continue
-                    raw = cells[pos] if pos < len(cells) else ""
-                    try:
-                        out.append(_coerce(raw, f.dataType))
-                    except ValueError:
-                        if self.mode == "failfast":
-                            raise ValueError(
-                                f"{partition.path}:{lineno}: cannot parse "
-                                f"{raw!r} as {f.dataType.simpleString()}"
-                            ) from None
-                        out.append(None)
-                yield tuple(out)
+        yield from _parse_dump_file(
+            partition.path, partition.yyyymmdd, self.schema_struct.fields, self.mode
+        )
+
+
+def _parse_dump_file(path: str, yyyymmdd: str, fields, mode: str):
+    """Executor-side TSV parse shared by the batch and stream readers."""
+    dump_dt = datetime.strptime(yyyymmdd, "%Y%m%d").date()
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt", encoding="utf-8") as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        col_idx = {c: i for i, c in enumerate(header)}
+        plan = []  # (header position | None for dump_date, field)
+        for f in fields:
+            if f.name == "dump_date":
+                plan.append((None, f))
+            elif f.name in col_idx:
+                plan.append((col_idx[f.name], f))
+            else:
+                raise ValueError(
+                    f"{path}: column {f.name!r} not in header {header}"
+                )
+        for lineno, line in enumerate(fh, start=2):
+            cells = line.rstrip("\n").split("\t")
+            if len(cells) != len(header) and mode == "failfast":
+                raise ValueError(
+                    f"{path}:{lineno}: expected {len(header)} "
+                    f"cells, got {len(cells)}"
+                )
+            out = []
+            for pos, f in plan:
+                if pos is None:
+                    out.append(dump_dt)
+                    continue
+                raw = cells[pos] if pos < len(cells) else ""
+                try:
+                    out.append(_coerce(raw, f.dataType))
+                except ValueError:
+                    if mode == "failfast":
+                        raise ValueError(
+                            f"{path}:{lineno}: cannot parse "
+                            f"{raw!r} as {f.dataType.simpleString()}"
+                        ) from None
+                    out.append(None)
+            yield tuple(out)
 
 
 def _next_day(ymd: str) -> str:
@@ -209,6 +216,70 @@ def _prev_day(ymd: str) -> str:
     from datetime import timedelta
 
     return (datetime.strptime(ymd, "%Y%m%d") - timedelta(days=1)).strftime("%Y%m%d")
+
+
+class BlockchairDumpStreamReader(DataSourceStreamReader):
+    """Streaming twin of the batch reader: the daily feed as an
+    unbounded source.
+
+    The offset IS the dump date — `{"last_date": "YYYYMMDD"}`. Each
+    micro-batch re-lists the landing dir (cheap: one readdir), takes
+    every file dated after the committed offset, and plans one
+    partition per file; rows parse executor-side via the same
+    `_parse_dump_file`. Exactly-once comes from Spark's offset log —
+    a replayed batch re-plans the identical (start, end] date range
+    and re-reads the same immutable files. This is the daily-landing
+    analog of `stream_daily_files` with source-native (date) offsets
+    instead of file-discovery state."""
+
+    def __init__(self, schema: StructType, options):
+        self.schema_struct = schema
+        self.mode = (options.get("mode") or "failfast").lower()
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("option 'path' (landing directory) is required")
+        self.table = options.get("table")
+        self.coin = options.get("coin")
+
+    def _list(self) -> list[tuple[str, str]]:
+        files = []
+        for name in sorted(os.listdir(self.root)):
+            parsed = parse_dump_filename(name)
+            if not parsed:
+                continue
+            f_coin, f_type, ymd = parsed
+            if self.table and f_type != self.table:
+                continue
+            if self.coin and f_coin != self.coin:
+                continue
+            files.append((os.path.join(self.root, name), ymd))
+        return files
+
+    def initialOffset(self) -> dict:
+        return {"last_date": "00000000"}
+
+    def latestOffset(self) -> dict:
+        files = self._list()
+        latest = max((ymd for _, ymd in files), default="00000000")
+        return {"last_date": latest}
+
+    def partitions(self, start: dict, end: dict):
+        kept = [
+            DumpFilePartition(path, ymd)
+            for path, ymd in self._list()
+            if start["last_date"] < ymd <= end["last_date"]
+        ]
+        return kept or [DumpFilePartition("", "")]
+
+    def read(self, partition: DumpFilePartition):
+        if not partition.path:
+            return
+        yield from _parse_dump_file(
+            partition.path, partition.yyyymmdd, self.schema_struct.fields, self.mode
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint log; files are immutable
 
 
 class BlockchairDumpDataSource(DataSource):
@@ -230,6 +301,9 @@ class BlockchairDumpDataSource(DataSource):
 
     def reader(self, schema: StructType) -> BlockchairDumpReader:
         return BlockchairDumpReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> BlockchairDumpStreamReader:
+        return BlockchairDumpStreamReader(schema, self.options)
 
 
 def register_dump_source(spark) -> None:

@@ -115,3 +115,44 @@ def test_row_error_policy(registered, landing, tmp_path):
     got = {r.hash: r for r in _load(registered, bad, mode="permissive").collect()}
     assert got["dd"].block_id == 103
     assert got["ee"].block_id is None  # unparseable cell nulled, row kept
+
+
+def test_stream_reader_incremental_by_dump_date(registered, landing, tmp_path):
+    """The streaming twin: offset = dump date. First drain picks up both
+    days; a new day-3 file landed AFTER the first drain is the ONLY
+    thing the second drain (same checkpoint) appends — source-native
+    exactly-once by date range."""
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+
+    def drain():
+        q = (
+            registered.readStream.format("blockchair_dump")
+            .option("path", str(landing))
+            .option("table", "transactions")
+            .option("schema_ddl", DDL)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = {r.hash for r in registered.read.parquet(out).collect()}
+    assert first == {"aa", "bb", "cc"}
+
+    _write_dump(
+        landing,
+        "blockchair_bitcoin_transactions_20240103.tsv.gz",
+        [("dd", "103", "2.0", "2024-01-03 01:00:00")],
+    )
+    drain()
+    rows = registered.read.parquet(out).collect()
+    assert {r.hash for r in rows} == {"aa", "bb", "cc", "dd"}
+    # no duplicates: day 1-2 files were not re-read on the second drain
+    assert len(rows) == 4
+    assert str(next(r for r in rows if r.hash == "dd").dump_date) == "2024-01-03"
