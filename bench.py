@@ -90,6 +90,8 @@ HEADLINE = [
     "quality_gopher_gate",
     "dedup_best_quality_survivors",
     "dedup_incremental_embedding",
+    "ann_ivfpq_topk",
+    "graph_personalized_pagerank",
 ]
 
 

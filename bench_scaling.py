@@ -57,6 +57,8 @@ FAMILY = [
     "ann_pq_topk",
     "mixture_domain_resample",
     "text_normalize",
+    "ann_ivfpq_topk",
+    "dedup_incremental_embedding",
 ]
 
 # Pair-generating queries: any blocked self-join whose within-block pair
@@ -76,6 +78,7 @@ PAIR_QUERIES = {
     "ann_knn_join",
     "dedup_repeated_ngram_spans",
     "dedup_semantic_semdedup",
+    "dedup_incremental_embedding",
 }
 
 COPIES = 10

@@ -196,3 +196,132 @@ def pq_adc_topk(
     par = emb.sparkSession.sparkContext.defaultParallelism
     scored = emb.repartition(par).select(F.col(id_col), adc)
     return scored.orderBy(F.asc("adc"), F.asc(id_col)).limit(k)
+
+
+def residual_frame(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, ivf_cluster, residual) — each vector minus its assigned
+    coarse centroid. The residual distribution is much tighter than the
+    raw vectors, which is why PQ-on-residuals (IVF-PQ) quantizes better
+    than PQ alone at the same code budget."""
+    from .ivf import assign_cluster
+
+    cents = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    # TWO projections on purpose: the assignment argmin is expensive and
+    # referenced again by the residual; as a materialized intermediate
+    # column it computes once per row (CollapseProject keeps non-cheap
+    # aliases with multiple uses), where a single inlined expression
+    # re-evaluates the full argmin inside every reference.
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign_cluster(F.col(vec_col), centroids).alias("ivf_cluster"),
+    )
+    res = F.zip_with(
+        F.col(vec_col),
+        F.element_at(cents, F.col("ivf_cluster") + 1),
+        lambda x, y: x.cast("double") - y.cast("double"),
+    )
+    return assigned.select(
+        F.col(id_col), F.col("ivf_cluster"), res.alias("residual")
+    )
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ index rows: (id, ivf_cluster, codes) — coarse cluster plus
+    PQ codes of the residual. Storage per vector: log2(k_coarse) bits +
+    m codes; the payload a billion-vector store actually persists."""
+    res = residual_frame(emb, centroids, id_col, vec_col)
+    coded = pq_encode(res, codebooks, id_col=id_col, vec_col="residual")
+    return res.select(F.col(id_col), "ivf_cluster").join(coded, id_col)
+
+
+def ivfpq_adc_topk(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search: probe the n_probe nearest coarse lists, score
+    members by asymmetric PQ distance between the QUERY RESIDUAL
+    (query minus that list's centroid) and each member's residual
+    codeword — the classic composition (Jégou et al. §IV): per probed
+    list, the m × ksub lookup table is rebuilt from the query residual,
+    so the constant-folded-table trick still applies, just once per
+    probed list instead of once globally.
+
+    Per row: one coarse assignment + (inside its probed branch) one
+    residual encode + m table probes — all fixed-point BIGINT, bit-
+    portable. The probe choice uses the same stable double argsort as
+    ivf_ann_topk (ties by list id)."""
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray([float(v) for v in query_vec], dtype=float)
+    order = np.argsort(((centroids - q) ** 2).sum(axis=1), kind="stable")
+    probes = [int(c) for c in order[:n_probe]]
+
+    # Staged plan: (1) repartition + assign once, (2) prune to the
+    # probed lists on the materialized cluster column, (3) materialize
+    # residual then codes, (4) score. Inlining everything into one
+    # projection re-evaluates the coarse argmin inside every nested
+    # lambda reference (no CSE through higher-order functions) —
+    # measured 7x slower. Codes are branch-INDEPENDENT (they encode
+    # the row's own residual), so encode once, not once per probe.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    probed = residual_frame(
+        emb.repartition(par), centroids, id_col, vec_col
+    ).filter(F.col("ivf_cluster").isin(probes))
+    res = F.col("residual")
+    with_codes = probed.select(
+        F.col(id_col),
+        "ivf_cluster",
+        F.array(*[_sub_code(res, codebooks[j], j, dsub) for j in range(m)]).alias(
+            "codes"
+        ),
+    )
+
+    # ADC lookup tables precomputed driver-side with the SAME
+    # fixed-point arithmetic (numpy IEEE doubles + per-element floor ==
+    # the Column/SQL form bit-for-bit), so each probed list inlines
+    # just m*ksub BIGINT literals — the plan was previously ~20k nodes
+    # of nested table expressions and Catalyst ANALYSIS dominated the
+    # query (same driver-bound failure mode the _book_lit docstring
+    # records).
+    def _np_table(c: int, j: int) -> list[int]:
+        qres = q - centroids[c]
+        qsub = qres[j * dsub : (j + 1) * dsub]
+        return [
+            int(np.floor((qsub - cw) * (qsub - cw) * FIXED_SCALE).sum())
+            for cw in codebooks[j]
+        ]
+
+    score = None
+    for c in probes:
+        total = F.lit(0).cast("bigint")
+        for j in range(m):
+            table = F.array(*[F.lit(v).cast("bigint") for v in _np_table(c, j)])
+            total = total + F.element_at(table, F.col("codes")[j] + 1)
+        score = (
+            F.when(F.col("ivf_cluster") == c, total)
+            if score is None
+            else score.when(F.col("ivf_cluster") == c, total)
+        )
+    adc = (score.cast("double") / F.lit(float(FIXED_SCALE))).alias("adc")
+
+    scored = with_codes.select(F.col(id_col), adc)
+    return scored.orderBy(F.asc("adc"), F.asc(id_col)).limit(k)

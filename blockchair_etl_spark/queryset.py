@@ -5500,6 +5500,107 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_topk",
+    survey="LLM-similarity (IVF-PQ composition)",
+    desc="IVF-PQ ANN (the billion-vector-store composition): 8 coarse "
+    "seed centroids partition the corpus, residuals (vector minus "
+    "assigned centroid) are PQ-coded against 4x16 seed codebooks "
+    "derived from the residual relation, and search probes the 2 "
+    "nearest lists scoring members by fixed-point ADC between the "
+    "per-list QUERY RESIDUAL and each member's codeword — coarse "
+    "argmin exact-decimal, PQ/ADC fixed-point 2^-24, every stage "
+    "re-derived by the oracle from the same table",
+    oracle=f"""
+WITH n AS (SELECT GREATEST(COUNT(*) // 8, 1) AS step FROM embeddings),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS c, e.embedding AS cv
+  FROM embeddings e, n
+  WHERE e.vec_id % n.step = 0
+  ORDER BY e.vec_id
+  LIMIT 8
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+adists AS (
+  SELECT e.vec_id, e.embedding, cent.c,
+         {_sql_sq_dist('e.embedding', 'cent.cv')} AS d
+  FROM embeddings e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, embedding, c AS ivf_cluster
+  FROM (SELECT vec_id, embedding, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM adists)
+  WHERE rn = 1
+),
+res AS (
+  SELECT a.vec_id, a.ivf_cluster,
+         list_transform(list_zip(a.embedding, ct.cv),
+                        x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS rv
+  FROM assigned a JOIN cent ct ON ct.c = a.ivf_cluster
+),
+n2 AS (SELECT GREATEST(COUNT(*) // 16, 1) AS step FROM embeddings),
+seedv AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY r.vec_id) - 1 AS sc, r.rv
+  FROM res r, n2
+  WHERE r.vec_id % n2.step = 0
+  ORDER BY r.vec_id
+  LIMIT 16
+),
+js AS (SELECT unnest(range(0, 4)) AS j),
+cb AS (SELECT sc AS c, j, rv[j*16+1 : j*16+16] AS cbv FROM seedv, js),
+sub AS (
+  SELECT r.vec_id, r.ivf_cluster, j.j, r.rv[j.j*16+1 : j.j*16+16] AS sv
+  FROM res r, js j
+),
+cdists AS (
+  SELECT s.vec_id, s.j, cb.c, {_sql_q_dist('s.sv', 'cb.cbv')} AS d
+  FROM sub s JOIN cb ON s.j = cb.j
+),
+codes AS (
+  SELECT vec_id, j, c
+  FROM (SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM cdists)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT cent.c
+  FROM cent, q
+  ORDER BY {_sql_sq_dist('cent.cv', 'q.qv')} ASC, cent.c ASC
+  LIMIT 2
+),
+qres AS (
+  SELECT ct.c,
+         list_transform(list_zip(q.qv, ct.cv),
+                        x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS qrv
+  FROM cent ct JOIN probes p ON ct.c = p.c, q
+),
+scored AS (
+  SELECT r.vec_id,
+         CAST(SUM({_sql_q_dist('list_slice(qr.qrv, co.j*16+1, co.j*16+16)', 'cb.cbv')})
+              AS DOUBLE) / 16777216.0 AS adc
+  FROM codes co
+  JOIN res r ON r.vec_id = co.vec_id
+  JOIN qres qr ON qr.c = r.ivf_cluster
+  JOIN cb ON cb.j = co.j AND cb.c = co.c
+  GROUP BY r.vec_id
+)
+SELECT vec_id, adc FROM scored ORDER BY adc ASC, vec_id ASC LIMIT 10
+""",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.ivf import seed_centroids
+    from .llmdata.pq import ivfpq_adc_topk, residual_frame, seed_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cents = seed_centroids(emb, n_centroids=8)
+    res = residual_frame(emb, cents)
+    books = seed_pq_codebooks(res, dim=64, m=4, ksub=16, vec_col="residual")
+    return ivfpq_adc_topk(emb, cents, books, qv, k=10, n_probe=2)
+
+
+@register(
     "dedup_semantic_semdedup",
     survey="LLM-dedup (SemDeDup semantic pruning)",
     desc="SemDeDup-style semantic dedup: k-means-codebook clusters "

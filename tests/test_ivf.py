@@ -199,3 +199,65 @@ def test_assign_cluster_pruned_contract(spark, sf_dir):
         agree += r.pc == r.fc
     # bounded approximation: most vectors still get their true centroid
     assert agree / len(got) > 0.6
+
+
+def test_ivfpq_composition_matches_numpy_replay(spark, sf_dir):
+    """IVF-PQ end-to-end: coarse assignment, residual PQ codes, probe
+    pruning, and ADC scores all bit-match a numpy replay of the same
+    fixed-point arithmetic."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.ivf import seed_centroids
+    from blockchair_etl_spark.llmdata.pq import (
+        FIXED_SCALE,
+        ivfpq_adc_topk,
+        ivfpq_encode,
+        residual_frame,
+        seed_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, n_centroids=8)
+    res = residual_frame(emb, cents)
+    books = seed_pq_codebooks(res, dim=64, m=4, ksub=16, vec_col="residual")
+
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=float)
+            for r in emb.select("vec_id", "embedding").collect()}
+
+    def np_assign(v):
+        d = ((cents - v) ** 2).sum(axis=1)
+        return int(np.argmin(d))  # seed data has no exact ties
+
+    def qd(sub, cw):
+        return int(np.floor((sub - cw) * (sub - cw) * FIXED_SCALE).sum())
+
+    def np_codes(r):
+        return [int(np.argmin([qd(r[j*16:(j+1)*16], books[j][c]) for c in range(16)]))
+                for j in range(4)]
+
+    idx = {r.vec_id: r for r in ivfpq_encode(emb, cents, books).collect()}
+    for vid, v in list(vecs.items())[:80]:
+        c = np_assign(v)
+        assert idx[vid].ivf_cluster == c
+        assert list(idx[vid].codes) == np_codes(v - cents[c])
+
+    qv = [float(x) for x in vecs[0]]
+    got = ivfpq_adc_topk(emb, cents, books, qv, k=10, n_probe=2).collect()
+    q = np.asarray(qv)
+    order = np.argsort(((cents - q) ** 2).sum(axis=1), kind="stable")
+    probes = set(int(c) for c in order[:2])
+    scored = []
+    for vid, v in vecs.items():
+        c = np_assign(v)
+        if c not in probes:
+            continue
+        qres = q - cents[c]
+        codes = np_codes(v - cents[c])
+        adc = sum(qd(qres[j*16:(j+1)*16], books[j][codes[j]]) for j in range(4))
+        scored.append((adc / FIXED_SCALE, vid))
+    want = sorted(scored, key=lambda t: (t[0], t[1]))[:10]
+    assert [(r.adc, r.vec_id) for r in got] == want
+    # probing actually pruned
+    assert len(scored) < len(vecs)
