@@ -4866,6 +4866,35 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_variant_extract",
+    survey="P-semistructured (Spark-4 VARIANT path)",
+    desc="semi-structured extraction through the Spark 4 VARIANT type: "
+    "parse_json once, then variant_get typed paths (the open-schema "
+    "ingestion path — VARIANT keeps the parsed binary form so repeated "
+    "path reads don't re-parse the string, unlike get_json_object "
+    "chains); try_variant_get of an absent path stays NULL instead of "
+    "erroring — the oracle checks the same semantics via plain JSON "
+    "operators",
+    oracle="""
+SELECT event_id,
+       CAST(props->>'$.k' AS BIGINT) AS k,
+       CAST(NULL AS BIGINT) AS missing
+FROM events
+WHERE CAST(props->>'$.k' AS BIGINT) >= 90
+""",
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    out = ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing"),
+    )
+    return out.filter(F.col("k") >= 90)
+
+
+@register(
     "graph_personalized_pagerank",
     survey="J5/U2 (seed-set-relative iterative graph scoring)",
     desc="3-round PERSONALIZED fixed-point PageRank: teleport mass "

@@ -143,3 +143,48 @@ def test_round5_ops_on_empty_inputs(spark, empty_docs):
     assert pairs.count() == 0 and updated.count() == 1
     pairs2, seeded = incremental_minhash_dedup(some, None)
     assert pairs2.count() == 0 and seeded.count() == 1
+
+
+def test_round5_wave2_ops_on_empty_inputs(spark, empty_docs):
+    import numpy as np
+
+    from blockchair_etl_spark.llmdata.dedup import (
+        build_embedding_store,
+        incremental_embedding_dedup,
+        repeated_ngram_stats,
+        semantic_dedup_survivors,
+    )
+    from blockchair_etl_spark.llmdata.pq import (
+        ivfpq_encode,
+        pq_adc_topk,
+        pq_encode,
+        seed_pq_codebooks,
+    )
+    from blockchair_etl_spark.llmdata.sampling import temperature_resample
+    from blockchair_etl_spark.llmdata.text import gopher_quality_gate, normalize_text
+
+    src_docs = empty_docs.withColumn("source", F.col("lang"))
+    assert temperature_resample(src_docs, "source", "doc_id", total_target=0).count() == 0
+    assert normalize_text(empty_docs).count() == 0
+    assert gopher_quality_gate(empty_docs).count() == 0
+    assert repeated_ngram_stats(empty_docs).count() == 0
+
+    empty_emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    cents = np.zeros((4, 8))
+    # empty corpus with an externally-supplied codebook: no survivors,
+    # no codes, empty ADC result
+    assert semantic_dedup_survivors(empty_emb, cents, threshold=0.3, dim=8).count() == 0
+    books = np.zeros((2, 4, 4))
+    assert pq_encode(empty_emb, books).count() == 0
+    assert pq_adc_topk(empty_emb, books, [0.0] * 8, k=5).count() == 0
+    assert ivfpq_encode(empty_emb, cents, books).count() == 0
+
+    # empty day-2 embedding batch vs populated store; None-store bootstrap
+    some = spark.createDataFrame(
+        [(1, [float(x) for x in range(8)])], "vec_id bigint, embedding array<float>"
+    )
+    store = build_embedding_store(some, dim=8, n_planes=2)
+    pairs, updated = incremental_embedding_dedup(empty_emb, store, dim=8, n_planes=2)
+    assert pairs.count() == 0 and updated.count() == 1
+    pairs2, seeded = incremental_embedding_dedup(some, None, dim=8, n_planes=2)
+    assert pairs2.count() == 0 and seeded.count() == 1
