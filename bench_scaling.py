@@ -247,7 +247,10 @@ def _custom_runners(spark, repo: str, scale: int):
         # LSH-pruned so per-row cost stays O(1) in k — the flat argmin
         # at k ∝ n was itself the superlinearity (alpha 1.08 measured)
         emb = load_table(spark_, sf_dir, "embeddings")
-        k = max(8, emb.count() // 512)
+        # 256-row target occupancy: within-cluster pair work is
+        # n*occupancy/2, so halving occupancy halves the pair stage;
+        # the LSH-pruned assignment stays O(1)/row at any k
+        k = max(8, emb.count() // 256)
         cents = seed_centroids(emb, n_centroids=k)
         return semantic_dedup_survivors(
             emb, cents, threshold=0.3, dim=64, pruned_assign=True

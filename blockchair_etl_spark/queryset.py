@@ -5622,8 +5622,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmdata.pq import ivfpq_adc_topk, residual_frame, seed_pq_codebooks
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     cents = seed_centroids(emb, n_centroids=8)
+    # the vec_id=0 query vector IS the first seed centroid (seeds are
+    # every ⌊n/8⌋-th row by id starting at 0) — reuse the collected
+    # value instead of paying a second scan job for head()
+    qv = [float(v) for v in cents[0]]
     res = residual_frame(emb, cents)
     books = seed_pq_codebooks(res, dim=64, m=4, ksub=16, vec_col="residual")
     return ivfpq_adc_topk(emb, cents, books, qv, k=10, n_probe=2)
