@@ -534,3 +534,101 @@ def test_streaming_hopping_windows_match_batch(spark, tmp_path):
     assert got.select("window_start").distinct().count() > got.select(
         F.date_trunc("hour", "window_start")
     ).distinct().count()
+
+
+def test_config_quality_suite_runs_as_one_relation(spark, tmp_path, sf_dir):
+    """The dbt-schema-shaped declarative suite: YAML/dict config parses
+    to checks, the report is ONE union-of-aggregates relation, and a
+    planted violation is reported with its count."""
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.quality.suite import (
+        load_suite,
+        parse_suite,
+        run_config_suite,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    # plant one duplicate + one orphan FK row
+    bad = cust.limit(1).unionByName(cust.limit(1)).withColumn(
+        "c_nationkey", F.lit(9999)
+    )
+    tables = {"customer": cust.unionByName(bad.limit(1)), "nation": nation}
+
+    config = {
+        "models": [
+            {
+                "name": "customer",
+                "columns": [
+                    {"name": "c_custkey", "tests": ["unique", "not_null"]},
+                    {
+                        "name": "c_mktsegment",
+                        "tests": [
+                            {"accepted_values": {"values": [
+                                "AUTOMOBILE", "BUILDING", "FURNITURE",
+                                "HOUSEHOLD", "MACHINERY",
+                            ]}}
+                        ],
+                    },
+                    {
+                        "name": "c_nationkey",
+                        "tests": [
+                            {"relationships": {"to": "nation", "field": "n_nationkey"}}
+                        ],
+                    },
+                ],
+                "tests": [
+                    {"unique_combination_of_columns": {
+                        "combination": ["c_custkey", "c_name"]}}
+                ],
+            }
+        ]
+    }
+    report = run_config_suite(tables, config)
+    got = {(r.model, r.column, r.test): (r.n_violations, r.passed) for r in report.collect()}
+    assert got[("customer", "c_custkey", "unique")] == (1, False)  # the dup key
+    assert got[("customer", "c_custkey", "not_null")] == (0, True)
+    assert got[("customer", "c_mktsegment", "accepted_values")][1] is True
+    assert got[("customer", "c_nationkey", "relationships")] == (1, False)  # orphan
+    assert got[("customer", "", "unique_combination_of_columns")] == (1, False)
+    assert len(got) == 5
+
+    # YAML file round-trip parses to the identical suite
+    import yaml
+
+    p = tmp_path / "schema.yml"
+    p.write_text(yaml.safe_dump(config))
+    assert load_suite(p) == parse_suite(config)
+
+    # unknown tests are rejected loudly
+    with pytest.raises(ValueError, match="unknown test"):
+        parse_suite({"models": [{"name": "m", "columns": [
+            {"name": "c", "tests": ["uniq"]}]}]})
+
+
+def test_parquet_merge_schema_across_daily_drift(spark, tmp_path):
+    """Landing-layout schema drift: day 2 adds a column; a mergeSchema
+    read unions the layouts (old days null-filled), and an explicit
+    widened schema gives the same result without the footer-merge cost
+    — the read-side contract the widening ratchet (schema/inference)
+    feeds at scale."""
+    root = tmp_path / "daily"
+    spark.createDataFrame(
+        [(1, "a")], "id bigint, name string"
+    ).write.parquet(str(root / "date=20240101"))
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    ).write.parquet(str(root / "date=20240102"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(str(root))
+    assert set(merged.columns) == {"id", "name", "score", "date"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+    # explicit widened schema: same rows, no mergeSchema footer pass
+    widened = spark.read.schema(
+        "id bigint, name string, score double, date int"
+    ).parquet(str(root))
+    assert {(r.id, r.score) for r in widened.collect()} == {
+        (1, None), (2, 9.5)
+    }
