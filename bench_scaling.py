@@ -242,6 +242,30 @@ def _custom_runners(spark, repo: str, scale: int):
     def run_trace3(spark_, sf_dir: str):
         return trace_funds(_trace_edges(spark_, sf_dir), source=7, max_hops=3)
 
+    def run_incr_emb_adaptive(spark_, sf_dir: str):
+        # the registry entry pins the store at 4 planes for the static
+        # SQL oracle; operationally the store is BUILT with a plane
+        # count sized to the corpus (and re-sharded when outgrown) —
+        # at fixed fan-out the bucket join is quadratic-in-waiting
+        # (alpha 0.98 measured), adaptive planes keep it flat
+        from blockchair_etl_spark.llmdata.dedup import (
+            build_embedding_store,
+            incremental_embedding_dedup,
+        )
+        from blockchair_etl_spark.llmdata.similarity import adaptive_n_planes
+
+        from pyspark.sql import functions as SF
+
+        emb = load_table(spark_, sf_dir, "embeddings")
+        p = adaptive_n_planes(emb.count())
+        day1 = emb.filter(SF.col("vec_id") % 2 == 0)
+        day2 = emb.filter(SF.col("vec_id") % 2 == 1)
+        store = build_embedding_store(day1, dim=64, n_planes=p)
+        pairs, _updated = incremental_embedding_dedup(
+            day2, store, dim=64, threshold=0.3, n_planes=p
+        )
+        return pairs
+
     def run_semdedup_adaptive(spark_, sf_dir: str):
         # k grows with the corpus (flat occupancy) AND assignment is
         # LSH-pruned so per-row cost stays O(1) in k — the flat argmin
@@ -260,6 +284,7 @@ def _custom_runners(spark, repo: str, scale: int):
         "dedup_bow_cosine_zipf": run_zipf,
         "trace_funds_3hop": run_trace3,
         "dedup_semantic_semdedup": run_semdedup_adaptive,
+        "dedup_incremental_embedding": run_incr_emb_adaptive,
     }
 
 

@@ -13,10 +13,11 @@ Spark shape:
 - encoding is a scan-side Column argmin per subspace against literal
   codebooks (broadcast by value, codegen'd, no UDF) — m small argmins
   instead of ivf's one big one;
-- ADC is a per-subspace distance TABLE of m × ksub constant decimal
-  expressions (Catalyst constant-folds them once per plan, the
-  classic PQ lookup-table trick), probed with element_at by each
-  row's code — O(m) decimal adds per row, never a dim-length fold;
+- ADC is a per-subspace distance TABLE of m × ksub fixed-point BIGINT
+  entries (constant-folded expressions in pq_adc_topk; numpy-
+  precomputed literals in ivfpq_adc_topk — same values either way),
+  probed with element_at by each row's code — O(m) long adds per row,
+  never a dim-length fold;
 - codes are m smallints (m·log2(ksub) bits/vector vs dim·32) — the
   memory story that makes 100 TB-scale rerank tiers fit in RAM.
 
