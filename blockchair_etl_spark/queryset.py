@@ -1589,6 +1589,55 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {k}
 """
 
 
+def pruned_assign_oracle_sql(
+    centroids, dim: int, n_planes: int, seed: int = 7
+) -> str:
+    """DuckDB oracle for ivf.assign_cluster_pruned over an arbitrary
+    (e.g. trained or large) codebook: centroids AND their driver-side
+    LSH buckets are inlined as VALUES, vector buckets come from the
+    exact-decimal bucket SQL (identical to similarity.lsh_bucket_col),
+    candidates join on the bucket, argmin is exact-decimal with the
+    c-ascending tiebreak, and bucket-miss rows fall back to -1-bucket —
+    the generated-SQL counterpart of trained_ivf_oracle_sql for the
+    hierarchical-assignment scale path."""
+    import numpy as np
+
+    from .llmdata.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    rows = []
+    for c in range(len(centroids)):
+        b = 0
+        for p in range(n_planes):
+            if float(np.dot(planes[p], centroids[c])) >= 0:
+                b |= 1 << p
+        vec = "[" + ", ".join(repr(float(x)) for x in centroids[c]) + "]"
+        rows.append(f"({c}, {vec}, {b})")
+    values = ", ".join(rows)
+    return f"""
+WITH cent(c, cv, b) AS (VALUES {values}),
+v AS (
+  SELECT vec_id, embedding,
+         {_sql_lsh_bucket('embedding', dim=dim, n_planes=n_planes, seed=seed)} AS vb
+  FROM embeddings
+),
+d AS (
+  SELECT v.vec_id, v.vb, cent.c,
+         {_sql_sq_dist('v.embedding', 'cent.cv')} AS d
+  FROM v JOIN cent ON cent.b = v.vb
+),
+best AS (
+  SELECT vec_id, c
+  FROM (SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM d)
+  WHERE rn = 1
+)
+SELECT v.vec_id, CAST(COALESCE(best.c, -1 - v.vb) AS INT) AS sem_cluster
+FROM v LEFT JOIN best USING (vec_id)
+"""
+
+
 @register(
     "dedup_embedding_lsh_blocked",
     survey="LLM-dedup,LLM-similarity",

@@ -261,3 +261,27 @@ def test_ivfpq_composition_matches_numpy_replay(spark, sf_dir):
     assert [(r.adc, r.vec_id) for r in got] == want
     # probing actually pruned
     assert len(scored) < len(vecs)
+
+
+def test_pruned_assignment_generated_sql_hash_parity(spark, sf_dir):
+    """assign_cluster_pruned gets the same generated-SQL hash gate the
+    trained IVF codebook has: centroids + their driver-side buckets
+    inline into DuckDB SQL, and the full assignment relation (including
+    -1-bucket fallbacks) must hash-match cross-engine."""
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.ivf import assign_cluster_pruned, seed_centroids
+    from blockchair_etl_spark.queryset import pruned_assign_oracle_sql
+    from blockchair_etl_spark.testing import compare_frames, duckdb_connection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, n_centroids=32)
+    got = emb.select(
+        "vec_id",
+        assign_cluster_pruned(F.col("embedding"), cents, dim=64).alias("sem_cluster"),
+    ).toPandas()
+    con = duckdb_connection(sf_dir)
+    want = con.execute(pruned_assign_oracle_sql(cents, dim=64, n_planes=1)).fetchdf()
+    r = compare_frames("pruned_assign", got, want)
+    assert r.ok, r.mismatches
