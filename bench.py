@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_incremental_embedding",
     "ann_ivfpq_topk",
     "graph_personalized_pagerank",
+    "corpus_prep_v2_pipeline",
 ]
 
 

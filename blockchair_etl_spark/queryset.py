@@ -4914,6 +4914,113 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.desc("rank_s"), F.asc("vertex")).limit(20)
 
 
+def _corpus_prep_v2_oracle() -> str:
+    from .llmdata.text import ACCENT_DST, ACCENT_SRC
+
+    norm = (
+        "trim(regexp_replace(translate(lower(regexp_replace("
+        "text, '[\\x00-\\x1f\\x7f-\\x9f]', ' ', 'g')), "
+        f"'{ACCENT_SRC}', '{ACCENT_DST}'), "
+        "'\\s+', ' ', 'g'))"
+    )
+    toks_norm = _SQL_TOKS.replace("lower(text)", "lower(norm_text)")
+    return f"""
+WITH norm AS (
+  SELECT doc_id, source, {norm} AS norm_text FROM documents
+),
+tk AS (SELECT doc_id, {toks_norm} AS toks FROM norm),
+st AS (
+  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+         list_max(list_transform(list_distinct(toks),
+                  w -> len(list_filter(toks, x -> x = w)))) AS topc,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS grams,
+         len(list_filter(toks,
+             x -> list_contains(['the','and','of','to','in','is','a'], x))) AS n_stop
+  FROM tk
+),
+gate AS (
+  SELECT doc_id
+  FROM st
+  WHERE NOT (n < 25)
+    AND NOT ((CASE WHEN n > 0 THEN CAST(n_stop AS DOUBLE) / n ELSE 0.0 END) < 0.02)
+    AND NOT ((CASE WHEN n > 0 THEN CAST(n - nd AS DOUBLE) / n ELSE 0.0 END) > 0.6)
+    AND NOT ((CASE WHEN n > 0 THEN CAST(topc AS DOUBLE) / n ELSE 0.0 END) > 0.15)
+    AND NOT ((CASE WHEN len(grams) > 0
+              THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+              ELSE 0.0 END) > 0.08)
+),
+kept AS (SELECT n.* FROM norm n JOIN gate USING (doc_id)),
+grp AS (
+  SELECT md5(regexp_replace(lower(norm_text), '\\s+', ' ', 'g')) AS h,
+         MIN(doc_id) AS canonical
+  FROM kept GROUP BY 1
+),
+surv AS (SELECT k.doc_id, k.source FROM kept k JOIN grp ON k.doc_id = grp.canonical),
+cnt AS (SELECT source, COUNT(*) AS n_d FROM surv GROUP BY source),
+w AS (
+  SELECT source, n_d,
+         CAST(FLOOR(SQRT(n_d) * 1048576.0) AS BIGINT) AS s_d
+  FROM cnt
+),
+t AS (
+  SELECT source, n_d, s_d,
+         (SELECT SUM(s_d) FROM w) AS s_tot,
+         (SELECT SUM(n_d) FROM cnt) AS total
+  FROM w
+),
+tgt AS (
+  SELECT source, n_d, CAST((total * s_d) // s_tot AS BIGINT) AS target_d FROM t
+),
+ranked AS (
+  SELECT s.doc_id, s.source,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.source
+           ORDER BY md5(CAST(s.doc_id AS VARCHAR) || 'mix'), s.doc_id
+         ) AS rk
+  FROM surv s
+),
+sized AS (
+  SELECT r.doc_id, r.source,
+         (g.target_d // g.n_d)
+         + CASE WHEN r.rk <= (g.target_d % g.n_d) THEN 1 ELSE 0 END AS n_copies
+  FROM ranked r JOIN tgt g USING (source)
+)
+SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS copy_id
+FROM sized
+"""
+
+
+@register(
+    "corpus_prep_v2_pipeline",
+    survey="LLM end-to-end (round-5 operator composition)",
+    desc="training-corpus prep v2, the round-5 ops composed END-TO-END "
+    "in one plan: canonical normalization -> Gopher composite gate on "
+    "the normalized text -> exact dedup of normalized content "
+    "(min-id canonical survivor) -> temperature-balanced domain "
+    "mixture of the survivors (budget derived from the surviving "
+    "corpus itself, so the same docs replicate at any scale factor); "
+    "every stage is the already-verified operator — this entry checks "
+    "the composition, like corpus_prep_pipeline does for the round-4 "
+    "stages",
+    oracle=_corpus_prep_v2_oracle(),
+)
+def corpus_prep_v2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.dedup import exact_duplicate_groups
+    from .llmdata.sampling import temperature_resample
+    from .llmdata.text import gopher_quality_gate, normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    normed = normalize_text(docs).join(docs.select("doc_id", "source"), "doc_id")
+    gated = gopher_quality_gate(normed, text_col="norm_text").filter("keep")
+    kept = normed.join(gated.select("doc_id"), "doc_id")
+    groups = exact_duplicate_groups(kept, text_col="norm_text")
+    survivors = kept.join(
+        groups.select(F.col("canonical_id").alias("doc_id")), "doc_id"
+    ).select("doc_id", "source")
+    return temperature_resample(survivors, domain_col="source", id_col="doc_id")
+
+
 @register(
     "json_variant_extract",
     survey="P-semistructured (Spark-4 VARIANT path)",

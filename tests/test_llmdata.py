@@ -880,3 +880,23 @@ def test_incremental_embedding_dedup_matches_oneshot(spark, emb):
     assert {r.id: r.blk for r in updated.collect()} == {
         r.id: r.blk for r in rebuilt.collect()
     }
+
+
+def test_corpus_prep_v2_stage_invariants(spark, sf_dir):
+    from blockchair_etl_spark.queryset import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = QUERIES["corpus_prep_v2_pipeline"].fn(spark, sf_dir).cache()
+    n_docs = docs.count()
+    survivors = out.select("doc_id").distinct().count()
+    total = out.count()
+    # the gate + dedup genuinely prune, and resampling conserves the
+    # surviving corpus size up to one row per domain
+    assert 0 < survivors < n_docs
+    n_domains = out.select("source").distinct().count()
+    assert survivors - n_domains <= total <= survivors + n_domains
+    # copies are dense 1..k per doc
+    bad = out.groupBy("doc_id").agg(
+        F.count("*").alias("k"), F.max("copy_id").alias("mx")
+    ).filter("k != mx").count()
+    assert bad == 0
