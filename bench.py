@@ -121,6 +121,8 @@ def main() -> None:
         names = list(QUERIES)
     else:
         names = [n for n in HEADLINE if n in QUERIES]
+    from blockchair_etl_spark.caching import release_tracked
+
     timings: dict[str, float] = {}
     for name in names:
         samples = []
@@ -129,6 +131,10 @@ def main() -> None:
             df = QUERIES[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+            # Release plan-level persists between runs so run 2+ re-pays
+            # the cached stages (median measures the full plan, not a
+            # warm cache) and no blocks leak into later queries.
+            release_tracked()
         timings[name] = round(statistics.median(samples), 3)
 
     # df-bounded BoW cosine on a Zipfian-vocabulary fixture: the driver

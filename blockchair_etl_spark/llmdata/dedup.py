@@ -29,8 +29,8 @@ Scale design (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
+from ..caching import tracked_persist
 from .text import tokens_col
 
 DEC = "decimal(38,18)"
@@ -126,10 +126,8 @@ def ngram_jaccard_pairs(
     """
     # sh feeds three plan branches (sizes, a-side, b-side); persist so
     # the tokenize/shingle pipeline runs once, not three times.
-    sh = (
-        exploded_shingles(df, text_col, id_col, n)
-        .withColumnRenamed("feat", "sh")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = tracked_persist(
+        exploded_shingles(df, text_col, id_col, n).withColumnRenamed("feat", "sh")
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("id_a"), "sh")
@@ -202,8 +200,8 @@ def minhash_lsh_pairs(
     n_bands = num_hashes // band_size
     # the signature relation feeds three plan branches (banding, a-side,
     # b-side); persist so shingling+hashing+aggregation runs once.
-    sig = minhash_signatures(df, num_hashes, text_col, id_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = tracked_persist(
+        minhash_signatures(df, num_hashes, text_col, id_col, shingle_n)
     )
     band_keys = F.array(
         *[
@@ -473,9 +471,13 @@ def incremental_minhash_dedup(
     rescan. Within-batch duplicates are found by the same join applied
     batch-vs-batch (minhash_lsh_pairs).
     """
-    new_store = minhash_band_store(
-        new_docs, num_hashes, band_size, text_col, id_col, shingle_n
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # tracked (caching.py): released after the caller's action — in the
+    # daily production loop, write `updated_store` out and reload it
+    # rather than chaining unionByName over persisted batches, so
+    # lineage and cached blocks stay bounded per day.
+    new_store = tracked_persist(
+        minhash_band_store(new_docs, num_hashes, band_size, text_col, id_col, shingle_n)
+    )
     if store is None:
         # Pair-id types follow the doc-id type (string corpora exist);
         # a hard-coded bigint here would fail to union with later
@@ -903,9 +905,11 @@ def incremental_embedding_dedup(
             lambda s, v: s + v,
         )
 
-    new_store = build_embedding_store(
-        new_emb, dim, n_planes, seed, id_col, vec_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # tracked (caching.py): same store-write-back contract as
+    # incremental_minhash_dedup above.
+    new_store = tracked_persist(
+        build_embedding_store(new_emb, dim, n_planes, seed, id_col, vec_col)
+    )
     if store is None:
         from pyspark.sql.types import DoubleType, StructField, StructType
 

@@ -55,7 +55,14 @@ def pagerank_fixed_point(
         .distinct()
     )
     deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edd = ed.join(deg, "src").persist()
+    # edd is re-joined every iteration of the (lazy) rank recurrence;
+    # tracked_persist keeps the cache alive through the CALLER's action
+    # (an eager unpersist here would land before any job runs, making
+    # the cache a no-op and recomputing edd per iteration) and releases
+    # it on the next harness/registry release_tracked() call.
+    from ..caching import tracked_persist
+
+    edd = tracked_persist(ed.join(deg, "src"))
     base = SCALE * (100 - damping_pct) // 100
 
     if personalization is None:
@@ -86,7 +93,6 @@ def pagerank_fixed_point(
             .cast("bigint")
             .alias("rank_s"),
         )
-    edd.unpersist()
     return ranks.select(
         "vertex",
         "rank_s",

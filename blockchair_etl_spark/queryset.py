@@ -49,7 +49,21 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def register(name: str, survey: str, desc: str, oracle: str | None = None):
     def deco(fn: SparkQuery) -> SparkQuery:
-        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, survey=survey, desc=desc)
+        import functools
+
+        from .caching import release_tracked
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Release the PREVIOUS invocation's tracked persists (see
+            # caching.py): harnesses that run many registry queries in
+            # one session (the verification driver, bench.py) hold at
+            # most one query's caches at a time, even if they never
+            # call release_tracked themselves.
+            release_tracked()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = QuerySpec(fn=wrapped, oracle=oracle, survey=survey, desc=desc)
         return fn
 
     return deco
@@ -5006,8 +5020,7 @@ FROM sized
     oracle=_corpus_prep_v2_oracle(),
 )
 def corpus_prep_v2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
+    from .caching import tracked_persist
     from .llmdata.dedup import exact_duplicate_groups
     from .llmdata.sampling import temperature_resample
     from .llmdata.text import gopher_quality_gate, normalize_text
@@ -5018,15 +5031,14 @@ def corpus_prep_v2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kept feeds two branches (dedup groups + join-back) and survivors
     # feeds three (domain counts, remainder ranking, the count job in
     # temperature_resample) — without persists the normalize+gate
-    # prefix re-executes per branch (measured 4x wall at sf0.1)
-    kept = normed.join(gated.select("doc_id"), "doc_id").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # prefix re-executes per branch (measured 4x wall at sf0.1).
+    # tracked_persist → released after collection (caching.py), so
+    # repeated invocations in one session don't accumulate blocks.
+    kept = tracked_persist(normed.join(gated.select("doc_id"), "doc_id"))
     groups = exact_duplicate_groups(kept, text_col="norm_text")
-    survivors = (
+    survivors = tracked_persist(
         kept.join(groups.select(F.col("canonical_id").alias("doc_id")), "doc_id")
         .select("doc_id", "source")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return temperature_resample(survivors, domain_col="source", id_col="doc_id")
 
@@ -5184,7 +5196,9 @@ cum AS (
   FROM bins
 )
 SELECT g AS event_type,
-       MAX(n) AS n,
+       -- the windowed SUM yields HUGEINT in DuckDB, which renders as a
+       -- float in the hash harness; Spark emits BIGINT — align the types
+       CAST(MAX(n) AS BIGINT) AS n,
        CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) AS DOUBLE) / 8 AS p50,
        CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bin END) AS DOUBLE) / 8 AS p90,
        CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS DOUBLE) / 8 AS p99
@@ -5925,22 +5939,23 @@ _DRIVER_VERIFIED_FALLBACK = frozenset({
 _DRIVER_WINDOW = 50  # entries the driver hash-checks per round
 
 
-def _load_driver_verified() -> tuple[frozenset[str], int]:
-    """Return (driver-verified query keys, latest round number).
+def _load_driver_verified() -> dict[str, int]:
+    """Return {query key: round it was last driver-verified green}.
 
     Reads the CORRECTNESS_r{N}.json files the verification driver writes
     at the repo root (two levels above this module). For each key the
     MOST RECENT recorded row decides: verified iff all three checks
     passed then — a later red row (or a weaker rows-only run) puts the
     entry back in the unverified pool for re-verification. Falls back to
-    the static r1-r4 snapshot if nothing is readable.
+    the static r1-r4 snapshot (all stamped round 4) if nothing is
+    readable.
     """
     import json
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[1]
     status: dict[str, bool] = {}
-    latest = 0
+    last_round: dict[str, int] = {}
     try:
         files = sorted(root.glob("CORRECTNESS_r*.json"))
     except OSError:
@@ -5951,35 +5966,37 @@ def _load_driver_verified() -> tuple[frozenset[str], int]:
             rnd = int("".join(ch for ch in f.stem if ch.isdigit()) or 0)
         except (OSError, ValueError):
             continue
-        latest = max(latest, rnd)
         for key, row in rows.items():
-            status[key] = isinstance(row, dict) and all(
+            ok = isinstance(row, dict) and all(
                 row.get(c) for c in ("rows_match", "schema_match", "hash_match")
             )
-    verified = {k for k, ok in status.items() if ok}
+            status[key] = ok
+            if ok:
+                last_round[key] = rnd
+    verified = {k: last_round[k] for k, ok in status.items() if ok}
     if not verified:
-        return _DRIVER_VERIFIED_FALLBACK, 4
-    return frozenset(verified), latest
+        return {k: 4 for k in _DRIVER_VERIFIED_FALLBACK}
+    return verified
 
 
 def _rotate_registry() -> None:
     """Order the registry for the driver's first-50 verification window.
 
-    Never-driver-verified entries go first. Remaining window slots are
-    filled by previously-verified entries starting at a rotating offset
-    (advances by the window remainder each round), so every verified
-    entry periodically re-enters the driver window and regressions in
-    old entries stay detectable.
+    Never-driver-verified entries go first (hard-signal coverage for new
+    work). Remaining window slots are filled by previously-verified
+    entries ordered OLDEST-FIRST by the round they were last verified
+    (tie-broken by registry order), so no entry's last driver check ages
+    more than ~ceil(N/50) rounds and a regression in an old entry
+    resurfaces to the driver as soon as its cohort rotates back in.
     """
-    verified_keys, latest_round = _load_driver_verified()
-    unverified = [k for k in QUERIES if k not in verified_keys]
-    verified = [k for k in QUERIES if k in verified_keys]
-    order = list(unverified)
-    if verified:
-        slots = max(0, _DRIVER_WINDOW - len(unverified))
-        offset = (latest_round * max(slots, 1)) % len(verified)
-        rotated = verified[offset:] + verified[:offset]
-        order.extend(rotated)
+    verified = _load_driver_verified()
+    unverified = [k for k in QUERIES if k not in verified]
+    registry_pos = {k: i for i, k in enumerate(QUERIES)}
+    stale_first = sorted(
+        (k for k in QUERIES if k in verified),
+        key=lambda k: (verified[k], registry_pos[k]),
+    )
+    order = unverified + stale_first
     snapshot = dict(QUERIES)
     QUERIES.clear()
     QUERIES.update({k: snapshot[k] for k in order})

@@ -129,7 +129,15 @@ def check_query(spark, sf_dir: str, name: str, con=None) -> ParityResult:
     from .queryset import QUERIES
 
     spec = QUERIES[name]
-    sdf = spec.fn(spark, sf_dir).toPandas()
+    try:
+        sdf = spec.fn(spark, sf_dir).toPandas()
+    finally:
+        # Release plan-level persists (caching.py) now that the result
+        # is materialized: a full parity sweep must leave zero cached
+        # blocks behind.
+        from .caching import release_tracked
+
+        release_tracked()
     own_con = con is None
     if own_con:
         con = duckdb_connection(sf_dir)

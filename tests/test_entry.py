@@ -33,8 +33,8 @@ def test_registry_rotation_window():
         QUERIES,
     )
 
-    verified, latest_round = _load_driver_verified()
-    assert latest_round >= 1
+    verified = _load_driver_verified()
+    assert verified and max(verified.values()) >= 1
     keys = list(QUERIES)
     assert len(keys) == len(set(keys))
     unverified = [k for k in keys if k not in verified]
@@ -49,25 +49,35 @@ def test_registry_rotation_window():
         )
 
 
-def test_rotation_offset_advances_with_round(monkeypatch):
-    """Different round numbers must put a different verified subset in
-    the window (the anti-staleness property the rotation exists for)."""
+def test_rotation_is_oldest_first(monkeypatch):
+    """Verified entries must be ordered by ascending last-verified round
+    (the anti-staleness property the rotation exists for): after a round
+    verifies the current window, the NEXT window lands on the cohort
+    whose last driver check is oldest."""
     import blockchair_etl_spark.queryset as qs
 
-    verified, _ = qs._load_driver_verified()
+    verified = qs._load_driver_verified()
     if len(verified) < qs._DRIVER_WINDOW:
         return  # not enough verified entries for the property to bind
 
-    def windows_for(round_n):
-        monkeypatch.setattr(
-            qs, "_load_driver_verified", lambda: (verified, round_n)
-        )
-        qs._rotate_registry()
-        return list(qs.QUERIES)[: qs._DRIVER_WINDOW]
-
     try:
-        w1, w2 = windows_for(1), windows_for(2)
-        assert set(w1) != set(w2)
+        monkeypatch.setattr(qs, "_load_driver_verified", lambda: dict(verified))
+        qs._rotate_registry()
+        keys = list(qs.QUERIES)
+        rounds = [verified[k] for k in keys if k in verified]
+        assert rounds == sorted(rounds)
+        # simulate the driver verifying this round's window at round R+1:
+        # the next window must rotate onto a cohort at least as stale
+        nxt = dict(verified)
+        new_round = max(verified.values()) + 1
+        for k in keys[: qs._DRIVER_WINDOW]:
+            nxt[k] = new_round
+        monkeypatch.setattr(qs, "_load_driver_verified", lambda: nxt)
+        qs._rotate_registry()
+        keys2 = list(qs.QUERIES)
+        assert set(keys2[: qs._DRIVER_WINDOW]) != set(keys[: qs._DRIVER_WINDOW])
+        rounds2 = [nxt[k] for k in keys2 if k in nxt]
+        assert rounds2 == sorted(rounds2)
     finally:
         monkeypatch.undo()
         qs._rotate_registry()
