@@ -71,7 +71,15 @@ def _sessionize_group(
                 emit(start, end, n, total)
                 start, end, n, total = t, t, 1, float(v)
             else:
-                end, n, total = t, n + 1, total + float(v)
+                # max(): an out-of-order event from a later micro-batch
+                # (within watermark) can carry t < the stored end; taking
+                # t verbatim would REGRESS the session end and shorten
+                # the flush timer, mis-stamping the session. (An event
+                # earlier than the stored start is folded in the same
+                # way — the batch twin, which sees fully sorted data,
+                # only splits earlier if the gap exceeds the threshold,
+                # which t >= watermark > end - gap rules out here.)
+                end, n, total = max(end, t), n + 1, total + float(v)
         if n:
             state.update((start, end, n, total))
             # flush when the watermark passes the session's gap horizon

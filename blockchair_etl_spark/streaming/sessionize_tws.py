@@ -90,7 +90,11 @@ class SessionProcessor(StatefulProcessor):
                 out.append(self._emit_row(user_id, start, end, n, total))
                 start, end, n, total = t, t, 1, float(v)
             else:
-                end, n, total = t, n + 1, total + float(v)
+                # max(): same out-of-order merge rule as the
+                # applyInPandasWithState twin (sessionize.py) — a late
+                # event with t < stored end must not regress the session
+                # end or shorten the flush timer.
+                end, n, total = max(end, t), n + 1, total + float(v)
 
         if n:
             timer_ms = end // 1000 + self.gap_ms
