@@ -222,15 +222,25 @@ class BlockchairDumpStreamReader(DataSourceStreamReader):
     """Streaming twin of the batch reader: the daily feed as an
     unbounded source.
 
-    The offset IS the dump date — `{"last_date": "YYYYMMDD"}`. Each
-    micro-batch re-lists the landing dir (cheap: one readdir), takes
-    every file dated after the committed offset, and plans one
-    partition per file; rows parse executor-side via the same
-    `_parse_dump_file`. Exactly-once comes from Spark's offset log —
-    a replayed batch re-plans the identical (start, end] date range
-    and re-reads the same immutable files. This is the daily-landing
-    analog of `stream_daily_files` with source-native (date) offsets
-    instead of file-discovery state."""
+    The offset is `{"last_date": "YYYYMMDD", "recent": {ymd: [names]}}`.
+    ``last_date`` is the max dump date seen; ``recent`` pins the EXACT
+    file basenames for the trailing ``backfill_horizon_days`` dates
+    (default 3). Each micro-batch re-lists the landing dir (cheap: one
+    readdir) and plans one partition per file; rows parse executor-side
+    via the same `_parse_dump_file`.
+
+    Why ``recent`` exists (round-5 advice): with a max-date-only offset,
+    a file BACKFILLED into an already-committed date was silently never
+    read (the batch reader would pick it up). Pinning the per-date file
+    set makes such backfills first-class: the next batch plans exactly
+    the names in ``end.recent`` minus ``start.recent``, so a late file
+    within the horizon is read once, and replay of a committed batch
+    re-reads the identical pinned set even if the directory has changed
+    since. Dates older than the horizon keep the original date-range
+    contract (immutable files, a date is complete once it ages out);
+    a file appearing beyond the horizon is surfaced with a WARN and the
+    ``skipped_late_files`` counter instead of being silently dropped.
+    Offset size is bounded: horizon_days x files/day basenames."""
 
     def __init__(self, schema: StructType, options):
         self.schema_struct = schema
@@ -240,6 +250,11 @@ class BlockchairDumpStreamReader(DataSourceStreamReader):
             raise ValueError("option 'path' (landing directory) is required")
         self.table = options.get("table")
         self.coin = options.get("coin")
+        self.horizon_days = int(options.get("backfill_horizon_days") or 3)
+        # Best-effort beyond-horizon late-file detection (in-memory per
+        # reader; resets on restart — detection, not delivery).
+        self._known_names: set[str] | None = None
+        self.skipped_late_files = 0
 
     def _list(self) -> list[tuple[str, str]]:
         files = []
@@ -255,20 +270,81 @@ class BlockchairDumpStreamReader(DataSourceStreamReader):
             files.append((os.path.join(self.root, name), ymd))
         return files
 
+    def _horizon_floor(self, last_date: str) -> str:
+        """Dates STRICTLY greater than this are pinned in the offset."""
+        if last_date == "00000000":
+            return "00000000"
+        from datetime import timedelta
+
+        d = datetime.strptime(last_date, "%Y%m%d") - timedelta(days=self.horizon_days)
+        return d.strftime("%Y%m%d")
+
     def initialOffset(self) -> dict:
-        return {"last_date": "00000000"}
+        return {"last_date": "00000000", "recent": {}}
 
     def latestOffset(self) -> dict:
         files = self._list()
         latest = max((ymd for _, ymd in files), default="00000000")
-        return {"last_date": latest}
+        floor = self._horizon_floor(latest)
+        recent: dict[str, list[str]] = {}
+        for path, ymd in files:
+            if ymd > floor:
+                recent.setdefault(ymd, []).append(os.path.basename(path))
+        return {"last_date": latest, "recent": {d: sorted(n) for d, n in recent.items()}}
 
     def partitions(self, start: dict, end: dict):
-        kept = [
-            DumpFilePartition(path, ymd)
-            for path, ymd in self._list()
-            if start["last_date"] < ymd <= end["last_date"]
-        ]
+        end_recent: dict[str, list[str]] = end.get("recent") or {}
+        # Legacy checkpoint (max-date-only offset): fall back to the
+        # date-range contract for this one transition — re-planning
+        # already-read horizon dates from end.recent would duplicate.
+        start_has_recent = isinstance(start.get("recent"), dict)
+        start_recent: dict[str, list[str]] = start.get("recent") or {}
+        kept: list[DumpFilePartition] = []
+        # 1) horizon dates: plan exactly the pinned names new vs start —
+        #    this is what picks up a file BACKFILLED into a committed
+        #    date, and what makes replay byte-identical even if the
+        #    directory changed after the offset was committed.
+        for ymd in sorted(end_recent):
+            prior = set(start_recent.get(ymd, []))
+            if not start_has_recent and ymd <= start["last_date"]:
+                continue
+            for name in end_recent[ymd]:
+                if name not in prior:
+                    kept.append(DumpFilePartition(os.path.join(self.root, name), ymd))
+        # 2) beyond-horizon dates inside (start, end]: the original
+        #    date-range listing (a date is complete once it ages out of
+        #    the horizon; files are immutable).
+        end_floor = self._horizon_floor(end["last_date"])
+        listed = self._list()
+        for path, ymd in listed:
+            if start["last_date"] < ymd <= end["last_date"] and ymd <= end_floor:
+                kept.append(DumpFilePartition(path, ymd))
+        # 3) best-effort detection of files arriving BEYOND the horizon
+        #    of an already-committed range: too late to deliver under
+        #    the offset contract, so surface loudly instead of silently
+        #    dropping (round-5 advice).
+        if self._known_names is None:
+            self._known_names = {os.path.basename(p) for p, _ in listed}
+        else:
+            start_floor = self._horizon_floor(start["last_date"])
+            for path, ymd in listed:
+                name = os.path.basename(path)
+                if name not in self._known_names:
+                    self._known_names.add(name)
+                    if ymd <= start_floor:
+                        self.skipped_late_files += 1
+                        import warnings
+
+                        warnings.warn(
+                            f"blockchair_dump stream: {name} arrived for "
+                            f"date {ymd}, beyond the {self.horizon_days}-day "
+                            f"backfill horizon of committed offset "
+                            f"{start['last_date']} — NOT read; widen "
+                            f"backfill_horizon_days or backfill via the "
+                            f"batch reader (skipped_late_files="
+                            f"{self.skipped_late_files})",
+                            stacklevel=2,
+                        )
         return kept or [DumpFilePartition("", "")]
 
     def read(self, partition: DumpFilePartition):

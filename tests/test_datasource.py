@@ -3,6 +3,7 @@ file-per-partition planning, dump_date filter pushdown pruning whole
 files, row-level error policy."""
 
 import gzip
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -156,3 +157,136 @@ def test_stream_reader_incremental_by_dump_date(registered, landing, tmp_path):
     # no duplicates: day 1-2 files were not re-read on the second drain
     assert len(rows) == 4
     assert str(next(r for r in rows if r.hash == "dd").dump_date) == "2024-01-03"
+
+
+def test_stream_backfilled_file_within_horizon_is_read(registered, tmp_path):
+    """A file landed for a date <= the committed offset (a backfill)
+    must be read by the next batch: the offset pins per-date file sets
+    for the trailing horizon, not just the max date (round-5 advice —
+    the max-date-only offset silently skipped such files forever)."""
+    d = tmp_path / "landing2"
+    d.mkdir()
+    _write_dump(
+        d,
+        "blockchair_bitcoin_transactions_20240101.tsv.gz",
+        [("aa", "100", "0.5", "2024-01-01 10:00:00")],
+    )
+    _write_dump(
+        d,
+        "blockchair_bitcoin_transactions_20240103.tsv.gz",
+        [("cc", "102", "1.25", "2024-01-03 09:30:00")],
+    )
+    out = str(tmp_path / "bf_out")
+    ckpt = str(tmp_path / "bf_ckpt")
+
+    def drain():
+        q = (
+            registered.readStream.format("blockchair_dump")
+            .option("path", str(d))
+            .option("table", "transactions")
+            .option("schema_ddl", DDL)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert {r.hash for r in registered.read.parquet(out).collect()} == {"aa", "cc"}
+
+    # 20240102 arrives AFTER 20240103 was committed — a backfill
+    _write_dump(
+        d,
+        "blockchair_bitcoin_transactions_20240102.tsv.gz",
+        [("bb", "101", "0.75", "2024-01-02 12:00:00")],
+    )
+    drain()
+    rows = registered.read.parquet(out).collect()
+    assert {r.hash for r in rows} == {"aa", "bb", "cc"}
+    assert len(rows) == 3  # and nothing was re-read
+
+
+def test_stream_replay_plans_identical_files_after_directory_change(spark, tmp_path):
+    """Replaying a committed (start, end] range must plan the offset's
+    PINNED file set even if the directory gained files since — the
+    exactly-once contract a live re-listing cannot give."""
+    from pyspark.sql.types import StructType
+
+    from blockchair_etl_spark.io.datasource import BlockchairDumpStreamReader
+
+    d = tmp_path / "landing3"
+    d.mkdir()
+    _write_dump(
+        d,
+        "blockchair_bitcoin_transactions_20240101.tsv.gz",
+        [("aa", "100", "0.5", "2024-01-01 10:00:00")],
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(DDL)
+    rdr = BlockchairDumpStreamReader(
+        schema, {"path": str(d), "table": "transactions"}
+    )
+    start = rdr.initialOffset()
+    end = rdr.latestOffset()
+    plan1 = sorted(p.path for p in rdr.partitions(start, end) if p.path)
+    # a backfill lands into the pinned 2024-01-01 date after commit
+    # (same table, different coin — so the table router DOES admit it)
+    _write_dump(
+        d,
+        "blockchair_ethereum_transactions_20240101.tsv.gz",
+        [("xx", "999", "0.1", "2024-01-01 23:00:00")],
+    )
+    plan2 = sorted(p.path for p in rdr.partitions(start, end) if p.path)
+    assert plan1 == plan2  # replay unaffected by the directory change
+    # ...and the NEXT batch delivers exactly the backfilled file
+    end2 = rdr.latestOffset()
+    delta = [p.path for p in rdr.partitions(end, end2) if p.path]
+    assert [os.path.basename(p) for p in delta] == [
+        "blockchair_ethereum_transactions_20240101.tsv.gz"
+    ]
+
+
+def test_stream_late_file_beyond_horizon_warns_not_silent(spark, tmp_path):
+    """A file arriving for a date beyond the backfill horizon of the
+    committed offset cannot be delivered under the offset contract —
+    it must be surfaced (warning + counter), never dropped silently."""
+    import warnings as _warnings
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from blockchair_etl_spark.io.datasource import BlockchairDumpStreamReader
+
+    d = tmp_path / "landing4"
+    d.mkdir()
+    _write_dump(
+        d,
+        "blockchair_bitcoin_transactions_20240110.tsv.gz",
+        [("aa", "100", "0.5", "2024-01-10 10:00:00")],
+    )
+    schema = _parse_datatype_string(DDL)
+    rdr = BlockchairDumpStreamReader(
+        schema,
+        {"path": str(d), "table": "transactions", "backfill_horizon_days": "2"},
+    )
+    start = rdr.initialOffset()
+    end = rdr.latestOffset()
+    rdr.partitions(start, end)  # primes the known-file snapshot
+
+    # a file 9 days late, far beyond the 2-day horizon of offset 0110
+    _write_dump(
+        d,
+        "blockchair_bitcoin_transactions_20240101.tsv.gz",
+        [("old", "1", "0.0", "2024-01-01 00:00:00")],
+    )
+    end2 = rdr.latestOffset()
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        planned = [p for p in rdr.partitions(end, end2) if p.path]
+    assert not planned  # beyond horizon: not delivered...
+    assert rdr.skipped_late_files == 1  # ...but counted
+    assert any("beyond the 2-day backfill horizon" in str(w.message) for w in caught)
