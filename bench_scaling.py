@@ -59,6 +59,12 @@ FAMILY = [
     "text_normalize",
     "ann_ivfpq_topk",
     "dedup_incremental_embedding",
+    # round-6 additions: the two with a nontrivial scale story (the
+    # recursive CTE's fan-out and the budget selection's two-phase
+    # cumulative sum)
+    "trace_recursive_cte",
+    "corpus_token_budget",
+    "sample_dsir_scores",
 ]
 
 # Pair-generating queries: any blocked self-join whose within-block pair
@@ -267,29 +273,74 @@ def _custom_runners(spark, repo: str, scale: int):
         return pairs
 
     def run_semdedup_adaptive(spark_, sf_dir: str):
-        # k grows with the corpus (flat occupancy) AND assignment is
-        # LSH-pruned so per-row cost stays O(1) in k — the flat argmin
-        # at k ∝ n was itself the superlinearity (alpha 1.08 measured)
+        # The full 100 TB configuration (r6): k grows with the corpus
+        # (flat ~256-row occupancy) AND the whole operator runs
+        # vectorized — numpy-pruned assignment over Arrow batches plus
+        # per-cluster BLAS gram matrices via applyInPandas, the shape
+        # the SemDeDup paper itself computes. The r5 form (exact-decimal
+        # Column assignment + pair join) measured 27.6 s at 10x; the
+        # cost was interpreted per-element expression eval and the
+        # materialization of millions of (va, vb) join rows, not the
+        # arithmetic. This form: 0.55 s at 10x, alpha ~= 0.1, with a
+        # survivor set IDENTICAL to the exact form on the driver corpus
+        # (tests/test_llmdata.py::test_semdedup_grouped_matches_exact).
+        # The exact-decimal form stays the driver-oracle twin at sf0.01.
+        from blockchair_etl_spark.llmdata.dedup import (
+            semantic_dedup_survivors_grouped,
+        )
+
         emb = load_table(spark_, sf_dir, "embeddings")
-        # 256-row target occupancy: within-cluster pair work is
-        # n*occupancy/2, so halving occupancy halves the pair stage;
-        # the LSH-pruned assignment stays O(1)/row at any k
         k = max(8, emb.count() // 256)
         cents = seed_centroids(emb, n_centroids=k)
-        return semantic_dedup_survivors(
-            emb, cents, threshold=0.3, dim=64, pruned_assign=True
+        return semantic_dedup_survivors_grouped(emb, cents, threshold=0.3, dim=64)
+
+    _store_cache: dict[str, tuple] = {}
+
+    def run_incr_emb_big_store(spark_, sf_dir: str):
+        # The realistic incremental shape (r5 verdict #7): a persisted
+        # store ~10x the daily batch. Day's batch = the vec_id % 11 == 0
+        # slice (~9%); store = everything else, pre-built and PERSISTED
+        # on first invocation (run 1 pays it; the reported median of 3
+        # excludes it — the store is yesterday's on-disk index, not part
+        # of the daily cost). The timed cost is batch hashing + one
+        # bucket join probing the narrow store — it must stay ~flat per
+        # batch as the store grows (probe, not rescan).
+        from blockchair_etl_spark.llmdata.dedup import (
+            build_embedding_store,
+            incremental_embedding_dedup,
         )
+        from blockchair_etl_spark.llmdata.similarity import adaptive_n_planes
+
+        from pyspark.sql import functions as SF
+
+        if sf_dir not in _store_cache:
+            emb = load_table(spark_, sf_dir, "embeddings")
+            p = adaptive_n_planes(emb.count())
+            batch = emb.filter(SF.col("vec_id") % 11 == 0)
+            store = build_embedding_store(
+                emb.filter(SF.col("vec_id") % 11 != 0), dim=64, n_planes=p
+            ).persist()
+            store.count()
+            _store_cache[sf_dir] = (batch, store, p)
+        batch, store, p = _store_cache[sf_dir]
+        pairs, _updated = incremental_embedding_dedup(
+            batch, store, dim=64, threshold=0.3, n_planes=p
+        )
+        return pairs
 
     return {
         "dedup_bow_cosine_zipf": run_zipf,
         "trace_funds_3hop": run_trace3,
         "dedup_semantic_semdedup": run_semdedup_adaptive,
         "dedup_incremental_embedding": run_incr_emb_adaptive,
+        "dedup_incremental_bigstore": run_incr_emb_big_store,
     }
 
 
 def time_queries(spark, sf_dir: str, runs: int, repo: str, scale: int) -> dict[str, float]:
     from blockchair_etl_spark.queryset import QUERIES
+
+    from blockchair_etl_spark.caching import release_tracked
 
     runners = {name: QUERIES[name].fn for name in FAMILY}
     runners.update(_custom_runners(spark, repo, scale))
@@ -300,6 +351,7 @@ def time_queries(spark, sf_dir: str, runs: int, repo: str, scale: int) -> dict[s
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+            release_tracked()  # same contract as bench.py: no carryover
         timings[name] = round(statistics.median(samples), 3)
     return timings
 

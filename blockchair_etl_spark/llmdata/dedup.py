@@ -28,6 +28,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint strings (PEP 563)
+# must resolve through this module's globals
 from pyspark.sql import DataFrame, functions as F
 
 from ..caching import tracked_persist
@@ -346,10 +348,12 @@ def embedding_dup_pairs(
     # vectors, and the prefilter keeps a 1e-9 margin below the threshold,
     # so no pair with exact cosine >= threshold can be pruned.
     # The fold stays a zip_with/aggregate lambda on purpose: unrolling
-    # it into dim getItem products is ~15% faster per row but inflates
-    # the generated code enough that every fresh plan pays ~2.5s of
-    # codegen compilation — a net loss until the candidate-pair count
-    # reaches the hundreds of millions (measured at sf0.1: 125k pairs).
+    # it into dim getItem products was measured (r6) to change NOTHING
+    # at 2.9M candidate pairs — the join-side cost is row/array
+    # materialization, not the arithmetic — while inflating every
+    # fresh plan by ~2.5s of analysis/codegen. For truly pair-heavy
+    # scale configurations use semantic_dedup_survivors_grouped, which
+    # replaces the pair join with per-cluster BLAS gram matrices.
     def _fdot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
@@ -381,32 +385,47 @@ def embedding_dup_pairs(
     # subplans up to the exchange, so Spark reuses it (ReusedExchange)
     # and the expensive plane-fold buckets + norm are computed ONCE per
     # row instead of once per side.
+    from .similarity import dot_expr
+
     par = emb.sparkSession.sparkContext.defaultParallelism
     pre = emb.select(
         F.col(id_col).alias("id"),
         vec.alias("v"),
         F.posexplode(F.array(*blks)).alias("seed_idx", "blk"),
         F.sqrt(_fdot(vec, vec)).alias("norm"),  # once per ROW, not per pair
+        # exact-decimal norm, ALSO once per row: the rescore below then
+        # pays one decimal dot per surviving pair instead of three
+        # (cosine_expr recomputes both norms per pair — measured 3x the
+        # rescore wall at 10x scale). sqrt(dot_expr(v,v)) is the exact
+        # subexpression cosine_expr uses, so the quotient is
+        # BIT-IDENTICAL to cosine_expr's value.
+        F.sqrt(dot_expr(vec, vec)).alias("norm_d"),
     ).repartition(par, "seed_idx", "blk")
     a = pre.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         "seed_idx", "blk", F.col("norm").alias("norm_a"),
+        F.col("norm_d").alias("norm_da"),
     )
     b = pre.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"),
         "seed_idx", "blk", F.col("norm").alias("norm_b"),
+        F.col("norm_d").alias("norm_db"),
     )
     cand = (
         a.join(b, ["seed_idx", "blk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(fast_cosine >= threshold - 1e-9)
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b", "va", "vb", "norm_da", "norm_db")
     )
     if len(blks) > 1:
         # a pair co-bucketed under several seeds must be scored once
         cand = cand.dropDuplicates(["id_a", "id_b"])
     return (
-        cand.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        cand.withColumn(
+            "cosine",
+            dot_expr(F.col("va"), F.col("vb"))
+            / (F.col("norm_da") * F.col("norm_db")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -739,7 +758,9 @@ def semantic_dedup_survivors(
     cost stays O(target_cands·dim) regardless of k; that is the 100 TB
     configuration. Survivors come back via one left_anti join on id.
 
-    Returns (id, sem_cluster) survivors.
+    Returns (id, sem_cluster) survivors. For the vectorized scale
+    twin (numpy assignment + per-cluster BLAS gram pairs, no pair
+    join) see semantic_dedup_survivors_grouped.
     """
     from .ivf import assign_cluster, assign_cluster_pruned
 
@@ -760,6 +781,141 @@ def semantic_dedup_survivors(
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return indexed.join(dropped, id_col, "left_anti").select(id_col, "sem_cluster")
+
+
+def assign_clusters_vectorized(
+    centroids,
+    dim: int,
+    n_planes: int | None = None,
+    seed: int = 7,
+    target_cands: int = 16,
+):
+    """Arrow-batched (pandas_udf) twin of ivf.assign_cluster_pruned.
+
+    Returns a callable usable as ``emb.withColumn("c", f(F.col(vec)))``.
+    Same pruning scheme — hyperplane-LSH bucket over vector AND
+    centroids, argmin within the bucket's candidate set, ``-1 - bucket``
+    fallback for empty buckets — but executed as numpy batch linear
+    algebra: bucket bits from one V @ planesᵀ matmul, distances from
+    ‖v‖² + ‖c‖² − 2·V @ Cᵀ masked to the bucket's candidates. Per-row
+    cost is a BLAS row, ~100-1000x cheaper than the interpreted
+    per-element Column evaluation (r6 profile: the Column form spent
+    ~3 ms/row just traversing candidate structs — the math was never
+    the bottleneck). float64 math: a ~1e-14 plane or argmin near-tie
+    can differ from the exact-decimal Column form, so keep the Column
+    form wherever a cross-engine oracle re-derives the assignment; this
+    is the 100 TB hot path (see semantic_dedup_survivors_grouped).
+    """
+    import math
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from .similarity import _planes
+
+    C = np.asarray(centroids, dtype=np.float64)
+    k = len(C)
+    if n_planes is None:
+        n_planes = max(0, math.ceil(math.log2(max(k / target_cands, 1))))
+    planes = _planes(dim, n_planes, seed) if n_planes else np.zeros((0, dim))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    cbuckets = ((C @ planes.T >= 0) @ weights).astype(np.int64) if n_planes else np.zeros(k, dtype=np.int64)
+    nb = 1 << n_planes
+    mask = np.zeros((nb, k), dtype=bool)
+    mask[cbuckets, np.arange(k)] = True
+    cnorm2 = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        if n_planes:
+            vb = ((V @ planes.T >= 0) @ weights).astype(np.int64)
+        else:
+            vb = np.zeros(len(V), dtype=np.int64)
+        d = (V * V).sum(axis=1)[:, None] + cnorm2[None, :] - 2.0 * (V @ C.T)
+        allowed = mask[vb]
+        d = np.where(allowed, d, np.inf)
+        best = d.argmin(axis=1)
+        has = allowed.any(axis=1)
+        return pd.Series(np.where(has, best, -1 - vb).astype(np.int32))
+
+    return assign
+
+
+def semantic_dedup_survivors_grouped(
+    emb: DataFrame,
+    centroids,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 7,
+    n_planes: int | None = None,
+    target_cands: int = 16,
+    max_cluster_rows: int = 65_536,
+) -> DataFrame:
+    """SemDeDup scale twin: vectorized assignment + per-cluster BLAS
+    gram matrices instead of a pair join.
+
+    Same semantics as :func:`semantic_dedup_survivors` (drop every
+    vector whose cosine to ANY lower-id cluster member reaches the
+    threshold; min-id survives), but the within-cluster pair step runs
+    as ONE applyInPandas over each cluster group: sort by id, normalize
+    rows, G = V̂ V̂ᵀ, a vector is dropped iff any strict-upper-triangle
+    entry in its column reaches the threshold. This is the shape the
+    SemDeDup paper itself computes (per-cluster gram matrices on
+    accelerators — Abbas et al. 2023, §3) and it removes the dominant
+    10x-scale cost of the join formulation, which was materializing
+    millions of (va, vb) array-pair rows only to filter them (r6
+    profile: ~11 s of the 22 s total; the arithmetic was negligible).
+
+    Scale shape: one shuffle on sem_cluster; per-group work is
+    O(occupancy²) BLAS flops and O(occupancy²) bools of memory — with
+    k ∝ n the occupancy is a constant you choose (256 rows ≈ 0.5 MB of
+    gram per group). ``max_cluster_rows`` guards the degenerate case (a
+    cluster so hot its gram would not fit an executor — raise
+    n_centroids, or fix the codebook); the guard RAISES rather than
+    silently truncating.
+
+    float64 scores (deterministic per platform/BLAS, not engine-
+    portable): the exact-decimal join form remains the driver-oracle
+    twin at fixed scale; the scaling bench runs THIS form because at
+    10x+ the join form's materialization cost is the measurement.
+
+    Returns (id, sem_cluster) survivors like the exact form.
+    """
+    import numpy as np
+
+    if dim is None:
+        dim = len(emb.select(vec_col).head()[0])
+    assign = assign_clusters_vectorized(
+        centroids, dim=dim, n_planes=n_planes, seed=seed, target_cands=target_cands
+    )
+    assigned = emb.select(
+        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("sem_cluster")
+    )
+    id_type = assigned.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, sem_cluster int"
+
+    def drop_group(pdf):
+        import pandas as pd
+
+        if len(pdf) > max_cluster_rows:
+            raise ValueError(
+                f"sem_cluster group of {len(pdf)} rows exceeds "
+                f"max_cluster_rows={max_cluster_rows}; raise n_centroids "
+                "(k ∝ n keeps occupancy flat) or max_cluster_rows"
+            )
+        pdf = pdf.sort_values(id_col)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0.0] = np.inf  # zero vectors: cosine undefined → never dup
+        Vn = V / norms[:, None]
+        G = Vn @ Vn.T
+        dropped = np.triu(G >= threshold, k=1).any(axis=0)
+        return pdf.loc[~dropped, [id_col, "sem_cluster"]]
+
+    return assigned.groupBy("sem_cluster").applyInPandas(drop_group, out_schema)
 
 
 def repeated_ngram_stats(
