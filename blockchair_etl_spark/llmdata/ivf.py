@@ -41,6 +41,30 @@ def _sq_dist(vec_col: Column, centroid: np.ndarray) -> Column:
     return _sq_dist_col(vec_col, F.array(*[F.lit(float(v)) for v in centroid]))
 
 
+def exact_probe_order(centroids: np.ndarray, q) -> list[int]:
+    """Coarse-list probe order by squared distance computed with the
+    SAME arithmetic as `_sq_dist_col` and the SQL oracle mirror: each
+    per-dimension (a-b)² IEEE-double product quantized to 18 decimal
+    places, then summed EXACTLY (python Decimal); ties break by list
+    id. The previous double-precision `np.argsort` could order a
+    coarse near-tie differently from the oracle's exact-decimal
+    ORDER BY, making Spark and the oracle probe different lists (r5
+    advice) — deriving the order from the oracle's own arithmetic
+    closes that."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quantum = Decimal("0.000000000000000001")  # 18 frac digits = DEC(38,18)
+    ranked = []
+    for i, c in enumerate(centroids):
+        total = Decimal(0)
+        for a, b in zip(c, q):
+            d = float(a) - float(b)
+            total += Decimal(d * d).quantize(quantum, rounding=ROUND_HALF_UP)
+        ranked.append((total, i))
+    ranked.sort()
+    return [i for _, i in ranked]
+
+
 def assign_cluster(vec_col: Column, centroids: np.ndarray) -> Column:
     """argmin centroid id as a Column expression (codegen'd, no UDF);
     exact-decimal distances, first-minimum tiebreak.
@@ -157,10 +181,9 @@ def ivf_ann_topk(
 ) -> DataFrame:
     """Score only the n_probe inverted lists nearest the query."""
     q = np.asarray(query_vec, dtype=float)
-    # Stable sort: equidistant centroids tie-break by list id, matching
-    # the oracle's ORDER BY dist, c.
-    order = np.argsort(((centroids - q) ** 2).sum(axis=1), kind="stable")
-    probes = [int(c) for c in order[:n_probe]]
+    # Exact-decimal probe ranking (ties by list id) — the same
+    # arithmetic the oracle's ORDER BY dist, c evaluates.
+    probes = exact_probe_order(centroids, q)[:n_probe]
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
     cand = indexed.filter(F.col("ivf_cluster").isin(probes))
     scored = cand.select(F.col(id_col), cosine_expr(F.col(vec_col), qcol).alias("cosine"))
@@ -197,7 +220,11 @@ def assign_cluster_pruned(
     deterministic. A vector's true nearest centroid can land in a
     different bucket — pruned assignment trades that (bounded, seeded)
     approximation for linear total cost, exactly like the adaptive
-    plane count in embedding_dup_pairs.
+    plane count in embedding_dup_pairs. (The measured per-row cost is
+    dominated by interpreted expression evaluation over the candidate
+    structs, not by the decimal math — for the vectorized hot path see
+    dedup.assign_clusters_vectorized, which does the same pruning in
+    numpy over Arrow batches.)
     """
     import math
 

@@ -269,12 +269,15 @@ def ivfpq_adc_topk(
 
     Per row: one coarse assignment + (inside its probed branch) one
     residual encode + m table probes — all fixed-point BIGINT, bit-
-    portable. The probe choice uses the same stable double argsort as
-    ivf_ann_topk (ties by list id)."""
+    portable. The probe choice uses ivf.exact_probe_order (the
+    oracle's own decimal arithmetic, ties by list id) so a coarse
+    near-tie can never make Spark and the oracle probe different
+    lists."""
+    from .ivf import exact_probe_order
+
     m, ksub, dsub = codebooks.shape
     q = np.asarray([float(v) for v in query_vec], dtype=float)
-    order = np.argsort(((centroids - q) ** 2).sum(axis=1), kind="stable")
-    probes = [int(c) for c in order[:n_probe]]
+    probes = exact_probe_order(centroids, q)[:n_probe]
 
     # Staged plan: (1) repartition + assign once, (2) prune to the
     # probed lists on the materialized cluster column, (3) materialize

@@ -285,3 +285,35 @@ def test_pruned_assignment_generated_sql_hash_parity(spark, sf_dir):
     want = con.execute(pruned_assign_oracle_sql(cents, dim=64, n_planes=1)).fetchdf()
     r = compare_frames("pruned_assign", got, want)
     assert r.ok, r.mismatches
+
+
+def test_exact_probe_order_ties_and_decimal_arithmetic():
+    """Probe order must follow the oracle's decimal arithmetic: exact
+    per-term DEC(38,18) quantization + exact sum, ties by list id."""
+    import numpy as np
+
+    from blockchair_etl_spark.llmdata.ivf import exact_probe_order
+
+    # identical centroids: pure tie -> ascending list ids
+    cents = np.asarray([[1.0, 2.0], [1.0, 2.0], [1.0, 2.0]])
+    assert exact_probe_order(cents, [0.0, 0.0]) == [0, 1, 2]
+
+    # a near-tie where raw double SUMS are equal but the quantized
+    # decimal sums could differ must still be ordered deterministically
+    # and match the reference Decimal computation
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rng = np.random.default_rng(3)
+    cents = rng.standard_normal((8, 16))
+    q = rng.standard_normal(16)
+    quantum = Decimal("0.000000000000000001")
+
+    def ref_dist(c):
+        t = Decimal(0)
+        for a, b in zip(c, q):
+            d = float(a) - float(b)
+            t += Decimal(d * d).quantize(quantum, rounding=ROUND_HALF_UP)
+        return t
+
+    expect = [i for _, i in sorted((ref_dist(c), i) for i, c in enumerate(cents))]
+    assert exact_probe_order(cents, q) == expect
