@@ -93,6 +93,11 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "graph_personalized_pagerank",
     "corpus_prep_v2_pipeline",
+    # round-6 additions
+    "trace_recursive_cte",
+    "corpus_token_budget",
+    "sample_cluster_balanced",
+    "sample_dsir_scores",
 ]
 
 

@@ -257,3 +257,186 @@ def temperature_resample(
         domain_col,
         F.explode(seq).alias("copy_id"),
     )
+
+
+def quality_budget_select(
+    df: DataFrame,
+    score_col: str,
+    budget_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Select the highest-quality documents until a corpus-wide token
+    budget: a doc is included iff the EXACT cumulative token count of
+    every better-ranked doc (score DESC, id ASC) is below the budget
+    (here total_tokens // budget_den, derived from the corpus itself so
+    the same docs select at any scale factor). The "train on the best
+    X% of tokens" primitive of quality-pruning pipelines
+    (quality-ranked data selection).
+
+    Scale shape — the naive form is ONE global ordered window (single
+    reducer over the corpus: a non-starter). This computes the same
+    integer cumulative sum in two phases:
+
+      1. per-SCORE token totals (hash agg) + a running sum across the
+         per-score relation — a window over O(distinct scores) rows,
+         not O(docs);
+      2. a within-score running sum partitioned BY score (bounded
+         partitions as long as the score is reasonably granular — for
+         a coarse score add a finer tiebreak column).
+
+    cum_before = (tokens of strictly better scores) + (tokens of
+    same-score earlier ids): exactly the global window's value, as
+    BIGINTs, so the result is bit-identical to the single-window SQL a
+    warehouse would write (the oracle form).
+
+    Output: (id, score, n_tokens, cum_before) for selected docs only.
+    """
+    from pyspark.sql import Window
+
+    from .text import tokens_col
+
+    t = df.select(
+        F.col(id_col),
+        F.col(score_col).alias("score"),
+        F.size(tokens_col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    budget = t.agg(
+        (F.sum("n_tokens") / budget_den).cast("bigint").alias("budget")
+    )
+    per_score = t.groupBy("score").agg(F.sum("n_tokens").alias("score_tok"))
+    w_scores = (
+        Window.orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    score_cum = per_score.select(
+        "score",
+        F.coalesce(F.sum("score_tok").over(w_scores), F.lit(0))
+        .cast("bigint")
+        .alias("cum_score_before"),
+    )
+    w_within = (
+        Window.partitionBy("score")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        t.join(score_cum, "score")
+        .withColumn(
+            "cum_before",
+            (
+                F.col("cum_score_before")
+                + F.coalesce(F.sum("n_tokens").over(w_within), F.lit(0))
+            ).cast("bigint"),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_before") < F.col("budget"))
+        .select(id_col, F.col("score"), "n_tokens", "cum_before")
+    )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_bucket: int = 20,
+    n_planes: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Diversity (cluster-balanced) sampling: keep at most
+    ``per_bucket`` vectors per hyperplane-LSH bucket, chosen
+    deterministically by ascending id — the embedding-space analog of
+    per-domain caps, used to keep a training mix from being dominated
+    by one dense region of embedding space (DataComp-style balanced
+    subset construction).
+
+    One shuffle keyed on the bucket; the per-bucket window is bounded
+    by the bucket occupancy, which the plane count controls (raise
+    n_planes as the corpus grows — same adaptive-fan-out contract as
+    every LSH operator here).
+
+    Output: (id, bucket, bucket_rank) for the kept rows.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import lsh_bucket_col
+
+    if dim is None:
+        dim = len(emb.select(vec_col).head()[0])
+    bucketed = emb.select(
+        F.col(id_col),
+        lsh_bucket_col(F.col(vec_col), dim, n_planes=n_planes, seed=seed)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col(id_col).asc())
+    return (
+        bucketed.withColumn("bucket_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("bucket_rank") <= per_bucket)
+    )
+
+
+def dsir_proxy_scores(
+    df: DataFrame,
+    target_filter: Column,
+    n_buckets: int = 256,
+    scale: int = 1 << 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed-feature importance scores for data selection — the DSIR
+    shape (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): estimate how target-like each document is
+    from the ratio of hashed-token frequencies in a TARGET slice vs
+    the RAW corpus, then resample by that score upstream
+    (importance_sample composes directly).
+
+    Deviation from the paper, on purpose: DSIR sums per-feature
+    LOG-ratios; ln() is not bit-portable across engines, so the score
+    here is the sum of integer-QUANTIZED ratios — per bucket,
+    ((cnt_target+1)·scale) div (cnt_raw+1), accumulated as exact
+    BIGINTs over each token occurrence. Same monotone "target-like
+    tokens score high" signal, engine-exact.
+
+    Scale shape: tokens explode once; the bucket of each DISTINCT
+    token is computed once and joined back (md5-nibble bucketing, the
+    portable trick shuffle_shards uses); the two frequency aggs are
+    O(n_buckets) relations that broadcast back onto the token stream;
+    the per-doc sum is one hash agg. No windows, no driver state.
+
+    Output: (id, n_tokens, dsir_score) — one row per doc with ≥1 token.
+    """
+    from .text import tokens_col
+
+    hexd = "0123456789abcdef"
+    toks = df.select(
+        F.col(id_col),
+        target_filter.alias("__target"),
+        F.explode(tokens_col(text_col)).alias("token"),
+    )
+    n1 = F.expr(f"instr('{hexd}', substring(md5(token), 1, 1))") - 1
+    n2 = F.expr(f"instr('{hexd}', substring(md5(token), 2, 1))") - 1
+    tok_buckets = (
+        toks.select("token").distinct()
+        .select("token", F.pmod(n1 * 16 + n2, F.lit(n_buckets)).cast("bigint").alias("bucket"))
+    )
+    with_b = toks.join(tok_buckets, "token")
+    freq = with_b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt_raw"),
+        F.count(F.when(F.col("__target"), F.lit(1))).alias("cnt_target"),
+    )
+    ratio = freq.select(
+        "bucket",
+        F.expr(f"((cnt_target + 1) * {scale}) div (cnt_raw + 1)").alias("ratio_q"),
+    )
+    return (
+        with_b.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("ratio_q").cast("bigint").alias("dsir_score"),
+        )
+    )

@@ -5882,6 +5882,168 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 operators: native recursive CTE, token-budget selection,
+# diversity sampling, DSIR-shaped importance scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trace_recursive_cte",
+    survey="J5,U2 (native WITH RECURSIVE — Spark 4 recursive CTE)",
+    desc="3-hop fund trace as a NATIVE recursive CTE (spark.sql WITH "
+    "RECURSIVE, new in Spark 4) — the literal form of the reference's "
+    "recursive trace SQL (transaction_tracing/app.py:338-375), where "
+    "j5_trace_2hop re-expresses it as a driver loop; path multiplicity "
+    "preserved (UNION ALL), hop-capped in the recursive predicate; the "
+    "engine plans the iteration itself. The driver-loop form remains "
+    "the production path (per-hop budget guards, lineage checkpoints, "
+    "OOM fallback — query/trace.py); this entry proves the declarative "
+    "twin agrees",
+    oracle=f"""
+WITH RECURSIVE edges AS ({_TRACE_EDGE_SQL}),
+hops(hop, src, dst, tx_hash, tx_time) AS (
+  SELECT CAST(1 AS BIGINT), src, dst, tx_hash, tx_time FROM edges WHERE src = 7
+  UNION ALL
+  SELECT h.hop + 1, e.src, e.dst, e.tx_hash, e.tx_time
+  FROM edges e JOIN hops h ON h.dst = e.src
+  WHERE h.hop < 3
+)
+SELECT hop, src, dst, tx_hash, tx_time FROM hops
+""",
+)
+def trace_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _trace_edges(spark, sf_dir)
+    edges.createOrReplaceTempView("trace_edges_rcte")
+    return spark.sql(
+        """
+WITH RECURSIVE hops(hop, src, dst, tx_hash, tx_time) AS (
+  SELECT CAST(1 AS BIGINT), src, dst, tx_hash, tx_time
+  FROM trace_edges_rcte WHERE src = 7
+  UNION ALL
+  SELECT h.hop + 1, e.src, e.dst, e.tx_hash, e.tx_time
+  FROM trace_edges_rcte e JOIN hops h ON h.dst = e.src
+  WHERE h.hop < 3
+)
+SELECT hop, src, dst, tx_hash, tx_time FROM hops
+"""
+    )
+
+
+@register(
+    "corpus_token_budget",
+    survey="LLM-sampling (quality-ranked token-budget selection)",
+    desc="select the highest-quality docs until a corpus-wide token "
+    "budget (total_tokens div 5, derived in-plan): the 'train on the "
+    "best X% of tokens' primitive. The Spark plan computes the global "
+    "ordered cumulative sum in TWO phases (per-score totals + running "
+    "sum over O(distinct scores) rows, then a within-score window) — "
+    "bit-identical BIGINTs to the single global window the oracle "
+    "writes, without the single-reducer sort that window implies",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars AS score,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (SELECT CAST(SUM(n_tokens) // 5 AS BIGINT) AS budget FROM t),
+c AS (
+  SELECT doc_id, score, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY score DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT c.doc_id, c.score, c.n_tokens, c.cum_before
+FROM c, b WHERE c.cum_before < b.budget
+""",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.sampling import quality_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_budget_select(docs, score_col="n_chars", budget_den=5)
+
+
+@register(
+    "sample_cluster_balanced",
+    survey="LLM-sampling (embedding-space diversity sampling)",
+    desc="cluster-balanced (diversity) sampling: at most 20 vectors "
+    "per hyperplane-LSH bucket, deterministically by ascending id — "
+    "keeps a training mix from being dominated by one dense embedding "
+    "region (DataComp-style balanced subset); one bucket-keyed "
+    "shuffle, per-bucket window bounded by the plane count",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id,
+         CAST({_sql_lsh_bucket('embedding', dim=64, n_planes=4)} AS BIGINT) AS bucket
+  FROM embeddings
+),
+r AS (
+  SELECT vec_id, bucket,
+         CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id ASC)
+              AS BIGINT) AS bucket_rank
+  FROM b
+)
+SELECT vec_id, bucket, bucket_rank FROM r WHERE bucket_rank <= 20
+""",
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.sampling import cluster_balanced_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(emb, per_bucket=20, n_planes=4, seed=7, dim=64)
+
+
+@register(
+    "sample_dsir_scores",
+    survey="LLM-sampling (DSIR-shaped hashed-feature importance scores)",
+    desc="hashed-token importance scores for target-distribution data "
+    "selection (DSIR shape, Xie et al. 2023): per 256-bucket md5 "
+    "feature, the add-1-smoothed target/raw frequency ratio quantized "
+    "to 2^20 integers; per-doc score = exact BIGINT sum over token "
+    "occurrences (integer ratios, not log-ratios — ln() is not "
+    "bit-portable across engines; same monotone signal). Target slice "
+    "= lang='en'. Composes with importance_sample for the resampling "
+    "step",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_target, unnest({_SQL_TOKS}) AS token
+  FROM documents
+),
+tb AS (
+  SELECT token,
+         CAST(((instr('0123456789abcdef', substring(md5(token), 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substring(md5(token), 2, 1)) - 1)) % 256
+           AS BIGINT) AS bucket
+  FROM (SELECT DISTINCT token FROM toks)
+),
+wb AS (SELECT t.doc_id, t.is_target, tb.bucket FROM toks t JOIN tb USING (token)),
+freq AS (
+  SELECT bucket,
+         COUNT(*) AS cnt_raw,
+         COUNT(CASE WHEN is_target THEN 1 END) AS cnt_target
+  FROM wb GROUP BY bucket
+),
+ratio AS (
+  SELECT bucket, ((cnt_target + 1) * 1048576) // (cnt_raw + 1) AS ratio_q
+  FROM freq
+)
+SELECT wb.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(r.ratio_q) AS BIGINT) AS dsir_score
+FROM wb JOIN ratio r USING (bucket)
+GROUP BY wb.doc_id
+""",
+)
+def sample_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.sampling import dsir_proxy_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_proxy_scores(docs, target_filter=F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering: the verification driver hash-checks the FIRST 50
 # entries of the registry per round. Entries never yet driver-verified are
 # placed first so each round's 50-slot window lands on them, maximising

@@ -900,3 +900,157 @@ def test_corpus_prep_v2_stage_invariants(spark, sf_dir):
         F.count("*").alias("k"), F.max("copy_id").alias("mx")
     ).filter("k != mx").count()
     assert bad == 0
+
+
+def test_semdedup_grouped_matches_exact(spark, sf_dir):
+    """The vectorized scale twin (numpy-pruned assignment + per-cluster
+    BLAS gram pairs) must produce the IDENTICAL survivor set and
+    cluster ids as the exact-decimal Column/join formulation — they are
+    the same operator at two execution strategies."""
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.dedup import (
+        semantic_dedup_survivors,
+        semantic_dedup_survivors_grouped,
+    )
+    from blockchair_etl_spark.llmdata.ivf import seed_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(8, emb.count() // 64)  # several clusters even at sf0.001
+    cents = seed_centroids(emb, n_centroids=k)
+    exact = {
+        (r[0], r[1])
+        for r in semantic_dedup_survivors(
+            emb, cents, threshold=0.3, dim=64, pruned_assign=True
+        ).collect()
+    }
+    grouped = {
+        (r[0], r[1])
+        for r in semantic_dedup_survivors_grouped(
+            emb, cents, threshold=0.3, dim=64
+        ).collect()
+    }
+    assert exact == grouped
+
+
+def test_vectorized_assignment_matches_column_form(spark, sf_dir):
+    """assign_clusters_vectorized must agree with ivf.assign_cluster_pruned
+    row for row (same pruning scheme, numpy vs Column execution)."""
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.dedup import assign_clusters_vectorized
+    from blockchair_etl_spark.llmdata.ivf import assign_cluster_pruned, seed_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, n_centroids=16)
+    col_form = assign_cluster_pruned(F.col("embedding"), cents, dim=64, seed=7)
+    vec_form = assign_clusters_vectorized(cents, dim=64, seed=7)
+    diff = (
+        emb.select(
+            "vec_id",
+            col_form.alias("a"),
+            vec_form(F.col("embedding")).alias("b"),
+        )
+        .filter("a != b")
+        .count()
+    )
+    assert diff == 0
+
+
+def test_semdedup_grouped_oversized_cluster_raises(spark):
+    """The gram-matrix guard must fail loudly, not truncate."""
+    import numpy as np
+    import pytest
+
+    from blockchair_etl_spark.llmdata.dedup import semantic_dedup_survivors_grouped
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = np.asarray([[0.0, 1.0]])  # one centroid -> one 40-row cluster
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semantic_dedup_survivors_grouped(
+            emb, cents, threshold=0.99, dim=2, max_cluster_rows=10
+        ).collect()
+
+
+def test_quality_budget_two_phase_equals_global_window(spark):
+    """The two-phase cumulative sum must equal the naive single global
+    window form row for row (that equivalence is the whole point of
+    the scale-safe shape), including the budget-straddling doc (its
+    cum_before is below budget, so it IS selected)."""
+    from pyspark.sql import Window, functions as F
+
+    from blockchair_etl_spark.llmdata.sampling import quality_budget_select
+
+    rows = [
+        # (doc_id, text, score) — ties within score, straddler at edge
+        (1, "a b c d", 10),
+        (2, "e f", 10),
+        (3, "g h i", 8),
+        (4, "j", 8),
+        (5, "k l m n o", 5),
+        (6, "p q r", 5),
+        (7, "s", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, score bigint")
+    got = {
+        (r.doc_id, r.cum_before)
+        for r in quality_budget_select(df, score_col="score", budget_den=2).collect()
+    }
+    # naive: one global ordered window (fine on 7 rows)
+    from blockchair_etl_spark.llmdata.text import tokens_col
+
+    t = df.select(
+        "doc_id", "score", F.size(tokens_col("text")).cast("bigint").alias("n")
+    )
+    total = t.agg(F.sum("n")).collect()[0][0]
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    naive = {
+        (r.doc_id, r.cum_before)
+        for r in t.withColumn(
+            "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("bigint")
+        )
+        .filter(F.col("cum_before") < total // 2)
+        .collect()
+    }
+    assert got == naive and len(got) > 0
+
+
+def test_cluster_balanced_cap_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.sampling import cluster_balanced_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cluster_balanced_sample(emb, per_bucket=5, n_planes=4, dim=64)
+    per = out.groupBy("bucket").count()
+    assert per.filter("count > 5").count() == 0
+    # deterministic: kept ids are the 5 smallest ids of each bucket
+    again = cluster_balanced_sample(emb, per_bucket=5, n_planes=4, dim=64)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    """Docs made of tokens frequent in the TARGET slice must outscore
+    docs made of raw-only tokens (per-token mean, to control length)."""
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.llmdata.sampling import dsir_proxy_scores
+
+    rows = (
+        [(i, "alpha beta gamma", "en") for i in range(20)]
+        + [(100 + i, "zulu yankee xray", "xx") for i in range(20)]
+        + [(900, "alpha beta gamma", "xx"), (901, "zulu yankee xray", "en")]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {
+        r.doc_id: r.dsir_score / r.n_tokens
+        for r in dsir_proxy_scores(df, F.col("lang") == "en").collect()
+    }
+    # 900 is written in target-like vocabulary, 901 in raw-only vocab
+    assert out[900] > out[901]
