@@ -193,11 +193,20 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    salt: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band signatures into num_hashes/band_size
     buckets, candidate pairs share ≥1 bucket, estimated Jaccard =
     fraction of matching minhashes ≥ threshold. Returns (id_a, id_b,
-    est_jaccard) with id_a < id_b."""
+    est_jaccard) with id_a < id_b.
+
+    ``salt``: spread the band-bucket self-join over this many salt
+    buckets (operators/skew.salted_join; same lever as
+    connected_clusters(salt=...)) for POWER-LAW boilerplate corpora
+    where a handful of band keys hold most documents and pin their
+    shuffle partitions — beyond what AQE's runtime skew split covers.
+    The b-side is replicated salt×, so reserve it for measured hub
+    skew; the pair set is bit-identical to the unsalted form."""
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
     # the signature relation feeds three plan branches (banding, a-side,
@@ -216,8 +225,14 @@ def minhash_lsh_pairs(
     banded = sig.select("doc", F.posexplode(band_keys).alias("band_idx", "band_key"))
     a = banded.select(F.col("doc").alias("id_a"), "band_idx", "band_key")
     b = banded.select(F.col("doc").alias("id_b"), "band_idx", "band_key")
+    if salt:
+        from ..operators.skew import salted_join
+
+        joined = salted_join(a, b, on=["band_idx", "band_key"], salt=salt)
+    else:
+        joined = a.join(b, ["band_idx", "band_key"])
     cand = (
-        a.join(b, ["band_idx", "band_key"])
+        joined
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -335,7 +350,7 @@ def embedding_dup_pairs(
     same join shape with caller-supplied blocking. Cosine uses
     exact-decimal accumulation so pair scores are order- and
     engine-independent."""
-    from .similarity import adaptive_n_planes, cosine_expr, lsh_bucket_col
+    from .similarity import adaptive_n_planes, lsh_bucket_col
 
     if dim is None:
         # a driver-side peek job; pass dim explicitly on a hot path
@@ -1000,17 +1015,22 @@ def build_embedding_store(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-bucketed embedding index: (id, v, blk, norm) — the persisted
-    side of incremental_embedding_dedup. Buckets and norms are computed
-    ONCE when a batch enters the store, so later batches never re-scan
-    or re-hash the corpus.
+    """LSH-bucketed embedding index: (id, v, blk, norm, norm_d) — the
+    persisted side of incremental_embedding_dedup. Buckets and both
+    norms (double, for the prefilter; exact-decimal, for the rescore)
+    are computed ONCE when a batch enters the store, so later batches
+    never re-scan, re-hash, or re-norm the corpus — the rescore then
+    pays one decimal dot per surviving pair instead of three (same
+    per-row-norm refactor as embedding_dup_pairs).
 
     The plane count is pinned by the store (bucket ids from different
     plane counts are incompatible) — the adaptive count used for
     one-shot dedup doesn't apply incrementally; pick planes for the
     corpus size you expect and re-shard the store when you outgrow it
-    (same operational contract as any partitioned index)."""
-    from .similarity import lsh_bucket_col
+    (same operational contract as any partitioned index; a store
+    written before the norm_d column can be upgraded by re-running
+    build_embedding_store over its (id, v) projection)."""
+    from .similarity import dot_expr, lsh_bucket_col
 
     def _fdot(x, y):
         return F.aggregate(
@@ -1025,6 +1045,7 @@ def build_embedding_store(
         vec.alias("v"),
         lsh_bucket_col(vec, dim, n_planes=n_planes, seed=seed).alias("blk"),
         F.sqrt(_fdot(vec, vec)).alias("norm"),
+        F.sqrt(dot_expr(vec, vec)).alias("norm_d"),
     )
 
 
@@ -1052,7 +1073,6 @@ def incremental_embedding_dedup(
     the narrow store relation — never a corpus rescan; the double-math
     prefilter + exact-decimal rescore mirrors embedding_dup_pairs, so
     scores are bit-identical to the one-shot path."""
-    from .similarity import cosine_expr
 
     def _fdot(x, y):
         return F.aggregate(
@@ -1082,19 +1102,28 @@ def incremental_embedding_dedup(
         )
         return empty, new_store
 
+    from .similarity import dot_expr
+
     a = new_store.select(
         F.col("id").alias("new_id"), F.col("v").alias("va"),
-        "blk", F.col("norm").alias("norm_a"),
+        "blk", F.col("norm").alias("norm_a"), F.col("norm_d").alias("norm_da"),
     )
     b = store.select(
         F.col("id").alias("existing_id"), F.col("v").alias("vb"),
-        "blk", F.col("norm").alias("norm_b"),
+        "blk", F.col("norm").alias("norm_b"), F.col("norm_d").alias("norm_db"),
     )
     fast = _fdot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
+    # rescore with the store-carried exact norms: one decimal dot per
+    # surviving pair (cosine_expr would recompute both norms per pair);
+    # bit-identical quotient — same subexpressions, evaluated per row
+    # at store build instead of per pair here
     pairs = (
         a.join(b, "blk")
         .filter(fast >= threshold - 1e-9)
-        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("va"), F.col("vb")) / (F.col("norm_da") * F.col("norm_db")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("new_id", "existing_id", "cosine")
     )

@@ -1054,3 +1054,18 @@ def test_dsir_scores_rank_target_like_docs_higher(spark):
     }
     # 900 is written in target-like vocabulary, 901 in raw-only vocab
     assert out[900] > out[901]
+
+
+def test_minhash_lsh_salted_join_bit_identical(spark, sf_dir):
+    """minhash_lsh_pairs(salt=...) must return the identical pair set
+    and scores as the unsalted band join (the salt only re-routes
+    shuffle traffic — same lever as connected_clusters(salt=...))."""
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plain = {tuple(r) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    salted = {
+        tuple(r) for r in minhash_lsh_pairs(docs, threshold=0.5, salt=4).collect()
+    }
+    assert plain == salted and len(plain) > 0
