@@ -295,3 +295,56 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path, sf_dir):
     joined = fact.join(dim.filter(F.col("region") == "EU"), "day")
     phys = plan_of(joined)
     assert "dynamicpruning" in phys.lower(), phys
+
+
+def test_token_budget_no_global_doc_window(spark, sf_dir):
+    """corpus_token_budget's doc-level window must be PARTITIONED (by
+    score); the only unpartitioned window may run over the tiny
+    per-score relation. A global window over the doc relation is the
+    single-reducer sort the two-phase shape exists to avoid."""
+    df = QUERIES["corpus_token_budget"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # every Window over the docs relation carries a partition spec;
+    # 'Window [...], [score...]' lines: one per phase. Count windows
+    # missing a partition list that ALSO order by the doc id — that is
+    # the global doc-level form.
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "doc_id" in ln and "score" not in ln
+    ]
+    assert not bad, bad
+    # and the budget scalar broadcasts (no shuffle of docs against it)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cluster_balanced_single_bucket_exchange(spark, sf_dir):
+    """One shuffle keyed on the LSH bucket; the rank filter sits above
+    a partitioned window, never a global sort."""
+    df = QUERIES["sample_cluster_balanced"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange") <= 2  # bucket hash + (AQE) coalesce
+    assert "Sort" in plan  # within-partition sort for row_number
+    bad = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "bucket" not in ln
+    ]
+    assert not bad, bad
+
+
+def test_dsir_ratio_relation_broadcasts(spark, sf_dir):
+    """The 256-bucket ratio relation must broadcast back onto the token
+    stream — shuffling the exploded tokens against 256 rows is wrong."""
+    df = QUERIES["sample_dsir_scores"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    # the doc-level sum keeps a partial (map-side) aggregation
+    assert "partial" in plan.lower()
+
+
+def test_recursive_cte_no_cartesian(spark, sf_dir):
+    """The recursive step must join edges to the working frontier with
+    an equi-join (never a cartesian) and preserve UNION ALL."""
+    df = QUERIES["trace_recursive_cte"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
