@@ -5025,16 +5025,30 @@ def corpus_prep_v2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmdata.sampling import temperature_resample
     from .llmdata.text import gopher_quality_gate, normalize_text
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Two plan hazards fixed here (r6, measured on the now-honest cold
+    # bench): (1) the corpus arrives as one parquet split, so without a
+    # repartition the heavy per-row text work runs in ONE task; (2) a
+    # bare `gate(...).filter("keep")` lets Catalyst substitute the full
+    # gate expression into the predicate and push it BELOW the
+    # repartition into the file scan — re-inlining the tokenizer ~29x
+    # per row AND serializing the whole gate onto the single input
+    # split (9.8s of the 10.7s cold pipeline). Persisting the gate
+    # output pins it as a relation boundary: the filter applies to the
+    # cached rows, and the gate evaluates once, post-repartition,
+    # across all cores.
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
     normed = normalize_text(docs).join(docs.select("doc_id", "source"), "doc_id")
-    gated = gopher_quality_gate(normed, text_col="norm_text").filter("keep")
+    gated = tracked_persist(gopher_quality_gate(normed, text_col="norm_text"))
     # kept feeds two branches (dedup groups + join-back) and survivors
     # feeds three (domain counts, remainder ranking, the count job in
     # temperature_resample) — without persists the normalize+gate
     # prefix re-executes per branch (measured 4x wall at sf0.1).
     # tracked_persist → released after collection (caching.py), so
     # repeated invocations in one session don't accumulate blocks.
-    kept = tracked_persist(normed.join(gated.select("doc_id"), "doc_id"))
+    kept = tracked_persist(
+        normed.join(gated.filter("keep").select("doc_id"), "doc_id")
+    )
     groups = exact_duplicate_groups(kept, text_col="norm_text")
     survivors = tracked_persist(
         kept.join(groups.select(F.col("canonical_id").alias("doc_id")), "doc_id")
