@@ -5296,11 +5296,16 @@ FROM cum
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmdata.text import line_dedup
 
+    from .caching import tracked_persist
+
     docs = load_table(spark, sf_dir, "documents")
     rel_df = (docs.count() + 19) // 20  # 5% of docs, integer ceil
     cleaned = line_dedup(docs, line_tokens=2, max_line_df=rel_df)
-    quality = cleaned.filter(F.col("n_lines_kept") >= 2).select(
-        "doc_id", "clean_text"
+    # quality feeds two branches (canonical-hash groups + the semi-join
+    # back); without a persist the whole line_dedup subplan executes
+    # twice per action
+    quality = tracked_persist(
+        cleaned.filter(F.col("n_lines_kept") >= 2).select("doc_id", "clean_text")
     )
     canon = quality.groupBy(F.md5("clean_text").alias("h")).agg(
         F.min("doc_id").alias("keep_id")
@@ -5529,7 +5534,11 @@ FROM g
 """,
 )
 def quality_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # single-split corpus: spread the gate's heavy per-row work (the
+    # O(distinct²) dominant-word scan) across cores — the operator
+    # itself stays shuffle-free; parallelism is the caller's call
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
     gated = _text.gopher_quality_gate(docs)
     # the hash harness compares scalars; the sorted audit array joins
     # to a canonical string (the library output keeps the typed array)
