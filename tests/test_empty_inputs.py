@@ -188,3 +188,54 @@ def test_round5_wave2_ops_on_empty_inputs(spark, empty_docs):
     assert pairs.count() == 0 and updated.count() == 1
     pairs2, seeded = incremental_embedding_dedup(some, None, dim=8, n_planes=2)
     assert pairs2.count() == 0 and seeded.count() == 1
+
+
+def test_round6_ops_on_empty(spark, empty_docs):
+    import numpy as np
+
+    from blockchair_etl_spark.llmdata.dedup import (
+        semantic_dedup_survivors_grouped,
+    )
+    from blockchair_etl_spark.llmdata.sampling import (
+        cluster_balanced_sample,
+        dsir_proxy_scores,
+        quality_budget_select,
+    )
+
+    with_score = empty_docs.withColumn("score", F.length("text"))
+    assert quality_budget_select(with_score, score_col="score").count() == 0
+    assert dsir_proxy_scores(empty_docs, F.col("lang") == "en").count() == 0
+
+    empty_emb = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert cluster_balanced_sample(empty_emb, per_bucket=3, n_planes=2, dim=4).count() == 0
+    cents = np.asarray([[0.0, 1.0, 0.0, 0.0]])
+    assert (
+        semantic_dedup_survivors_grouped(empty_emb, cents, threshold=0.9, dim=4).count()
+        == 0
+    )
+
+
+def test_recursive_cte_trace_from_absent_source(spark, sf_dir):
+    """A recursive trace anchored on a source with no outgoing edges
+    must return zero rows, not error."""
+    from blockchair_etl_spark.io.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").cast("bigint").alias("src"),
+        (F.floor(F.col("value")).cast("bigint") % 150).alias("dst"),
+    ).filter(F.lit(False))
+    edges.createOrReplaceTempView("empty_edges_rcte")
+    out = spark.sql(
+        """
+WITH RECURSIVE hops(hop, src, dst) AS (
+  SELECT CAST(1 AS BIGINT), src, dst FROM empty_edges_rcte WHERE src = 7
+  UNION ALL
+  SELECT h.hop + 1, e.src, e.dst
+  FROM empty_edges_rcte e JOIN hops h ON h.dst = e.src
+  WHERE h.hop < 3
+)
+SELECT * FROM hops
+"""
+    )
+    assert out.count() == 0
