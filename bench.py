@@ -108,6 +108,7 @@ HEADLINE = [
     "corpus_token_budget",
     "sample_cluster_balanced",
     "sample_dsir_scores",
+    "sample_leakage_safe_split",
 ]
 
 

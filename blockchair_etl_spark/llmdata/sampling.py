@@ -440,3 +440,57 @@ def dsir_proxy_scores(
             F.sum("ratio_q").cast("bigint").alias("dsir_score"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    groups: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundaries: tuple[tuple[str, str], ...] = (("val", "0c"), ("test", "1a")),
+    default_split: str = "train",
+    salt: str = "",
+) -> DataFrame:
+    """Train/val/test assignment keyed on the duplicate-GROUP canonical
+    id instead of the document id — so two copies of the same content
+    can never straddle the train/eval boundary (the split-leakage
+    failure mode that inflates eval scores; doc-keyed hash_split has
+    it by construction whenever dedup is imperfect).
+
+    ``groups=None`` (the oracle-checkable default) groups by EXACT
+    normalized content (dedup.exact_duplicate_groups); pass a
+    (doc, cluster_id) relation — e.g. connected_clusters over
+    minhash_lsh_pairs — to key on NEAR-duplicate clusters instead
+    (pytest-verified composition; not single-query SQL-expressible).
+
+    Scale shape: one hash agg on the content key (or one join against
+    the cluster relation), then the same scan-side hash-band split as
+    hash_split, applied to the canonical id. Output: (id, canonical_id,
+    split).
+    """
+    if groups is None:
+        norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+        keyed = df.select(F.col(id_col), F.md5(norm).alias("__k"))
+        canon = keyed.groupBy("__k").agg(F.min(id_col).alias("canonical_id"))
+        assigned = keyed.join(canon, "__k").select(id_col, "canonical_id")
+    else:
+        g = groups.select(
+            F.col(groups.columns[0]).alias(id_col),
+            F.col(groups.columns[1]).alias("canonical_id"),
+        )
+        assigned = (
+            df.select(id_col)
+            .join(g, id_col, "left")
+            # singleton docs (in no dup cluster) are their own canonical
+            .select(
+                id_col,
+                F.coalesce(F.col("canonical_id"), F.col(id_col)).alias("canonical_id"),
+            )
+        )
+    return hash_split(
+        assigned,
+        "canonical_id",
+        boundaries=boundaries,
+        default_split=default_split,
+        salt=salt,
+    ).select(id_col, "canonical_id", "split")

@@ -6066,6 +6066,39 @@ def sample_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_proxy_scores(docs, target_filter=F.col("lang") == "en")
 
 
+@register(
+    "sample_leakage_safe_split",
+    survey="LLM-sampling (dedup-group-keyed train/val/test split)",
+    desc="train/val/test assignment keyed on the duplicate-group "
+    "canonical id, not the document id — two copies of the same "
+    "content can never straddle the train/eval boundary (the split-"
+    "leakage failure mode that inflates eval scores). Exact content "
+    "groups here (oracle-checkable); the near-dup variant keys on "
+    "connected_clusters output (pytest-verified composition)",
+    oracle=r"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
+  FROM documents
+),
+canon AS (SELECT k, MIN(doc_id) AS canonical_id FROM keyed GROUP BY k),
+assigned AS (
+  SELECT keyed.doc_id, canon.canonical_id FROM keyed JOIN canon USING (k)
+)
+SELECT doc_id, canonical_id,
+       CASE WHEN substr(md5(CAST(canonical_id AS VARCHAR)), 1, 2) < '0c' THEN 'val'
+            WHEN substr(md5(CAST(canonical_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+            ELSE 'train' END AS split
+FROM assigned
+""",
+)
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(docs)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the verification driver hash-checks the FIRST 50
 # entries of the registry per round. Entries never yet driver-verified are

@@ -1069,3 +1069,47 @@ def test_minhash_lsh_salted_join_bit_identical(spark, sf_dir):
         tuple(r) for r in minhash_lsh_pairs(docs, threshold=0.5, salt=4).collect()
     }
     assert plain == salted and len(plain) > 0
+
+
+def test_leakage_safe_split_exact_duplicates_share_split(spark):
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.llmdata.sampling import leakage_safe_split
+
+    rows = [(i, f"unique document number {i} with content") for i in range(200)]
+    rows += [(1000 + i, f"unique document number {i} with content") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = leakage_safe_split(df)
+    # every duplicate pair shares a canonical id AND a split
+    per_group = out.groupBy("canonical_id").agg(
+        F.count_distinct("split").alias("n_splits"), F.count("*").alias("n")
+    )
+    assert per_group.filter("n != 2").count() == 0
+    assert per_group.filter("n_splits != 1").count() == 0
+    # and the split is keyed on the canonical id, never the doc id:
+    # copies with doc_id >= 1000 get the split of their base doc
+    splits = {r.doc_id: r.split for r in out.collect()}
+    for i in range(200):
+        assert splits[i] == splits[1000 + i]
+
+
+def test_leakage_safe_split_near_dup_groups(spark, sf_dir):
+    """The near-dup variant: CC clusters over minhash pairs key the
+    split, so LSH-near-duplicates can't straddle train/eval either;
+    docs in no cluster are their own canonical."""
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.clusters import connected_clusters
+    from blockchair_etl_spark.llmdata.dedup import minhash_lsh_pairs
+    from blockchair_etl_spark.llmdata.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    clusters = connected_clusters(pairs)
+    out = leakage_safe_split(docs, groups=clusters)
+    assert out.count() == docs.count()
+    per_cluster = out.groupBy("canonical_id").agg(
+        F.count_distinct("split").alias("n_splits")
+    )
+    assert per_cluster.filter("n_splits != 1").count() == 0
