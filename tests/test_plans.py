@@ -92,12 +92,24 @@ def test_staged_views_stay_transparent_to_pushdown(spark, tmp_path):
     assert "merkle_root" not in read_schema  # 13 of 37 columns read
 
 
+# Entries allowed to carry an ARROW-batched (vectorized) Python stage —
+# each is a deliberate batch-linear-algebra strategy, never row-level:
+_ARROW_BATCH_OK = {
+    "multimodal_features",  # mapInPandas decode/featurize plumbing
+    "dedup_semdedup_vectorized",  # numpy assignment + BLAS gram pairs
+}
+
+
 def test_core_queries_have_no_python_in_hot_path(spark, sf_dir):
     for name, spec in QUERIES.items():
-        if name == "multimodal_features":
-            continue  # the one deliberate Arrow-batched Python stage
         plan = plan_of(spec.fn(spark, sf_dir))
-        assert "EvalPython" not in plan, f"{name} runs row-level Python"
+        # row-at-a-time Python is forbidden EVERYWHERE (pickled per-row
+        # eval — the 10-100x-slower path)
+        assert "BatchEvalPython" not in plan, f"{name} runs row-level Python"
+        if name not in _ARROW_BATCH_OK:
+            assert "EvalPython" not in plan and "InPandas" not in plan, (
+                f"{name} runs a Python stage outside the vectorized allowlist"
+            )
 
 
 def test_partial_aggregation_before_shuffle(spark, sf_dir):
