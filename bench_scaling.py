@@ -328,12 +328,39 @@ def _custom_runners(spark, repo: str, scale: int):
         )
         return pairs
 
+    _mh_store_cache: dict[str, tuple] = {}
+
+    def run_incr_mh_big_store(spark_, sf_dir: str):
+        # MinHash twin of run_incr_emb_big_store: persisted band store
+        # ~10x the daily batch, store build untimed (run 1 pays it, the
+        # median excludes it); the timed cost is the new batch's
+        # shingle+hash work plus one band-bucket join probing the store.
+        from blockchair_etl_spark.llmdata.dedup import (
+            incremental_minhash_dedup,
+            minhash_band_store,
+        )
+
+        from pyspark.sql import functions as SF
+
+        if sf_dir not in _mh_store_cache:
+            docs = load_table(spark_, sf_dir, "documents")
+            batch = docs.filter(SF.col("doc_id") % 11 == 0)
+            store = minhash_band_store(
+                docs.filter(SF.col("doc_id") % 11 != 0)
+            ).persist()
+            store.count()
+            _mh_store_cache[sf_dir] = (batch, store)
+        batch, store = _mh_store_cache[sf_dir]
+        pairs, _updated = incremental_minhash_dedup(batch, store, threshold=0.5)
+        return pairs
+
     return {
         "dedup_bow_cosine_zipf": run_zipf,
         "trace_funds_3hop": run_trace3,
         "dedup_semantic_semdedup": run_semdedup_adaptive,
         "dedup_incremental_embedding": run_incr_emb_adaptive,
         "dedup_incremental_bigstore": run_incr_emb_big_store,
+        "dedup_incremental_mh_bigstore": run_incr_mh_big_store,
     }
 
 
