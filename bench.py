@@ -110,6 +110,7 @@ HEADLINE = [
     "sample_dsir_scores",
     "sample_leakage_safe_split",
     "dedup_semdedup_vectorized",
+    "corpus_prep_v3_pipeline",
 ]
 
 

@@ -5005,6 +5005,126 @@ FROM sized
 """
 
 
+def _corpus_prep_v3_oracle() -> str:
+    from .llmdata.text import ACCENT_DST, ACCENT_SRC
+
+    norm = (
+        "trim(regexp_replace(translate(lower(regexp_replace("
+        "text, '[\\x00-\\x1f\\x7f-\\x9f]', ' ', 'g')), "
+        f"'{ACCENT_SRC}', '{ACCENT_DST}'), "
+        "'\\s+', ' ', 'g'))"
+    )
+    toks_norm = _SQL_TOKS.replace("lower(text)", "lower(norm_text)")
+    return f"""
+WITH norm AS (
+  SELECT doc_id, n_chars, {norm} AS norm_text FROM documents
+),
+tk AS (SELECT doc_id, {toks_norm} AS toks FROM norm),
+st AS (
+  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+         list_max(list_transform(list_distinct(toks),
+                  w -> len(list_filter(toks, x -> x = w)))) AS topc,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS grams,
+         len(list_filter(toks,
+             x -> list_contains(['the','and','of','to','in','is','a'], x))) AS n_stop
+  FROM tk
+),
+gate AS (
+  SELECT doc_id
+  FROM st
+  WHERE NOT (n < 25)
+    AND NOT ((CASE WHEN n > 0 THEN CAST(n_stop AS DOUBLE) / n ELSE 0.0 END) < 0.02)
+    AND NOT ((CASE WHEN n > 0 THEN CAST(n - nd AS DOUBLE) / n ELSE 0.0 END) > 0.6)
+    AND NOT ((CASE WHEN n > 0 THEN CAST(topc AS DOUBLE) / n ELSE 0.0 END) > 0.15)
+    AND NOT ((CASE WHEN len(grams) > 0
+              THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+              ELSE 0.0 END) > 0.08)
+),
+kept AS (SELECT n.* FROM norm n JOIN gate USING (doc_id)),
+grp AS (
+  SELECT md5(regexp_replace(lower(norm_text), '\\s+', ' ', 'g')) AS h,
+         MIN(doc_id) AS canonical
+  FROM kept GROUP BY 1
+),
+surv AS (SELECT k.doc_id, k.n_chars FROM kept k JOIN grp ON k.doc_id = grp.canonical),
+t AS (
+  SELECT s.doc_id, s.n_chars AS score,
+         CAST(len(tk.toks) AS BIGINT) AS n_tokens
+  FROM surv s JOIN tk USING (doc_id)
+),
+b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM t),
+c AS (
+  SELECT doc_id, score, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY score DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM t
+),
+sel AS (SELECT c.* FROM c, b WHERE c.cum_before < b.budget),
+h AS (
+  SELECT doc_id, md5(concat(CAST(doc_id AS VARCHAR), 'ep0')) AS hh FROM sel
+),
+sh AS (
+  SELECT doc_id, hh,
+         CAST(((instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substr(hh, 2, 1)) - 1)) % 4
+           AS BIGINT) AS shard
+  FROM h
+)
+SELECT sel.doc_id, sel.score, sel.n_tokens, sel.cum_before, sh.shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY sh.shard ORDER BY sh.hh, sh.doc_id)
+            AS BIGINT) AS pos
+FROM sel JOIN sh USING (doc_id)
+"""
+
+
+@register(
+    "corpus_prep_v3_pipeline",
+    survey="LLM end-to-end (round-6 operator composition)",
+    desc="training-corpus prep v3 — the round-6 ops composed END-TO-END "
+    "in one plan: canonical normalization -> Gopher gate on the "
+    "normalized text -> exact dedup (min-id survivor) -> quality-"
+    "ranked TOKEN-BUDGET selection of the surviving corpus (best half "
+    "of surviving tokens, two-phase cumulative sum) -> deterministic "
+    "epoch shuffle of the selection into 4 training shards; every "
+    "stage is an already-verified operator — this entry checks the "
+    "composition, like corpus_prep_v2_pipeline does for round 5",
+    oracle=_corpus_prep_v3_oracle(),
+)
+def corpus_prep_v3_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .caching import tracked_persist
+    from .llmdata.dedup import exact_duplicate_groups
+    from .llmdata.sampling import quality_budget_select, shuffle_shards
+    from .llmdata.text import gopher_quality_gate, normalize_text
+
+    # same plan discipline as v2: repartition the single-split corpus
+    # before the heavy text stages, persist the gate output so the
+    # 'keep' filter can't be substituted+pushed into the serial scan,
+    # persist the stages that feed multiple branches
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    normed = normalize_text(docs).join(docs.select("doc_id", "n_chars"), "doc_id")
+    gated = tracked_persist(gopher_quality_gate(normed, text_col="norm_text"))
+    kept = tracked_persist(
+        normed.join(gated.filter("keep").select("doc_id"), "doc_id")
+    )
+    groups = exact_duplicate_groups(kept, text_col="norm_text")
+    survivors = tracked_persist(
+        kept.join(groups.select(F.col("canonical_id").alias("doc_id")), "doc_id")
+    )
+    selected = tracked_persist(
+        quality_budget_select(
+            survivors, score_col="n_chars", budget_den=2, text_col="norm_text"
+        )
+    )
+    shards = shuffle_shards(selected, n_shards=4, salt="ep0")
+    return selected.join(shards, "doc_id").select(
+        "doc_id", "score", "n_tokens", "cum_before", "shard", "pos"
+    )
+
+
 @register(
     "corpus_prep_v2_pipeline",
     survey="LLM end-to-end (round-5 operator composition)",
