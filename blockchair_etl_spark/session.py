@@ -73,21 +73,6 @@ def prepare_session(spark: SparkSession) -> SparkSession:
         )
     except Exception:
         pass
-    try:
-        if spark.sparkContext.master.startswith("local"):
-            # LOCAL-mode AQE coalesce target. The 64m default sizes
-            # post-shuffle partitions by BYTES, which collapses the
-            # byte-small but CPU-heavy text/hash stages (shingles, md5
-            # signature aggs, window reassembly) onto 1-3 tasks of a
-            # 32-core box — measured 17-29% of wall on the dedup family.
-            # 8m keeps those stages parallel at local data sizes. On a
-            # real cluster the default stands: partitions there are
-            # data-sized and a small advisory would just multiply tasks.
-            spark.conf.set(
-                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"
-            )
-    except Exception:
-        pass
     return spark
 
 
