@@ -226,3 +226,82 @@ def test_dump_reader_pruning_equals_brute_force(filters, file_dates):
         if all(_sat(f, d, f.value) for f in filters)
     }
     assert kept == want
+
+
+# ---------------------------------------------------------------------------
+# Round-6 selection operators: budget-selection and split-leakage
+# invariants over arbitrary corpora.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # score
+            st.integers(min_value=0, max_value=40),      # n words
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_quality_budget_select_invariants(spark, rows):
+    """(1) selected docs' better-ranked token mass stays under budget;
+    (2) selection is a PREFIX of the (score DESC, id ASC) ranking —
+    if a doc is selected, every better-ranked doc is too."""
+    from blockchair_etl_spark.llmdata.sampling import quality_budget_select
+
+    data = [
+        (i, " ".join(f"w{j}" for j in range(nw)), score)
+        for i, (score, nw) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "doc_id bigint, text string, score bigint")
+    out = sorted(
+        quality_budget_select(df, score_col="score", budget_den=2).collect(),
+        key=lambda r: (-r.score, r.doc_id),
+    )
+    total = sum(nw for _, nw in rows)
+    budget = total // 2
+    for r in out:
+        assert r.cum_before < budget
+    # prefix property against the full ranking
+    ranking = sorted(
+        ((score, i, nw) for i, (score, nw) in enumerate(rows)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    selected_ids = [r.doc_id for r in out]
+    assert selected_ids == [i for _, i, _ in ranking[: len(selected_ids)]]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Nd"), max_codepoint=122),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_leakage_safe_split_never_splits_equal_content(spark, texts):
+    """For ANY corpus (including heavy duplication and empty strings),
+    equal normalized content always lands in one split."""
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.llmdata.sampling import leakage_safe_split
+
+    data = [(i, t) for i, t in enumerate(texts)]
+    # duplicate every doc once under a different id
+    data += [(1_000 + i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(data, "doc_id bigint, text string")
+    out = leakage_safe_split(df)
+    assert out.count() == len(data)
+    bad = (
+        out.join(df, "doc_id")
+        .groupBy(F.regexp_replace(F.lower("text"), r"\s+", " ").alias("t"))
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter("ns > 1")
+        .count()
+    )
+    assert bad == 0
