@@ -190,6 +190,24 @@ def main() -> None:
         "sf": sf,
     }
     print(json.dumps(result))
+    # The full line above outgrew the driver's stdout TAIL capture in r6
+    # (66 per-query timings ≈ 4 KB truncated the front of the line →
+    # BENCH_r06.json parsed:null, headline total unrecorded). Tail
+    # capture keeps the END of output, so ALSO print a compact
+    # scalar-only summary line AFTER it: small enough to always survive,
+    # and self-describing about where the per-query detail lives.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": result["value"],
+                "unit": "sec",
+                "n": runs,
+                "sf": sf,
+                "queries_in_prev_line": len(timings),
+            }
+        )
+    )
     spark.stop()
 
 

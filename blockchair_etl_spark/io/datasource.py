@@ -326,12 +326,23 @@ class BlockchairDumpStreamReader(DataSourceStreamReader):
         if self._known_names is None:
             self._known_names = {os.path.basename(p) for p, _ in listed}
         else:
-            start_floor = self._horizon_floor(start["last_date"])
+            # Undeliverable = inside the END offset's completed range
+            # (ymd <= end_floor) yet not planned by steps 1-2 of THIS
+            # batch. Checking against start's horizon (pre-r7) missed
+            # files backfilled into a date that ages out of the horizon
+            # within the same transition (start_floor < ymd <=
+            # end_floor but ymd <= start.last_date): neither planned
+            # nor warned that batch — only warned on a LATER
+            # partitions() call, or never if the stream stopped first.
+            # A new file with ymd > end_floor is fine: the next
+            # latestOffset pins it in `recent` and the next batch's
+            # name-diff plans it.
+            planned = {os.path.basename(p.path) for p in kept}
             for path, ymd in listed:
                 name = os.path.basename(path)
                 if name not in self._known_names:
                     self._known_names.add(name)
-                    if ymd <= start_floor:
+                    if ymd <= end_floor and name not in planned:
                         self.skipped_late_files += 1
                         import warnings
 

@@ -6334,7 +6334,7 @@ _DRIVER_VERIFIED_FALLBACK = frozenset({
 _DRIVER_WINDOW = 50  # entries the driver hash-checks per round
 
 
-def _load_driver_verified() -> dict[str, int]:
+def _load_driver_verified(root=None) -> dict[str, int]:
     """Return {query key: round it was last driver-verified green}.
 
     Reads the CORRECTNESS_r{N}.json files the verification driver writes
@@ -6348,14 +6348,23 @@ def _load_driver_verified() -> dict[str, int]:
     import json
     from pathlib import Path
 
-    root = Path(__file__).resolve().parents[1]
+    if root is None:
+        root = Path(__file__).resolve().parents[1]
     status: dict[str, bool] = {}
     last_round: dict[str, int] = {}
     try:
-        files = sorted(root.glob("CORRECTNESS_r*.json"))
+        # Sort by the PARSED round number, not lexicographically —
+        # "r10" < "r2" as strings, so a string sort would let round-2
+        # status overwrite round-10 from round 10 on (a query that
+        # regressed red in r10 would stay marked verified-green from r9
+        # and the oldest-first rotation keys would be wrong).
+        files = sorted(
+            root.glob("CORRECTNESS_r*.json"),
+            key=lambda f: int("".join(ch for ch in f.stem if ch.isdigit()) or 0),
+        )
     except OSError:
         files = []
-    for f in files:  # sorted ascending, so later rounds overwrite earlier
+    for f in files:  # round-ascending, so later rounds overwrite earlier
         try:
             rows = json.loads(f.read_text())
             rnd = int("".join(ch for ch in f.stem if ch.isdigit()) or 0)

@@ -59,28 +59,35 @@ def _sessionize_group(
         rows = _pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
         ts_us = (rows["ts"].astype("int64") // 1000).tolist()
         vals = rows["value"].tolist()
+        # Gap-merge the stored open session and the batch events as
+        # SORTED INTERVALS (each event is a width-0 interval; the stored
+        # session is [start, end]). Because every internal gap of the
+        # stored session is <= gap by construction, interval-merge over
+        # the union reproduces exactly what the batch twin computes over
+        # the underlying events: a late event within gap of the stored
+        # START lowers session_start (min), one more than gap BEFORE the
+        # stored start forms its own earlier session (emitted when the
+        # next interval exceeds its gap) — neither is folded into the
+        # stored end anymore. The one remaining divergence from batch
+        # semantics is fundamental to append-mode streaming: an
+        # already-EMITTED session cannot be retro-merged if an extremely
+        # late (but in-watermark) event lands within gap of it; keep
+        # watermark <= gap if that must never happen.
+        intervals = [(t, t, 1, float(v)) for t, v in zip(ts_us, vals)]
         if state.exists:
-            start, end, n, total = state.get
-        else:
-            start = end = n = 0
-            total = 0.0
-        for t, v in zip(ts_us, vals):
-            if n == 0:
-                start, end, n, total = t, t, 1, float(v)
-            elif t - end > gap_us:
-                emit(start, end, n, total)
-                start, end, n, total = t, t, 1, float(v)
+            intervals.append(state.get)
+        intervals.sort(key=lambda iv: (iv[0], iv[1]))
+        merged: list[tuple[int, int, int, float]] = []
+        for s, e, cnt, tot in intervals:
+            if merged and s - merged[-1][1] <= gap_us:
+                ms, me, mn, mt = merged[-1]
+                merged[-1] = (ms, max(me, e), mn + cnt, mt + tot)
             else:
-                # max(): an out-of-order event from a later micro-batch
-                # (within watermark) can carry t < the stored end; taking
-                # t verbatim would REGRESS the session end and shorten
-                # the flush timer, mis-stamping the session. (An event
-                # earlier than the stored start is folded in the same
-                # way — the batch twin, which sees fully sorted data,
-                # only splits earlier if the gap exceeds the threshold,
-                # which t >= watermark > end - gap rules out here.)
-                end, n, total = max(end, t), n + 1, total + float(v)
-        if n:
+                merged.append((s, e, cnt, tot))
+        for s, e, cnt, tot in merged[:-1]:
+            emit(s, e, cnt, tot)
+        if merged:
+            start, end, n, total = merged[-1]
             state.update((start, end, n, total))
             # flush when the watermark passes the session's gap horizon
             state.setTimeoutTimestamp(end // 1000 + 30 * 60 * 1000)

@@ -76,25 +76,37 @@ class SessionProcessor(StatefulProcessor):
         vals = batch["value"].tolist()
 
         if self.session.exists():
-            start, end, n, total, old_timer = self.session.get()
+            start0, end0, n0, total0, old_timer = self.session.get()
         else:
-            start = end = n = 0
-            total = 0.0
+            start0 = end0 = n0 = 0
+            total0 = 0.0
             old_timer = -1
 
         out = []
-        for t, v in zip(ts_us, vals):
-            if n == 0:
-                start, end, n, total = t, t, 1, float(v)
-            elif t - end > self.gap_us:
-                out.append(self._emit_row(user_id, start, end, n, total))
-                start, end, n, total = t, t, 1, float(v)
+        # Same sorted-interval gap-merge as the applyInPandasWithState
+        # twin (sessionize.py): the stored open session participates as
+        # the interval [start, end] (all its internal gaps <= gap by
+        # construction), so a late event within gap of the stored start
+        # LOWERS session_start and one more than gap before it forms its
+        # own earlier session — matching the batch twin instead of
+        # folding into max(end, t).
+        intervals = [(t, t, 1, float(v)) for t, v in zip(ts_us, vals)]
+        if n0:
+            intervals.append((start0, end0, n0, total0))
+        intervals.sort(key=lambda iv: (iv[0], iv[1]))
+        merged: list[tuple[int, int, int, float]] = []
+        for s, e, cnt, tot in intervals:
+            if merged and s - merged[-1][1] <= self.gap_us:
+                ms, me, mn, mt = merged[-1]
+                merged[-1] = (ms, max(me, e), mn + cnt, mt + tot)
             else:
-                # max(): same out-of-order merge rule as the
-                # applyInPandasWithState twin (sessionize.py) — a late
-                # event with t < stored end must not regress the session
-                # end or shorten the flush timer.
-                end, n, total = max(end, t), n + 1, total + float(v)
+                merged.append((s, e, cnt, tot))
+        for s, e, cnt, tot in merged[:-1]:
+            out.append(self._emit_row(user_id, s, e, cnt, tot))
+        start = end = n = 0
+        total = 0.0
+        if merged:
+            start, end, n, total = merged[-1]
 
         if n:
             timer_ms = end // 1000 + self.gap_ms

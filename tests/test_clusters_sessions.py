@@ -618,6 +618,111 @@ def test_tws_out_of_order_event_does_not_regress_session_end():
     assert h.timers[-1] == timer_before  # flush timer unchanged
 
 
+def test_tws_late_event_lowers_session_start_or_splits():
+    """Batch-parity for EARLY late events (r6 advice): an event within
+    gap BEFORE the stored session start lowers session_start (min, the
+    mirror of the max-end rule); one more than gap before the stored
+    start can never merge (nearest session event is `start`), so it
+    must come out as its own earlier session — not be folded into the
+    stored one as the pre-r7 max(end, t) arithmetic did."""
+    import pandas as pd
+
+    from blockchair_etl_spark.streaming.sessionize_tws import SessionProcessor
+
+    class StubState:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, v):
+            self.v = v
+        def clear(self):
+            self.v = None
+
+    class StubHandle:
+        def __init__(self):
+            self.state = StubState()
+            self.timers = []
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+        def registerTimer(self, ts):
+            self.timers.append(ts)
+        def deleteTimer(self, ts):
+            self.timers.remove(ts)
+
+    proc = SessionProcessor(gap_minutes=30)
+    h = StubHandle()
+    proc.init(h)
+
+    base = pd.Timestamp("2024-01-01 02:00:00")
+    df1 = pd.DataFrame({"ts": [base, base + pd.Timedelta(minutes=10)], "value": [1.0, 2.0]})
+    list(proc.handleInputRows((7,), iter([df1]), None))
+    start_before, end_before = h.state.get()[0], h.state.get()[1]
+
+    # within gap before the stored START: merge and LOWER the start
+    early = pd.DataFrame({"ts": [base - pd.Timedelta(minutes=20)], "value": [4.0]})
+    out = pd.concat(list(proc.handleInputRows((7,), iter([early]), None)))
+    assert len(out) == 0
+    start, end, n, total, _timer = h.state.get()
+    assert start == start_before - 20 * 60 * 1_000_000  # start lowered
+    assert end == end_before and n == 3 and total == 7.0
+
+    # more than gap before the (new) start: a SEPARATE earlier session
+    lone = pd.DataFrame({"ts": [base - pd.Timedelta(minutes=80)], "value": [8.0]})
+    out2 = pd.concat(list(proc.handleInputRows((7,), iter([lone]), None)))
+    assert len(out2) == 1 and out2.iloc[0].n_events == 1
+    assert out2.iloc[0].total_value == 8.0
+    s2 = h.state.get()
+    assert (s2[0], s2[1], s2[2]) == (start, end, 3)  # stored one untouched
+
+
+def test_apiws_late_event_lowers_session_start_or_splits():
+    """Same early-late-event batch parity for the
+    applyInPandasWithState twin."""
+    import pandas as pd
+
+    from blockchair_etl_spark.streaming.sessionize import _sessionize_group
+
+    class StubGroupState:
+        def __init__(self):
+            self.v = None
+            self.hasTimedOut = False
+            self.timeout = None
+        @property
+        def exists(self):
+            return self.v is not None
+        @property
+        def get(self):
+            return self.v
+        def update(self, v):
+            self.v = v
+        def remove(self):
+            self.v = None
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    st = StubGroupState()
+    base = pd.Timestamp("2024-01-01 02:00:00")
+    df1 = pd.DataFrame({"ts": [base, base + pd.Timedelta(minutes=10)], "value": [1.0, 2.0]})
+    list(_sessionize_group((7,), iter([df1]), st))
+    start_before, end_before, _, _ = st.v
+
+    early = pd.DataFrame({"ts": [base - pd.Timedelta(minutes=20)], "value": [4.0]})
+    out = pd.concat(list(_sessionize_group((7,), iter([early]), st)))
+    assert len(out) == 0
+    start, end, n, total = st.v
+    assert start == start_before - 20 * 60 * 1_000_000
+    assert end == end_before and n == 3 and total == 7.0
+
+    lone = pd.DataFrame({"ts": [base - pd.Timedelta(minutes=80)], "value": [8.0]})
+    out2 = pd.concat(list(_sessionize_group((7,), iter([lone]), st)))
+    assert len(out2) == 1 and out2.iloc[0].n_events == 1
+    assert out2.iloc[0].total_value == 8.0
+    assert (st.v[0], st.v[1], st.v[2]) == (start, end, 3)
+
+
 def test_apiws_out_of_order_event_does_not_regress_session_end():
     """Same late-event rule for the applyInPandasWithState twin, driven
     directly through the group function with a stub GroupState."""

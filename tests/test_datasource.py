@@ -290,3 +290,58 @@ def test_stream_late_file_beyond_horizon_warns_not_silent(spark, tmp_path):
     assert not planned  # beyond horizon: not delivered...
     assert rdr.skipped_late_files == 1  # ...but counted
     assert any("beyond the 2-day backfill horizon" in str(w.message) for w in caught)
+
+
+def test_stream_late_file_aging_out_within_transition_warns(spark, tmp_path):
+    """r6 advice: a file backfilled into a date that ages OUT of the
+    horizon within the same transition (start_floor < ymd <=
+    start.last_date, but ymd <= end_floor because the feed jumped
+    ahead) is undeliverable THAT batch — it must be warned in the batch
+    that first observes it, not on some later partitions() call that
+    may never come. The warn check runs against the END offset's
+    horizon and the actually-planned file set."""
+    import warnings as _warnings
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from blockchair_etl_spark.io.datasource import BlockchairDumpStreamReader
+
+    d = tmp_path / "landing5"
+    d.mkdir()
+    _write_dump(
+        d,
+        "blockchair_bitcoin_transactions_20240110.tsv.gz",
+        [("aa", "100", "0.5", "2024-01-10 10:00:00")],
+    )
+    schema = _parse_datatype_string(DDL)
+    rdr = BlockchairDumpStreamReader(
+        schema,
+        {"path": str(d), "table": "transactions", "backfill_horizon_days": "2"},
+    )
+    start = rdr.initialOffset()
+    end = rdr.latestOffset()  # last_date 0110, horizon floor 0108
+    rdr.partitions(start, end)  # delivers 0110, primes the snapshot
+
+    # the feed jumps to 0113 (new end_floor 0111) AND a file is
+    # backfilled into 0109 — inside start's horizon, but aged out of
+    # end's horizon within this one transition
+    _write_dump(
+        d,
+        "blockchair_bitcoin_transactions_20240113.tsv.gz",
+        [("new", "7", "1.0", "2024-01-13 09:00:00")],
+    )
+    _write_dump(
+        d,
+        "blockchair_bitcoin_transactions_20240109.tsv.gz",
+        [("late", "2", "0.1", "2024-01-09 01:00:00")],
+    )
+    end2 = rdr.latestOffset()
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        planned = [p for p in rdr.partitions(end, end2) if p.path]
+    names = {p.path.rsplit("/", 1)[-1] for p in planned}
+    assert names == {"blockchair_bitcoin_transactions_20240113.tsv.gz"}
+    assert rdr.skipped_late_files == 1
+    assert any("20240109" in str(w.message) for w in caught)
+    # the delivered 0113 file must NOT be flagged late
+    assert not any("20240113" in str(w.message) for w in caught)

@@ -49,6 +49,29 @@ def test_registry_rotation_window():
         )
 
 
+def test_driver_history_orders_rounds_numerically(tmp_path):
+    """CORRECTNESS_r10.json sorts lexicographically BEFORE r2 — the
+    history replay must order by the parsed round number so the most
+    recent round wins. A key green in r9 but red in r10 is unverified;
+    a key re-verified in r10 carries last_round=10, not 2."""
+    import json
+
+    from blockchair_etl_spark.queryset import _load_driver_verified
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False}
+    (tmp_path / "CORRECTNESS_r2.json").write_text(
+        json.dumps({"regressed": green, "reverified": green})
+    )
+    (tmp_path / "CORRECTNESS_r9.json").write_text(json.dumps({"regressed": green}))
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps({"regressed": red, "reverified": green})
+    )
+    verified = _load_driver_verified(root=tmp_path)
+    assert "regressed" not in verified  # r10 red must not be masked by r2/r9
+    assert verified["reverified"] == 10  # rotation key is the LATEST round
+
+
 def test_rotation_is_oldest_first(monkeypatch):
     """Verified entries must be ordered by ascending last-verified round
     (the anti-staleness property the rotation exists for): after a round
