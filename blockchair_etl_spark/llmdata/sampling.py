@@ -265,34 +265,46 @@ def quality_budget_select(
     budget_den: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    id_bands: int = 32,
 ) -> DataFrame:
     """Select the highest-quality documents until a corpus-wide token
     budget: a doc is included iff the EXACT cumulative token count of
     every better-ranked doc (score DESC, id ASC) is below the budget
-    (here total_tokens // budget_den, derived from the corpus itself so
-    the same docs select at any scale factor). The "train on the best
-    X% of tokens" primitive of quality-pruning pipelines
-    (quality-ranked data selection).
+    (here total_tokens div budget_den — INTEGER division, matching the
+    oracle's `//` exactly even past the ~2^52 spacing where a double
+    divide-then-truncate can round differently — derived from the
+    corpus itself so the same docs select at any scale factor). The
+    "train on the best X% of tokens" primitive of quality-pruning
+    pipelines (quality-ranked data selection).
 
     Scale shape — the naive form is ONE global ordered window (single
     reducer over the corpus: a non-starter). This computes the same
-    integer cumulative sum in two phases:
+    integer cumulative sum in three phases:
 
       1. per-SCORE token totals (hash agg) + a running sum across the
          per-score relation — a window over O(distinct scores) rows,
          not O(docs);
-      2. a within-score running sum partitioned BY score (bounded
-         partitions as long as the score is reasonably granular — for
-         a coarse score add a finer tiebreak column).
+      2. per-(score, id-RANGE-band) totals + a running sum across the
+         O(id_bands) bands of each score — the guard for COARSE scores
+         (an integer 0-5 quality tier would otherwise make one score's
+         partition ≈ the whole corpus). Bands are (id - min_id) div
+         ceil(span / id_bands): monotone in id, so the decomposition
+         preserves the (score DESC, id ASC) order bit-exactly; min/max
+         ride in the same single aggregation that derives the budget.
+      3. a within-(score, band) running sum — partitions bounded by
+         n / (ndv(score) * id_bands) for near-uniform ids.
 
     cum_before = (tokens of strictly better scores) + (tokens of
-    same-score earlier ids): exactly the global window's value, as
-    BIGINTs, so the result is bit-identical to the single-window SQL a
-    warehouse would write (the oracle form).
+    same-score earlier bands) + (tokens of same-band earlier ids):
+    exactly the global window's value, as BIGINTs, so the result is
+    bit-identical to the single-window SQL a warehouse would write
+    (the oracle form). A non-numeric id column falls back to band 0
+    (phase 2 degenerates; keep scores granular in that case).
 
     Output: (id, score, n_tokens, cum_before) for selected docs only.
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import NumericType
 
     from .text import tokens_col
 
@@ -301,50 +313,100 @@ def quality_budget_select(
         F.col(score_col).alias("score"),
         F.size(tokens_col(text_col)).cast("bigint").alias("n_tokens"),
     )
-    budget = t.agg(
-        (F.sum("n_tokens") / budget_den).cast("bigint").alias("budget")
+    numeric_id = isinstance(t.schema[id_col].dataType, NumericType)
+    scalars = t.agg(
+        F.expr(f"sum(n_tokens) div {int(budget_den)}").cast("bigint").alias("budget"),
+        F.min(id_col).alias("__id_mn"),
+        F.max(id_col).alias("__id_mx"),
     )
-    per_score = t.groupBy("score").agg(F.sum("n_tokens").alias("score_tok"))
+    t2 = t.crossJoin(F.broadcast(scalars))
+    if numeric_id and id_bands > 1:
+        # ceil_span = span div id_bands + 1 > span / id_bands, so
+        # band = (id - mn) div ceil_span lands in [0, id_bands - 1];
+        # pure BIGINT arithmetic, monotone in id, and no (id * bands)
+        # overflow for ids anywhere in the bigint range.
+        t2 = (
+            t2.withColumn(
+                "__span",
+                F.col("__id_mx").cast("bigint") - F.col("__id_mn").cast("bigint"),
+            )
+            .withColumn(
+                "band",
+                F.when(
+                    F.col("__span") > 0,
+                    F.expr(
+                        f"(cast({id_col} as bigint) - cast(__id_mn as bigint)) "
+                        f"div (__span div {int(id_bands)} + 1)"
+                    ),
+                ).otherwise(F.lit(0).cast("bigint")),
+            )
+            .drop("__span")
+        )
+    else:
+        t2 = t2.withColumn("band", F.lit(0).cast("bigint"))
+    # the min/max scalars only exist to derive the band; don't carry
+    # them through the shuffles below
+    t2 = t2.drop("__id_mn", "__id_mx")
+    per_band = t2.groupBy("score", "band").agg(
+        F.sum("n_tokens").alias("band_tok")
+    )
     w_scores = (
         Window.orderBy(F.col("score").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    score_cum = per_score.select(
+    score_cum = (
+        per_band.groupBy("score")
+        .agg(F.sum("band_tok").alias("score_tok"))
+        .select(
+            "score",
+            F.coalesce(F.sum("score_tok").over(w_scores), F.lit(0))
+            .cast("bigint")
+            .alias("cum_score_before"),
+        )
+    )
+    w_bands = (
+        Window.partitionBy("score")
+        .orderBy(F.col("band").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    band_cum = per_band.select(
         "score",
-        F.coalesce(F.sum("score_tok").over(w_scores), F.lit(0))
+        "band",
+        F.coalesce(F.sum("band_tok").over(w_bands), F.lit(0))
         .cast("bigint")
-        .alias("cum_score_before"),
+        .alias("cum_band_before"),
     )
     w_within = (
-        Window.partitionBy("score")
+        Window.partitionBy("score", "band")
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     ranked = (
-        t.join(score_cum, "score")
+        t2.join(band_cum, ["score", "band"])
+        .join(score_cum, "score")
         .withColumn(
             "cum_before",
             (
                 F.col("cum_score_before")
+                + F.col("cum_band_before")
                 + F.coalesce(F.sum("n_tokens").over(w_within), F.lit(0))
             ).cast("bigint"),
         )
     )
-    return (
-        ranked.crossJoin(F.broadcast(budget))
-        .filter(F.col("cum_before") < F.col("budget"))
-        .select(id_col, F.col("score"), "n_tokens", "cum_before")
+    return ranked.filter(F.col("cum_before") < F.col("budget")).select(
+        id_col, F.col("score"), "n_tokens", "cum_before"
     )
 
 
 def cluster_balanced_sample(
     emb: DataFrame,
     per_bucket: int = 20,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    target_bucket_rows: int = 128,
 ) -> DataFrame:
     """Diversity (cluster-balanced) sampling: keep at most
     ``per_bucket`` vectors per hyperplane-LSH bucket, chosen
@@ -354,16 +416,23 @@ def cluster_balanced_sample(
     subset construction).
 
     One shuffle keyed on the bucket; the per-bucket window is bounded
-    by the bucket occupancy, which the plane count controls (raise
-    n_planes as the corpus grows — same adaptive-fan-out contract as
-    every LSH operator here).
+    by the bucket occupancy, which the plane count controls. By default
+    the plane count is DERIVED from the corpus size
+    (similarity.adaptive_n_planes, the same adaptive-fan-out contract
+    as every LSH operator here — r6 verdict finding #3: a fixed
+    n_planes=4 means each row_number partition holds ~n/16 of the data
+    at corpus scale). Pass ``n_planes`` explicitly for a pinned bucket
+    function (e.g. a cross-engine oracle), at the cost of one count()
+    job saved.
 
     Output: (id, bucket, bucket_rank) for the kept rows.
     """
     from pyspark.sql import Window
 
-    from .similarity import lsh_bucket_col
+    from .similarity import adaptive_n_planes, lsh_bucket_col
 
+    if n_planes is None:
+        n_planes = adaptive_n_planes(emb.count(), target_bucket_rows)
     if dim is None:
         dim = len(emb.select(vec_col).head()[0])
     bucketed = emb.select(

@@ -324,7 +324,7 @@ def chunk_documents(
 def line_dedup(
     docs: DataFrame,
     line_tokens: int = 2,
-    max_line_df: int = 5,
+    max_line_df: int | DataFrame = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -376,10 +376,27 @@ def line_dedup(
     )
     # Filter BEFORE the reassembly agg: boilerplate lines are by
     # definition the overwhelmingly frequent ones, so the collect_list
-    # only ever sees the (small) surviving set.
-    kept = lines.join(line_df, "line_text").filter(
-        F.col("line_df") <= max_line_df
-    )
+    # only ever sees the (small) surviving set. The threshold may be a
+    # 1-row scalar RELATION (first column) instead of an int: callers
+    # deriving it from the corpus itself (e.g. corpus_prep's "5% of
+    # docs") broadcast it into the plan rather than paying a separate
+    # driver-side count() pass per invocation (r6 verdict finding #2).
+    if isinstance(max_line_df, DataFrame):
+        thr = F.broadcast(
+            max_line_df.select(
+                F.col(max_line_df.columns[0]).cast("bigint").alias("__max_line_df")
+            )
+        )
+        kept = (
+            lines.join(line_df, "line_text")
+            .crossJoin(thr)
+            .filter(F.col("line_df") <= F.col("__max_line_df"))
+            .drop("__max_line_df")
+        )
+    else:
+        kept = lines.join(line_df, "line_text").filter(
+            F.col("line_df") <= max_line_df
+        )
     kept_agg = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(

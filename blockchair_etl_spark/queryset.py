@@ -5419,7 +5419,10 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .caching import tracked_persist
 
     docs = load_table(spark, sf_dir, "documents")
-    rel_df = (docs.count() + 19) // 20  # 5% of docs, integer ceil
+    # 5% of docs, integer ceil — derived IN-PLAN as a broadcast scalar
+    # relation (r6 verdict #2: a driver-side docs.count() here was one
+    # extra full corpus scan per invocation; at 100 TB, a wasted pass)
+    rel_df = docs.agg(F.expr("(count(1) + 19) div 20").alias("max_line_df"))
     cleaned = line_dedup(docs, line_tokens=2, max_line_df=rel_df)
     # quality feeds two branches (canonical-hash groups + the semi-join
     # back); without a persist the whole line_dedup subplan executes
