@@ -23,6 +23,22 @@ for those ~10 queries understated the one-shot cost by 2-10x (e.g.
 corpus_prep_v2 0.97s reported vs 10.7s cold; dedup_minhash_lsh 0.98s
 vs 4.4s). r5→r6 deltas on persisting queries are this accounting fix,
 not regressions; r6 is the honest baseline going forward.
+
+r7 ATTRIBUTION of the three r6 non-persisting outliers (each measured
+isolated: fresh session, 5 runs, no dedup neighbors, same box):
+- graph_triangle_count: 0.69-0.79 s isolated vs 0.94 s in-sequence —
+  fully recovers to the r5 level, so the r6 reading was in-sequence
+  neighbor contention from the (now-cold) dedup queries sharing the
+  session, not a regression.
+- q21_sole_late_supplier (~1.39 s isolated) and
+  q9_profit_by_nation_year (~0.86 s isolated): reproduce ~30% above r5
+  even isolated. Their query bodies and every shared plan path are
+  byte-identical since r5 (git-verified) and the 49-query common-cohort
+  median moved only +3%, so this is not an engine change: the driver
+  regenerates /root/testdata each round, and these two are the most
+  join-selectivity-sensitive plans in the headline set (multi-semi/anti
+  join on lineitem). Treat their r6/r7 numbers as the baseline for the
+  current data generation.
 """
 
 from __future__ import annotations
@@ -178,6 +194,33 @@ def main() -> None:
         samples.append(time.perf_counter() - t0)
     timings["dedup_bow_cosine_zipf"] = round(statistics.median(samples), 3)
     shutil.rmtree(zdir, ignore_errors=True)
+
+    # Store-backed MinHash pair detection (r6 verdict #8): signatures
+    # written once to parquet (untimed — the store is the persisted
+    # corpus index, not part of the per-query cost), pair detection
+    # reads it. Compare with dedup_minhash_lsh above, the cold twin
+    # that re-shingles + re-hashes the corpus every run — the delta is
+    # what signature reuse buys the production loop.
+    from blockchair_etl_spark.llmdata.dedup import (
+        minhash_band_store,
+        minhash_pairs_from_store,
+    )
+
+    mh_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_tmp", "mh_sig_store"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    minhash_band_store(docs).write.mode("overwrite").parquet(mh_dir)
+    mh_store = spark.read.parquet(mh_dir)
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        minhash_pairs_from_store(mh_store, threshold=0.5).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        samples.append(time.perf_counter() - t0)
+    timings["dedup_minhash_store_backed"] = round(statistics.median(samples), 3)
+    shutil.rmtree(mh_dir, ignore_errors=True)
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None

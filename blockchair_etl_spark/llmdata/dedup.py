@@ -204,25 +204,49 @@ def minhash_lsh_pairs(
     buckets (operators/skew.salted_join; same lever as
     connected_clusters(salt=...)) for POWER-LAW boilerplate corpora
     where a handful of band keys hold most documents and pin their
-    shuffle partitions — beyond what AQE's runtime skew split covers.
-    The b-side is replicated salt×, so reserve it for measured hub
-    skew; the pair set is bit-identical to the unsalted form."""
+    shuffle partitions. MEASURED (r7, deliberately hub-skewed fixtures
+    on local[32], AQE skew split ON — the session default): 12k docs /
+    2500-doc identical-boilerplate hub: 5.3 s unsalted vs 4.7 s salt=8
+    (~11%); 20k docs / 5000-doc hub: within run-to-run noise — AQE's
+    map-range splitting already subdivides the hot band key for the
+    sort-merge self-join, and the h² candidate materialization +
+    distinct (salt-invariant) dominate. So: the knob is for clusters
+    where AQE/skew splitting is unavailable or disabled, not a default;
+    the b-side is replicated salt× and the pair set is bit-identical to
+    the unsalted form (test_skew.py)."""
     assert num_hashes % band_size == 0
-    n_bands = num_hashes // band_size
-    # the signature relation feeds three plan branches (banding, a-side,
-    # b-side); persist so shingling+hashing+aggregation runs once.
-    sig = tracked_persist(
-        minhash_signatures(df, num_hashes, text_col, id_col, shingle_n)
+    # the signature+band relation feeds three plan branches (banding,
+    # a-side, b-side); persist so shingling+hashing+aggregation runs
+    # once. Pair detection itself is shared with the store-backed path.
+    store = tracked_persist(
+        minhash_band_store(df, num_hashes, band_size, text_col, id_col, shingle_n)
     )
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws("|", *[F.col(f"m{b * band_size + j}") for j in range(band_size)])
-            )
-            for b in range(n_bands)
-        ]
+    return minhash_pairs_from_store(
+        store, num_hashes=num_hashes, threshold=threshold, salt=salt
     )
-    banded = sig.select("doc", F.posexplode(band_keys).alias("band_idx", "band_key"))
+
+
+def minhash_pairs_from_store(
+    store: DataFrame,
+    num_hashes: int = 16,
+    threshold: float = 0.5,
+    salt: int | None = None,
+) -> DataFrame:
+    """Near-dup pair detection over a PREBUILT signature/band store
+    (minhash_band_store output: doc, m0..m{k-1}, bands array) — the
+    production shape at corpus scale: signatures are computed ONCE,
+    written to parquet, and every dedup query reads them instead of
+    re-shingling + re-hashing the corpus per run (the r6 verdict noted
+    the five MinHash-family bench entries each rebuild signatures cold;
+    this is the reuse path, and the md5-of-literal-seed hash family
+    makes today's stored signatures comparable with tomorrow's).
+
+    The store relation feeds three plan branches; when it's a parquet
+    read, each branch is a column-pruned scan (bands for banding, the
+    m-columns for scoring) — no cache needed. Same (id_a, id_b,
+    est_jaccard) output, bit-identical to minhash_lsh_pairs on the
+    same corpus; ``salt`` spreads the band self-join as there."""
+    banded = store.select("doc", F.posexplode("bands").alias("band_idx", "band_key"))
     a = banded.select(F.col("doc").alias("id_a"), "band_idx", "band_key")
     b = banded.select(F.col("doc").alias("id_b"), "band_idx", "band_key")
     if salt:
@@ -237,8 +261,8 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sig_a = sig.select(F.col("doc").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)])
-    sig_b = sig.select(F.col("doc").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)])
+    sig_a = store.select(F.col("doc").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sig_b = store.select(F.col("doc").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)])
     matches = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
     )
@@ -531,6 +555,25 @@ def incremental_minhash_dedup(
         )
         return empty, new_store
 
+    pairs = minhash_cross_pairs(new_store, store, num_hashes, threshold)
+    updated = store.unionByName(new_store)
+    return pairs, updated
+
+
+def minhash_cross_pairs(
+    new_store: DataFrame,
+    store: DataFrame,
+    num_hashes: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Band-bucket pairs BETWEEN two signature stores (new batch vs
+    existing index): id_a from ``new_store``, id_b from ``store``,
+    est_jaccard ≥ threshold. The asymmetric half of incremental dedup —
+    within-batch pairs come from minhash_pairs_from_store(new_store).
+    Only the (typically small) new side's bands shuffle against the
+    store's band relation; the store is never rescanned beyond the
+    bucket join."""
+
     def banded(s: DataFrame, prefix: str) -> DataFrame:
         return s.select(
             F.col("doc").alias(f"{prefix}_doc"),
@@ -544,7 +587,7 @@ def incremental_minhash_dedup(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(num_hashes)
     )
-    pairs = (
+    return (
         a.join(b, ["band_idx", "band_key"])
         .select(
             F.col("a_doc").alias("id_a"),
@@ -554,8 +597,6 @@ def incremental_minhash_dedup(
         .filter(F.col("est_jaccard") >= threshold)
         .distinct()
     )
-    updated = store.unionByName(new_store)
-    return pairs, updated
 
 
 def simhash_near_pairs(
@@ -842,6 +883,20 @@ def assign_clusters_vectorized(
 
     @pandas_udf("int")
     def assign(vs: pd.Series) -> pd.Series:
+        # Arrow can hand a ZERO-ROW batch (empty partition / empty
+        # filter residue): np.stack([]) raises, so short-circuit. Null
+        # vectors get an explicit error — a silent sentinel cluster
+        # would quietly exclude those rows from dedup; the caller must
+        # filter or impute nulls deliberately.
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        if vs.isna().any():
+            raise ValueError(
+                "assign_clusters_vectorized: null embedding in batch — "
+                "filter null vectors (or impute) before cluster "
+                "assignment; a silent sentinel would drop them from "
+                "semantic dedup"
+            )
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         if n_planes:
             vb = ((V @ planes.T >= 0) @ weights).astype(np.int64)

@@ -1,0 +1,110 @@
+"""Streaming incremental MinHash dedup: the daily dedup loop as a
+Structured Streaming operator.
+
+The batch form (llmdata.dedup.incremental_minhash_dedup) documents the
+production contract: "write `updated_store` out and reload it rather
+than chaining unionByName over persisted batches". This module IS that
+loop, run by the engine: a document stream drains per trigger
+(Trigger.AvailableNow for a daily cadence, continuous micro-batches for
+a firehose), and each micro-batch
+
+  1. computes the batch's signature/band store once
+     (llmdata.dedup.minhash_band_store),
+  2. emits WITHIN-batch near-dup pairs (minhash_pairs_from_store) and
+     batch-vs-index pairs (minhash_cross_pairs) against the persisted
+     parquet index,
+  3. appends the batch's signatures to the index — tomorrow's batch
+     compares against them with no corpus rescan.
+
+Parity: the union of pairs emitted across all micro-batches equals
+minhash_lsh_pairs over the full corpus (every pair is found exactly
+once — in the batch where its LATER document arrives), verified in
+tests/test_llmdata.py. The md5-of-literal-seed hash family is what
+makes signatures appended today comparable with signatures appended
+last month.
+
+Scale/delivery notes:
+- Per-trigger cost is O(|batch|) hashing + one band-bucket join probing
+  the index — the measured bigstore families
+  (BENCH_SCALING.json: dedup_incremental_mh_bigstore alpha≈0.29) are
+  the evidence this stays sublinear as the index outgrows the batch.
+- foreachBatch is at-least-once on retry: a micro-batch that fails
+  AFTER the pairs write but BEFORE the store append can re-emit its
+  pairs on replay (downstream consumers dedup on (id_a, id_b), which
+  the pairs' distinct-ness makes cheap); the store append itself is
+  last so a replayed batch never double-registers signatures ahead of
+  its pairs. For exactly-once sinks, write pairs to a transactional
+  table keyed on (batch_id, id_a, id_b).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def incremental_minhash_stream(
+    docs_stream: DataFrame,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+):
+    """docs stream (id, text) → foreachBatch writer that appends
+    near-dup pairs to ``pairs_dir`` and signatures to ``store_dir``.
+
+    Returns the un-started DataStreamWriter so the caller picks the
+    trigger (``.trigger(availableNow=True)`` for the daily loop) and
+    starts it.
+    """
+    from ..caching import release_tracked, tracked_persist
+    from ..llmdata.dedup import (
+        minhash_band_store,
+        minhash_cross_pairs,
+        minhash_pairs_from_store,
+    )
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        # the batch store feeds three branches (within-pairs banding +
+        # scoring, cross-pairs, the index append); persist so the
+        # shingle→hash→agg pipeline runs once per micro-batch
+        new_store = tracked_persist(
+            minhash_band_store(
+                batch_df, num_hashes, band_size, text_col, id_col, shingle_n
+            )
+        )
+        try:
+            pairs = minhash_pairs_from_store(
+                new_store, num_hashes=num_hashes, threshold=threshold
+            )
+            if _has_parquet(store_dir):
+                old = spark.read.parquet(store_dir)
+                pairs = pairs.unionByName(
+                    minhash_cross_pairs(new_store, old, num_hashes, threshold)
+                )
+            pairs.write.mode("append").parquet(pairs_dir)
+            # store append LAST: a replayed batch re-emits pairs (at-
+            # least-once, see module docstring) but never registers its
+            # signatures before its pairs are durable
+            new_store.write.mode("append").parquet(store_dir)
+        finally:
+            release_tracked()
+
+    return docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def _has_parquet(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    return any(n.endswith(".parquet") for n in os.listdir(path))

@@ -196,6 +196,79 @@ def test_minhash_catches_strong_near_dups(docs):
     assert not missed, f"LSH missed strong near-dups: {missed}"
 
 
+def test_minhash_pairs_from_parquet_store_match_direct(spark, docs, tmp_path):
+    """The production reuse path (r6 verdict #8): signatures written
+    ONCE to parquet, pair detection reading the store must be
+    bit-identical to the compute-from-text form — including after the
+    parquet round trip (column order, nullability, band array)."""
+    from blockchair_etl_spark.llmdata.dedup import (
+        minhash_band_store,
+        minhash_pairs_from_store,
+    )
+
+    path = str(tmp_path / "mh_store")
+    minhash_band_store(docs).write.mode("overwrite").parquet(path)
+    store = spark.read.parquet(path)
+    from_store = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_pairs_from_store(store, threshold=0.5).collect()
+    }
+    direct = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert from_store == direct and from_store
+
+
+def test_streaming_incremental_minhash_matches_batch(spark, docs, tmp_path):
+    """The foreachBatch daily-dedup loop (streaming/dedup_stream.py):
+    3 micro-batches of documents against a growing parquet band-store
+    must emit, across all batches, EXACTLY the pair set the one-shot
+    batch operator finds on the full corpus — every pair once, in the
+    batch where its later-arriving document lands — and leave every
+    signature in the store."""
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.streaming.dedup_stream import (
+        incremental_minhash_stream,
+    )
+
+    src = str(tmp_path / "stream_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        incremental_minhash_stream(
+            stream,
+            store_dir=str(tmp_path / "store"),
+            pairs_dir=str(tmp_path / "pairs"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            threshold=0.5,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b), r.est_jaccard)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == want and want
+    assert spark.read.parquet(str(tmp_path / "store")).count() == docs.count()
+
+
 def test_simhash_locality(docs):
     # near-dup docs (jaccard >= 0.8) should have small hamming distance
     fp = {r.doc: r.simhash for r in simhash_fingerprints(docs).collect()}
@@ -957,6 +1030,37 @@ def test_vectorized_assignment_matches_column_form(spark, sf_dir):
     assert diff == 0
 
 
+def test_vectorized_assignment_empty_batch_and_null_policy(spark):
+    """r6 advice: a zero-row Arrow batch must not np.stack-crash (an
+    empty filter residue on some partition is normal), and a NULL
+    embedding must fail with the explicit policy error, not a numpy
+    traceback — the Column-form twin tolerates both silently, the
+    vectorized twin must be deliberate."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.llmdata.dedup import assign_clusters_vectorized
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    assign = assign_clusters_vectorized(cents, dim=2, n_planes=0)
+
+    # zero-row batches: filter removes everything on every partition
+    empty = (
+        spark.createDataFrame([(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>")
+        .filter("vec_id < 0")
+        .select(assign(F.col("embedding")).alias("c"))
+    )
+    assert empty.count() == 0
+
+    # null vector: explicit error naming the policy
+    withnull = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id bigint, embedding array<double>"
+    ).select(assign(F.col("embedding")).alias("c"))
+    with _pytest.raises(Exception, match="null embedding"):
+        withnull.collect()
+
+
 def test_semdedup_grouped_oversized_cluster_raises(spark):
     """The gram-matrix guard must fail loudly, not truncate."""
     import numpy as np
@@ -1018,6 +1122,70 @@ def test_quality_budget_two_phase_equals_global_window(spark):
         .collect()
     }
     assert got == naive and len(got) > 0
+
+
+def test_quality_budget_coarse_score_banded_and_exact(spark):
+    """r6 verdict finding #4: a LOW-cardinality score (integer 0-5
+    quality tier) must not collapse the within-score window into one
+    near-global partition. The automatic id-range band splits each
+    score into id_bands ordered sub-partitions; the result stays
+    bit-identical to the global (score DESC, id ASC) window, and the
+    doc-level window in the plan is (score, band)-partitioned."""
+    import random
+
+    import pandas as pd
+
+    from blockchair_etl_spark.llmdata.sampling import quality_budget_select
+
+    random.seed(11)
+    rows = []
+    for i in range(2000):
+        did = i * 7 + (i % 13)  # non-contiguous ids
+        rows.append((did, [1, 3, 5][i % 3], "w " * random.randint(0, 40)))
+    df = spark.createDataFrame(rows, "doc_id bigint, q int, text string")
+    out = quality_budget_select(df, score_col="q", budget_den=3)
+
+    t = pd.DataFrame(rows, columns=["doc_id", "score", "text"])
+    t["n_tokens"] = t.text.str.split().map(len)
+    budget = int(t.n_tokens.sum()) // 3
+    t = t.sort_values(["score", "doc_id"], ascending=[False, True])
+    t["cum_before"] = t.n_tokens.cumsum().shift(1, fill_value=0)
+    exp = t[t.cum_before < budget].sort_values("doc_id")
+
+    got = out.toPandas().sort_values("doc_id")
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    assert got.cum_before.astype(int).tolist() == exp.cum_before.astype(int).tolist()
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "doc_id" in ln and "band" not in ln
+    ]
+    assert not bad, bad  # every doc-level window is (score, band)-keyed
+
+
+def test_quality_budget_nonnumeric_id_falls_back(spark):
+    """String doc ids can't range-band (no order-preserving integer
+    arithmetic); the operator must still compute the exact cumulative
+    sum via the degenerate single band per score."""
+    from blockchair_etl_spark.llmdata.sampling import quality_budget_select
+
+    rows = [(f"d{i:03d}", i % 2, "x " * (i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, q int, text string")
+    got = {
+        (r.doc_id, r.cum_before)
+        for r in quality_budget_select(df, score_col="q", budget_den=2).collect()
+    }
+    import pandas as pd
+
+    t = pd.DataFrame(rows, columns=["doc_id", "score", "text"])
+    t["n"] = t.text.str.split().map(len)
+    budget = int(t.n.sum()) // 2
+    t = t.sort_values(["score", "doc_id"], ascending=[False, True])
+    t["cum"] = t.n.cumsum().shift(1, fill_value=0)
+    exp = {(r.doc_id, int(r.cum)) for r in t[t.cum < budget].itertuples()}
+    assert got == exp and got
 
 
 def test_cluster_balanced_cap_and_determinism(spark, sf_dir):
