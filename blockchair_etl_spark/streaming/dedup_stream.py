@@ -39,8 +39,6 @@ Scale/delivery notes:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 
 
@@ -86,8 +84,8 @@ def incremental_minhash_stream(
             pairs = minhash_pairs_from_store(
                 new_store, num_hashes=num_hashes, threshold=threshold
             )
-            if _has_parquet(store_dir):
-                old = spark.read.parquet(store_dir)
+            old = _read_store(spark, store_dir)
+            if old is not None:
                 pairs = pairs.unionByName(
                     minhash_cross_pairs(new_store, old, num_hashes, threshold)
                 )
@@ -104,7 +102,18 @@ def incremental_minhash_stream(
     )
 
 
-def _has_parquet(path: str) -> bool:
-    if not os.path.isdir(path):
-        return False
-    return any(n.endswith(".parquet") for n in os.listdir(path))
+def _read_store(spark, path: str):
+    """The store parquet, or None before the first batch has written it.
+
+    A guarded read instead of a filesystem listing so the store can
+    live on any Hadoop-compatible FS (object stores included), not
+    just a local directory. AnalysisException here means PATH_NOT_FOUND
+    or an empty directory ("unable to infer schema") — both only occur
+    before the first append; later batches always find yesterday's
+    files (appends are atomic per file)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None

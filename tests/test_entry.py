@@ -19,6 +19,18 @@ def test_contract_key_consistency():
         assert callable(fn), name
 
 
+def test_bench_headline_names_are_registered():
+    """Every curated bench.HEADLINE name must exist in the registry —
+    a renamed entry silently dropping out of the headline artifact is
+    exactly how a regression goes unmeasured."""
+    import bench
+
+    from blockchair_etl_spark.queryset import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, missing
+
+
 def test_registry_rotation_window():
     """The driver verifies the first 50 registry entries per round.
 
