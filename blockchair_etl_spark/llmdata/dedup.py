@@ -167,21 +167,22 @@ def minhash_signatures(
     families. Shingles (not unigrams) are the feature: unigram sets
     saturate on small vocabularies and call everything a near-dup."""
     feats = exploded_shingles(df, text_col, id_col, shingle_n)
-    # Hash each corpus-distinct shingle once, then join back: shingles
-    # repeat heavily across documents (boilerplate), so this computes
-    # ~|distinct shingles|×k md5s instead of |(doc,shingle)|×k — an
-    # order of magnitude less hash work at corpus scale, for one extra
-    # shuffle join on the shingle key.
-    feat_hashes = feats.select("feat").distinct().select(
-        "feat",
+    # ONE shuffle: hash every (doc, shingle) row inline (codegen, never
+    # materialized) and min-aggregate by doc — the k per-doc minima
+    # partial-aggregate map-side, so the exchange carries |docs|×k hash
+    # partials, not the doc-shingle stream. The r4-r6 shape hashed each
+    # corpus-DISTINCT shingle once and joined back ("10× less hash
+    # work"), but md5 on short shingles is the cheap part and the join
+    # re-shuffles the full doc-shingle stream by shingle key: measured
+    # at sf0.1 (260k doc-shingle rows, 27k distinct) the join shape
+    # costs 3.9 s vs 1.5 s for this one — and its shuffle-volume
+    # disadvantage only grows with the corpus. Signatures are
+    # bit-identical either way (same hash family, same min).
+    return feats.groupBy("doc").agg(
         *[
-            F.md5(F.concat(F.lit(f"{i}|"), F.col("feat"))).alias(f"h{i}")
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("feat")))).alias(f"m{i}")
             for i in range(num_hashes)
-        ],
-    )
-    joined = feats.join(feat_hashes, "feat")
-    return joined.groupBy("doc").agg(
-        *[F.min(F.col(f"h{i}")).alias(f"m{i}") for i in range(num_hashes)]
+        ]
     )
 
 
