@@ -78,39 +78,50 @@ def _shingles_col_naive(text_col: str, n: int):
 
 
 def exploded_shingles(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame, text_col: str, id_col: str, n: int, distinct: bool = True
 ) -> DataFrame:
-    """Distinct (doc, shingle) pairs via posexplode + lead() windows.
+    """(doc, shingle) rows — distinct pairs by default (set semantics
+    for Jaccard/containment); ``distinct=False`` skips that shuffle for
+    consumers where the multiset is equivalent (MinHash: min over a
+    multiset equals min over its set).
 
-    An array-lambda formulation (`transform(sequence(...), i ->
-    slice(tokens, i, n))`) looks natural but is quadratic: Catalyst's
-    CollapseProject inlines the tokenizer into the per-index lambda, so
-    the text is re-tokenized once per shingle position. Exploding
-    tokens to rows and composing shingles with lead() is strictly
-    linear — one tokenize per document, one shuffle on doc — and is the
-    shape that scales to corpus-sized inputs.
+    Shape: tokenize ONCE per document into an array column, then build
+    the shingle array with `transform(sequence, i -> concat_ws(slice))`
+    and explode — zero shuffles (the r1-r6 shape composed shingles with
+    lead() windows, paying a doc-keyed exchange + sort and an
+    unconditional distinct; measured at sf0.1 the signature pipeline
+    halves without them). Two hazards this formulation must dodge, both
+    test-gated:
+    - Catalyst's CollapseProject must NOT inline the tokenizer into the
+      per-position lambda (that re-tokenizes per shingle = quadratic).
+      It declines because the tokens column is referenced more than
+      once and is non-cheap; tests/test_plans.py asserts the Generate
+      operator carries no `split(` so a future optimizer change can't
+      silently regress this.
+    - `sequence(1, 0)` DESCENDS to [1, 0]; documents shorter than n
+      tokens guard with an explicit empty array (explode then drops
+      them, like the lead-window form's isNotNull filter did).
 
     The repartition matters too: a corpus often arrives as few large
     files (here: one), and without it the tokenize+explode runs in as
     many tasks as there are input splits."""
-    from pyspark.sql import Window
-
     par = df.sparkSession.sparkContext.defaultParallelism
-    tok_rows = df.repartition(par).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(tokens_col(text_col)).alias("pos", "token"),
+    toks = df.repartition(par).select(
+        F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks")
     )
     if n == 1:
-        return tok_rows.select("doc", F.col("token").alias("feat")).distinct()
-    w = Window.partitionBy("doc").orderBy("pos")
-    leads = [F.lead("token", k).over(w) for k in range(1, n)]
-    shingle = F.concat_ws(" ", F.col("token"), *leads)
-    return (
-        tok_rows.select("doc", shingle.alias("feat"), leads[-1].alias("last"))
-        .filter(F.col("last").isNotNull())
-        .select("doc", "feat")
-        .distinct()
-    )
+        out = toks.select("doc", F.explode("__toks").alias("feat"))
+    else:
+        positions = F.when(
+            F.size("__toks") >= n,
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        shingles = F.transform(
+            positions,
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n)),
+        )
+        out = toks.select("doc", F.explode(shingles).alias("feat"))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -166,7 +177,9 @@ def minhash_signatures(
     deterministic, engine-independent, and needs no salted hash
     families. Shingles (not unigrams) are the feature: unigram sets
     saturate on small vocabularies and call everything a near-dup."""
-    feats = exploded_shingles(df, text_col, id_col, shingle_n)
+    # distinct=False: min over the shingle multiset equals min over its
+    # set, so the distinct's shuffle would buy nothing here
+    feats = exploded_shingles(df, text_col, id_col, shingle_n, distinct=False)
     # ONE shuffle: hash every (doc, shingle) row inline (codegen, never
     # materialized) and min-aggregate by doc — the k per-doc minima
     # partial-aggregate map-side, so the exchange carries |docs|×k hash

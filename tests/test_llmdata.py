@@ -185,6 +185,28 @@ def test_quantize_embeddings_int8_error_bound(spark):
     assert all(r.max_err_q20 <= half_step_q20 for r in out.values())
 
 
+def test_exploded_shingles_short_docs_and_set_parity(spark, docs):
+    """Documents shorter than n tokens must yield NO shingles (the
+    sequence(1, 0)-descends-to-[1,0] trap), and the multiset form's
+    distinct-set must equal the distinct form exactly."""
+    from blockchair_etl_spark.llmdata.dedup import exploded_shingles
+
+    short = spark.createDataFrame(
+        [(1, "only two"), (2, "a"), (3, ""), (4, "one two three four")],
+        "doc_id bigint, text string",
+    )
+    got = {(r.doc, r.feat) for r in exploded_shingles(short, "text", "doc_id", 3).collect()}
+    assert got == {
+        (4, "one two three"),
+        (4, "two three four"),
+    }
+    multiset = exploded_shingles(docs, "text", "doc_id", 3, distinct=False)
+    dset = exploded_shingles(docs, "text", "doc_id", 3)
+    assert {(r.doc, r.feat) for r in multiset.collect()} == {
+        (r.doc, r.feat) for r in dset.collect()
+    }
+
+
 def test_minhash_catches_strong_near_dups(docs):
     exact = {
         (r.id_a, r.id_b)

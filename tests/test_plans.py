@@ -330,6 +330,22 @@ def test_token_budget_no_global_doc_window(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_shingle_generate_does_not_inline_tokenizer(spark, sf_dir):
+    """exploded_shingles builds shingles from a tokens ARRAY column via
+    transform+slice. If CollapseProject ever inlined the tokenizer
+    (split/regexp) into the Generate's per-position lambda, every
+    shingle position would re-tokenize the document — quadratic. Gate:
+    the Generate operator's expression must not contain the tokenizer;
+    it stays in the child Project, evaluated once per document."""
+    from blockchair_etl_spark.llmdata.dedup import exploded_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(exploded_shingles(docs, "text", "doc_id", 3, distinct=False))
+    gen_lines = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert gen_lines, plan
+    assert not any("split(" in ln for ln in gen_lines), gen_lines
+
+
 def test_corpus_prep_plan_construction_runs_no_jobs(spark, sf_dir):
     """r6 verdict #2: corpus_prep_pipeline used to run a driver-side
     docs.count() on every invocation just to derive the 5% line-DF
