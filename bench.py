@@ -222,6 +222,39 @@ def main() -> None:
     timings["dedup_minhash_store_backed"] = round(statistics.median(samples), 3)
     shutil.rmtree(mh_dir, ignore_errors=True)
 
+    # Index-backed IVF-PQ search: codebooks trained + vectors encoded
+    # ONCE (untimed — the persisted index of a deployed ANN service),
+    # each timed run is the pure query path: cluster-pruned codes scan
+    # + m BIGINT table lookups per row. Compare with ann_ivfpq_topk,
+    # which builds the whole index inside the query.
+    from blockchair_etl_spark.llmdata.ivf import seed_centroids
+    from blockchair_etl_spark.llmdata.pq import (
+        ivfpq_adc_topk_from_index,
+        ivfpq_encode,
+        residual_frame,
+        seed_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = seed_centroids(emb, n_centroids=8)
+    res = residual_frame(emb, cents)
+    books = seed_pq_codebooks(res, dim=64, m=4, ksub=16, vec_col="residual")
+    qv = [float(v) for v in cents[0]]
+    pq_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_tmp", "ivfpq_index"
+    )
+    ivfpq_encode(emb, cents, books).write.mode("overwrite").parquet(pq_dir)
+    pq_index = spark.read.parquet(pq_dir)
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        ivfpq_adc_topk_from_index(
+            pq_index, cents, books, qv, k=10, n_probe=2
+        ).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    timings["ann_ivfpq_store_backed"] = round(statistics.median(samples), 3)
+    shutil.rmtree(pq_dir, ignore_errors=True)
+
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
     result = {

@@ -392,6 +392,36 @@ def _custom_runners(spark, repo: str, scale: int):
         store = spark_.read.parquet(_mh_sig_store[sf_dir])
         return minhash_pairs_from_store(store, threshold=0.5)
 
+    _pq_index_cache: dict[str, tuple] = {}
+
+    def run_ivfpq_store_backed(spark_, sf_dir: str):
+        # deployed-ANN query path: codebooks + encoded index built once
+        # per scale (untimed); the timed run is the cluster-pruned
+        # codes scan + ADC lookups. k_coarse grows with the corpus so
+        # per-probe list size stays ~flat (the registry entry pins 8
+        # for the SQL oracle).
+        from blockchair_etl_spark.llmdata.ivf import seed_centroids
+        from blockchair_etl_spark.llmdata.pq import (
+            ivfpq_adc_topk_from_index,
+            ivfpq_encode,
+            residual_frame,
+            seed_pq_codebooks,
+        )
+
+        if sf_dir not in _pq_index_cache:
+            emb = load_table(spark_, sf_dir, "embeddings")
+            kc = max(8, emb.count() // 640)
+            cents = seed_centroids(emb, n_centroids=kc)
+            res = residual_frame(emb, cents)
+            books = seed_pq_codebooks(res, dim=64, m=4, ksub=16, vec_col="residual")
+            path = os.path.join(repo, ".bench_tmp", f"ivfpq_index_{scale}x")
+            ivfpq_encode(emb, cents, books).write.mode("overwrite").parquet(path)
+            _pq_index_cache[sf_dir] = (path, cents, books)
+        path, cents, books = _pq_index_cache[sf_dir]
+        qv = [float(v) for v in cents[0]]
+        index = spark_.read.parquet(path)
+        return ivfpq_adc_topk_from_index(index, cents, books, qv, k=10, n_probe=2)
+
     return {
         "dedup_bow_cosine_zipf": run_zipf,
         "trace_funds_3hop": run_trace3,
@@ -401,6 +431,7 @@ def _custom_runners(spark, repo: str, scale: int):
         "dedup_incremental_mh_bigstore": run_incr_mh_big_store,
         "sample_cluster_balanced_adaptive": run_cluster_balanced_adaptive,
         "dedup_minhash_store_backed": run_minhash_store_backed,
+        "ann_ivfpq_store_backed": run_ivfpq_store_backed,
     }
 
 

@@ -299,13 +299,43 @@ def ivfpq_adc_topk(
         ),
     )
 
-    # ADC lookup tables precomputed driver-side with the SAME
-    # fixed-point arithmetic (numpy IEEE doubles + per-element floor ==
-    # the Column/SQL form bit-for-bit), so each probed list inlines
-    # just m*ksub BIGINT literals — the plan was previously ~20k nodes
-    # of nested table expressions and Catalyst ANALYSIS dominated the
-    # query (same driver-bound failure mode the _book_lit docstring
-    # records).
+    return ivfpq_adc_topk_from_index(
+        with_codes, centroids, codebooks, query_vec, k=k, n_probe=n_probe, id_col=id_col
+    )
+
+
+def ivfpq_adc_topk_from_index(
+    index: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC search over a PREBUILT ivfpq_encode relation (id,
+    ivf_cluster, codes) — the query path of the deployed index:
+    codebooks are trained and vectors encoded ONCE (the parquet store a
+    billion-vector deployment actually persists), and each query is a
+    cluster-pruned scan of the codes column with m BIGINT table lookups
+    per row. No residual encode, no raw-vector read. Bit-identical
+    result to ivfpq_adc_topk on the raw vectors (same probe order, same
+    fixed-point tables); that function now routes through this one
+    after encoding in-plan.
+
+    ADC lookup tables are precomputed driver-side with the SAME
+    fixed-point arithmetic (numpy IEEE doubles + per-element floor ==
+    the Column/SQL form bit-for-bit), so each probed list inlines just
+    m*ksub BIGINT literals — the plan was previously ~20k nodes of
+    nested table expressions and Catalyst ANALYSIS dominated the query
+    (same driver-bound failure mode the _book_lit docstring records)."""
+    from .ivf import exact_probe_order
+
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray([float(v) for v in query_vec], dtype=float)
+    probes = exact_probe_order(centroids, q)[:n_probe]
+    probed = index.filter(F.col("ivf_cluster").isin(probes))
+
     def _np_table(c: int, j: int) -> list[int]:
         qres = q - centroids[c]
         qsub = qres[j * dsub : (j + 1) * dsub]
@@ -327,5 +357,5 @@ def ivfpq_adc_topk(
         )
     adc = (score.cast("double") / F.lit(float(FIXED_SCALE))).alias("adc")
 
-    scored = with_codes.select(F.col(id_col), adc)
+    scored = probed.select(F.col(id_col), adc)
     return scored.orderBy(F.asc("adc"), F.asc(id_col)).limit(k)

@@ -317,3 +317,41 @@ def test_exact_probe_order_ties_and_decimal_arithmetic():
 
     expect = [i for _, i in sorted((ref_dist(c), i) for i, c in enumerate(cents))]
     assert exact_probe_order(cents, q) == expect
+
+
+def test_ivfpq_from_parquet_index_matches_direct(spark, sf_dir, tmp_path):
+    """The deployed-index query path: ivfpq_encode written to parquet
+    once, ivfpq_adc_topk_from_index reading it must return exactly what
+    the raw-vector search returns (same probes, same fixed-point ADC
+    scores) — including after the parquet round trip."""
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.ivf import seed_centroids
+    from blockchair_etl_spark.llmdata.pq import (
+        ivfpq_adc_topk,
+        ivfpq_adc_topk_from_index,
+        ivfpq_encode,
+        residual_frame,
+        seed_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, n_centroids=8)
+    res = residual_frame(emb, cents)
+    books = seed_pq_codebooks(res, dim=64, m=4, ksub=16, vec_col="residual")
+    qv = [float(v) for v in cents[0]]
+
+    path = str(tmp_path / "ivfpq_index")
+    ivfpq_encode(emb, cents, books).write.mode("overwrite").parquet(path)
+    index = spark.read.parquet(path)
+
+    direct = [
+        (r.vec_id, r.adc)
+        for r in ivfpq_adc_topk(emb, cents, books, qv, k=10, n_probe=2).collect()
+    ]
+    stored = [
+        (r.vec_id, r.adc)
+        for r in ivfpq_adc_topk_from_index(
+            index, cents, books, qv, k=10, n_probe=2
+        ).collect()
+    ]
+    assert stored == direct and len(stored) == 10
