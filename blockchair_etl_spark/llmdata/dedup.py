@@ -299,10 +299,64 @@ def simhash_fingerprints(
     bits×tokens rows — a pure shuffle pipeline, no UDFs.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
+    occ = df.repartition(par).select(
+        F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("token")
+    )
+    return simhash_over_occurrences(occ, bits=bits)
+
+
+def media_byte_fingerprints(
+    media: DataFrame,
+    bits: int = 32,
+    gram_bytes: int = 4,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """SimHash fingerprint of an opaque BINARY media column over sliding
+    byte n-grams — the near-dup fingerprint for media payloads whose
+    codecs aren't available (and the exact right thing for raw-byte
+    near-dup regardless: re-encoded-but-mostly-identical payloads share
+    most byte grams, so their fingerprints land within small Hamming
+    distance and simhash_near_pairs' pigeonhole join finds them).
+
+    Honest scope note: a true PERCEPTUAL hash (pHash) needs a codec —
+    DCT over decoded pixels — which this environment does not ship
+    (multimodal.decode_image is the stubbed boundary). Everything
+    distributed about pHash dedup — fingerprint extraction in one scan,
+    banded blocking, Hamming verify — is exercised for real here; only
+    the per-item transform differs, and swapping it in is a local
+    change to the gram extractor.
+
+    Stays JVM-side end to end: bytes → lowercase hex (2 chars/byte),
+    sliding ``gram_bytes``-byte windows as hex substrings (byte-aligned:
+    start positions 1, 3, 5, …), then the shared SimHash machinery over
+    (media, gram) occurrences. Media shorter than ``gram_bytes`` yield
+    no grams and therefore no fingerprint row (nothing to block on).
+    """
+    width = gram_bytes * 2
+    hx = media.select(
+        F.col(id_col).alias("doc"),
+        F.lower(F.hex(F.col(content_col))).alias("hx"),
+    )
+    # sequence() raises on a negative stop with a positive step, so the
+    # short-payload case must be guarded to an empty gram array.
+    grams = (
+        f"CASE WHEN length(hx) >= {width} THEN "
+        f"transform(sequence(1, length(hx) - {width - 1}, 2), "
+        f"i -> substring(hx, i, {width})) "
+        f"ELSE array() END"
+    )
+    occ = hx.select("doc", F.explode(F.expr(grams)).alias("token"))
+    return simhash_over_occurrences(occ, bits=bits)
+
+
+def simhash_over_occurrences(occ: DataFrame, bits: int = 32) -> DataFrame:
+    """Shared SimHash core over (doc, token) OCCURRENCE rows: aggregate
+    to (doc, token, freq), hash each distinct (doc, token) once, then
+    the sign-of-weighted-bit-sum fold. Callers differ only in how they
+    produce occurrences (whitespace tokens, byte grams, …)."""
     tok_freq = (
-        df.repartition(par)
-        .select(F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("token"))
-        .groupBy("doc", "token")
+        occ.groupBy("doc", "token")
         .agg(F.count(F.lit(1)).alias("w"))
         .withColumn("h", F.substring(F.md5(F.col("token")), 1, bits // 4))
     )
