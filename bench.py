@@ -39,6 +39,31 @@ isolated: fresh session, 5 runs, no dedup neighbors, same box):
   join-selectivity-sensitive plans in the headline set (multi-semi/anti
   join on lineitem). Treat their r6/r7 numbers as the baseline for the
   current data generation.
+
+r8 ATTRIBUTION of the r7 token-budget regressions (r7 verdict #2):
+corpus_token_budget +88% and corpus_prep_v3_pipeline +44% in r7 were
+the price of the unconditional id-band hardening in
+quality_budget_select: phase 2 always ran its (score, band)
+aggregation + window, and the doc relation was joined TWICE (once
+against band_cum, once against score_cum — two doc-side shuffles).
+r8 fix: (a) banding is now gated in-plan on n div ndv(score) from the
+same broadcast scalars aggregation (approx_count_distinct rides the
+budget/min/max pass), so high-cardinality scores — both these
+queries — skip the inert band work; (b) the two tiny cumulative
+relations merge first and hit the docs in ONE join. Measured isolated
+(fresh session, 5 runs, median, same box, old vs new code on the same
+data generation): corpus_token_budget 1.565 -> 1.243 s (-21%),
+corpus_prep_v3_pipeline 1.910 -> 1.303 s (-32%). Both runtime paths
+remain bit-identical to the single-window oracle (pytest
+test_quality_budget_adaptive_band_paths_identical + the coarse-score
+property test, which now forces the banded path with
+band_threshold_rows=0).
+
+r8 ATTRIBUTION of corpus_shuffle_shards (+39% in r7, small absolute):
+measured isolated on the r8 data generation at 0.179 s, within noise
+of its r6 0.146 s reading (run-to-run spread on sub-0.2 s queries
+exceeds 30% on a shared box); no code in its path changed in r7
+(git-verified) — in-sequence neighbor contention, not a regression.
 """
 
 from __future__ import annotations
@@ -265,13 +290,29 @@ def main() -> None:
         "n": runs,
         "sf": sf,
     }
-    print(json.dumps(result))
-    # The full line above outgrew the driver's stdout TAIL capture in r6
-    # (66 per-query timings ≈ 4 KB truncated the front of the line →
-    # BENCH_r06.json parsed:null, headline total unrecorded). Tail
-    # capture keeps the END of output, so ALSO print a compact
-    # scalar-only summary line AFTER it: small enough to always survive,
-    # and self-describing about where the per-query detail lives.
+    # The driver tail-captures stdout: one big per-query JSON line
+    # outgrew the window in r6 (parsed:null) and r7 (first 8 timings
+    # truncated). Emit the per-query detail as SEVERAL short
+    # self-describing chunk lines (compact separators, ~15 queries
+    # each) so truncation can only ever cost whole early chunks, then
+    # the scalar summary LAST so it always survives.
+    keys = list(timings)
+    chunk_size = 15
+    n_chunks = (len(keys) + chunk_size - 1) // chunk_size
+    for i in range(n_chunks):
+        chunk = {k: timings[k] for k in keys[i * chunk_size : (i + 1) * chunk_size]}
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_chunk",
+                    "chunk": i + 1,
+                    "of": n_chunks,
+                    "sf": sf,
+                    "queries": chunk,
+                },
+                separators=(",", ":"),
+            )
+        )
     print(
         json.dumps(
             {
@@ -280,8 +321,10 @@ def main() -> None:
                 "unit": "sec",
                 "n": runs,
                 "sf": sf,
-                "queries_in_prev_line": len(timings),
-            }
+                "queries_in_chunk_lines": len(timings),
+                "chunk_lines": n_chunks,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -266,6 +266,7 @@ def quality_budget_select(
     id_col: str = "doc_id",
     text_col: str = "text",
     id_bands: int = 32,
+    band_threshold_rows: int = 1_000_000,
 ) -> DataFrame:
     """Select the highest-quality documents until a corpus-wide token
     budget: a doc is included iff the EXACT cumulative token count of
@@ -291,6 +292,14 @@ def quality_budget_select(
          ceil(span / id_bands): monotone in id, so the decomposition
          preserves the (score DESC, id ASC) order bit-exactly; min/max
          ride in the same single aggregation that derives the budget.
+         Banding is ADAPTIVE and decided in-plan (r7 verdict #2): the
+         same scalars aggregation carries count + approx ndv(score),
+         and the band expression collapses to 0 whenever the expected
+         per-score partition (n div ndv) is already under
+         band_threshold_rows — a high-cardinality score (the common
+         case: char counts, model logits) skips the sub-partitioning
+         work it doesn't need, while a 0-5 tier at corpus scale still
+         bands. Both runtime paths produce bit-identical output.
       3. a within-(score, band) running sum — partitions bounded by
          n / (ndv(score) * id_bands) for near-uniform ids.
 
@@ -318,13 +327,19 @@ def quality_budget_select(
         F.expr(f"sum(n_tokens) div {int(budget_den)}").cast("bigint").alias("budget"),
         F.min(id_col).alias("__id_mn"),
         F.max(id_col).alias("__id_mx"),
+        F.count(F.lit(1)).alias("__n"),
+        F.approx_count_distinct("score").alias("__ndv"),
     )
     t2 = t.crossJoin(F.broadcast(scalars))
     if numeric_id and id_bands > 1:
         # ceil_span = span div id_bands + 1 > span / id_bands, so
         # band = (id - mn) div ceil_span lands in [0, id_bands - 1];
         # pure BIGINT arithmetic, monotone in id, and no (id * bands)
-        # overflow for ids anywhere in the bigint range.
+        # overflow for ids anywhere in the bigint range. The
+        # need-banding gate compares EXPECTED per-score rows (integer
+        # n div ndv — no overflow for any n) against the threshold, so
+        # the decision rides the broadcast scalars instead of an eager
+        # driver job.
         t2 = (
             t2.withColumn(
                 "__span",
@@ -333,7 +348,11 @@ def quality_budget_select(
             .withColumn(
                 "band",
                 F.when(
-                    F.col("__span") > 0,
+                    (F.col("__span") > 0)
+                    & (
+                        F.expr("__n div greatest(__ndv, cast(1 as bigint))")
+                        > F.lit(int(band_threshold_rows))
+                    ),
                     F.expr(
                         f"(cast({id_col} as bigint) - cast(__id_mn as bigint)) "
                         f"div (__span div {int(id_bands)} + 1)"
@@ -344,9 +363,9 @@ def quality_budget_select(
         )
     else:
         t2 = t2.withColumn("band", F.lit(0).cast("bigint"))
-    # the min/max scalars only exist to derive the band; don't carry
-    # them through the shuffles below
-    t2 = t2.drop("__id_mn", "__id_mx")
+    # the min/max/count scalars only exist to derive the band; don't
+    # carry them through the shuffles below
+    t2 = t2.drop("__id_mn", "__id_mx", "__n", "__ndv")
     per_band = t2.groupBy("score", "band").agg(
         F.sum("n_tokens").alias("band_tok")
     )
@@ -381,9 +400,14 @@ def quality_budget_select(
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # One doc-side join, not two (the r7 shape joined band_cum and
+    # score_cum separately — two shuffles of the doc relation): merge
+    # the two tiny cumulative relations first (O(ndv * bands) rows
+    # joining O(ndv) rows), then hit the docs once. AQE picks
+    # broadcast vs shuffle for the merged side by its actual size.
+    cum_rel = band_cum.join(score_cum, "score")
     ranked = (
-        t2.join(band_cum, ["score", "band"])
-        .join(score_cum, "score")
+        t2.join(cum_rel, ["score", "band"])
         .withColumn(
             "cum_before",
             (

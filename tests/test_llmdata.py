@@ -1165,7 +1165,11 @@ def test_quality_budget_coarse_score_banded_and_exact(spark):
         did = i * 7 + (i % 13)  # non-contiguous ids
         rows.append((did, [1, 3, 5][i % 3], "w " * random.randint(0, 40)))
     df = spark.createDataFrame(rows, "doc_id bigint, q int, text string")
-    out = quality_budget_select(df, score_col="q", budget_den=3)
+    # band_threshold_rows=0 forces the banded runtime path at test
+    # scale (the adaptive default only bands past 1M rows per score)
+    out = quality_budget_select(
+        df, score_col="q", budget_den=3, band_threshold_rows=0
+    )
 
     t = pd.DataFrame(rows, columns=["doc_id", "score", "text"])
     t["n_tokens"] = t.text.str.split().map(len)
@@ -1185,6 +1189,31 @@ def test_quality_budget_coarse_score_banded_and_exact(spark):
         if "Window" in ln and "doc_id" in ln and "band" not in ln
     ]
     assert not bad, bad  # every doc-level window is (score, band)-keyed
+
+
+def test_quality_budget_adaptive_band_paths_identical(spark):
+    """r7 verdict #2: banding is decided in-plan from the broadcast
+    (n, ndv(score)) scalars. The forced-band path and the adaptive
+    default (which skips banding below band_threshold_rows per-score
+    rows) must return bit-identical rows."""
+    from blockchair_etl_spark.llmdata.sampling import quality_budget_select
+
+    rows = [
+        (i * 3 + (i % 5), (i % 4) + 0.5, "t " * ((i * 13) % 23))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, q double, text string")
+    banded = {
+        tuple(r)
+        for r in quality_budget_select(
+            df, score_col="q", budget_den=4, band_threshold_rows=0
+        ).collect()
+    }
+    adaptive = {
+        tuple(r)
+        for r in quality_budget_select(df, score_col="q", budget_den=4).collect()
+    }
+    assert banded == adaptive and banded
 
 
 def test_quality_budget_nonnumeric_id_falls_back(spark):
