@@ -33,6 +33,7 @@ import pandas as pd  # module-level: pandas_udf type-hint strings (PEP 563)
 from pyspark.sql import DataFrame, functions as F
 
 from ..caching import tracked_persist
+from .stats import CorpusStats
 from .text import tokens_col
 
 DEC = "decimal(38,18)"
@@ -415,6 +416,7 @@ def embedding_dup_pairs(
     min_planes: int = 2,
     max_planes: int = 16,
     seeds: tuple[int, ...] | None = None,
+    stats: "CorpusStats | None" = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key.
 
@@ -429,7 +431,9 @@ def embedding_dup_pairs(
     within-bucket pair count per row — stays bounded as the corpus
     grows; a fixed plane count is quadratic in corpus size at fixed
     fan-out. Deriving n costs one count() job; pass ``lsh_planes``
-    explicitly to skip it on a hot path.
+    explicitly to skip it on a hot path, or pass ``stats`` (one shared
+    stats.corpus_stats pass) so a COMPOSED pipeline pays a single
+    corpus scan for every adaptive operator's scalars (r7 verdict #3).
 
     Recall caveat: a dup pair straddling a hyperplane (|dot| ≈ 0) lands
     in different buckets. ``seeds`` is the recall lever: pass several
@@ -444,8 +448,10 @@ def embedding_dup_pairs(
     engine-independent."""
     from .similarity import adaptive_n_planes, lsh_bucket_col
 
+    if dim is None and stats is not None:
+        dim = stats.dim
     if dim is None:
-        # a driver-side peek job; pass dim explicitly on a hot path
+        # a driver-side peek job; pass dim or stats on a hot path
         dim = len(emb.select(vec_col).head()[0])
 
     # Candidate pruning runs in primitive double math (codegen'd, ~10x
@@ -475,7 +481,8 @@ def embedding_dup_pairs(
         blks = [F.col(block_col)]
     else:
         if lsh_planes is None:
-            n_rows = emb.count()  # one job; pass lsh_planes to skip
+            # one job; pass lsh_planes or stats to skip
+            n_rows = stats.n_rows if stats is not None else emb.count()
             lsh_planes = adaptive_n_planes(
                 n_rows, target_bucket_rows, min_planes, max_planes
             )
@@ -991,6 +998,7 @@ def semantic_dedup_survivors_grouped(
     n_planes: int | None = None,
     target_cands: int = 16,
     max_cluster_rows: int = 65_536,
+    stats: CorpusStats | None = None,
 ) -> DataFrame:
     """SemDeDup scale twin: vectorized assignment + per-cluster BLAS
     gram matrices instead of a pair join.
@@ -1024,6 +1032,8 @@ def semantic_dedup_survivors_grouped(
     """
     import numpy as np
 
+    if dim is None and stats is not None:
+        dim = stats.dim
     if dim is None:
         dim = len(emb.select(vec_col).head()[0])
     assign = assign_clusters_vectorized(

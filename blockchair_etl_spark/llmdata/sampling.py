@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .stats import CorpusStats
+
 
 def hash_key_col(id_col: Column | str, salt: str = "") -> Column:
     c = F.col(id_col) if isinstance(id_col, str) else id_col
@@ -431,6 +433,7 @@ def cluster_balanced_sample(
     vec_col: str = "embedding",
     dim: int | None = None,
     target_bucket_rows: int = 128,
+    stats: "CorpusStats | None" = None,
 ) -> DataFrame:
     """Diversity (cluster-balanced) sampling: keep at most
     ``per_bucket`` vectors per hyperplane-LSH bucket, chosen
@@ -447,7 +450,14 @@ def cluster_balanced_sample(
     n_planes=4 means each row_number partition holds ~n/16 of the data
     at corpus scale). Pass ``n_planes`` explicitly for a pinned bucket
     function (e.g. a cross-engine oracle), at the cost of one count()
-    job saved.
+    job saved — or pass ``stats`` from one shared stats.corpus_stats
+    pass so a composed pipeline derives every adaptive operator's
+    scalars from a single corpus scan (r7 verdict #3 / ADVICE r7 #4:
+    the adaptive default otherwise runs its own count()+head() at
+    plan-construction time). NOTE: the adaptive default (n_planes=None)
+    changed the bucket function — and thus the kept set — for callers
+    that relied on the old fixed n_planes=4; pin n_planes to reproduce
+    pre-r7 output.
 
     Output: (id, bucket, bucket_rank) for the kept rows.
     """
@@ -456,7 +466,10 @@ def cluster_balanced_sample(
     from .similarity import adaptive_n_planes, lsh_bucket_col
 
     if n_planes is None:
-        n_planes = adaptive_n_planes(emb.count(), target_bucket_rows)
+        n = stats.n_rows if stats is not None else emb.count()
+        n_planes = adaptive_n_planes(n, target_bucket_rows)
+    if dim is None and stats is not None:
+        dim = stats.dim
     if dim is None:
         dim = len(emb.select(vec_col).head()[0])
     bucketed = emb.select(

@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .stats import CorpusStats
+
 # (30,18) not (38,18): decimal addition at precision 38 overflows and
 # Spark shrinks the result scale to 17, rounding every fold step. With
 # precision 30 the add result is (31,18) — lossless — so the fold equals
@@ -180,15 +182,18 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_bucket_rows: int = 128,
+    stats: "CorpusStats | None" = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH bucket.
     With p planes the candidate set is ~n/2^p; recall is tested against
     the brute-force baseline. Pass ``n_planes=None`` to derive p from
     the corpus size (adaptive_n_planes) so the per-query candidate set
     stays ~target_bucket_rows as the corpus grows instead of n/2^p
-    with fixed fan-out."""
+    with fixed fan-out; ``stats`` (stats.corpus_stats) supplies the
+    count from one shared pass in composed pipelines."""
     if n_planes is None:
-        n_planes = adaptive_n_planes(emb.count(), target_bucket_rows)
+        n = stats.n_rows if stats is not None else emb.count()
+        n_planes = adaptive_n_planes(n, target_bucket_rows)
     dim = len(query_vec)
     qbucket = 0
     planes = _planes(dim, n_planes, seed)
@@ -212,6 +217,7 @@ def knn_join_lsh(
     n_planes: int | None = None,
     seed: int = 7,
     target_bucket_rows: int = 128,
+    stats: "CorpusStats | None" = None,
 ) -> DataFrame:
     """Approximate kNN JOIN: every vector's top-k cosine neighbors from
     within its hyperplane-LSH bucket — the all-rows twin of
@@ -235,10 +241,13 @@ def knn_join_lsh(
     to ranking everything exactly. Output: (id_a, rank, id_b, cosine)."""
     from pyspark.sql import Window
 
+    if dim is None and stats is not None:
+        dim = stats.dim
     if dim is None:
         dim = len(emb.select(vec_col).head()[0])
     if n_planes is None:
-        n_planes = adaptive_n_planes(emb.count(), target_bucket_rows)
+        n = stats.n_rows if stats is not None else emb.count()
+        n_planes = adaptive_n_planes(n, target_bucket_rows)
     blk = lsh_bucket_col(F.col(vec_col), dim, n_planes=n_planes, seed=seed)
 
     def _fdot(x, y):

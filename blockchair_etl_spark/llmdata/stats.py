@@ -1,0 +1,59 @@
+"""Shared corpus statistics for composed LLM-data pipelines.
+
+Several adaptive operators need driver-side scalars before they can
+CONSTRUCT their plan: the hyperplane-LSH blockers derive a plane count
+from the corpus row count (similarity.adaptive_n_planes — the count
+decides HOW MANY plane expressions exist, which no in-plan broadcast
+can express), and the vector operators need the embedding dimension to
+unroll per-component expressions. Individually each operator pays one
+count()/head() job with an explicit-argument escape hatch — but a
+COMPOSED pipeline (dedup -> balanced sample -> kNN mining over the
+same corpus) silently pays one scan per operator (r7 verdict #3).
+
+``corpus_stats`` is the shared pass: ONE aggregation job produces
+(n_rows, dim), and every adaptive operator accepts the result via a
+``stats=`` keyword so a composed pipeline derives its scalars from a
+single corpus scan. The aggregation is a count + a first(size(vec))
+in one hash-agg — map-side partials, O(1) result row, no collect of
+data rows.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class CorpusStats(NamedTuple):
+    """Driver-side scalars shared across a composed pipeline.
+
+    n_rows: exact corpus row count (drives adaptive_n_planes).
+    dim: embedding dimension from the first non-null vector, or None
+         for text-only corpora with no vector column.
+    """
+
+    n_rows: int
+    dim: Optional[int]
+
+
+def corpus_stats(
+    df: DataFrame, vec_col: Optional[str] = "embedding"
+) -> CorpusStats:
+    """Compute (n_rows, dim) in ONE Spark job.
+
+    Pass ``vec_col=None`` for text corpora (dim comes back None).
+    A missing/all-null vector column also yields dim=None rather than
+    failing, so the same stats object can feed mixed pipelines.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if vec_col is not None and vec_col in df.columns:
+        aggs.append(
+            F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("__dim")
+        )
+    row = df.agg(*aggs).first()
+    dim = None
+    if len(row) > 1 and row["__dim"] is not None and row["__dim"] >= 0:
+        dim = int(row["__dim"])
+    return CorpusStats(n_rows=int(row["__n"]), dim=dim)

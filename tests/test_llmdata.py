@@ -1332,3 +1332,35 @@ def test_leakage_safe_split_near_dup_groups(spark, sf_dir):
         F.count_distinct("split").alias("n_splits")
     )
     assert per_cluster.filter("n_splits != 1").count() == 0
+
+
+def test_corpus_stats_matches_self_derived_adaptivity(spark, sf_dir):
+    """stats.corpus_stats must feed the adaptive operators the same
+    (n_rows, dim) they would derive themselves, so the stats= path is
+    output-identical to the per-operator jobs it replaces."""
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.sampling import cluster_balanced_sample
+    from blockchair_etl_spark.llmdata.stats import corpus_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    st = corpus_stats(emb, vec_col="embedding")
+    assert st.n_rows == emb.count()
+    assert st.dim == len(emb.select("embedding").head()[0])
+    with_stats = {
+        tuple(r) for r in cluster_balanced_sample(emb, per_bucket=5, stats=st).collect()
+    }
+    self_derived = {
+        tuple(r) for r in cluster_balanced_sample(emb, per_bucket=5).collect()
+    }
+    assert with_stats == self_derived and with_stats
+
+
+def test_corpus_stats_text_corpus_dim_none(spark, sf_dir):
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.stats import corpus_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = corpus_stats(docs, vec_col=None)
+    assert st.n_rows == docs.count() and st.dim is None
+    st2 = corpus_stats(docs)  # default vec_col absent from schema
+    assert st2.dim is None

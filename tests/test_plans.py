@@ -397,3 +397,41 @@ def test_recursive_cte_no_cartesian(spark, sf_dir):
     df = QUERIES["trace_recursive_cte"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_composed_embedding_pipeline_single_stats_job(spark, sf_dir):
+    """r7 verdict #3: a COMPOSED embedding pipeline used to pay one
+    adaptivity job per operator (embedding_dup_pairs ran count()+head(),
+    cluster_balanced_sample another count()+head(), knn_join_lsh the
+    same). One shared stats.corpus_stats pass now feeds all of them via
+    stats=, so the composed shape pays ONE corpus scan for its scalars
+    and constructing the downstream operators launches ZERO jobs."""
+    from blockchair_etl_spark.llmdata.dedup import embedding_dup_pairs
+    from blockchair_etl_spark.llmdata.sampling import cluster_balanced_sample
+    from blockchair_etl_spark.llmdata.similarity import knn_join_lsh
+    from blockchair_etl_spark.llmdata.stats import corpus_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.schema  # reader footer probe happens here, outside the groups
+    sc = spark.sparkContext
+
+    sc.setJobGroup("stats-pass", "the one shared corpus scan")
+    try:
+        st = corpus_stats(emb, vec_col="embedding")
+    finally:
+        stats_jobs = sc.statusTracker().getJobIdsForGroup("stats-pass")
+        sc.setJobGroup("", "")
+    assert st.n_rows > 0 and st.dim == 64
+    # one aggregation action; AQE may stage it as at most 2 jobs
+    assert 1 <= len(stats_jobs) <= 2, f"stats pass ran {len(stats_jobs)} jobs"
+
+    sc.setJobGroup("op-construct", "plan construction only")
+    try:
+        pairs = embedding_dup_pairs(emb, threshold=0.3, stats=st)
+        sample = cluster_balanced_sample(emb, per_bucket=5, stats=st)
+        knn = knn_join_lsh(emb, k=2, stats=st)
+    finally:
+        op_jobs = sc.statusTracker().getJobIdsForGroup("op-construct")
+        sc.setJobGroup("", "")
+    assert not op_jobs, f"operator construction ran {len(op_jobs)} job(s)"
+    assert pairs.schema and sample.schema and knn.schema
