@@ -23,44 +23,53 @@ tests/test_llmdata.py. The md5-of-literal-seed hash family is what
 makes signatures appended today comparable with signatures appended
 last month.
 
-Scale/delivery notes:
-- Per-trigger cost is O(|batch|) hashing + one band-bucket join probing
-  the index — the measured bigstore families
-  (BENCH_SCALING.json: dedup_incremental_mh_bigstore alpha≈0.29) are
-  the evidence this stays sublinear as the index outgrows the batch.
-- foreachBatch is at-least-once on retry: a micro-batch that fails
-  AFTER the pairs write but BEFORE the store append can re-emit its
-  pairs on replay (downstream consumers dedup on (id_a, id_b), which
-  the pairs' distinct-ness makes cheap); the store append itself is
-  last so a replayed batch never double-registers signatures ahead of
-  its pairs. For exactly-once sinks, write pairs to a transactional
-  table keyed on (batch_id, id_a, id_b).
+Delivery semantics — two modes:
+
+- Default (``exactly_once=False``): plain appends. foreachBatch is
+  at-least-once on retry, so a micro-batch replayed after a failure
+  can re-emit its pairs, and a failure between the store append and
+  the checkpoint commit re-appends the batch's SIGNATURES too —
+  duplicate store rows inflate the index and re-find the batch's pairs
+  as cross-pairs on replay. Downstream consumers must dedup on
+  (id_a, id_b).
+- ``exactly_once=True``: both sinks are partitioned by ``batch_id``
+  and written with DYNAMIC partition overwrite, so a replayed batch
+  REWRITES exactly its own partition in both the pairs table and the
+  store — idempotent under any failure point; and the cross-pair probe
+  filters the current batch_id out of the index (partition-pruned), so
+  signatures registered by a half-finished earlier attempt of the SAME
+  batch can never echo its within-pairs back as cross-pairs. Verified
+  by a simulated-replay test (same batch processed twice → identical
+  pairs and store contents).
+
+Scale notes: per-trigger cost is O(|batch|) hashing + one band-bucket
+join probing the index — the measured bigstore families
+(BENCH_SCALING.json: dedup_incremental_mh_bigstore alpha≈0.29) are the
+evidence this stays sublinear as the index outgrows the batch. The
+batch_id partition column adds one directory level per trigger (a
+daily loop = one partition per day — the layout a retention sweep
+wants anyway).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
-def incremental_minhash_stream(
-    docs_stream: DataFrame,
+def make_batch_processor(
     store_dir: str,
     pairs_dir: str,
-    checkpoint_dir: str,
     num_hashes: int = 16,
     band_size: int = 4,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    exactly_once: bool = False,
 ):
-    """docs stream (id, text) → foreachBatch writer that appends
-    near-dup pairs to ``pairs_dir`` and signatures to ``store_dir``.
-
-    Returns the un-started DataStreamWriter so the caller picks the
-    trigger (``.trigger(availableNow=True)`` for the daily loop) and
-    starts it.
-    """
+    """The foreachBatch body, exposed so tests can drive it directly
+    (including replaying a (batch_df, batch_id) to simulate a retry
+    after a partial failure — the exactly-once contract's test)."""
     from ..caching import release_tracked, tracked_persist
     from ..llmdata.dedup import (
         minhash_band_store,
@@ -68,7 +77,7 @@ def incremental_minhash_stream(
         minhash_pairs_from_store,
     )
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
@@ -85,18 +94,77 @@ def incremental_minhash_stream(
                 new_store, num_hashes=num_hashes, threshold=threshold
             )
             old = _read_store(spark, store_dir)
+            if old is not None and exactly_once:
+                # a half-finished earlier attempt of THIS batch may have
+                # registered its signatures; partition-pruned filter
+                # keeps them out of the cross probe
+                old = old.filter(F.col("batch_id") != F.lit(int(batch_id)))
             if old is not None:
+                old = old.drop("batch_id")
                 pairs = pairs.unionByName(
                     minhash_cross_pairs(new_store, old, num_hashes, threshold)
                 )
-            pairs.write.mode("append").parquet(pairs_dir)
-            # store append LAST: a replayed batch re-emits pairs (at-
-            # least-once, see module docstring) but never registers its
-            # signatures before its pairs are durable
-            new_store.write.mode("append").parquet(store_dir)
+            if exactly_once:
+                _overwrite_batch_partition(pairs, batch_id, pairs_dir)
+                _overwrite_batch_partition(new_store, batch_id, store_dir)
+            else:
+                pairs.write.mode("append").parquet(pairs_dir)
+                # store append LAST: a replayed batch re-emits pairs
+                # (at-least-once, see module docstring) but never
+                # registers its signatures before its pairs are durable
+                new_store.write.mode("append").parquet(store_dir)
         finally:
             release_tracked()
 
+    return _process
+
+
+def _overwrite_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
+    """Idempotent per-batch write: dynamic partition overwrite replaces
+    only the batch_id=<id> partition, leaving every other batch's
+    output untouched — a replay rewrites its own partition byte-for-
+    byte instead of appending a duplicate."""
+    (
+        df.withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def incremental_minhash_stream(
+    docs_stream: DataFrame,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    exactly_once: bool = False,
+):
+    """docs stream (id, text) → foreachBatch writer that appends
+    near-dup pairs to ``pairs_dir`` and signatures to ``store_dir``.
+
+    Returns the un-started DataStreamWriter so the caller picks the
+    trigger (``.trigger(availableNow=True)`` for the daily loop) and
+    starts it. With ``exactly_once=True`` both sinks are batch_id-
+    partitioned and replay-idempotent (module docstring).
+    """
+    _process = make_batch_processor(
+        store_dir,
+        pairs_dir,
+        num_hashes,
+        band_size,
+        threshold,
+        text_col,
+        id_col,
+        shingle_n,
+        exactly_once,
+    )
     return docs_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
     )

@@ -291,6 +291,50 @@ def test_streaming_incremental_minhash_matches_batch(spark, docs, tmp_path):
     assert spark.read.parquet(str(tmp_path / "store")).count() == docs.count()
 
 
+def test_streaming_dedup_exactly_once_replay(spark, docs, tmp_path):
+    """r7 verdict #5 / ADVICE #2: with exactly_once=True both sinks are
+    batch_id-partitioned with dynamic overwrite, so REPLAYING a
+    micro-batch (a retry after a failure at ANY point — including after
+    the store write but before the checkpoint commit) yields byte-
+    identical pairs and store contents: no duplicate pairs, no
+    double-registered signatures, and no within-batch pair echoed back
+    as a cross-pair against the batch's own half-written signatures."""
+    from blockchair_etl_spark.streaming.dedup_stream import make_batch_processor
+
+    store_dir = str(tmp_path / "xo_store")
+    pairs_dir = str(tmp_path / "xo_pairs")
+    proc = make_batch_processor(
+        store_dir, pairs_dir, threshold=0.5, exactly_once=True
+    )
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    proc(b0, 0)
+    proc(b1, 1)
+
+    def pair_set():
+        return {
+            (min(r.id_a, r.id_b), max(r.id_a, r.id_b), r.est_jaccard)
+            for r in spark.read.parquet(pairs_dir).collect()
+        }
+
+    once = pair_set()
+    store_once = spark.read.parquet(store_dir).count()
+
+    # simulate the worst replay: batch 1's signatures are already in the
+    # store (previous attempt finished both writes, checkpoint didn't
+    # commit) and foreachBatch re-runs the same (batch_df, batch_id)
+    proc(b1, 1)
+
+    assert pair_set() == once
+    assert spark.read.parquet(store_dir).count() == store_once == docs.count()
+    # and the cumulative pair set still equals the one-shot batch op
+    want = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert once == want and want
+
+
 def test_simhash_locality(docs):
     # near-dup docs (jaccard >= 0.8) should have small hamming distance
     fp = {r.doc: r.simhash for r in simhash_fingerprints(docs).collect()}
