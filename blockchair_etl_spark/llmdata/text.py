@@ -382,8 +382,11 @@ def line_dedup(
     # docs") broadcast it into the plan rather than paying a separate
     # driver-side count() pass per invocation (r6 verdict finding #2).
     if isinstance(max_line_df, DataFrame):
+        # the crossJoin below assumes a SCALAR relation: a multi-row
+        # threshold would silently multiply every line row and corrupt
+        # reassembled documents, so enforce one row (ADVICE r7 #3)
         thr = F.broadcast(
-            max_line_df.select(
+            max_line_df.limit(1).select(
                 F.col(max_line_df.columns[0]).cast("bigint").alias("__max_line_df")
             )
         )

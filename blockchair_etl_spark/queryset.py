@@ -738,6 +738,7 @@ def j5_trace_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal) over the documents and embeddings tables
 # ---------------------------------------------------------------------------
 
+from .llmdata import classify as _classify  # noqa: E402
 from .llmdata import dedup as _dedup  # noqa: E402
 from .llmdata import multimodal as _mm  # noqa: E402
 from .llmdata import packing as _packing  # noqa: E402
@@ -6277,6 +6278,110 @@ def dedup_semdedup_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = seed_centroids(emb, n_centroids=8)
     return semantic_dedup_survivors_grouped(emb, centroids, threshold=0.3, dim=64)
+
+
+def _sql_md5_16bits(md5e: str) -> str:
+    """First four md5 hex nibbles as a 16-bit integer — the same SQL
+    text classify.feature_id_col/hashed_weights build, so the Spark and
+    DuckDB forms are literally identical."""
+    from .llmdata.classify import _nibble
+
+    return (
+        f"({_nibble(md5e, 1)} * 4096 + {_nibble(md5e, 2)} * 256 "
+        f"+ {_nibble(md5e, 3)} * 16 + {_nibble(md5e, 4)})"
+    )
+
+
+@register(
+    "quality_classifier_scores",
+    survey="LLM-quality (model-based filtering: hashed linear-classifier inference)",
+    desc="hashed linear-classifier inference over every document — the "
+    "fastText/FineWeb-Edu-shaped quality-filter pass: md5-hashed "
+    "bag-of-words features into a 4096-dim space, an O(n_features) "
+    "broadcast weight relation (deterministic md5 stand-in for the "
+    "trained artifact), one map-side-combinable integer aggregate per "
+    "doc; exact BIGINT logits so thresholding is engine-portable "
+    "(sigmoid is monotone, exp() is not bit-portable)",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS token FROM documents
+),
+featid AS (
+  SELECT token,
+         CAST(({feat16} % 4096) AS BIGINT) AS feature
+  FROM (SELECT DISTINCT token FROM toks)
+),
+w AS (
+  SELECT CAST(id AS BIGINT) AS feature,
+         CAST(({w16} % 2049) - 1024 AS BIGINT) AS w_q
+  FROM range(4096) t(id)
+),
+occ AS (SELECT doc_id, feature FROM toks JOIN featid USING (token))
+SELECT o.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(w.w_q), 0) AS BIGINT) AS logit_q,
+       CAST((COALESCE(SUM(w.w_q), 0) >= 0) AS INT) AS pred
+FROM occ o LEFT JOIN w ON o.feature = w.feature
+GROUP BY o.doc_id
+""".format(
+        toks=_SQL_TOKS,
+        feat16=_sql_md5_16bits("md5(token)"),
+        w16=_sql_md5_16bits("md5(concat('w1|', CAST(id AS STRING)))"),
+    ),
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weights = _classify.hashed_weights(spark, n_features=4096, scale=1024, seed="w1")
+    return _classify.linear_classifier_scores(
+        docs, weights, n_features=4096, bias_q=0
+    )
+
+
+@register(
+    "media_simhash_fingerprints",
+    survey="LLM-multimodal,LLM-dedup (byte-gram SimHash over opaque media payloads)",
+    desc="SimHash fingerprints of opaque BINARY media payloads over "
+    "sliding 4-byte grams (bytes -> lowercase hex -> byte-aligned "
+    "windows), reusing the shared frequency-weighted SimHash core — "
+    "the codec-free near-dup fingerprint for media columns; payloads "
+    "shorter than one gram yield no row",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS doc, lower(hex(encode(text))) AS hx FROM documents
+),
+grams AS (
+  SELECT doc, substring(hx, i, 8) AS token
+  FROM media, unnest(range(1, length(hx) - 6, 2)) AS u(i)
+  WHERE length(hx) >= 8
+),
+tf AS (
+  SELECT doc, token, COUNT(*) AS w, substring(md5(token), 1, 8) AS h
+  FROM grams GROUP BY 1, 2
+),
+bits AS (
+  SELECT doc, w, h, j,
+         instr('0123456789abcdef', substring(h, (j // 4) + 1, 1)) - 1 AS nibble,
+         CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS pow2
+  FROM tf, unnest(range(0, 32)) AS u(j)
+),
+per_bit AS (
+  SELECT doc, j,
+         SUM(CASE WHEN (nibble // pow2) % 2 = 1 THEN w ELSE -w END) AS s
+  FROM bits GROUP BY 1, 2
+)
+SELECT doc,
+       CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM per_bit GROUP BY doc
+""",
+)
+def media_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return _dedup.media_byte_fingerprints(media, bits=32, gram_bytes=4)
 
 
 # ---------------------------------------------------------------------------
