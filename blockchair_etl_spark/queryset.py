@@ -6384,6 +6384,197 @@ def media_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.media_byte_fingerprints(media, bits=32, gram_bytes=4)
 
 
+_IVFPQ_RECALL_PROBE_CTES = """probes1 AS (
+  SELECT cent.c
+  FROM cent, q
+  ORDER BY {sq_cq} ASC, cent.c ASC
+  LIMIT 1
+),
+qres1 AS (
+  SELECT ct.c,
+         list_transform(list_zip(q.qv, ct.cv),
+                        x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS qrv
+  FROM cent ct JOIN probes1 p ON ct.c = p.c, q
+),
+scored1 AS (
+  SELECT r.vec_id,
+         CAST(SUM({qd})
+              AS DOUBLE) / 16777216.0 AS adc
+  FROM codes co
+  JOIN res r ON r.vec_id = co.vec_id
+  JOIN qres1 qr ON qr.c = r.ivf_cluster
+  JOIN cb ON cb.j = co.j AND cb.c = co.c
+  GROUP BY r.vec_id
+),
+top1 AS (
+  SELECT CAST(1 AS BIGINT) AS n_probe, vec_id
+  FROM scored1 ORDER BY adc ASC, vec_id ASC LIMIT 10
+),
+probes2 AS (
+  SELECT cent.c
+  FROM cent, q
+  ORDER BY {sq_cq} ASC, cent.c ASC
+  LIMIT 2
+),
+qres2 AS (
+  SELECT ct.c,
+         list_transform(list_zip(q.qv, ct.cv),
+                        x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS qrv
+  FROM cent ct JOIN probes2 p ON ct.c = p.c, q
+),
+scored2 AS (
+  SELECT r.vec_id,
+         CAST(SUM({qd})
+              AS DOUBLE) / 16777216.0 AS adc
+  FROM codes co
+  JOIN res r ON r.vec_id = co.vec_id
+  JOIN qres2 qr ON qr.c = r.ivf_cluster
+  JOIN cb ON cb.j = co.j AND cb.c = co.c
+  GROUP BY r.vec_id
+),
+top2 AS (
+  SELECT CAST(2 AS BIGINT) AS n_probe, vec_id
+  FROM scored2 ORDER BY adc ASC, vec_id ASC LIMIT 10
+),
+probes4 AS (
+  SELECT cent.c
+  FROM cent, q
+  ORDER BY {sq_cq} ASC, cent.c ASC
+  LIMIT 4
+),
+qres4 AS (
+  SELECT ct.c,
+         list_transform(list_zip(q.qv, ct.cv),
+                        x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS qrv
+  FROM cent ct JOIN probes4 p ON ct.c = p.c, q
+),
+scored4 AS (
+  SELECT r.vec_id,
+         CAST(SUM({qd})
+              AS DOUBLE) / 16777216.0 AS adc
+  FROM codes co
+  JOIN res r ON r.vec_id = co.vec_id
+  JOIN qres4 qr ON qr.c = r.ivf_cluster
+  JOIN cb ON cb.j = co.j AND cb.c = co.c
+  GROUP BY r.vec_id
+),
+top4 AS (
+  SELECT CAST(4 AS BIGINT) AS n_probe, vec_id
+  FROM scored4 ORDER BY adc ASC, vec_id ASC LIMIT 10
+)""".format(
+    sq_cq=_sql_sq_dist("cent.cv", "q.qv"),
+    qd=_sql_q_dist("list_slice(qr.qrv, co.j*16+1, co.j*16+16)", "cb.cbv"),
+)
+
+
+@register(
+    "ann_ivfpq_recall",
+    survey="LLM-similarity (ANN quality instrumentation: recall@10 vs exact)",
+    desc="the quality axis of the ANN family: recall@10 of the IVF-PQ "
+    "search (same coarse routing + fixed-point ADC as ann_ivfpq_topk "
+    "and the index-backed query path, which share bit-identical "
+    "routing) against exact brute-force cosine, swept over n_probe in "
+    "(1, 2, 4) — one (n_probe, hits, recall_at_10) row per setting; "
+    "correctness rows elsewhere prove determinism, this one measures "
+    "how much recall each probe buys",
+    oracle=f"""
+WITH n AS (SELECT GREATEST(COUNT(*) // 8, 1) AS step FROM embeddings),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS c, e.embedding AS cv
+  FROM embeddings e, n
+  WHERE e.vec_id % n.step = 0
+  ORDER BY e.vec_id
+  LIMIT 8
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+adists AS (
+  SELECT e.vec_id, e.embedding, cent.c,
+         {_sql_sq_dist('e.embedding', 'cent.cv')} AS d
+  FROM embeddings e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, embedding, c AS ivf_cluster
+  FROM (SELECT vec_id, embedding, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM adists)
+  WHERE rn = 1
+),
+res AS (
+  SELECT a.vec_id, a.ivf_cluster,
+         list_transform(list_zip(a.embedding, ct.cv),
+                        x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS rv
+  FROM assigned a JOIN cent ct ON ct.c = a.ivf_cluster
+),
+n2 AS (SELECT GREATEST(COUNT(*) // 16, 1) AS step FROM embeddings),
+seedv AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY r.vec_id) - 1 AS sc, r.rv
+  FROM res r, n2
+  WHERE r.vec_id % n2.step = 0
+  ORDER BY r.vec_id
+  LIMIT 16
+),
+js AS (SELECT unnest(range(0, 4)) AS j),
+cb AS (SELECT sc AS c, j, rv[j*16+1 : j*16+16] AS cbv FROM seedv, js),
+sub AS (
+  SELECT r.vec_id, r.ivf_cluster, j.j, r.rv[j.j*16+1 : j.j*16+16] AS sv
+  FROM res r, js j
+),
+cdists AS (
+  SELECT s.vec_id, s.j, cb.c, {_sql_q_dist('s.sv', 'cb.cbv')} AS d
+  FROM sub s JOIN cb ON s.j = cb.j
+),
+codes AS (
+  SELECT vec_id, j, c
+  FROM (SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM cdists)
+  WHERE rn = 1
+),
+{_IVFPQ_RECALL_PROBE_CTES},
+brute AS (
+  SELECT e.vec_id
+  FROM embeddings e, q
+  ORDER BY {_sql_cosine('e.embedding', 'q.qv')} DESC, e.vec_id ASC
+  LIMIT 10
+),
+ivf AS (
+  SELECT * FROM top1 UNION ALL SELECT * FROM top2 UNION ALL SELECT * FROM top4
+)
+SELECT i.n_probe,
+       CAST(COUNT(b.vec_id) AS BIGINT) AS hits,
+       CAST(COUNT(b.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
+FROM ivf i LEFT JOIN brute b ON i.vec_id = b.vec_id
+GROUP BY i.n_probe
+""",
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.ivf import seed_centroids
+    from .llmdata.pq import ivfpq_adc_topk, residual_frame, seed_pq_codebooks
+    from .llmdata.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, n_centroids=8)
+    qv = [float(v) for v in cents[0]]
+    res = residual_frame(emb, cents)
+    books = seed_pq_codebooks(res, dim=64, m=4, ksub=16, vec_col="residual")
+    brute = cosine_topk(emb, qv, k=10).select("vec_id", F.lit(1).alias("__hit"))
+    parts = [
+        ivfpq_adc_topk(emb, cents, books, qv, k=10, n_probe=npb).select(
+            F.lit(npb).cast("bigint").alias("n_probe"), "vec_id"
+        )
+        for npb in (1, 2, 4)
+    ]
+    ivf = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (
+        ivf.join(brute, "vec_id", "left")
+        .groupBy("n_probe")
+        .agg(F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("hits"))
+        .withColumn(
+            "recall_at_10", F.col("hits").cast("double") / F.lit(10.0)
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the verification driver hash-checks the FIRST 50
 # entries of the registry per round. Entries never yet driver-verified are
