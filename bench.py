@@ -152,6 +152,9 @@ HEADLINE = [
     "sample_leakage_safe_split",
     "dedup_semdedup_vectorized",
     "corpus_prep_v3_pipeline",
+    # round-8 additions
+    "quality_classifier_scores",
+    "media_simhash_fingerprints",
 ]
 
 

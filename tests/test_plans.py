@@ -435,3 +435,13 @@ def test_composed_embedding_pipeline_single_stats_job(spark, sf_dir):
         sc.setJobGroup("", "")
     assert not op_jobs, f"operator construction ran {len(op_jobs)} job(s)"
     assert pairs.schema and sample.schema and knn.schema
+
+
+def test_classifier_weights_broadcast_and_partial_agg(spark, sf_dir):
+    """The O(n_features) weight relation must broadcast onto the token
+    stream (shuffling exploded occurrences against 4096 rows is wrong),
+    and the per-doc logit sum must keep a map-side partial aggregate."""
+    df = QUERIES["quality_classifier_scores"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "partial" in plan.lower()
