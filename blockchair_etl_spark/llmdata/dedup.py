@@ -335,7 +335,12 @@ def media_byte_fingerprints(
     no grams and therefore no fingerprint row (nothing to block on).
     """
     width = gram_bytes * 2
-    hx = media.select(
+    # pre-explode repartition, same as the token sibling: a media table
+    # often arrives in few large files, and the gram fan-out (~payload
+    # bytes per row) must run at full parallelism, not file-count
+    # parallelism
+    par = media.sparkSession.sparkContext.defaultParallelism
+    hx = media.repartition(par).select(
         F.col(id_col).alias("doc"),
         F.lower(F.hex(F.col(content_col))).alias("hx"),
     )
@@ -352,54 +357,62 @@ def media_byte_fingerprints(
 
 
 def simhash_over_occurrences(occ: DataFrame, bits: int = 32) -> DataFrame:
-    """Shared SimHash core over (doc, token) OCCURRENCE rows: aggregate
-    to (doc, token, freq), hash each distinct (doc, token) once, then
-    the sign-of-weighted-bit-sum fold. Callers differ only in how they
-    produce occurrences (whitespace tokens, byte grams, …)."""
-    tok_freq = (
-        occ.groupBy("doc", "token")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .withColumn("h", F.substring(F.md5(F.col("token")), 1, bits // 4))
+    """Shared SimHash core over (doc, token) OCCURRENCE rows: the
+    frequency-weighted sign-of-bit-sum fold, computed directly on the
+    occurrence stream. Callers differ only in how they produce
+    occurrences (whitespace tokens, byte grams, …).
+
+    Scale shape (r8): ONE shuffle, keyed on doc, carrying only
+    partial-agg rows. The previous form paid a (doc, token) pre-
+    aggregation shuffle (one row per distinct gram — ~the full
+    occurrence stream for byte grams), a 32× bit-row explode, and a
+    (doc, j) shuffle. The frequency weighting is distributive
+    (Σ_tokens ±w == Σ_occurrences ±1), so the per-bit sums are now
+    ``bits`` aggregate columns of groupBy(doc) computed directly on
+    the occurrence stream: map-side combine collapses each partition
+    to one 32-int row per doc before anything ships, and the
+    fingerprint folds in a projection. The md5 runs once per
+    occurrence instead of once per distinct (doc, token) — a ~25%
+    hash overhead on gram streams, far cheaper than the shuffle it
+    replaces. Bit semantics unchanged: bit j reads hex nibble
+    j div 4 of md5(token) (most-significant first), lsb-first within
+    the nibble — identical fingerprints to the exploded form and to
+    the DuckDB oracle."""
+    nib_chars = bits // 4
+    # one instr() per hex char (reused by its 4 bits), constant
+    # offsets; codegen CSEs the md5 across the nib_chars expressions
+    h = F.substring(F.md5(F.col("token")), 1, nib_chars)
+    nibs = occ.select(
+        "doc",
+        *[
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(h, c + 1, 1),
+                )
+                - 1
+            ).alias(f"__n{c}")
+            for c in range(nib_chars)
+        ],
     )
-    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
-    per_bit = (
-        tok_freq.select("doc", "w", "h", bit_idx)
-        .withColumn(
-            "nibble",
-            F.instr(
-                F.lit("0123456789abcdef"),
-                F.substring(F.col("h"), (F.col("j") / 4 + 1).cast("int"), 1),
-            )
-            - 1,
-        )
-        .withColumn(
-            "pow2",
-            F.when(F.col("j") % 4 == 0, 1)
-            .when(F.col("j") % 4 == 1, 2)
-            .when(F.col("j") % 4 == 2, 4)
-            .otherwise(8),
-        )
-        .withColumn(
-            "contrib",
-            F.when((F.col("nibble") / F.col("pow2")).cast("bigint") % 2 == 1, F.col("w")).otherwise(
-                -F.col("w")
-            ),
-        )
-    )
-    bit_signs = (
-        per_bit.groupBy("doc", "j")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bit", F.when(F.col("s") >= 0, 1).otherwise(0))
+    per_doc = nibs.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"__n{j // 4}"), j % 4) % 2 == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"__s{j}")
+            for j in range(bits)
+        ]
     )
     # fingerprint = Σ bit_j · 2^j  (fits a bigint for bits ≤ 62)
-    return (
-        bit_signs.groupBy("doc")
-        .agg(
-            F.sum(
-                F.col("bit") * F.pow(F.lit(2.0), F.col("j")).cast("bigint")
-            ).alias("simhash")
-        )
-        .select(F.col("doc"), F.col("simhash"))
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"__s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select(
+        F.col("doc"), fingerprint.cast("bigint").alias("simhash")
     )
 
 
