@@ -65,6 +65,12 @@ FAMILY = [
     "trace_recursive_cte",
     "corpus_token_budget",
     "sample_dsir_scores",
+    # round-8 additions: the classifier's distinct-token featurization
+    # join and the media byte-gram fan-out each have their own scale
+    # story (vocab growth vs occurrence growth; payload-proportional
+    # gram explode)
+    "quality_classifier_scores",
+    "media_simhash_fingerprints",
 ]
 
 # Pair-generating queries: any blocked self-join whose within-block pair

@@ -296,14 +296,18 @@ def simhash_fingerprints(
     """SimHash: per-token 32-bit hash from the md5 hex prefix; each bit
     contributes +freq/−freq; fingerprint bit j is the sign. All-integer
     arithmetic (nibble decode from hex chars), bit-exact across engines.
-    Computation is one (doc, token) aggregate then a doc aggregate over
-    bits×tokens rows — a pure shuffle pipeline, no UDFs.
+    One doc-keyed aggregate over the occurrence stream (see
+    simhash_over_occurrences), no UDFs.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    occ = df.repartition(par).select(
+    occ = _fanout_parallel(df).select(
         F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("token")
     )
     return simhash_over_occurrences(occ, bits=bits)
+
+
+# shared with text.py via stats.fanout_parallel; kept under the old
+# name for in-module callers
+from .stats import fanout_parallel as _fanout_parallel  # noqa: E402
 
 
 def media_byte_fingerprints(
@@ -335,12 +339,11 @@ def media_byte_fingerprints(
     no grams and therefore no fingerprint row (nothing to block on).
     """
     width = gram_bytes * 2
-    # pre-explode repartition, same as the token sibling: a media table
-    # often arrives in few large files, and the gram fan-out (~payload
-    # bytes per row) must run at full parallelism, not file-count
-    # parallelism
-    par = media.sparkSession.sparkContext.defaultParallelism
-    hx = media.repartition(par).select(
+    # pre-explode parallelism, same contract as the token sibling: the
+    # gram fan-out (~payload bytes per row) must run at cluster
+    # parallelism, not file-count parallelism (_fanout_parallel skips
+    # the shuffle when the scan is already wide enough)
+    hx = _fanout_parallel(media).select(
         F.col(id_col).alias("doc"),
         F.lower(F.hex(F.col(content_col))).alias("hx"),
     )

@@ -57,3 +57,26 @@ def corpus_stats(
     if len(row) > 1 and row["__dim"] is not None and row["__dim"] >= 0:
         dim = int(row["__dim"])
     return CorpusStats(n_rows=int(row["__n"]), dim=dim)
+
+
+def fanout_parallel(df: DataFrame) -> DataFrame:
+    """Ensure a heavy PER-ROW-COMPUTE stage runs at cluster
+    parallelism. A small corpus arriving in one or two parquet files
+    otherwise runs the whole stage on file-count tasks (measured at
+    sf0.1: 3 s of a 5.2 s media-fingerprint run, and a single-threaded
+    4.2 s repetition-stats scan → 0.55 s widened). The repartition is
+    SKIPPED when the scan already has enough partitions (the 100 TB
+    case: thousands of files >> cores), so wide inputs never pay an
+    unnecessary payload shuffle.
+
+    Use ONLY where the scan stage's own compute dominates (O(tokens²)
+    array transforms, byte-gram explodes feeding a doc-keyed agg). An
+    A/B across the whole token-op family (r8) showed explode stages
+    that feed an immediate groupBy/distinct/window get NO benefit —
+    the following exchange already redistributes, so the extra payload
+    shuffle only adds cost (quality_classifier_scores 0.76 → 1.34 s
+    when wrongly widened; reverted)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)

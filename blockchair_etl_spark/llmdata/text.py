@@ -125,9 +125,15 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
     Pure Column expressions over the token array — per-row compute is
     O(words · distinct_words) which is fine for natural documents (the
-    distinct set is small); no shuffle, no UDF. High values flag the
-    boilerplate/keyword-stuffing documents a pretraining pipeline drops.
+    distinct set is small); no shuffle beyond the conditional
+    parallelism widening (stats.fanout_parallel: the per-row compute is
+    the cost here, so a one-file corpus must not run it on one task),
+    no UDF. High values flag the boilerplate/keyword-stuffing documents
+    a pretraining pipeline drops.
     """
+    from .stats import fanout_parallel
+
+    df = fanout_parallel(df)
     toks = tokens_col(text_col)
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))

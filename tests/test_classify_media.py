@@ -147,3 +147,16 @@ def test_media_byte_fingerprints_near_dup_locality(spark):
     hd_far = bin(fp[1] ^ fp[3]).count("1")
     assert hd_near <= 6, hd_near
     assert hd_far > hd_near, (hd_far, hd_near)
+
+
+def test_fanout_parallel_skips_when_wide_enough(spark):
+    """The pre-explode repartition must be a no-op when the input is
+    already at cluster parallelism (the many-files-at-scale case) and
+    widen a narrow input (the one-file bench/ingest case)."""
+    from blockchair_etl_spark.llmdata.dedup import _fanout_parallel
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert _fanout_parallel(narrow).rdd.getNumPartitions() >= par
+    wide = spark.range(1000).repartition(par + 4)
+    assert _fanout_parallel(wide) is wide
