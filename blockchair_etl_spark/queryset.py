@@ -6575,6 +6575,81 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_embedding_curation_pipeline",
+    survey="LLM-dedup,LLM-sampling (composed embedding pipeline over ONE shared stats pass)",
+    desc="end-to-end embedding curation: ONE corpus-stats job feeds "
+    "every adaptive operator (r7 verdict #3) — LSH-blocked near-dup "
+    "pairs (adaptive plane count from the shared n_rows) -> min-id "
+    "survivor rule (drop every id_b) -> cluster-balanced diversity "
+    "sample of the survivors (same shared stats; bucket function "
+    "derived from the FULL corpus so sampling strata are stable under "
+    "dedup) — the composed shape pays one driver job, not one per "
+    "operator (job-count gate in tests/test_plans.py)",
+    oracle=f"""
+WITH np AS ({{np_cte}}),
+b AS (
+  SELECT vec_id, embedding,
+         {{bucket_e}} AS blk
+  FROM embeddings, np
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+  WHERE {{cos_ab}} >= 0.3
+),
+surv AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e
+  WHERE e.vec_id NOT IN (SELECT id_b FROM pairs)
+),
+sb AS (
+  SELECT s.vec_id,
+         CAST({{bucket_s}} AS BIGINT) AS bucket
+  FROM surv s, np
+),
+r AS (
+  SELECT vec_id, bucket,
+         CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id ASC)
+              AS BIGINT) AS bucket_rank
+  FROM sb
+)
+SELECT vec_id, bucket, bucket_rank FROM r WHERE bucket_rank <= 5
+""".format(
+        np_cte=_sql_lsh_nplanes_cte("embeddings"),
+        bucket_e=_sql_lsh_bucket_adaptive("embedding", dim=64, seed=7),
+        cos_ab=_sql_cosine("a.embedding", "b2.embedding"),
+        bucket_s=_sql_lsh_bucket_adaptive("s.embedding", dim=64, seed=7),
+    ),
+)
+def corpus_embedding_curation_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .llmdata.dedup import embedding_dup_pairs
+    from .llmdata.sampling import cluster_balanced_sample
+    from .llmdata.similarity import adaptive_n_planes
+    from .llmdata.stats import corpus_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    st = corpus_stats(emb, vec_col="embedding")  # the ONE driver job
+    pairs = embedding_dup_pairs(emb, threshold=0.3, stats=st)
+    survivors = emb.join(
+        pairs.select(F.col("id_b").alias("vec_id")).distinct(),
+        "vec_id",
+        "left_anti",
+    )
+    # the bucket function derives from the FULL corpus stats (n_planes
+    # and dim), so the sampling strata don't shift when dedup shrinks
+    # the relation — pass the pre-derived plane count explicitly
+    return cluster_balanced_sample(
+        survivors,
+        per_bucket=5,
+        n_planes=adaptive_n_planes(st.n_rows),
+        seed=7,
+        dim=st.dim,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the verification driver hash-checks the FIRST 50
 # entries of the registry per round. Entries never yet driver-verified are
