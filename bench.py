@@ -155,6 +155,7 @@ HEADLINE = [
     # round-8 additions
     "quality_classifier_scores",
     "media_simhash_fingerprints",
+    "corpus_embedding_curation_pipeline",
 ]
 
 

@@ -94,12 +94,14 @@ def seed_centroids(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stats=None,
 ) -> np.ndarray:
     """Deterministic codebook: every ⌊n/k⌋-th vector by id. This is the
     Lloyd init, exposed separately because a fixed data-derived codebook
     is itself a valid IVF index (and, unlike trained centroids, is
-    expressible in the DuckDB oracle SQL)."""
-    n = emb.count()
+    expressible in the DuckDB oracle SQL). ``stats`` (stats.corpus_stats)
+    supplies n from the shared pass in composed pipelines."""
+    n = stats.n_rows if stats is not None else emb.count()
     step = max(n // n_centroids, 1)
     init = (
         emb.filter((F.col(id_col) % step == 0))
@@ -117,19 +119,25 @@ def train_ivf_centroids(
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stats=None,
 ) -> np.ndarray:
     """Lloyd's k-means; deterministic init (every k-th vector by id
     rank), distributed assign/update; each round collects exactly one
     row per non-empty cluster (its per-dimension sum array + count),
-    never the per-(cluster, dim) exploded relation."""
-    dim = len(emb.select(vec_col).head()[0])
+    never the per-(cluster, dim) exploded relation. ``stats`` supplies
+    (n_rows, dim) from the shared corpus_stats pass."""
+    dim = (
+        stats.dim
+        if stats is not None and stats.dim is not None
+        else len(emb.select(vec_col).head()[0])
+    )
     if n_centroids * dim > MAX_CENTROID_CELLS:
         raise ValueError(
             f"centroid matrix ({n_centroids}, {dim}) exceeds "
             f"{MAX_CENTROID_CELLS} cells; train with sampled mini-batch "
             "k-means instead of driver-collected Lloyd rounds"
         )
-    centroids = seed_centroids(emb, n_centroids, id_col, vec_col)
+    centroids = seed_centroids(emb, n_centroids, id_col, vec_col, stats=stats)
 
     for _ in range(iterations):
         assigned = emb.select(
