@@ -281,13 +281,33 @@ def stream_cms_maintain(
 
     foreachBatch (not a stateful agg) on purpose: the sketch must
     outlive the query and be readable by any engine mid-stream, which a
-    parquet relation gives for free."""
+    parquet relation gives for free.
+
+    Replay-idempotent: the store carries the last applied batch_id
+    (``__last_batch``, one constant column), and a micro-batch replayed
+    after a failure between the store swap and the checkpoint commit is
+    SKIPPED instead of cell-merged a second time — without this, a
+    replay double-counts the batch's events and the store no longer
+    equals cms_build over the events seen (verified by a simulated
+    replay test)."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    _update = make_cms_updater(store_dir, key_col, width)
+    return (
+        stream.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def make_cms_updater(store_dir: str, key_col: str = "user_id", width: int = 256):
+    """The stream_cms_maintain foreachBatch body, exposed so tests can
+    replay a (batch_df, batch_id) directly to exercise the idempotence
+    contract."""
     import os
     import shutil
 
     from ..operators.approx import cms_build, cms_merge
-
-    stream = spark.readStream.schema(schema).parquet(events_dir)
 
     def _update(batch_df: DataFrame, batch_id: int) -> None:
         batch_sketch = cms_build(
@@ -295,9 +315,17 @@ def stream_cms_maintain(
         )
         if os.path.exists(store_dir):
             prior = batch_df.sparkSession.read.parquet(store_dir)
+            if "__last_batch" in prior.columns:
+                last = prior.agg(F.max("__last_batch")).first()[0]
+                if last is not None and int(last) >= int(batch_id):
+                    return  # replayed batch: already folded into the store
+                prior = prior.drop("__last_batch")
             merged = cms_merge(prior, batch_sketch)
         else:
             merged = batch_sketch
+        merged = merged.withColumn(
+            "__last_batch", F.lit(int(batch_id)).cast("bigint")
+        )
         tmp = store_dir + f".tmp{batch_id}"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         # atomic swap so a crash mid-write never leaves a torn store
@@ -305,12 +333,7 @@ def stream_cms_maintain(
             shutil.rmtree(store_dir)
         os.rename(tmp, store_dir)
 
-    return (
-        stream.writeStream.foreachBatch(_update)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _update
 
 
 def stream_enrich_with_dim(

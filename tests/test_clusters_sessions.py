@@ -762,3 +762,35 @@ def test_apiws_out_of_order_event_does_not_regress_session_end():
     assert end == end_before
     assert n == 3 and total == 7.0
     assert st.timeout == timeout_before
+
+
+def test_stream_cms_replay_does_not_double_count(spark, tmp_path):
+    """A micro-batch replayed after the store swap but before the
+    checkpoint commit must NOT be cell-merged twice: the store tracks
+    the last applied batch_id and skips replays, so the sketch still
+    equals cms_build over the events seen exactly once."""
+    from blockchair_etl_spark.operators.approx import cms_build
+    from blockchair_etl_spark.streaming.incremental import make_cms_updater
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id"
+    )
+    store = str(tmp_path / "cms_replay_store")
+    upd = make_cms_updater(store, key_col="user_id", width=64)
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    upd(b0, 0)
+    upd(b1, 1)
+    upd(b1, 1)  # simulate foreachBatch replay of the same batch
+
+    got = {
+        (r.row_id, r.col_id): r.cnt
+        for r in spark.read.parquet(store).drop("__last_batch").collect()
+    }
+    want = {
+        (r.row_id, r.col_id): r.cnt
+        for r in cms_build(
+            ev.select(F.col("user_id").cast("bigint").alias("k")), "k", 64
+        ).collect()
+    }
+    assert got == want
