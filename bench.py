@@ -152,10 +152,14 @@ HEADLINE = [
     "sample_leakage_safe_split",
     "dedup_semdedup_vectorized",
     "corpus_prep_v3_pipeline",
-    # round-8 additions
+    # round-8 additions (text_repetition joins after its r8 fix — the
+    # widened scan took its isolated median 4.16 -> 0.55 s, worth
+    # tracking; simhash_pairs covers the fingerprint+pigeonhole family)
     "quality_classifier_scores",
     "media_simhash_fingerprints",
     "corpus_embedding_curation_pipeline",
+    "text_repetition",
+    "dedup_simhash_pairs",
 ]
 
 
