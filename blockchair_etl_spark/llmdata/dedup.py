@@ -166,6 +166,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Directional n-gram CONTAINMENT pairs: containment(src in dst) =
+    |S_src ∩ S_dst| / |S_src| over distinct n-token shingles — the
+    one-sided overlap measure Jaccard cannot express. A short document
+    quoted wholesale inside a long one scores containment ≈ 1.0 while
+    its Jaccard ≈ |S_src|/|S_dst| stays tiny, so symmetric dedup never
+    finds it; containment is the standard primitive for inclusion /
+    quotation / boilerplate-envelope detection (Broder's original
+    resemblance-and-containment pair).
+
+    Same scale shape as ngram_jaccard_pairs: candidates from a shared-
+    shingle self-join (disjoint docs never meet), one intersection
+    count per unordered pair, then BOTH directions emitted from the
+    same intersection relation (no second join pass). Integer counts,
+    one IEEE division — exact and engine-independent.
+
+    Output: (id_src, id_dst, n_common, containment) with id_src the
+    contained side, containment >= threshold.
+    """
+    sh = tracked_persist(
+        exploded_shingles(df, text_col, id_col, n).withColumnRenamed("feat", "sh")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc").alias("id_a"), "sh")
+    b = sh.select(F.col("doc").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    wsz = inter.join(
+        sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
+    ).join(
+        sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b"
+    )
+    fwd = wsz.select(
+        F.col("id_a").alias("id_src"),
+        F.col("id_b").alias("id_dst"),
+        "n_common",
+        (F.col("n_common") / F.col("n_a")).alias("containment"),
+    )
+    rev = wsz.select(
+        F.col("id_b").alias("id_src"),
+        F.col("id_a").alias("id_dst"),
+        "n_common",
+        (F.col("n_common") / F.col("n_b")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,

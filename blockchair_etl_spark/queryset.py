@@ -6650,6 +6650,54 @@ def corpus_embedding_curation_pipeline(
     )
 
 
+@register(
+    "dedup_ngram_containment",
+    survey="LLM-dedup (directional containment — inclusion/quotation detection)",
+    desc="directional 3-gram containment pairs: |S_src ∩ S_dst| / "
+    "|S_src| over distinct shingles, both directions emitted from one "
+    "shared-shingle intersection — catches a short document quoted "
+    "wholesale inside a long one (containment ≈ 1) that symmetric "
+    "Jaccard scores near zero; Broder's resemblance-AND-containment "
+    "pair completed",
+    oracle="""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc, sh FROM (
+    SELECT doc_id AS doc,
+           unnest(list_transform(range(1, greatest(len(t) - 3 + 1, 0) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh
+    FROM toks)
+),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+wsz AS (
+  SELECT i.id_a, i.id_b, i.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.doc
+  JOIN sizes sb ON i.id_b = sb.doc
+),
+dirs AS (
+  SELECT id_a AS id_src, id_b AS id_dst, n_common,
+         n_common / n_a AS containment
+  FROM wsz
+  UNION ALL
+  SELECT id_b AS id_src, id_a AS id_dst, n_common,
+         n_common / n_b AS containment
+  FROM wsz
+)
+SELECT id_src, id_dst, n_common, containment
+FROM dirs WHERE containment >= 0.8
+""".format(toks=_SQL_TOKS),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.ngram_containment_pairs(docs, n=3, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the verification driver hash-checks the FIRST 50
 # entries of the registry per round. Entries never yet driver-verified are

@@ -1408,3 +1408,28 @@ def test_corpus_stats_text_corpus_dim_none(spark, sf_dir):
     assert st.n_rows == docs.count() and st.dim is None
     st2 = corpus_stats(docs)  # default vec_col absent from schema
     assert st2.dim is None
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    """A short document quoted wholesale inside a long one must score
+    containment ~1.0 while its Jaccard stays below any near-dup
+    threshold — the directional measure's reason to exist."""
+    from blockchair_etl_spark.llmdata.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [(1, short), (2, filler + " " + short + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    cont = {
+        (r.id_src, r.id_dst): r.containment
+        for r in ngram_containment_pairs(df, n=3, threshold=0.8).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0
+    assert (2, 1) not in cont  # the long doc is NOT contained in the short
+
+    jac = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert not jac  # symmetric Jaccard misses the inclusion entirely
