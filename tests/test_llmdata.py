@@ -1433,3 +1433,21 @@ def test_containment_catches_inclusion_jaccard_misses(spark):
 
     jac = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
     assert not jac  # symmetric Jaccard misses the inclusion entirely
+
+
+def test_containment_edge_cases(spark):
+    """Identical docs contain each other (1.0 both directions); a doc
+    shorter than n tokens has no shingles and appears in no pair."""
+    from blockchair_etl_spark.llmdata.dedup import ngram_containment_pairs
+
+    rows = [
+        (1, "one two three four five"),
+        (2, "one two three four five"),  # identical twin
+        (3, "yo"),  # < n tokens -> no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_src, r.id_dst): r.containment
+        for r in ngram_containment_pairs(df, n=3, threshold=0.5).collect()
+    }
+    assert got == {(1, 2): 1.0, (2, 1): 1.0}
