@@ -127,6 +127,7 @@ def bucket_centroids(
     n_planes: int = 4,
     seed: int = 7,
     vec_col: str = "embedding",
+    stats: "CorpusStats | None" = None,
 ) -> DataFrame:
     """Per-LSH-bucket centroid in long format (bucket, dim, centroid_val,
     n_vectors) — codebook construction for bucketed ANN / quantization.
@@ -143,7 +144,10 @@ def bucket_centroids(
     (A base-10 DECIMAL cast is NOT portable here: Spark rounds the
     shortest string repr, DuckDB the binary product — last-digit
     disagreements ~1e-14 break hash equality.)"""
-    dim = len(emb.select(vec_col).head()[0])
+    if stats is not None and stats.dim is not None:
+        dim = stats.dim
+    else:
+        dim = len(emb.select(vec_col).head()[0])
     q = 1 << 20
     blk = lsh_bucket_col(F.col(vec_col), dim, n_planes=n_planes, seed=seed)
     # The bucket id is an n_planes × dim decimal fold — expensive enough

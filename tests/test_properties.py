@@ -4,7 +4,7 @@ exact-decimal summation contract."""
 
 from decimal import Decimal
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from blockchair_etl_spark.schema.inference import (
     ColumnType,
@@ -305,3 +305,48 @@ def test_leakage_safe_split_never_splits_equal_content(spark, texts):
         .count()
     )
     assert bad == 0
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.integers(0, 12), min_size=0, max_size=20),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_containment_matches_python_sets(spark, docs_tokens):
+    """For random token lists: every emitted containment equals the
+    Python-set value |Sa ∩ Sb| / |Sa| over distinct 2-gram shingles,
+    jaccard <= containment, and containment ∈ (0, 1]."""
+    from blockchair_etl_spark.llmdata.dedup import ngram_containment_pairs
+
+    rows = [
+        (i, " ".join(f"t{v}" for v in toks)) for i, toks in enumerate(docs_tokens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_src, r.id_dst): (r.n_common, r.containment)
+        for r in ngram_containment_pairs(df, n=2, threshold=0.0).collect()
+    }
+
+    def sset(toks):
+        return {
+            " ".join(f"t{v}" for v in toks[i : i + 2])
+            for i in range(len(toks) - 1)
+        }
+
+    shingles = {i: sset(t) for i, t in enumerate(docs_tokens)}
+    for (src, dst), (n_common, cont) in got.items():
+        sa, sb = shingles[src], shingles[dst]
+        inter = len(sa & sb)
+        assert inter == n_common and inter > 0
+        assert cont == inter / len(sa)
+        assert 0.0 < cont <= 1.0
+        jac = inter / len(sa | sb)
+        assert jac <= cont + 1e-12
+    # completeness: every overlapping ordered pair appears
+    for i in shingles:
+        for j in shingles:
+            if i != j and shingles[i] & shingles[j]:
+                assert (i, j) in got
