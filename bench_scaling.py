@@ -71,6 +71,8 @@ FAMILY = [
     # gram explode)
     "quality_classifier_scores",
     "media_simhash_fingerprints",
+    "dedup_ngram_containment",
+    "corpus_embedding_curation_pipeline",
 ]
 
 # Pair-generating queries: any blocked self-join whose within-block pair
@@ -92,6 +94,8 @@ PAIR_QUERIES = {
     "dedup_semantic_semdedup",
     "dedup_incremental_embedding",
     "dedup_minhash_store_backed",
+    "dedup_ngram_containment",
+    "corpus_embedding_curation_pipeline",
 }
 
 COPIES = 10
