@@ -2,9 +2,12 @@
 """Headline-query benchmark.
 
 Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "n": runs_per_query, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+per-query timings as several short self-describing JSON chunk lines
+({"metric": "headline_queries_chunk", ...}) followed by ONE compact
+scalar summary line ({"metric": "headline_total_wall", "value":
+total_sec, ...}) — the summary comes LAST so the driver's stdout tail
+capture always keeps it (see the r8 note below).
 
 Each query executes its full plan into the no-op sink (distributed
 execution, no driver collect) — wall time measures scan → shuffle →
