@@ -350,3 +350,42 @@ def test_containment_matches_python_sets(spark, docs_tokens):
         for j in shingles:
             if i != j and shingles[i] & shingles[j]:
                 assert (i, j) in got
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.integers(0, 6), min_size=0, max_size=12),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_simhash_core_matches_python_reference(spark, docs_tokens):
+    """The one-shuffle SimHash core (r8: per-bit sums as aggregate
+    columns over the occurrence stream) must equal the md5 reference
+    model bit-for-bit on arbitrary token multisets, including repeated
+    tokens (frequency weighting) and empty docs (no row)."""
+    import hashlib
+    from collections import Counter
+
+    from blockchair_etl_spark.llmdata.dedup import simhash_fingerprints
+
+    rows = [
+        (i, " ".join(f"t{v}" for v in toks)) for i, toks in enumerate(docs_tokens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc: r.simhash for r in simhash_fingerprints(df, bits=32).collect()}
+
+    exp = {}
+    for i, toks in enumerate(docs_tokens):
+        words = [f"t{v}" for v in toks]
+        if not words:
+            continue
+        acc = [0] * 32
+        for w, freq in Counter(words).items():
+            hexd = hashlib.md5(w.encode()).hexdigest()
+            for j in range(32):
+                nib = int(hexd[j // 4], 16)
+                acc[j] += freq if (nib >> (j % 4)) & 1 else -freq
+        exp[i] = sum(1 << j for j in range(32) if acc[j] >= 0)
+    assert got == exp
