@@ -172,6 +172,8 @@ def ngram_containment_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
+    min_shared_terms: int = 1,
 ) -> DataFrame:
     """Directional n-gram CONTAINMENT pairs: containment(src in dst) =
     |S_src ∩ S_dst| / |S_src| over distinct n-token shingles — the
@@ -188,6 +190,16 @@ def ngram_containment_pairs(
     same intersection relation (no second join pass). Integer counts,
     one IEEE division — exact and engine-independent.
 
+    ``max_df`` is the scale lever (same contract as bow_cosine_pairs):
+    candidate pairs come from shingles shared by at most ``max_df``
+    documents — join fan-out Σ df² over rare shingles only, near-linear
+    on Zipfian corpora — and the intersection is then re-counted over
+    ALL shingles per candidate pair, so reported containments stay
+    EXACT; only recall is traded (a pair sharing nothing but
+    boilerplate shingles is missed — for inclusion detection, the
+    desired cut). ``min_shared_terms`` further prunes candidates to
+    pairs sharing at least that many rare shingles before the rescore.
+
     Output: (id_src, id_dst, n_common, containment) with id_src the
     contained side, containment >= threshold.
     """
@@ -197,12 +209,37 @@ def ngram_containment_pairs(
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("id_a"), "sh")
     b = sh.select(F.col("doc").alias("id_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if max_df is None:
+        inter = (
+            a.join(b, "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh")
+        )
+        cand = (
+            a.join(rare, "sh")
+            .select("id_a", "sh")
+            .join(b.join(rare, "sh").select("id_b", "sh"), "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__shared"))
+            .filter(F.col("__shared") >= min_shared_terms)
+            .select("id_a", "id_b")
+        )
+        # exact intersection re-count over ALL shingles per candidate
+        inter = (
+            cand.join(a, "id_a")
+            .join(b, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     wsz = inter.join(
         sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
     ).join(

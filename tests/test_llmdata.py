@@ -1451,3 +1451,38 @@ def test_containment_edge_cases(spark):
         for r in ngram_containment_pairs(df, n=3, threshold=0.5).collect()
     }
     assert got == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_containment_df_bounded_scores_stay_exact(spark):
+    """max_df candidate bounding must never change a REPORTED score —
+    only recall: pairs still found score identically to the unbounded
+    form (intersection re-counted over all shingles), and a pair whose
+    every shared shingle is corpus-wide boilerplate drops out."""
+    from blockchair_etl_spark.llmdata.dedup import ngram_containment_pairs
+
+    boiler = "common one two three common four five six"
+    rows = [
+        (1, "alpha beta gamma delta " + boiler),
+        (2, "alpha beta gamma delta epsilon " + boiler),
+        (3, boiler),  # shares ONLY boilerplate shingles with 1 and 2
+        (4, boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    full = {
+        (r.id_src, r.id_dst): (r.n_common, r.containment)
+        for r in ngram_containment_pairs(df, n=3, threshold=0.1).collect()
+    }
+    bounded = {
+        (r.id_src, r.id_dst): (r.n_common, r.containment)
+        for r in ngram_containment_pairs(
+            df, n=3, threshold=0.1, max_df=2
+        ).collect()
+    }
+    # every bounded pair's score equals the unbounded score exactly
+    for pair, val in bounded.items():
+        assert full[pair] == val
+    # the rare-shingle pair (1,2) survives the bound; 3<->4 (df=4
+    # boilerplate only... df of boiler shingles is 4 > max_df) drops
+    assert (1, 2) in bounded and (2, 1) in bounded
+    assert (3, 4) in full and (3, 4) not in bounded
