@@ -6548,8 +6548,14 @@ GROUP BY i.n_probe
 """,
 )
 def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .caching import tracked_persist
     from .llmdata.ivf import seed_centroids
-    from .llmdata.pq import ivfpq_adc_topk, residual_frame, seed_pq_codebooks
+    from .llmdata.pq import (
+        ivfpq_adc_topk_from_index,
+        ivfpq_encode,
+        residual_frame,
+        seed_pq_codebooks,
+    )
     from .llmdata.similarity import cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -6558,8 +6564,13 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = residual_frame(emb, cents)
     books = seed_pq_codebooks(res, dim=64, m=4, ksub=16, vec_col="residual")
     brute = cosine_topk(emb, qv, k=10).select("vec_id", F.lit(1).alias("__hit"))
+    # encode ONCE, query per probe setting through the index-backed
+    # path (bit-identical routing to ivfpq_adc_topk) — the deployed
+    # shape: build cost paid once, each probe sweep a cluster-pruned
+    # scan of the codes relation
+    index = tracked_persist(ivfpq_encode(emb, cents, books))
     parts = [
-        ivfpq_adc_topk(emb, cents, books, qv, k=10, n_probe=npb).select(
+        ivfpq_adc_topk_from_index(index, cents, books, qv, k=10, n_probe=npb).select(
             F.lit(npb).cast("bigint").alias("n_probe"), "vec_id"
         )
         for npb in (1, 2, 4)
