@@ -6709,6 +6709,85 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.ngram_containment_pairs(docs, n=3, threshold=0.8)
 
 
+@register(
+    "dedup_minhash_accuracy",
+    survey="LLM-dedup (estimation-quality instrumentation: est vs true Jaccard)",
+    desc="the quality axis of the MinHash family (sibling of "
+    "ann_ivfpq_recall): every LSH candidate pair's 16-hash estimated "
+    "Jaccard joined against its TRUE 3-gram Jaccard (0.0 for band "
+    "collisions with no shared shingle), with the absolute estimation "
+    "error per pair — correctness rows elsewhere prove the estimator "
+    "is deterministic, this one measures how good it is",
+    oracle="""
+WITH sig AS ({sig}),
+bands AS (
+  SELECT doc, 0 AS band_idx, md5(concat_ws('|', m0, m1, m2, m3)) AS band_key FROM sig
+  UNION ALL
+  SELECT doc, 1, md5(concat_ws('|', m4, m5, m6, m7)) FROM sig
+  UNION ALL
+  SELECT doc, 2, md5(concat_ws('|', m8, m9, m10, m11)) FROM sig
+  UNION ALL
+  SELECT doc, 3, md5(concat_ws('|', m12, m13, m14, m15)) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+),
+est AS (
+  SELECT c.id_a, c.id_b, ({matches}) / 16.0 AS est_jaccard
+  FROM cand c JOIN sig a ON c.id_a = a.doc JOIN sig b ON c.id_b = b.doc
+  WHERE ({matches}) / 16.0 >= 0.5
+),
+toks AS (SELECT doc_id, {toks} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc, sh FROM (
+    SELECT doc_id AS doc,
+           unnest(list_transform(range(1, greatest(len(t) - 3 + 1, 0) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh
+    FROM toks)
+),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+tru AS (
+  SELECT i.id_a, i.id_b,
+         i.n_common / (sa.n_sh + sb.n_sh - i.n_common) AS true_jaccard
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.doc
+  JOIN sizes sb ON i.id_b = sb.doc
+)
+SELECT e.id_a, e.id_b, e.est_jaccard,
+       COALESCE(t.true_jaccard, 0.0) AS true_jaccard,
+       ABS(e.est_jaccard - COALESCE(t.true_jaccard, 0.0)) AS abs_err
+FROM est e LEFT JOIN tru t ON e.id_a = t.id_a AND e.id_b = t.id_b
+""".format(
+        sig=_sql_minhash_sig(16),
+        matches=_MINHASH_MATCHES_SQL,
+        toks=_SQL_TOKS,
+    ),
+)
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    est = _dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, band_size=4, threshold=0.5
+    ).select("id_a", "id_b", "est_jaccard")
+    true_j = _dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0).select(
+        "id_a", "id_b", F.col("jaccard").alias("true_jaccard")
+    )
+    return (
+        est.join(true_j, ["id_a", "id_b"], "left")
+        .withColumn("true_jaccard", F.coalesce("true_jaccard", F.lit(0.0)))
+        .withColumn(
+            "abs_err", F.abs(F.col("est_jaccard") - F.col("true_jaccard"))
+        )
+        .select("id_a", "id_b", "est_jaccard", "true_jaccard", "abs_err")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the verification driver hash-checks the FIRST 50
 # entries of the registry per round. Entries never yet driver-verified are
