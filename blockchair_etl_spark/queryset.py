@@ -6788,6 +6788,97 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_simhash_accuracy",
+    survey="LLM-dedup (fingerprint-quality instrumentation: hamming vs true Jaccard)",
+    desc="the quality axis of the SimHash family (third instrumentation "
+    "row beside ann_ivfpq_recall and dedup_minhash_accuracy): every "
+    "pigeonhole pair's Hamming distance joined against its TRUE 3-gram "
+    "Jaccard (0.0 when the fingerprints collide without shared "
+    "shingles) — the locality claim (small hamming => high overlap) as "
+    "a measured relation instead of a pytest assertion",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id AS doc, token, COUNT(*) AS w, substr(md5(token), 1, 8) AS h
+  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+               '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents)
+  GROUP BY 1, 2
+),
+bits AS (
+  SELECT doc, w, h, j,
+         instr('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1 AS nibble,
+         CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS pow2
+  FROM tf, unnest(range(0, 32)) AS u(j)
+),
+per_bit AS (
+  SELECT doc, j,
+         SUM(CASE WHEN (nibble // pow2) % 2 = 1 THEN w ELSE -w END) AS s
+  FROM bits GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc,
+         CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM per_bit GROUP BY doc
+),
+blocks AS (
+  SELECT doc, simhash, bi, (simhash >> (bi * 8)) & 255 AS bv
+  FROM fp, unnest(range(0, 4)) AS u(bi)
+),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+                  a.simhash AS fp_a, b.simhash AS fp_b
+  FROM blocks a JOIN blocks b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.doc < b.doc
+),
+sp AS (
+  SELECT id_a, id_b,
+         CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+  FROM cand
+  WHERE bit_count(xor(fp_a, fp_b)) <= 3
+),
+toks AS (SELECT doc_id, {toks} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc, sh FROM (
+    SELECT doc_id AS doc,
+           unnest(list_transform(range(1, greatest(len(t) - 3 + 1, 0) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh
+    FROM toks)
+),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+tru AS (
+  SELECT i.id_a, i.id_b,
+         i.n_common / (sa.n_sh + sb.n_sh - i.n_common) AS true_jaccard
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.doc
+  JOIN sizes sb ON i.id_b = sb.doc
+)
+SELECT s.id_a, s.id_b, s.hamming,
+       COALESCE(t.true_jaccard, 0.0) AS true_jaccard
+FROM sp s LEFT JOIN tru t ON s.id_a = t.id_a AND s.id_b = t.id_b
+""".format(toks=_SQL_TOKS),
+)
+def dedup_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = _dedup.simhash_fingerprints(docs, bits=32)
+    sp = _dedup.simhash_near_pairs(fps, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+    true_j = _dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0).select(
+        "id_a", "id_b", F.col("jaccard").alias("true_jaccard")
+    )
+    return (
+        sp.join(true_j, ["id_a", "id_b"], "left")
+        .withColumn("true_jaccard", F.coalesce("true_jaccard", F.lit(0.0)))
+        .select("id_a", "id_b", "hamming", "true_jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the verification driver hash-checks the FIRST 50
 # entries of the registry per round. Entries never yet driver-verified are
