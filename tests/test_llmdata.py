@@ -1486,3 +1486,52 @@ def test_containment_df_bounded_scores_stay_exact(spark):
     # boilerplate only... df of boiler shingles is 4 > max_df) drops
     assert (1, 2) in bounded and (2, 1) in bounded
     assert (3, 4) in full and (3, 4) not in bounded
+
+
+def test_streaming_dedup_exactly_once_engine_path(spark, docs, tmp_path):
+    """exactly_once=True through the REAL foreachBatch engine (not the
+    exposed processor): cumulative pairs across micro-batches still
+    equal the one-shot batch operator, and the batch_id-partitioned
+    store holds exactly one signature row per document."""
+    from blockchair_etl_spark.streaming.dedup_stream import (
+        incremental_minhash_stream,
+    )
+
+    src = str(tmp_path / "xo_stream_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        incremental_minhash_stream(
+            stream,
+            store_dir=str(tmp_path / "xo_store2"),
+            pairs_dir=str(tmp_path / "xo_pairs2"),
+            checkpoint_dir=str(tmp_path / "xo_ckpt2"),
+            threshold=0.5,
+            exactly_once=True,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b), r.est_jaccard)
+        for r in spark.read.parquet(str(tmp_path / "xo_pairs2")).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == want and want
+    store = spark.read.parquet(str(tmp_path / "xo_store2"))
+    assert store.count() == docs.count()
+    assert store.select("doc").distinct().count() == docs.count()
+    assert "batch_id" in store.columns  # partition column materialized
