@@ -6476,7 +6476,10 @@ top4 AS (
     "routing) against exact brute-force cosine, swept over n_probe in "
     "(1, 2, 4) — one (n_probe, hits, recall_at_10) row per setting; "
     "correctness rows elsewhere prove determinism, this one measures "
-    "how much recall each probe buys",
+    "how much recall each probe buys. Cost note: instrumentation "
+    "shape — one in-plan corpus encode (persisted across the three "
+    "probe sweeps) plus brute-force ground truth; the production "
+    "query path is the store-backed twin at ~0.4 s",
     oracle=f"""
 WITH n AS (SELECT GREATEST(COUNT(*) // 8, 1) AS step FROM embeddings),
 cent AS (
