@@ -301,12 +301,24 @@ def main() -> None:
         "n": runs,
         "sf": sf,
     }
-    # The driver tail-captures stdout: one big per-query JSON line
-    # outgrew the window in r6 (parsed:null) and r7 (first 8 timings
-    # truncated). Emit the per-query detail as SEVERAL short
-    # self-describing chunk lines (compact separators, ~15 queries
-    # each) so truncation can only ever cost whole early chunks, then
-    # the scalar summary LAST so it always survives.
+    # The driver tail-captures stdout with a HARD 2,000-byte cap, and
+    # ~74 per-query timings need ~3 KB — chunked stdout alone can never
+    # record them all (chunk 1, the whole §2 DAG family, was
+    # head-truncated in r6-r8). So the COMPLETE record is also written
+    # to BENCH_DETAIL.json at the repo root (overwritten per run,
+    # committed each round) — that file is the durable per-query
+    # record; the chunked stdout below stays as the driver-visible
+    # summary view.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=False)
+        fh.write("\n")
+    # Emit the per-query detail as SEVERAL short self-describing chunk
+    # lines (compact separators, ~15 queries each) so truncation can
+    # only ever cost whole early chunks, then the scalar summary LAST
+    # so it always survives.
     keys = list(timings)
     chunk_size = 15
     n_chunks = (len(keys) + chunk_size - 1) // chunk_size

@@ -302,6 +302,15 @@ def quality_budget_select(
          case: char counts, model logits) skips the sub-partitioning
          work it doesn't need, while a 0-5 tier at corpus scale still
          bands. Both runtime paths produce bit-identical output.
+         SKEW CAVEAT: the gate compares the MEAN per-score count, so a
+         distribution with many distinct scores but one dominant value
+         (millions of identical zero-score docs under a long
+         real-valued tail) passes the gate and reinstates the single
+         huge window partition for that one score — output stays
+         correct, only the skew resilience is lost. Callers who know
+         the score is skewed should pass ``band_threshold_rows=0`` to
+         force banding unconditionally (the gate then fires for any
+         corpus with more rows than distinct scores).
       3. a within-(score, band) running sum — partitions bounded by
          n / (ndv(score) * id_bands) for near-uniform ids.
 

@@ -13,9 +13,11 @@ same corpus) silently pays one scan per operator (r7 verdict #3).
 ``corpus_stats`` is the shared pass: ONE aggregation job produces
 (n_rows, dim), and every adaptive operator accepts the result via a
 ``stats=`` keyword so a composed pipeline derives its scalars from a
-single corpus scan. The aggregation is a count + a first(size(vec))
+single corpus scan. The aggregation is a count + min/max of size(vec)
 in one hash-agg — map-side partials, O(1) result row, no collect of
-data rows.
+data rows — and the min/max pair doubles as a uniformity check: a
+ragged corpus raises instead of silently unrolling an arbitrary row's
+length.
 """
 
 from __future__ import annotations
@@ -30,8 +32,8 @@ class CorpusStats(NamedTuple):
     """Driver-side scalars shared across a composed pipeline.
 
     n_rows: exact corpus row count (drives adaptive_n_planes).
-    dim: embedding dimension from the first non-null vector, or None
-         for text-only corpora with no vector column.
+    dim: embedding dimension (verified uniform across all non-null
+         vectors), or None for text-only corpora with no vector column.
     """
 
     n_rows: int
@@ -46,16 +48,33 @@ def corpus_stats(
     Pass ``vec_col=None`` for text corpora (dim comes back None).
     A missing/all-null vector column also yields dim=None rather than
     failing, so the same stats object can feed mixed pipelines.
+
+    The consumers (embedding_dup_pairs, knn_join_lsh, IVF training)
+    unroll per-component expressions from ``dim``, so they REQUIRE a
+    uniform vector length. min(size) and max(size) ride the same
+    single aggregation, and a ragged corpus raises here — loudly and
+    deterministically — instead of silently unrolling to whichever
+    row's length an order-nondeterministic first() happened to pick.
     """
     aggs = [F.count(F.lit(1)).alias("__n")]
     if vec_col is not None and vec_col in df.columns:
-        aggs.append(
-            F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("__dim")
-        )
+        sz = F.size(F.col(vec_col))
+        # size() is -1 for NULL vectors; keep nulls out of the
+        # uniformity check the same way first(ignorenulls) did
+        sz_nn = F.when(F.col(vec_col).isNotNull(), sz)
+        aggs.append(F.min(sz_nn).alias("__dim_mn"))
+        aggs.append(F.max(sz_nn).alias("__dim_mx"))
     row = df.agg(*aggs).first()
     dim = None
-    if len(row) > 1 and row["__dim"] is not None and row["__dim"] >= 0:
-        dim = int(row["__dim"])
+    if len(row) > 1 and row["__dim_mx"] is not None and row["__dim_mx"] >= 0:
+        if row["__dim_mn"] != row["__dim_mx"]:
+            raise ValueError(
+                f"ragged vector lengths in column '{vec_col}': "
+                f"min size {row['__dim_mn']} != max size {row['__dim_mx']} — "
+                "per-component unrolling requires a uniform embedding "
+                "dimension; filter or pad the corpus first"
+            )
+        dim = int(row["__dim_mx"])
     return CorpusStats(n_rows=int(row["__n"]), dim=dim)
 
 

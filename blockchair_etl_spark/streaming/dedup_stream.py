@@ -42,6 +42,23 @@ Delivery semantics — two modes:
   by a simulated-replay test (same batch processed twice → identical
   pairs and store contents).
 
+A store's mode is FIXED at creation: the batch_id partition column
+either exists in the layout or it doesn't, and the two modes cannot
+read each other's stores — mixing raises a ValueError naming the
+mismatch instead of failing opaquely (exactly_once=True over an
+unpartitioned store) or silently producing a mixed layout (append
+mode into a partitioned store).
+
+``exactly_once`` defaults to False ON PURPOSE: at-least-once matches
+foreachBatch's native contract and costs nothing extra, while the
+exactly-once mode buys its idempotence with a dynamic partition
+overwrite per trigger (a directory swap per batch) and a batch_id
+partition column in both sinks' layouts — a real cost and a layout
+commitment a caller should opt into, exactly as Spark's own
+foreachBatch leaves idempotence to the writer. Callers whose
+downstream cannot dedup on (id_a, id_b) should pass
+``exactly_once=True``.
+
 Scale notes: per-trigger cost is O(|batch|) hashing + one band-bucket
 join probing the index — the measured bigstore families
 (BENCH_SCALING.json: dedup_incremental_mh_bigstore alpha≈0.29) are the
@@ -95,10 +112,30 @@ def make_batch_processor(
             )
             old = _read_store(spark, store_dir)
             if old is not None and exactly_once:
+                if "batch_id" not in old.columns:
+                    # a store created with exactly_once=False has no
+                    # batch_id partition column — the cross-probe filter
+                    # below would raise an opaque AnalysisException
+                    # inside foreachBatch; fail with the actual problem
+                    raise ValueError(
+                        f"signature store at {store_dir} was created with "
+                        "exactly_once=False (no batch_id partition); a "
+                        "store's delivery mode is fixed at creation — "
+                        "rebuild the store or run with exactly_once=False"
+                    )
                 # a half-finished earlier attempt of THIS batch may have
                 # registered its signatures; partition-pruned filter
                 # keeps them out of the cross probe
                 old = old.filter(F.col("batch_id") != F.lit(int(batch_id)))
+            elif old is not None and "batch_id" in old.columns:
+                # the reverse mix would silently append unpartitioned
+                # rows into a batch_id-partitioned layout
+                raise ValueError(
+                    f"signature store at {store_dir} is batch_id-partitioned "
+                    "(created with exactly_once=True); a store's delivery "
+                    "mode is fixed at creation — run with exactly_once=True "
+                    "or rebuild the store"
+                )
             if old is not None:
                 old = old.drop("batch_id")
                 pairs = pairs.unionByName(

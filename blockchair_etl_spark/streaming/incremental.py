@@ -289,7 +289,10 @@ def stream_cms_maintain(
     SKIPPED instead of cell-merged a second time — without this, a
     replay double-counts the batch's events and the store no longer
     equals cms_build over the events seen (verified by a simulated
-    replay test)."""
+    replay test). Only the exact-last-batch case is skipped: a batch_id
+    BELOW the stored watermark means the checkpoint was reset while the
+    store was kept (re-numbered batches may carry new events), and that
+    raises instead of silently dropping data."""
     stream = spark.readStream.schema(schema).parquet(events_dir)
     _update = make_cms_updater(store_dir, key_col, width)
     return (
@@ -317,8 +320,24 @@ def make_cms_updater(store_dir: str, key_col: str = "user_id", width: int = 256)
             prior = batch_df.sparkSession.read.parquet(store_dir)
             if "__last_batch" in prior.columns:
                 last = prior.agg(F.max("__last_batch")).first()[0]
-                if last is not None and int(last) >= int(batch_id):
+                if last is not None and int(last) == int(batch_id):
                     return  # replayed batch: already folded into the store
+                if last is not None and int(last) > int(batch_id):
+                    # A genuine foreachBatch replay always re-delivers the
+                    # LAST batch (batch_id == last). last > batch_id can
+                    # only mean the checkpoint was reset/recreated while
+                    # the store was kept — re-numbered batches may carry
+                    # NEW events, so silently skipping them would leave
+                    # the store stale. Fail loudly: the operator must
+                    # either reset the store with the checkpoint or point
+                    # the stream at a fresh store_dir.
+                    raise RuntimeError(
+                        f"CMS store at {store_dir} has __last_batch={last} "
+                        f"but the stream delivered batch_id={batch_id}: "
+                        "checkpoint/store mismatch (checkpoint reset while "
+                        "the store was kept?). Reset the store with the "
+                        "checkpoint or use a fresh store_dir."
+                    )
                 prior = prior.drop("__last_batch")
             merged = cms_merge(prior, batch_sketch)
         else:

@@ -794,3 +794,26 @@ def test_stream_cms_replay_does_not_double_count(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_cms_checkpoint_reset_mismatch_raises(spark, tmp_path):
+    """Only the exact-last-batch replay is skipped. A batch_id BELOW
+    the stored watermark means the checkpoint was reset/recreated while
+    the store was kept -- re-numbered batches may carry NEW events, so
+    silently skipping them would leave the store stale. That must raise
+    loudly instead (r8 ADVICE #1)."""
+    import pytest
+
+    from blockchair_etl_spark.streaming.incremental import make_cms_updater
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id"
+    )
+    store = str(tmp_path / "cms_mismatch_store")
+    upd = make_cms_updater(store, key_col="user_id", width=64)
+    upd(ev.filter(F.col("event_id") % 2 == 0), 0)
+    upd(ev.filter(F.col("event_id") % 2 == 1), 1)
+    # genuine replay of the LAST batch: still silently skipped
+    upd(ev.filter(F.col("event_id") % 2 == 1), 1)
+    with pytest.raises(RuntimeError, match="checkpoint/store mismatch"):
+        upd(ev.filter(F.col("event_id") % 2 == 0), 0)

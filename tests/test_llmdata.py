@@ -1410,6 +1410,63 @@ def test_corpus_stats_text_corpus_dim_none(spark, sf_dir):
     assert st2.dim is None
 
 
+def test_corpus_stats_ragged_vectors_raise(spark):
+    """r8 ADVICE #5: the per-component unrollers require a uniform
+    embedding dimension; a ragged corpus must fail deterministically in
+    the stats pass (min(size) != max(size), same single job) instead of
+    silently adopting whichever row an order-nondeterministic first()
+    picked. NULL vectors stay exempt, as before."""
+    import pytest
+
+    from blockchair_etl_spark.llmdata.stats import corpus_stats
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0]), (3, None)],
+        "id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged vector lengths"):
+        corpus_stats(ragged, vec_col="embedding")
+
+    uniform_with_nulls = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0])],
+        "id bigint, embedding array<double>",
+    )
+    st = corpus_stats(uniform_with_nulls, vec_col="embedding")
+    assert st.dim == 2 and st.n_rows == 3
+
+
+def test_streaming_dedup_mode_mismatch_raises(spark, docs, tmp_path):
+    """r8 ADVICE #2: a signature store's delivery mode is fixed at
+    creation. exactly_once=True over an unpartitioned (append-mode)
+    store must fail with a clear message, and append mode over a
+    batch_id-partitioned store must refuse rather than silently mix
+    layouts."""
+    import pytest
+
+    from blockchair_etl_spark.streaming.dedup_stream import make_batch_processor
+
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # append-mode store, then an exactly_once processor probes it
+    store_a = str(tmp_path / "mm_store_a")
+    make_batch_processor(store_a, str(tmp_path / "mm_pairs_a"))(b0, 0)
+    xo = make_batch_processor(
+        store_a, str(tmp_path / "mm_pairs_a2"), exactly_once=True
+    )
+    with pytest.raises(ValueError, match="exactly_once=False"):
+        xo(b1, 1)
+
+    # partitioned store, then an append-mode processor probes it
+    store_b = str(tmp_path / "mm_store_b")
+    make_batch_processor(store_b, str(tmp_path / "mm_pairs_b"), exactly_once=True)(
+        b0, 0
+    )
+    ap = make_batch_processor(store_b, str(tmp_path / "mm_pairs_b2"))
+    with pytest.raises(ValueError, match="exactly_once=True"):
+        ap(b1, 1)
+
+
 def test_containment_catches_inclusion_jaccard_misses(spark):
     """A short document quoted wholesale inside a long one must score
     containment ~1.0 while its Jaccard stays below any near-dup
