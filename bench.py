@@ -62,6 +62,22 @@ test_quality_budget_adaptive_band_paths_identical + the coarse-score
 property test, which now forces the banded path with
 band_threshold_rows=0).
 
+r9 ATTRIBUTION of quality_gopher_gate (+28% in r8, 0.35->0.45 s,
+r8 verdict "What's wrong" #1): the one concrete hypothesis — the gate
+lacking the fanout_parallel widening its sibling repetition_stats got —
+was TESTED and REJECTED by isolated A/B (fresh session, 5 runs, median,
+r9 data generation): unwidened 0.526 s vs widened 0.693 s (+32% WORSE).
+The sf0.1 corpus is one 584 KB parquet file, so the gate runs its whole
+compute single-threaded in ~0.5 s — too cheap to amortize the full-text
+payload shuffle the widening adds; repetition_stats qualified because
+its single-threaded cost was 4.16 s. The widening stays off
+(gopher_quality_gate docstring records the rule refinement:
+per-partition compute must exceed the payload-shuffle cost, not merely
+dominate the scan). The r8 +28% itself sits inside the documented >30%
+run-to-run spread on sub-0.5 s queries across data generations — noise,
+not a regression; the isolated unwidened median (0.526) is the r9
+baseline.
+
 r8 ATTRIBUTION of corpus_shuffle_shards (+39% in r7, small absolute):
 measured isolated on the r8 data generation at 0.179 s, within noise
 of its r6 0.146 s reading (run-to-run spread on sub-0.2 s queries

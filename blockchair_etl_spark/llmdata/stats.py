@@ -94,7 +94,13 @@ def fanout_parallel(df: DataFrame) -> DataFrame:
     that feed an immediate groupBy/distinct/window get NO benefit —
     the following exchange already redistributes, so the extra payload
     shuffle only adds cost (quality_classifier_scores 0.76 → 1.34 s
-    when wrongly widened; reverted)."""
+    when wrongly widened; reverted). Second refinement (r9 A/B): the
+    per-partition compute must exceed the PAYLOAD-SHUFFLE cost, not
+    merely dominate the scan — gopher_quality_gate's whole
+    single-threaded pass is ~0.5 s and widening it cost +32%
+    (0.526 → 0.693 s isolated), while repetition_stats at 4.16 s
+    single-threaded gained 7×. Rough bar on this box: widen when the
+    unwidened stage takes ≳1 s per input split."""
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= par:
         return df

@@ -598,19 +598,19 @@ def gopher_quality_gate(
     nested lambdas, and the inlined form re-tokenizes at every
     reference (57 `split(` sites in the physical plan, measured 2.5x
     slower). CollapseProject keeps a non-cheap alias with multiple
-    uses, so the staged column tokenizes once per row. No required
-    shuffle, no UDF; ratios are integer counts + one double division,
-    bit-portable like the component operators.
+    uses, so the staged column tokenizes once per row. No shuffle, no
+    UDF; ratios are integer counts + one double division, bit-portable
+    like the component operators.
 
-    The per-row compute (top_count's O(distinct·n) nested lambda +
-    three array_distincts) dominates the scan, the documented
-    fanout_parallel profile — same as repetition_stats (text.py:136);
-    a one-file corpus otherwise runs the whole gate single-threaded
-    (r8 bench: 0.45 s in-sequence; widened A/B recorded in bench.py).
+    Deliberately NOT widened via stats.fanout_parallel (r9 A/B,
+    recorded in bench.py): on the one-file sf0.1 corpus the gate's
+    whole single-threaded compute is ~0.5 s — too cheap to amortize
+    the full-text payload shuffle the widening adds (isolated medians
+    0.526 unwidened vs 0.693 widened). The widening rule needs
+    per-partition compute >> payload-shuffle cost (repetition_stats at
+    4.16 s single-threaded qualified; this gate does not).
     """
-    from .stats import fanout_parallel
-
-    staged = fanout_parallel(df).select(
+    staged = df.select(
         F.col(id_col), tokens_col(text_col).alias("__toks")
     )
     toks = F.col("__toks")
