@@ -6882,6 +6882,324 @@ def dedup_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_dedup_survivors",
+    survey="LLM-multimodal,LLM-dedup (media near-dup pipeline composed end-to-end)",
+    desc="the media near-dup pipeline COMPOSED: byte-gram SimHash "
+    "fingerprints of opaque BINARY payloads -> pigeonhole Hamming "
+    "pair detection (<= 3 bits) -> connected components -> keep the "
+    "canonical (min-id) member per cluster -> surviving media with "
+    "their fingerprints. Each stage is the already-verified operator "
+    "(media_simhash_fingerprints, dedup_simhash_pairs' core, "
+    "dedup_connected_clusters); this entry checks the composition — "
+    "r8 verdict #6: media near-dup previously stopped at fingerprints",
+    oracle="""
+WITH RECURSIVE media AS (
+  SELECT doc_id AS doc, lower(hex(encode(text))) AS hx FROM documents
+),
+grams AS (
+  SELECT doc, substring(hx, i, 8) AS token
+  FROM media, unnest(range(1, length(hx) - 6, 2)) AS u(i)
+  WHERE length(hx) >= 8
+),
+tf AS (
+  SELECT doc, token, COUNT(*) AS w, substring(md5(token), 1, 8) AS h
+  FROM grams GROUP BY 1, 2
+),
+bits AS (
+  SELECT doc, w, h, j,
+         instr('0123456789abcdef', substring(h, (j // 4) + 1, 1)) - 1 AS nibble,
+         CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS pow2
+  FROM tf, unnest(range(0, 32)) AS u(j)
+),
+per_bit AS (
+  SELECT doc, j,
+         SUM(CASE WHEN (nibble // pow2) % 2 = 1 THEN w ELSE -w END) AS s
+  FROM bits GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc,
+         CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM per_bit GROUP BY doc
+),
+blocks AS (
+  SELECT doc, simhash, bi, (simhash >> (bi * 8)) & 255 AS bv
+  FROM fp, unnest(range(0, 4)) AS u(bi)
+),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+                  a.simhash AS fp_a, b.simhash AS fp_b
+  FROM blocks a JOIN blocks b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.doc < b.doc
+),
+pairs AS (
+  SELECT id_a, id_b FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(v, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+),
+clusters AS (SELECT v AS doc, MIN(r) AS cluster_id FROM reach GROUP BY v)
+SELECT d.doc_id AS media_id, f.simhash
+FROM documents d LEFT JOIN fp f ON f.doc = d.doc_id
+WHERE NOT EXISTS (
+  SELECT 1 FROM clusters c WHERE c.doc = d.doc_id AND c.doc <> c.cluster_id
+)
+""",
+)
+def media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .caching import tracked_persist
+    from .llmdata.clusters import connected_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    # the fingerprint relation feeds three consumers (both sides of the
+    # pigeonhole block join and the survivor join-back); persist so the
+    # gram explode + SimHash agg runs once
+    fp = tracked_persist(
+        _dedup.media_byte_fingerprints(media, bits=32, gram_bytes=4)
+    )
+    dup_pairs = _dedup.simhash_near_pairs(fp, max_hamming=3, bits=32)
+    clusters = connected_clusters(dup_pairs)
+    removed = clusters.filter(F.col("doc") != F.col("cluster_id")).select("doc")
+    survivors = media.select("media_id").join(
+        removed, media.media_id == removed.doc, "left_anti"
+    )
+    # payloads shorter than one gram have no fingerprint but trivially
+    # survive (nothing to block on) — left join keeps them, NULL simhash
+    return survivors.join(
+        fp.select(F.col("doc").alias("media_id"), "simhash"), "media_id", "left"
+    ).select("media_id", "simhash")
+
+
+def _corpus_prep_v4_oracle() -> str:
+    from .llmdata.text import ACCENT_DST, ACCENT_SRC
+
+    norm = (
+        "trim(regexp_replace(translate(lower(regexp_replace("
+        "text, '[\\x00-\\x1f\\x7f-\\x9f]', ' ', 'g')), "
+        f"'{ACCENT_SRC}', '{ACCENT_DST}'), "
+        "'\\s+', ' ', 'g'))"
+    )
+    toks_norm = _SQL_TOKS.replace("lower(text)", "lower(norm_text)")
+    feat16 = _sql_md5_16bits("md5(token)")
+    w16 = _sql_md5_16bits("md5(concat('w1|', CAST(id AS STRING)))")
+    return f"""
+WITH norm AS (
+  SELECT doc_id, n_chars, {norm} AS norm_text FROM documents
+),
+tk AS (SELECT doc_id, {toks_norm} AS toks FROM norm),
+occ AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+featid AS (
+  SELECT token, CAST(({feat16} % 4096) AS BIGINT) AS feature
+  FROM (SELECT DISTINCT token FROM occ)
+),
+wts AS (
+  SELECT CAST(id AS BIGINT) AS feature,
+         CAST(({w16} % 2049) - 1024 AS BIGINT) AS w_q
+  FROM range(4096) t(id)
+),
+clf AS (
+  SELECT o.doc_id,
+         CAST(COALESCE(SUM(w.w_q), 0) AS BIGINT) AS logit_q
+  FROM (SELECT occ.doc_id, f.feature FROM occ JOIN featid f USING (token)) o
+  LEFT JOIN wts w ON o.feature = w.feature
+  GROUP BY o.doc_id
+),
+mkept AS (SELECT doc_id, logit_q FROM clf WHERE logit_q >= 0),
+st AS (
+  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+         list_max(list_transform(list_distinct(toks),
+                  w -> len(list_filter(toks, x -> x = w)))) AS topc,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS grams,
+         len(list_filter(toks,
+             x -> list_contains(['the','and','of','to','in','is','a'], x))) AS n_stop
+  FROM tk
+),
+gate AS (
+  SELECT doc_id
+  FROM st
+  WHERE NOT (n < 25)
+    AND NOT ((CASE WHEN n > 0 THEN CAST(n_stop AS DOUBLE) / n ELSE 0.0 END) < 0.02)
+    AND NOT ((CASE WHEN n > 0 THEN CAST(n - nd AS DOUBLE) / n ELSE 0.0 END) > 0.6)
+    AND NOT ((CASE WHEN n > 0 THEN CAST(topc AS DOUBLE) / n ELSE 0.0 END) > 0.15)
+    AND NOT ((CASE WHEN len(grams) > 0
+              THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+              ELSE 0.0 END) > 0.08)
+),
+kept AS (
+  SELECT n.*, mk.logit_q
+  FROM norm n JOIN gate USING (doc_id) JOIN mkept mk USING (doc_id)
+),
+grp AS (
+  SELECT md5(regexp_replace(lower(norm_text), '\\s+', ' ', 'g')) AS h,
+         MIN(doc_id) AS canonical
+  FROM kept GROUP BY 1
+),
+surv AS (
+  SELECT k.doc_id, k.n_chars, k.logit_q
+  FROM kept k JOIN grp ON k.doc_id = grp.canonical
+),
+t AS (
+  SELECT s.doc_id, s.n_chars AS score, s.logit_q,
+         CAST(len(tk.toks) AS BIGINT) AS n_tokens
+  FROM surv s JOIN tk USING (doc_id)
+),
+b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM t),
+c AS (
+  SELECT doc_id, score, n_tokens, logit_q,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY score DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT c.doc_id, c.score, c.n_tokens, c.cum_before, c.logit_q
+FROM c, b WHERE c.cum_before < b.budget
+"""
+
+
+@register(
+    "corpus_prep_v4_pipeline",
+    survey="LLM end-to-end (model-based filter composed into the prep pipeline)",
+    desc="training-corpus prep v4 — v3 with the MODEL-BASED quality "
+    "filter inserted between normalization and the Gopher gate (the "
+    "FineWeb/DCLM shape the classifier module was built for, r8 "
+    "verdict #7): canonical normalization -> hashed linear-classifier "
+    "inference on the normalized text, threshold on the exact BIGINT "
+    "logit (keep logit_q >= 0) -> Gopher composite gate -> exact "
+    "dedup (min-id survivor) -> quality-ranked token-budget selection "
+    "(best half of surviving tokens); survivors carry their logit so "
+    "the output exposes the model scores the selection ran behind",
+    oracle=_corpus_prep_v4_oracle(),
+)
+def corpus_prep_v4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .caching import tracked_persist
+    from .llmdata.dedup import exact_duplicate_groups
+    from .llmdata.sampling import quality_budget_select
+    from .llmdata.text import gopher_quality_gate, normalize_text
+
+    # same plan discipline as v2/v3 (see corpus_prep_v2_pipeline): the
+    # single-split corpus repartitions before the heavy text stages;
+    # multi-consumer stages persist so the normalize+classify prefix
+    # doesn't re-execute per branch and the gate's filter can't be
+    # substituted+pushed into the serial scan
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    normed = tracked_persist(
+        normalize_text(docs).join(docs.select("doc_id", "n_chars"), "doc_id")
+    )
+    weights = _classify.hashed_weights(spark, n_features=4096, scale=1024, seed="w1")
+    clf = _classify.linear_classifier_scores(
+        normed, weights, n_features=4096, bias_q=0, text_col="norm_text"
+    )
+    model_kept = tracked_persist(
+        normed.join(
+            clf.filter(F.col("logit_q") >= 0).select("doc_id", "logit_q"), "doc_id"
+        )
+    )
+    gated = tracked_persist(gopher_quality_gate(model_kept, text_col="norm_text"))
+    kept = tracked_persist(
+        model_kept.join(gated.filter("keep").select("doc_id"), "doc_id")
+    )
+    groups = exact_duplicate_groups(kept, text_col="norm_text")
+    survivors = tracked_persist(
+        kept.join(groups.select(F.col("canonical_id").alias("doc_id")), "doc_id")
+    )
+    selected = quality_budget_select(
+        survivors, score_col="n_chars", budget_den=2, text_col="norm_text"
+    )
+    return selected.join(
+        survivors.select("doc_id", "logit_q"), "doc_id"
+    ).select("doc_id", "score", "n_tokens", "cum_before", "logit_q")
+
+
+def _lsh_recall_topk_cte(p: int) -> str:
+    """One fixed-plane-count (top-10 in the query's LSH bucket) CTE
+    pair for the recall sweep — planes inlined via _sql_lsh_bucket, so
+    the bucket function is byte-identical to similarity.lsh_bucket_col
+    with the same (dim, p, seed)."""
+    bucket_e = _sql_lsh_bucket("e.embedding", dim=64, n_planes=p)
+    bucket_q = _sql_lsh_bucket("q.qv", dim=64, n_planes=p)
+    return f"""cand{p} AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e, q
+  WHERE {bucket_e} = {bucket_q}
+),
+top{p} AS (
+  SELECT CAST({p} AS BIGINT) AS n_planes, vec_id
+  FROM (
+    SELECT c.vec_id
+    FROM cand{p} c, q
+    ORDER BY {_sql_cosine('c.embedding', 'q.qv')} DESC, c.vec_id ASC
+    LIMIT 10
+  )
+)"""
+
+
+@register(
+    "ann_lsh_recall",
+    survey="LLM-similarity (ANN quality instrumentation: recall@10 vs exact)",
+    desc="the quality axis of the hyperplane-LSH ANN path (r8 stretch "
+    "#8, same harness as ann_ivfpq_recall): recall@10 of lsh_ann_topk "
+    "against exact brute-force cosine, swept over the plane count "
+    "p in (2, 4, 8) — one (n_planes, hits, recall_at_10) row per "
+    "setting; correctness rows elsewhere prove the bucket function is "
+    "deterministic, this one measures the recall each halving of the "
+    "candidate set costs. Instrumentation shape: brute-force ground "
+    "truth is part of the query by design",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+{_lsh_recall_topk_cte(2)},
+{_lsh_recall_topk_cte(4)},
+{_lsh_recall_topk_cte(8)},
+brute AS (
+  SELECT e.vec_id
+  FROM embeddings e, q
+  ORDER BY {_sql_cosine('e.embedding', 'q.qv')} DESC, e.vec_id ASC
+  LIMIT 10
+),
+lsh AS (
+  SELECT * FROM top2 UNION ALL SELECT * FROM top4 UNION ALL SELECT * FROM top8
+)
+SELECT l.n_planes,
+       CAST(COUNT(b.vec_id) AS BIGINT) AS hits,
+       CAST(COUNT(b.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
+FROM lsh l LEFT JOIN brute b ON l.vec_id = b.vec_id
+GROUP BY l.n_planes
+""",
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.similarity import cosine_topk, lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    brute = cosine_topk(emb, qv, k=10).select("vec_id", F.lit(1).alias("__hit"))
+    parts = [
+        lsh_ann_topk(emb, qv, k=10, n_planes=p).select(
+            F.lit(p).cast("bigint").alias("n_planes"), "vec_id"
+        )
+        for p in (2, 4, 8)
+    ]
+    lsh = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (
+        lsh.join(brute, "vec_id", "left")
+        .groupBy("n_planes")
+        .agg(F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("hits"))
+        .withColumn("recall_at_10", F.col("hits").cast("double") / F.lit(10.0))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the verification driver hash-checks the FIRST 50
 # entries of the registry per round. Entries never yet driver-verified are

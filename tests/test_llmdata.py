@@ -1592,3 +1592,63 @@ def test_streaming_dedup_exactly_once_engine_path(spark, docs, tmp_path):
     assert store.count() == docs.count()
     assert store.select("doc").distinct().count() == docs.count()
     assert "batch_id" in store.columns  # partition column materialized
+
+
+def test_lsh_recall_monotone_in_plane_count(spark, sf_dir):
+    """_planes draws row-major from one seeded stream, so the p-plane
+    bucket is a strict refinement of the (p-1)-plane bucket: the
+    candidate set can only SHRINK as p grows, hence recall@10 is
+    non-increasing in n_planes. The ann_lsh_recall entry's sweep must
+    respect that ordering (and the full-recall end: with the candidate
+    set at p=2 being ~n/4, recall can be < 1 but hits stay <= 10)."""
+    from blockchair_etl_spark.queryset import QUERIES
+
+    rows = {
+        r.n_planes: r.hits
+        for r in QUERIES["ann_lsh_recall"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {2, 4, 8}
+    assert rows[2] >= rows[4] >= rows[8]
+    assert all(0 <= h <= 10 for h in rows.values())
+
+
+def test_media_dedup_survivors_short_payload_and_dups(spark):
+    """Pipeline edges the parity test's corpus can't hit: (a) payloads
+    shorter than one 4-byte gram have no fingerprint but trivially
+    survive (NULL simhash); (b) byte-identical payloads fingerprint
+    identically, pair at hamming 0, and only the min id survives."""
+    from blockchair_etl_spark.llmdata.clusters import connected_clusters
+    from blockchair_etl_spark.llmdata.dedup import (
+        media_byte_fingerprints,
+        simhash_near_pairs,
+    )
+
+    payload = bytes(range(64)) * 4
+    media = spark.createDataFrame(
+        [
+            (1, payload),
+            (2, payload),                      # exact dup of 1
+            (3, b"ab"),                        # shorter than one gram
+            (4, bytes(reversed(payload)) * 2), # unrelated
+        ],
+        "media_id bigint, content binary",
+    )
+    fp = media_byte_fingerprints(media, bits=32, gram_bytes=4)
+    pairs = simhash_near_pairs(fp, max_hamming=3, bits=32)
+    clusters = connected_clusters(pairs)
+    removed = clusters.filter(F.col("doc") != F.col("cluster_id")).select("doc")
+    survivors = (
+        media.select("media_id")
+        .join(removed, media.media_id == removed.doc, "left_anti")
+        .join(
+            fp.select(F.col("doc").alias("media_id"), "simhash"),
+            "media_id",
+            "left",
+        )
+        .select("media_id", "simhash")
+    )
+    got = {r.media_id: r.simhash for r in survivors.collect()}
+    assert 2 not in got          # dup dropped, min id kept
+    assert 1 in got and got[1] is not None
+    assert 3 in got and got[3] is None   # short payload survives, no fp
+    assert 4 in got
