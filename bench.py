@@ -78,6 +78,17 @@ run-to-run spread on sub-0.5 s queries across data generations — noise,
 not a regression; the isolated unwidened median (0.526) is the r9
 baseline.
 
+r9 SHAPE A/B of corpus_prep_v4_pipeline (before first bench record):
+the first composition persisted a model_kept stage between the
+classifier and the Gopher gate (filter -> materialize -> gate), which
+re-materialized the full normalized text a second time. The classifier
+and the gate are both per-row predicates on the same relation, so they
+evaluate independently and intersect in ONE join round. Measured
+isolated (fresh session, 5 runs, median, same data generation):
+staged 6.588 s -> intersected 4.430 s (-33%), output bit-identical to
+the oracle on both shapes. BENCH_DETAIL.json records the intersected
+shape.
+
 r8 ATTRIBUTION of corpus_shuffle_shards (+39% in r7, small absolute):
 measured isolated on the r8 data generation at 0.179 s, within noise
 of its r6 0.146 s reading (run-to-run spread on sub-0.2 s queries
@@ -179,6 +190,11 @@ HEADLINE = [
     "corpus_embedding_curation_pipeline",
     "text_repetition",
     "dedup_simhash_pairs",
+    # round-9 additions (ann_lsh_recall stays off the headline list for
+    # the same reason ann_ivfpq_recall does: instrumentation entries
+    # carry their brute-force ground truth by design)
+    "media_dedup_survivors",
+    "corpus_prep_v4_pipeline",
 ]
 
 

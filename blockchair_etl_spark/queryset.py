@@ -7090,27 +7090,26 @@ def corpus_prep_v4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmdata.text import gopher_quality_gate, normalize_text
 
     # same plan discipline as v2/v3 (see corpus_prep_v2_pipeline): the
-    # single-split corpus repartitions before the heavy text stages;
-    # multi-consumer stages persist so the normalize+classify prefix
-    # doesn't re-execute per branch and the gate's filter can't be
-    # substituted+pushed into the serial scan
+    # single-split corpus repartitions before the heavy text stages and
+    # the gate output persists so its 'keep' filter can't be
+    # substituted+pushed into the serial scan. The classifier and the
+    # gate are BOTH per-row predicates on the normalized text, so they
+    # evaluate independently over the full corpus and intersect in one
+    # join round — a persisted model_kept stage between them (the first
+    # v4 shape) re-materialized the full text a second time and cost
+    # +2.5 s isolated for zero semantic difference (r9 A/B in bench.py)
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par)
-    normed = tracked_persist(
-        normalize_text(docs).join(docs.select("doc_id", "n_chars"), "doc_id")
-    )
+    normed = normalize_text(docs).join(docs.select("doc_id", "n_chars"), "doc_id")
     weights = _classify.hashed_weights(spark, n_features=4096, scale=1024, seed="w1")
     clf = _classify.linear_classifier_scores(
         normed, weights, n_features=4096, bias_q=0, text_col="norm_text"
     )
-    model_kept = tracked_persist(
+    gated = tracked_persist(gopher_quality_gate(normed, text_col="norm_text"))
+    kept = tracked_persist(
         normed.join(
             clf.filter(F.col("logit_q") >= 0).select("doc_id", "logit_q"), "doc_id"
-        )
-    )
-    gated = tracked_persist(gopher_quality_gate(model_kept, text_col="norm_text"))
-    kept = tracked_persist(
-        model_kept.join(gated.filter("keep").select("doc_id"), "doc_id")
+        ).join(gated.filter("keep").select("doc_id"), "doc_id")
     )
     groups = exact_duplicate_groups(kept, text_col="norm_text")
     survivors = tracked_persist(
