@@ -89,6 +89,18 @@ staged 6.588 s -> intersected 4.430 s (-33%), output bit-identical to
 the oracle on both shapes. BENCH_DETAIL.json records the intersected
 shape.
 
+r9 ATTRIBUTION of dedup_best_quality_survivors (r8 watch item: 3.18 s
+after +11% in r8): r9 readings 3.24 / 3.53 in-sequence (two serialized
+full-bench runs, same code), 3.962 isolated (fresh session, 5 runs,
+median; samples 3.5-4.3). Every file in its path (dedup.py,
+clusters.py, text.py code) is byte-identical since r8 modulo
+docstrings (git-verified a1b1757..HEAD), and the isolated reading
+EXCEEDS the in-sequence ones — the ordering noise-dominated queries
+show, not a plan change. The LSH -> verify -> CC -> window chain runs
+~10 driver-iterated jobs whose per-job scheduling overhead is the
+documented spread source for this family (±15% across identical runs
+here). Baseline for the r9 data generation: ~3.5 s.
+
 r8 ATTRIBUTION of corpus_shuffle_shards (+39% in r7, small absolute):
 measured isolated on the r8 data generation at 0.179 s, within noise
 of its r6 0.146 s reading (run-to-run spread on sub-0.2 s queries

@@ -73,6 +73,11 @@ FAMILY = [
     "media_simhash_fingerprints",
     "dedup_ngram_containment",
     "corpus_embedding_curation_pipeline",
+    # round-9 additions: the two new composed pipelines — media near-dup
+    # adds a pigeonhole pair join + CC on top of the gram fan-out;
+    # prep-v4 adds the classifier join inside the text-pipeline chain
+    "media_dedup_survivors",
+    "corpus_prep_v4_pipeline",
 ]
 
 # Pair-generating queries: any blocked self-join whose within-block pair
@@ -96,6 +101,7 @@ PAIR_QUERIES = {
     "dedup_minhash_store_backed",
     "dedup_ngram_containment",
     "corpus_embedding_curation_pipeline",
+    "media_dedup_survivors",
 }
 
 COPIES = 10

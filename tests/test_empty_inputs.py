@@ -239,3 +239,35 @@ SELECT * FROM hops
 """
     )
     assert out.count() == 0
+
+
+def test_round9_ops_on_empty(spark, empty_docs):
+    """r9 surface: media fingerprint pipeline and the classifier on an
+    empty corpus (a quiet partition), plus the classifier with an empty
+    weight relation (a zero-feature model artifact)."""
+    from blockchair_etl_spark.llmdata.classify import (
+        hashed_weights,
+        linear_classifier_scores,
+    )
+    from blockchair_etl_spark.llmdata.dedup import (
+        media_byte_fingerprints,
+        simhash_near_pairs,
+    )
+
+    empty_media = empty_docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    fp = media_byte_fingerprints(empty_media, bits=32, gram_bytes=4)
+    assert fp.count() == 0
+    assert simhash_near_pairs(fp, max_hamming=3, bits=32).count() == 0
+
+    weights = hashed_weights(spark, n_features=64)
+    assert linear_classifier_scores(empty_docs, weights).count() == 0
+    # zero-row weight relation: every token left-joins to NULL, logits
+    # collapse to the bias via the null-sum coalesce
+    one = spark.createDataFrame([(1, "alpha beta")], "doc_id bigint, text string")
+    row = linear_classifier_scores(
+        one, weights.filter(F.lit(False)), bias_q=7
+    ).first()
+    assert row.logit_q == 7 and row.pred == 1
