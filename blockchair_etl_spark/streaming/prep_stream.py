@@ -1,0 +1,124 @@
+"""Streaming corpus prep: the per-row stages of the training-data prep
+pipeline run as a Structured Streaming loop.
+
+corpus_prep_v4 (queryset.py) is the batch form: normalize -> hashed
+linear-classifier threshold -> Gopher gate -> exact dedup -> token-
+budget selection. The first three stages are PER-ROW — each document's
+verdict depends on nothing but the document — so they stream trivially:
+a document feed drains per trigger (Trigger.AvailableNow for a daily
+drop, continuous micro-batches for a firehose), and each micro-batch
+
+  1. canonically normalizes the batch's text (llmdata.text.
+     normalize_text),
+  2. scores it with the broadcast weight relation (llmdata.classify.
+     linear_classifier_scores — the model artifact rides along every
+     micro-batch exactly as it rides along a corpus scan) and keeps
+     docs whose exact BIGINT logit clears the threshold,
+  3. applies the Gopher composite gate to the normalized text,
+  4. writes the surviving (id, norm_text, logit_q) rows to a
+     batch_id-partitioned parquet store.
+
+The LAST TWO v4 stages (exact dedup's min-id survivor and the token-
+budget selection) are CORPUS-GLOBAL — a duplicate group or the budget
+cutoff can span micro-batches — so they do not belong in the per-batch
+loop: run the batch operators over the accumulated store on the daily
+cadence, or use the incremental signature-store loop
+(streaming/dedup_stream.py) for the dedup stage. This split is the
+standard production shape: cheap per-row filtering at ingest, global
+passes over the filtered store.
+
+Delivery semantics: ALWAYS exactly-once. Unlike the dedup stream, this
+sink maintains no cross-batch index — each batch's output rows derive
+from that batch alone — so idempotence costs only the batch_id
+partition column: a replayed micro-batch REWRITES exactly its own
+partition (dynamic partition overwrite, shared with dedup_stream), and
+there is no cheaper at-least-once mode worth offering.
+
+Scale notes: every stage is a scan-side Column pipeline or one
+map-side-combinable aggregate (the classifier's per-doc sum); the only
+shuffles are the classifier's distinct-token featurization join and
+the per-doc agg, both O(|batch|). The weight relation is O(n_features)
+and broadcast. No state store, no watermark: nothing here is stateful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup_stream import _overwrite_batch_partition
+
+
+def make_prep_batch_processor(
+    weights: DataFrame,
+    out_dir: str,
+    n_features: int = 4096,
+    logit_threshold: int = 0,
+    bias_q: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The foreachBatch body, exposed so tests can drive it directly
+    (including replaying a (batch_df, batch_id) to exercise the
+    replay-idempotence contract).
+
+    ``weights``: (feature BIGINT, w_q BIGINT) — the model artifact
+    (classify.hashed_weights stand-in, or the real trained relation).
+    A doc survives iff logit_q >= logit_threshold AND the Gopher gate
+    keeps it; survivors land in ``out_dir`` partitioned by batch_id.
+    """
+    from ..llmdata.classify import linear_classifier_scores
+    from ..llmdata.text import gopher_quality_gate, normalize_text
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        normed = normalize_text(batch_df, text_col=text_col, id_col=id_col)
+        clf = linear_classifier_scores(
+            normed,
+            weights,
+            n_features=n_features,
+            bias_q=bias_q,
+            id_col=id_col,
+            text_col="norm_text",
+        )
+        gated = gopher_quality_gate(normed, text_col="norm_text", id_col=id_col)
+        kept = (
+            normed.join(
+                clf.filter(F.col("logit_q") >= int(logit_threshold)).select(
+                    id_col, "logit_q"
+                ),
+                id_col,
+            )
+            .join(gated.filter("keep").select(id_col), id_col)
+            .select(id_col, "norm_text", "logit_q")
+        )
+        _overwrite_batch_partition(kept, batch_id, out_dir)
+
+    return _process
+
+
+def corpus_prep_stream(
+    docs_stream: DataFrame,
+    weights: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_features: int = 4096,
+    logit_threshold: int = 0,
+    bias_q: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """docs stream (id, text) -> foreachBatch writer appending each
+    micro-batch's surviving (id, norm_text, logit_q) rows to a
+    batch_id-partitioned store (replay-idempotent, module docstring).
+
+    Returns the un-started DataStreamWriter so the caller picks the
+    trigger (``.trigger(availableNow=True)`` for the daily drop) and
+    starts it.
+    """
+    _process = make_prep_batch_processor(
+        weights, out_dir, n_features, logit_threshold, bias_q, text_col, id_col
+    )
+    return docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )

@@ -1652,3 +1652,87 @@ def test_media_dedup_survivors_short_payload_and_dups(spark):
     assert 1 in got and got[1] is not None
     assert 3 in got and got[3] is None   # short payload survives, no fp
     assert 4 in got
+
+
+def test_streaming_corpus_prep_engine_path(spark, docs, tmp_path):
+    """The per-row prep stages (normalize -> classifier threshold ->
+    Gopher gate) through the REAL foreachBatch engine: the union of
+    survivors across micro-batches equals the batch-form filters
+    applied to the full corpus (every stage is per-row, so the split
+    into micro-batches cannot change any verdict), and a replayed
+    batch rewrites its own partition byte-identically."""
+    from blockchair_etl_spark.llmdata.classify import (
+        hashed_weights,
+        linear_classifier_scores,
+    )
+    from blockchair_etl_spark.llmdata.text import (
+        gopher_quality_gate,
+        normalize_text,
+    )
+    from blockchair_etl_spark.streaming.prep_stream import (
+        corpus_prep_stream,
+        make_prep_batch_processor,
+    )
+
+    weights = hashed_weights(spark, n_features=4096, scale=1024, seed="w1")
+    src = str(tmp_path / "prep_src")
+    for i in range(3):
+        docs.select("doc_id", "text").filter(
+            F.col("doc_id") % 3 == i
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "prep_store")
+    q = (
+        corpus_prep_stream(
+            stream, weights, out, str(tmp_path / "prep_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got = {
+        (r.doc_id, r.norm_text, r.logit_q)
+        for r in spark.read.parquet(out).collect()
+    }
+    normed = normalize_text(docs)
+    clf = linear_classifier_scores(normed, weights, text_col="norm_text")
+    gated = gopher_quality_gate(normed, text_col="norm_text")
+    want = {
+        (r.doc_id, r.norm_text, r.logit_q)
+        for r in normed.join(
+            clf.filter(F.col("logit_q") >= 0).select("doc_id", "logit_q"),
+            "doc_id",
+        )
+        .join(gated.filter("keep").select("doc_id"), "doc_id")
+        .select("doc_id", "norm_text", "logit_q")
+        .collect()
+    }
+    assert got == want and want
+
+    # replay idempotence: re-process batch 0's ORIGINAL source rows
+    # under its batch_id (recovered from the store partition, so the
+    # test doesn't assume file->batch ordering) -- the store must not
+    # change
+    b0_ids = {
+        r.doc_id
+        for r in spark.read.parquet(out)
+        .filter(F.col("batch_id") == 0)
+        .select("doc_id")
+        .collect()
+    }
+    b0_src = docs.select("doc_id", "text").filter(
+        F.col("doc_id").isin(*b0_ids) if b0_ids else F.lit(False)
+    )
+    proc = make_prep_batch_processor(weights, out)
+    proc(b0_src, 0)
+    again = {
+        (r.doc_id, r.norm_text, r.logit_q)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == want
