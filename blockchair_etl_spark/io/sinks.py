@@ -149,6 +149,62 @@ def retention_sweep(base_path: str, table: str, keep_after: str) -> list[str]:
     return dropped
 
 
+def batch_store_retention(store_dir: str, keep_last: int) -> list[str]:
+    """Retention for batch_id-partitioned STREAMING stores (the layout
+    streaming/dedup_stream.py's exactly_once mode and
+    streaming/prep_stream.py write): keep the newest ``keep_last``
+    batch partitions, drop the rest. Returns the dropped partition
+    names (numeric batch order, oldest first).
+
+    The date-keyed twin is retention_sweep above; a daily
+    availableNow loop makes the two equivalent (one batch per day).
+    SEMANTICS CAVEAT for dedup signature stores: dropping a batch's
+    signatures shrinks the cross-probe index — documents from dropped
+    batches can no longer pair against new arrivals. That IS the
+    retention contract (a bounded dedup horizon); size ``keep_last``
+    to the horizon the pipeline promises, and flatten first
+    (flatten_batch_store) if the full index must survive the sweep."""
+    store = Path(store_dir)
+    if not store.exists():
+        return []
+    parts = []
+    for part in store.glob("batch_id=*"):
+        m = re.match(r"batch_id=(\d+)$", part.name)
+        if m:
+            parts.append((int(m.group(1)), part))
+    parts.sort()
+    dropped = []
+    for _, part in parts[: max(0, len(parts) - keep_last)]:
+        shutil.rmtree(part)
+        dropped.append(part.name)
+    return dropped
+
+
+def flatten_batch_store(
+    spark: SparkSession, store_dir: str, out_dir: str, n_files: int = 8
+) -> int:
+    """The daily-close handoff: rewrite a batch_id-partitioned
+    streaming store into a plain compacted parquet relation at
+    ``out_dir`` (batch_id dropped, ``n_files`` output files) for the
+    corpus-GLOBAL batch stages — exact dedup's min-id survivor and the
+    token-budget selection read the flattened store, never the
+    per-trigger partition tree (thousands of tiny per-batch files make
+    every global pass open()-bound; see compact_small_files). Returns
+    the flattened row count.
+
+    Atomic: writes to a temp dir and renames, so a crash mid-flatten
+    never leaves a torn output (the temp dir is simply orphaned). The
+    source store is untouched — the stream keeps appending to it, and
+    the next close re-flattens."""
+    tmp = out_dir + ".tmp__flatten"
+    df = spark.read.parquet(store_dir).drop("batch_id")
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    if Path(out_dir).exists():
+        shutil.rmtree(out_dir)
+    shutil.move(tmp, out_dir)
+    return spark.read.parquet(out_dir).count()
+
+
 def read_partitioned(spark: SparkSession, base_path: str, table: str) -> DataFrame:
     """Partition-discovering read; date filters prune directories before
     any file IO (partition pruning is the scan-level replacement for the

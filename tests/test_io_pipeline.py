@@ -632,3 +632,49 @@ def test_parquet_merge_schema_across_daily_drift(spark, tmp_path):
     assert {(r.id, r.score) for r in widened.collect()} == {
         (1, None), (2, 9.5)
     }
+
+
+def test_batch_store_retention_and_flatten(spark, tmp_path):
+    """Streaming-store maintenance (the batch_id twin of the date-keyed
+    sweep): build a store through the real prep processor over three
+    batches, keep the newest two, then flatten the survivors into the
+    plain relation the corpus-global stages read."""
+    from blockchair_etl_spark.io.sinks import (
+        batch_store_retention,
+        flatten_batch_store,
+    )
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.classify import hashed_weights
+    from blockchair_etl_spark.streaming.prep_stream import (
+        make_prep_batch_processor,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path / "prep_store")
+    proc = make_prep_batch_processor(hashed_weights(spark, n_features=64), store)
+    for i in range(3):
+        proc(docs.filter(F.col("doc_id") % 3 == i), i)
+
+    full = spark.read.parquet(store)
+    keep_ids = {
+        r.doc_id for r in full.filter(F.col("batch_id") >= 1).collect()
+    }
+    assert batch_store_retention(store, keep_last=2) == ["batch_id=0"]
+    assert batch_store_retention(store, keep_last=2) == []  # idempotent
+
+    after = spark.read.parquet(store)
+    assert {r.doc_id for r in after.collect()} == keep_ids
+    assert set(after.select("batch_id").distinct().toPandas()["batch_id"]) == {1, 2}
+
+    out = str(tmp_path / "prep_flat")
+    n = flatten_batch_store(spark, store, out, n_files=2)
+    flat = spark.read.parquet(out)
+    assert n == len(keep_ids) and "batch_id" not in flat.columns
+    assert {r.doc_id for r in flat.collect()} == keep_ids
+    # re-flatten after more stream progress overwrites atomically
+    proc(docs.filter(F.col("doc_id") % 3 == 0), 3)
+    n2 = flatten_batch_store(spark, store, out, n_files=2)
+    assert n2 == spark.read.parquet(store).count()
