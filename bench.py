@@ -101,6 +101,23 @@ show, not a plan change. The LSH -> verify -> CC -> window chain runs
 documented spread source for this family (±15% across identical runs
 here). Baseline for the r9 data generation: ~3.5 s.
 
+r9 CC LOCAL-FINISH A/B (after the first r9 bench record): the
+connected-components loop costs ~4 shuffle stages per round regardless
+of graph size, and the near-dup edge sets at bench scale are tiny (97k
+directed edges for media, ~7 rounds to converge = ~5 s of pure
+scheduling tax). connected_clusters now counts the persisted edge
+relation (work round 0 paid anyway) and, at <= 2M edges, resolves
+components in ONE executor-side union-find task (mapInPandas, Kiveris
+et al. SoCC'14 "finish small graphs locally"); the distributed
+pointer-doubling loop is unchanged and remains the >2M-edge path.
+Measured warm-session, median-of-3, vs the committed r9
+BENCH_DETAIL.json readings: media_dedup_survivors 6.756 -> 2.867
+(-58%), dedup_corpus_survivors 3.536 -> 2.143 (-39%),
+dedup_best_quality_survivors 3.529 -> 2.872 (-19%),
+dedup_connected_clusters 2.722 -> 2.675 (flat — its cost is the
+MinHash pair generation, not the loop). Output bit-identical on both
+paths (parity + union-find-reference pytest).
+
 r8 ATTRIBUTION of corpus_shuffle_shards (+39% in r7, small absolute):
 measured isolated on the r8 data generation at 0.179 s, within noise
 of its r6 0.146 s reading (run-to-run spread on sub-0.2 s queries

@@ -19,11 +19,77 @@ Labels are localCheckpointed per round to keep lineage O(1); the
 convergence count rides the checkpoint job itself via the Observation
 API (an ``observe`` node over the carried ``__chg`` flag), so each
 round is exactly one action and no separate count job.
+
+Small-graph fast path: near-dup edge sets are usually tiny relative to
+the corpus that produced them (a 100 TB corpus with a 1% dup rate and
+near-clique clusters yields millions of edges, not billions), and the
+iterative loop's per-round cost on a small graph is pure scheduling
+tax — each round is ~4 shuffle stages regardless of data size. So when
+the materialized edge count is at or under ``local_finish_edges``, the
+components are resolved exactly in ONE executor-side task: a
+min-rooted union-find over the edge list via ``mapInPandas`` on a
+single partition — the standard "finish small graphs locally" step of
+MapReduce CC algorithms (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14). The gate is a measured bound, not a
+guess: the count runs on the persisted edge relation the loop's first
+round would have materialized anyway, so the big-graph path does no
+extra work beyond reading one cached count.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, functions as F
+from pyspark.sql.types import StructField, StructType
+
+
+def _local_label_components(edges: DataFrame) -> DataFrame:
+    """Exact min-label components of a SMALL edge list in one task.
+
+    Single-partition ``mapInPandas`` union-find (executor-side, not a
+    driver collect). Attaching the larger root under the smaller at
+    every union keeps each tree rooted at its component's minimum id,
+    so ``find(v)`` is bit-identical to the iterative loop's converged
+    label. Input must fit one task comfortably — callers gate on edge
+    count before choosing this path."""
+    id_type = edges.schema["u"].dataType
+    out_schema = StructType(
+        [
+            StructField("doc", id_type, True),
+            StructField("cluster_id", id_type, True),
+        ]
+    )
+
+    def finish(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru  # min stays the root
+        if parent:
+            yield pd.DataFrame(
+                {
+                    "doc": list(parent),
+                    "cluster_id": [find(x) for x in parent],
+                }
+            )
+
+    return edges.repartition(1).mapInPandas(finish, schema=out_schema)
 
 
 def connected_clusters(
@@ -33,6 +99,7 @@ def connected_clusters(
     max_iterations: int = 25,
     doubling_after: int = 2,
     salt: int | None = None,
+    local_finish_edges: int | None = 2_000_000,
 ) -> DataFrame:
     """→ (doc, cluster_id) for every vertex in ≥1 pair; cluster_id is
     the minimum member id (deterministic canonical representative).
@@ -42,6 +109,14 @@ def connected_clusters(
     pre-adaptive version did). The default 2 keeps the common
     near-clique case hop-free while retaining the O(log diameter)
     worst-case round bound for deep components.
+
+    ``local_finish_edges``: if the distinct symmetric edge count is at
+    or under this bound, skip the iterative loop and resolve components
+    with the single-task union-find (:func:`_local_label_components`)
+    — exact same output, no per-round scheduling cost. ``None``
+    disables the gate (always iterate; tests use this to exercise the
+    distributed path on small fixtures). ``salt`` is irrelevant on the
+    local path (no join to skew).
 
     ``salt``: spread the per-round neighbor-min join over this many
     salt buckets (operators/skew.salted_join) for POWER-LAW dup graphs
@@ -55,11 +130,21 @@ def connected_clusters(
     fixpoint within ``max_iterations`` (a component whose diameter
     exceeds the bound — e.g. a long chain of near-dup pairs), the labels
     would silently be wrong, so we raise instead of returning them."""
+    from ..caching import tracked_persist
     from ..operators.skew import salted_join
 
     fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    edges = edges.distinct().persist()
+    # tracked (not bare persist): the local-finish path returns a LAZY
+    # plan over this cache, so its lifetime belongs to the caller's
+    # harness (release_tracked); the loop path unpersists eagerly below
+    # and the later tracked release is a no-op.
+    edges = tracked_persist(edges.distinct())
+
+    if local_finish_edges is not None and edges.count() <= local_finish_edges:
+        # the count materializes the cache the loop's round 0 would
+        # have paid for anyway — the big-graph branch loses nothing
+        return _local_label_components(edges)
 
     labels = edges.select(F.col("u").alias("vertex")).distinct().select(
         "vertex", F.col("vertex").alias("label")

@@ -28,23 +28,36 @@ def _union_find(pairs):
 
 
 def test_connected_clusters_vs_union_find(spark):
+    # default gate routes this small fixture through the single-task
+    # union-find; local_finish_edges=None forces the iterative loop —
+    # both must match the Python reference exactly
     pairs = [(1, 2), (2, 3), (10, 11), (12, 11), (20, 21), (3, 10), (30, 31)]
     df = spark.createDataFrame(pairs, ["id_a", "id_b"])
-    got = {r.doc: r.cluster_id for r in connected_clusters(df).collect()}
     want = _union_find(pairs)
-    assert got == want
-    # chain 1-2-3-10-11-12 collapses to min id 1
-    assert got[12] == 1 and got[11] == 1
-    assert got[21] == 20 and got[31] == 30
+    for gate in (2_000_000, None):
+        got = {
+            r.doc: r.cluster_id
+            for r in connected_clusters(df, local_finish_edges=gate).collect()
+        }
+        assert got == want
+        # chain 1-2-3-10-11-12 collapses to min id 1
+        assert got[12] == 1 and got[11] == 1
+        assert got[21] == 20 and got[31] == 30
 
 
 def test_connected_clusters_long_chain_converges_in_log_rounds(spark):
     # A 200-edge chain has diameter 200; pointer doubling must converge
     # within O(log n) rounds — 12 would be far beyond plain min-label
-    # propagation's reach (it needs ~200 rounds here).
+    # propagation's reach (it needs ~200 rounds here). Gate disabled:
+    # this test exists to exercise the distributed loop.
     pairs = [(i, i + 1) for i in range(200)]
     df = spark.createDataFrame(pairs, ["id_a", "id_b"])
-    got = {r.doc: r.cluster_id for r in connected_clusters(df, max_iterations=12).collect()}
+    got = {
+        r.doc: r.cluster_id
+        for r in connected_clusters(
+            df, max_iterations=12, local_finish_edges=None
+        ).collect()
+    }
     assert set(got.values()) == {0}
     assert len(got) == 201
 
@@ -60,7 +73,9 @@ def test_connected_clusters_adaptive_doubling_parity(spark):
     for k in (0, 2, 100):
         got = {
             r.doc: r.cluster_id
-            for r in connected_clusters(df, max_iterations=5, doubling_after=k).collect()
+            for r in connected_clusters(
+                df, max_iterations=5, doubling_after=k, local_finish_edges=None
+            ).collect()
         }
         assert got == want
 
@@ -72,11 +87,14 @@ def test_connected_clusters_salted_parity_on_hub_graph(spark):
     chain = [(1000 + i, 1001 + i) for i in range(50)]
     pairs = spark.createDataFrame(hub + chain, ["id_a", "id_b"])
     plain = {
-        (r.doc, r.cluster_id) for r in connected_clusters(pairs).collect()
+        (r.doc, r.cluster_id)
+        for r in connected_clusters(pairs, local_finish_edges=None).collect()
     }
     salted = {
         (r.doc, r.cluster_id)
-        for r in connected_clusters(pairs, salt=8).collect()
+        for r in connected_clusters(
+            pairs, salt=8, local_finish_edges=None
+        ).collect()
     }
     assert plain == salted
     # hub component collapses to min id 0; chain to 1000
@@ -88,6 +106,30 @@ def test_connected_clusters_cycle(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["id_a", "id_b"])
     got = {r.doc: r.cluster_id for r in connected_clusters(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_connected_clusters_local_finish_parity(spark):
+    # the size gate is a pure execution-strategy switch: the one-task
+    # union-find and the pointer-doubling loop must be bit-identical on
+    # a graph mixing cliques, a chain, a cycle and isolated-pair shapes
+    import random
+
+    rng = random.Random(7)
+    pairs = [(i, i + 1) for i in range(60)]  # chain
+    pairs += [(100 + a, 100 + b) for a in range(20) for b in range(a + 1, 20)]
+    pairs += [(200, 201), (201, 202), (202, 200)]  # cycle
+    pairs += [(rng.randrange(300, 340), rng.randrange(300, 340)) for _ in range(50)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    local = {
+        (r.doc, r.cluster_id) for r in connected_clusters(df).collect()
+    }
+    distributed = {
+        (r.doc, r.cluster_id)
+        for r in connected_clusters(df, local_finish_edges=None).collect()
+    }
+    assert local == distributed
+    assert local == set(_union_find(pairs).items())
 
 
 def test_streaming_sessionize_matches_batch(spark, tmp_path):
