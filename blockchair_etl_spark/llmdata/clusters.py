@@ -100,6 +100,7 @@ def connected_clusters(
     doubling_after: int = 2,
     salt: int | None = None,
     local_finish_edges: int | None = 2_000_000,
+    contract_first: bool = True,
 ) -> DataFrame:
     """→ (doc, cluster_id) for every vertex in ≥1 pair; cluster_id is
     the minimum member id (deterministic canonical representative).
@@ -117,6 +118,21 @@ def connected_clusters(
     disables the gate (always iterate; tests use this to exercise the
     distributed path on small fixtures). ``salt`` is irrelevant on the
     local path (no join to skew).
+
+    ``contract_first`` (big-graph path only): run ONE neighborhood-min
+    contraction round before iterating — map every vertex to
+    ``min(self ∪ neighbors)``, re-express edges between the mapped
+    labels, drop the (now-internal) self-loops, and iterate on the
+    contracted graph, composing the mapping back at the end. On the
+    near-clique components near-dup pair generation produces, the
+    contraction collapses each clique to its minimum in one pass, so
+    every subsequent round shuffles a FAR smaller edge set — the loop
+    otherwise re-shuffles the full edge list every round, which is the
+    dominant cost at billions of edges. Worst case (a monotone chain)
+    the contracted graph shrinks by only O(1) and the pre-pass costs
+    roughly two loop rounds; the O(log diameter) doubling bound is
+    unchanged. Bit-identical output (the component minimum maps to
+    itself, so it survives contraction as the root).
 
     ``salt``: spread the per-round neighbor-min join over this many
     salt buckets (operators/skew.salted_join) for POWER-LAW dup graphs
@@ -145,6 +161,44 @@ def connected_clusters(
         # the count materializes the cache the loop's round 0 would
         # have paid for anyway — the big-graph branch loses nothing
         return _local_label_components(edges)
+
+    mapping = None
+    if contract_first:
+        # neighborhood-min contraction: L(v) = min(v, min(N(v))). Every
+        # vertex appears on the u side (edges are symmetric), so one
+        # groupBy covers the whole vertex set. Edges re-expressed over
+        # labels connect the same components; self-loops (intra-clique
+        # edges) vanish, which is where the shrink comes from.
+        mapping = tracked_persist(
+            edges.groupBy("u")
+            .agg(F.min("v").alias("m"))
+            .select(
+                F.col("u").alias("vertex"),
+                F.least(F.col("u"), F.col("m")).alias("label"),
+            )
+        )
+        contracted = (
+            edges.join(
+                mapping.select(
+                    F.col("vertex").alias("u"), F.col("label").alias("lu")
+                ),
+                "u",
+            )
+            .join(
+                mapping.select(
+                    F.col("vertex").alias("v"), F.col("label").alias("lv")
+                ),
+                "v",
+            )
+            .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # the raw edge cache stays alive until the loop's first action
+        # materializes the contracted relation; both are tracked, so
+        # the final unpersist below plus the harness release cover them
+        raw_edges = edges
+        edges = tracked_persist(contracted)
 
     labels = edges.select(F.col("u").alias("vertex")).distinct().select(
         "vertex", F.col("vertex").alias("label")
@@ -208,5 +262,20 @@ def connected_clusters(
             "rounds; raise max_iterations (rounds needed = O(log diameter) "
             "once pointer doubling engages after round "
             f"{doubling_after})"
+        )
+    if mapping is not None:
+        # compose the contraction mapping with the converged roots of
+        # the contracted graph; labels whose edges fully collapsed in
+        # the pre-pass are their own component minimum (coalesce)
+        raw_edges.unpersist()
+        roots = labels.select(
+            F.col("vertex").alias("__lbl"), F.col("label").alias("__root")
+        )
+        return (
+            mapping.join(roots, mapping.label == roots.__lbl, "left")
+            .select(
+                mapping.vertex.alias("doc"),
+                F.coalesce(F.col("__root"), mapping.label).alias("cluster_id"),
+            )
         )
     return labels.select(F.col("vertex").alias("doc"), F.col("label").alias("cluster_id"))

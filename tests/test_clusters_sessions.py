@@ -124,12 +124,34 @@ def test_connected_clusters_local_finish_parity(spark):
     local = {
         (r.doc, r.cluster_id) for r in connected_clusters(df).collect()
     }
-    distributed = {
-        (r.doc, r.cluster_id)
-        for r in connected_clusters(df, local_finish_edges=None).collect()
+    want = set(_union_find(pairs).items())
+    assert local == want
+    # distributed loop, with and without the contraction pre-pass
+    for contract in (True, False):
+        got = {
+            (r.doc, r.cluster_id)
+            for r in connected_clusters(
+                df, local_finish_edges=None, contract_first=contract
+            ).collect()
+        }
+        assert got == want, f"contract_first={contract}"
+
+
+def test_connected_clusters_contraction_pure_cliques(spark):
+    # two disjoint cliques contract to ZERO edges in the pre-pass; the
+    # loop then runs on an empty graph and the compose step must still
+    # label every original vertex with its clique minimum
+    pairs = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    pairs += [(10 + a, 10 + b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {
+        r.doc: r.cluster_id
+        for r in connected_clusters(
+            df, local_finish_edges=None, contract_first=True
+        ).collect()
     }
-    assert local == distributed
-    assert local == set(_union_find(pairs).items())
+    assert got == _union_find(pairs)
+    assert got[4] == 0 and got[13] == 10
 
 
 def test_streaming_sessionize_matches_batch(spark, tmp_path):
