@@ -118,6 +118,21 @@ dedup_connected_clusters 2.722 -> 2.675 (flat — its cost is the
 MinHash pair generation, not the loop). Output bit-identical on both
 paths (parity + union-find-reference pytest).
 
+r9 FINAL-RECORD note (end-of-round serialized rerun, total 89.48 s vs
+the mid-round record's 89.58 s): the sampling/prep family read +40-70%
+above the mid-round record in-sequence (corpus_prep_v2 1.28 -> 2.21,
+corpus_token_budget 0.66 -> 1.02, sample_cluster_balanced 0.64 -> 0.94,
+sample_leakage_safe_split 0.36 -> 0.53). A/B'd isolated (fresh session,
+5 runs, median, SAME data generation, old commit via worktree vs HEAD):
+HEAD is equal-or-faster on 3 of 4 (prep_v2 1.93 -> 1.72,
+cluster_balanced 0.87 -> 0.80, leakage_safe 0.50 -> 0.46; token_budget
+0.81 -> 0.98, inside the sub-second spread band). No code in their
+paths changed — the mid-round record was taken in a quieter box state;
+the end-of-round record is the honest r9 baseline. The survivor-family
+drops in the same rerun (media -58%, corpus -49%, cc -30%) are the CC
+local-finish landing after the mid-round record, matching its A/B
+above.
+
 r8 ATTRIBUTION of corpus_shuffle_shards (+39% in r7, small absolute):
 measured isolated on the r8 data generation at 0.179 s, within noise
 of its r6 0.146 s reading (run-to-run spread on sub-0.2 s queries
