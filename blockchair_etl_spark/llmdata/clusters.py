@@ -134,6 +134,16 @@ def connected_clusters(
     unchanged. Bit-identical output (the component minimum maps to
     itself, so it survives contraction as the root).
 
+    Measured (local[32], median-of-3, distributed path forced): 2000
+    30-cliques (870k pairs) 3.02 → 2.30 s (−24% — and the per-round
+    shuffle volume, the cost that dominates at cluster scale, drops to
+    near zero after the pre-pass); 300 400-chains 8.27 → 11.99 s (+45%
+    — the pre-pass costs two full-edge passes and a chain's O(1)
+    shrink can't recoup them). The default stays True because dup
+    graphs from near-dup pair generation are clique-shaped; callers
+    clustering long-path graphs (e.g. sessionized traces) should pass
+    ``contract_first=False``.
+
     ``salt``: spread the per-round neighbor-min join over this many
     salt buckets (operators/skew.salted_join) for POWER-LAW dup graphs
     — a hub vertex with millions of neighbors otherwise pins every
