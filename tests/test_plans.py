@@ -97,6 +97,14 @@ def test_staged_views_stay_transparent_to_pushdown(spark, tmp_path):
 _ARROW_BATCH_OK = {
     "multimodal_features",  # mapInPandas decode/featurize plumbing
     "dedup_semdedup_vectorized",  # numpy assignment + BLAS gram pairs
+    # connected_clusters' local finish: edge sets <= 2M resolve in ONE
+    # mapInPandas union-find task (Kiveris-style "finish small graphs
+    # locally") instead of ~7 shuffle rounds — a size-gated batch
+    # strategy, never row-level; the >2M path is pure DataFrame ops
+    "dedup_connected_clusters",
+    "dedup_corpus_survivors",
+    "dedup_best_quality_survivors",
+    "media_dedup_survivors",
 }
 
 
