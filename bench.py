@@ -239,6 +239,7 @@ HEADLINE = [
     # carry their brute-force ground truth by design)
     "media_dedup_survivors",
     "corpus_prep_v4_pipeline",
+    "dedup_span_removal",
 ]
 
 

@@ -78,6 +78,9 @@ FAMILY = [
     # prep-v4 adds the classifier join inside the text-pipeline chain
     "media_dedup_survivors",
     "corpus_prep_v4_pipeline",
+    # exact-substring span removal: shingle-df agg + coverage window,
+    # linear like its measurement sibling dedup_repeated_ngram_spans
+    "dedup_span_removal",
 ]
 
 # Pair-generating queries: any blocked self-join whose within-block pair
@@ -96,6 +99,7 @@ PAIR_QUERIES = {
     "dedup_bow_cosine_zipf",
     "ann_knn_join",
     "dedup_repeated_ngram_spans",
+    "dedup_span_removal",
     "dedup_semantic_semdedup",
     "dedup_incremental_embedding",
     "dedup_minhash_store_backed",

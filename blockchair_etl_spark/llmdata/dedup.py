@@ -1250,6 +1250,112 @@ def repeated_ngram_stats(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Cross-document exact-substring span REMOVAL — the action step on
+    top of :func:`repeated_ngram_stats`' measurement (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    token covered by an n-token window whose shingle occurs in ≥ 2
+    distinct documents is cut from the document, UNLESS the document is
+    the shingle's canonical owner (minimum doc id) — each duplicated
+    span survives exactly once corpus-wide, the paper's keep-one rule
+    made deterministic. Within-doc repetition is untouched (the
+    canonical doc keeps every occurrence; that axis is
+    text.repetition_stats' job), and overlapping duplicated windows
+    merge into one cut region, so adjacent survivors splice — the same
+    artifact the paper documents.
+
+    Shape at scale (all linear, no pair fan-out): the tokenize +
+    posexplode + lead()-window prefix runs TWICE — once under the
+    shingle hash-agg for (df, canonical), once on the cut side of the
+    join — the same 2×-scan-over-persist trade line_dedup documents
+    (persisting the window relation would hold O(corpus tokens));
+    the join back is shuffle-on-shingle, position coverage is a single
+    rows-between max over the per-doc sort (posexplode emits dense
+    positions, so row frames equal position frames — no n× explode of
+    covered positions), and reassembly is one ordered hash-agg per doc. The shingle agg + join
+    shuffle full window strings like every shingle pipeline here;
+    hashing feats to 64 bits would cut that volume but admits
+    birthday-collision over-cutting at 10^12-shingle scale, so the
+    exact strings stay.
+
+    Output: (doc_id, clean_text, n_tokens_kept, n_tokens_removed) —
+    one row per input document (anchored on the input ids: zero-token
+    docs and docs cut to nothing keep a row with clean_text = '').
+    """
+    from pyspark.sql import Window
+
+    from .text import tokens_col
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.lead("token", k).over(w) for k in range(1, n)]
+    wins = toks.select(
+        "doc",
+        "pos",
+        "token",
+        F.concat_ws(" ", F.col("token"), *leads).alias("feat"),
+        # a window is valid only where all n tokens exist; concat_ws
+        # skips nulls, so tail rows carry a SHORT feat — the isNotNull
+        # flag below keeps them out of both the stats and the cuts
+        leads[-1].isNotNull().alias("valid"),
+    )
+    feat_stats = (
+        wins.filter("valid")
+        .groupBy("feat")
+        .agg(
+            F.count_distinct("doc").alias("n_docs"),
+            F.min("doc").alias("canon"),
+        )
+    )
+    flagged = wins.join(feat_stats, "feat", "left").select(
+        "doc",
+        "pos",
+        "token",
+        (
+            F.col("valid")
+            & (F.col("n_docs") >= 2)
+            & (F.col("doc") != F.col("canon"))
+        )
+        .cast("int")
+        .alias("dup_start"),
+    )
+    cover = Window.partitionBy("doc").orderBy("pos").rowsBetween(-(n - 1), 0)
+    kept = flagged.withColumn("cut", F.max("dup_start").over(cover)).filter(
+        F.col("cut") == 0
+    )
+    kept_agg = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s.getField("token"),
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
+    )
+    all_docs = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(tokens_col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    return all_docs.join(kept_agg, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_tokens_kept", F.lit(0)).cast("bigint").alias("n_tokens_kept"),
+        (F.col("n_tokens") - F.coalesce("n_tokens_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_tokens_removed"),
+    )
+
+
 def build_embedding_store(
     emb: DataFrame,
     dim: int,

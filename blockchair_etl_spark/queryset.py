@@ -5798,6 +5798,68 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_removal",
+    survey="LLM-dedup (exact-substring span removal, Lee et al. 2022)",
+    desc="cross-document exact-substring REMOVAL — the action step on "
+    "top of dedup_repeated_ngram_spans' measurement: every token "
+    "covered by a 5-gram window whose shingle occurs in >= 2 distinct "
+    "documents is cut unless the doc is the shingle's minimum-doc-id "
+    "canonical owner (each duplicated span survives exactly once "
+    "corpus-wide); position coverage is a single rows-between max over "
+    "the per-doc sort (dense posexplode positions, no n-fold explode), "
+    "reassembly one ordered hash-agg per doc",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+win AS (
+  SELECT doc_id AS doc,
+         unnest(list_transform(range(1, greatest(len(t) - 5 + 1, 0) + 1),
+                i -> struct_pack(s := i,
+                       f := array_to_string(list_slice(t, i, i + 4), ' ')))) AS w
+  FROM toks
+),
+win2 AS (SELECT doc, CAST(w.s AS BIGINT) AS start, w.f AS feat FROM win),
+stats AS (
+  SELECT feat, COUNT(DISTINCT doc) AS n_docs, MIN(doc) AS canon
+  FROM win2 GROUP BY feat
+),
+pos AS (
+  SELECT doc_id AS doc,
+         unnest(list_transform(range(1, len(t) + 1),
+                p -> struct_pack(p := p, tok := t[p]))) AS q
+  FROM toks
+),
+pos2 AS (SELECT doc, CAST(q.p AS BIGINT) AS pos, q.tok AS token FROM pos),
+cuts AS (
+  SELECT DISTINCT w.doc, p.pos
+  FROM win2 w
+  JOIN stats s USING (feat)
+  JOIN pos2 p ON p.doc = w.doc AND p.pos BETWEEN w.start AND w.start + 4
+  WHERE s.n_docs >= 2 AND w.doc <> s.canon
+),
+kept AS (
+  SELECT p.doc, p.pos, p.token
+  FROM pos2 p LEFT JOIN cuts c ON p.doc = c.doc AND p.pos = c.pos
+  WHERE c.pos IS NULL
+),
+per AS (
+  SELECT doc, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_tokens_kept
+  FROM kept GROUP BY doc
+)
+SELECT tk.doc_id,
+       COALESCE(per.clean_text, '') AS clean_text,
+       CAST(COALESCE(per.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(len(tk.t) - COALESCE(per.n_tokens_kept, 0) AS BIGINT)
+         AS n_tokens_removed
+FROM toks tk LEFT JOIN per ON per.doc = tk.doc_id
+""",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _dedup.remove_duplicated_spans(docs, n=5)
+
+
+@register(
     "ann_pq_topk",
     survey="LLM-similarity (product quantization / ADC)",
     desc="product-quantization ANN: 4 subspaces x 16-codeword seed "

@@ -948,6 +948,73 @@ def test_repeated_ngram_spans_planted(spark):
     assert 0 < out[2].dup_fraction < 1
 
 
+def test_remove_duplicated_spans_planted(spark):
+    from blockchair_etl_spark.llmdata.dedup import remove_duplicated_spans
+
+    boiler = "all rights reserved contact us for details"  # 7 tokens
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta " + boiler),
+        (2, "one two three four five six seven " + boiler),
+        (3, "unique words only here nothing shared at all"),
+        (4, "short doc"),  # < n tokens -> no windows, untouched
+        (5, "alpha beta gamma delta epsilon zeta " + boiler),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, n=5).collect()}
+
+    assert len(out) == 5  # every doc keeps a row
+    # doc 1 is the canonical owner of every shingle it shares -> intact
+    assert out[1].clean_text == rows[0][1]
+    assert out[1].n_tokens_removed == 0
+    # doc 5 duplicates doc 1 exactly: every window duplicated with
+    # canon=1, coverage spans the whole doc -> cut to nothing
+    assert out[5].clean_text == ""
+    assert out[5].n_tokens_kept == 0 and out[5].n_tokens_removed == 13
+    # doc 2 shares only the boilerplate tail: its 3 pure-boilerplate
+    # window starts (7, 8, 9) cover positions 7..13 -> suffix cut
+    assert out[2].clean_text == "one two three four five six seven"
+    assert out[2].n_tokens_kept == 7 and out[2].n_tokens_removed == 7
+    # unique and sub-n docs are untouched
+    assert out[3].clean_text == rows[2][1] and out[3].n_tokens_removed == 0
+    assert out[4].clean_text == "short doc" and out[4].n_tokens_removed == 0
+
+
+def test_remove_duplicated_spans_matches_python_reference(spark):
+    import random
+
+    from blockchair_etl_spark.llmdata.dedup import remove_duplicated_spans
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(8)]  # tiny vocab -> frequent shingle hits
+    n = 3
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+        for d in range(1, 9)
+    ]
+
+    toks = {d: t.split() for d, t in rows}
+    owners: dict[tuple, set] = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            owners.setdefault(tuple(ts[i : i + n]), set()).add(d)
+    want = {}
+    for d, ts in toks.items():
+        cut: set[int] = set()
+        for i in range(len(ts) - n + 1):
+            f = tuple(ts[i : i + n])
+            if len(owners[f]) >= 2 and d != min(owners[f]):
+                cut.update(range(i, i + n))
+        kept = [t for j, t in enumerate(ts) if j not in cut]
+        want[d] = (" ".join(kept), len(kept), len(ts) - len(kept))
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in remove_duplicated_spans(df, n=n).collect()
+    }
+    assert got == want
+
+
 def test_best_quality_survivors_differ_from_min_id(spark, sf_dir):
     from pyspark.sql import functions as F
 
