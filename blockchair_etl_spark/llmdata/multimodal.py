@@ -150,6 +150,91 @@ def extract_features(
     return annotated.mapInPandas(_featurize, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_width", LongType()),
+        StructField("out_height", LongType()),
+        StructField("pixels", ArrayType(FloatType())),  # h·w·3 row-major, [0,1]
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 4,
+    height: int = 4,
+    fake_decode: bool = True,
+    max_source_side: int = 64,
+) -> DataFrame:
+    """Images → fixed (height, width, 3) pixel grids, normalized [0, 1].
+
+    The decode step (stubbed, like extract_features) materializes each
+    image at its METADATA-declared (width, height) — capped at
+    ``max_source_side`` so a lying metadata row can't allocate
+    unboundedly — with the deterministic fake decoder seeded by the
+    content hash, so identical bytes give identical source pixels at
+    any declared size. The resample is nearest-index gathering on a
+    numpy grid (two fancy-index ops per image, no Python pixel loop);
+    a real codec/resampler drops into the same per-item slot.
+
+    Spark-side shape: kind filter + column pruning happen BEFORE the
+    Python boundary (only media_id/content/width/height cross Arrow),
+    and mapInPandas streams batches — one task never materializes a
+    whole partition of image bytes.
+    """
+    from pyspark.sql import functions as F
+
+    out_cols = [f.name for f in RESIZED_SCHEMA.fields]
+    pruned = media.filter(F.col("kind") == "image").select(
+        "media_id", "content", "width", "height"
+    )
+
+    # Self-contained worker (cloudpickle-by-value; see _featurize note).
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        if not fake_decode:
+            raise NotImplementedError(
+                "image decoding requires a codec library (e.g. Pillow); "
+                "run with fake_decode=True for deterministic pseudo-decode"
+            )
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield _pd.DataFrame({c: [] for c in out_cols})
+                continue
+            out_px = []
+            for c, sw, sh in zip(pdf["content"], pdf["width"], pdf["height"]):
+                src_w = int(min(sw, max_source_side)) if _pd.notna(sw) and sw else 8
+                src_h = int(min(sh, max_source_side)) if _pd.notna(sh) and sh else 8
+                src_w, src_h = max(src_w, 1), max(src_h, 1)
+                seed = int.from_bytes(
+                    _hashlib.sha256(bytes(c) if c is not None else b"").digest()[:8],
+                    "big",
+                )
+                img = _np.random.default_rng(seed).integers(
+                    0, 256, size=(src_h, src_w, 3), dtype=_np.uint8
+                )
+                rows = (_np.arange(height) * src_h) // height
+                cols = (_np.arange(width) * src_w) // width
+                resized = img[rows][:, cols].astype(_np.float32) / 255.0
+                out_px.append(resized.reshape(-1))
+            out = _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "out_width": _np.int64(width),
+                    "out_height": _np.int64(height),
+                }
+            )
+            out["pixels"] = out_px
+            yield out[out_cols]
+
+    return pruned.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one output row per sampled timestamp.
     The timestamp fan-out is pure SQL (sequence+explode — no Python);

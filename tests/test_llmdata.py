@@ -440,6 +440,40 @@ def test_multimodal_null_content_and_jvm_side_hash(spark):
     assert len(rows[1].features) == 4
 
 
+def test_multimodal_resize_deterministic_and_pruned(spark):
+    import hashlib
+
+    import numpy as np
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"img-a"), "image/fake", 2, 2, None, "u"),
+            (2, "image", None, "image/fake", None, None, None, "u"),
+            (3, "video", bytearray(b"vid"), "video/fake", None, None, 1000, "u"),
+        ],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    out = mm.resize_images(media, width=4, height=4)
+    rows = {r.media_id: r for r in out.collect()}
+    # non-image rows pruned Spark-side, before the Python stage
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert (r.out_width, r.out_height) == (4, 4)
+        assert len(r.pixels) == 4 * 4 * 3
+        assert all(0.0 <= p <= 1.0 for p in r.pixels)
+    # determinism: a second execution reproduces the pixels exactly
+    again = {r.media_id: r.pixels for r in out.collect()}
+    assert again == {k: r.pixels for k, r in rows.items()}
+    # nearest-index upscale 2x2 -> 4x4 duplicates each source pixel into
+    # a 2x2 block: reconstruct the fake-decoded source and check
+    seed = int.from_bytes(hashlib.sha256(b"img-a").digest()[:8], "big")
+    src = np.random.default_rng(seed).integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    got = np.array(rows[1].pixels, dtype=np.float32).reshape(4, 4, 3)
+    idx = (np.arange(4) * 2) // 4  # [0, 0, 1, 1]
+    want = (src[idx][:, idx].astype(np.float32) / 255.0)
+    assert np.allclose(got, want)
+
+
 def test_frame_sampling_plan(spark):
     media = spark.createDataFrame(
         [(1, "video", None, "video/fake", None, None, 3500, "u")],
