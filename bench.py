@@ -133,6 +133,21 @@ drops in the same rerun (media -58%, corpus -49%, cc -30%) are the CC
 local-finish landing after the mid-round record, matching its A/B
 above.
 
+r9 FULL-SWEEP finding (SPARK_GRAFT_BENCH_ALL=1, runs=2, final r9 code,
+165 timed queries, 358 s total): one outlier — dedup_bow_cosine at
+157 s, dwarfing everything else. Expected, not a regression: that
+entry runs the exact UNBOUNDED pair form (its oracle is every pair at
+cos >= 0.99) on the driver corpus whose 31-term vocabulary gives the
+df bound nothing to prune, so the term-keyed self-join is effectively
+quadratic there — the documented adversarial fixture that motivated
+the Zipf-vocab bench (dedup_bow_cosine_zipf, 3.0 s, where max_df
+prunes as designed). Norm-ratio prefiltering cannot tighten the exact
+form (cosine is scale-invariant, so norm ratios do not bound it); the
+deployed 100 TB shape remains df-bounded candidates + exact rescore.
+Every other non-headline entry read under 9 s, the slowest being the
+two recall-instrumentation entries that carry brute-force ground
+truth by design.
+
 r8 ATTRIBUTION of corpus_shuffle_shards (+39% in r7, small absolute):
 measured isolated on the r8 data generation at 0.179 s, within noise
 of its r6 0.146 s reading (run-to-run spread on sub-0.2 s queries
