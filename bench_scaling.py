@@ -44,7 +44,11 @@ FAMILY = [
     "sketch_histogram_quantiles",
     "graph_pagerank",
     "centroid_by_bucket",
-    "bloom_pruned_join_revenue",
+    # bloom_pruned_join_revenue is deliberately ABSENT: it reads
+    # lineitem/supplier, which synthesize() symlinks rather than copies,
+    # so any alpha for it measures identical input at both scale points
+    # (r9 correction — it sat here from r4 producing meaningless ~0
+    # readings)
     # round-5 additions: the remaining quadratic-risk (pair-generating)
     # operators, plus the multiprobe recall lever
     "dedup_ngram_jaccard",
