@@ -97,6 +97,15 @@ def test_connected_clusters_salted_parity_on_hub_graph(spark):
         ).collect()
     }
     assert plain == salted
+    # salt composed with the raw (uncontracted) loop — the fourth
+    # strategy combination, so salt x contract_first is fully covered
+    salted_raw = {
+        (r.doc, r.cluster_id)
+        for r in connected_clusters(
+            pairs, salt=8, local_finish_edges=None, contract_first=False
+        ).collect()
+    }
+    assert plain == salted_raw
     # hub component collapses to min id 0; chain to 1000
     labels = dict(salted)
     assert labels[399] == 0 and labels[1050] == 1000
