@@ -2,10 +2,12 @@
 """Scaling-exponent bench for the dedup/ANN/CC/stream family.
 
 All headline perf claims rest on one scale point (sf0.1). This script
-synthesizes a 10× corpus — documents/embeddings/events unioned with 9
-deterministic id-shifted copies (texts get a per-copy suffix token and
-embeddings a per-copy first-dim epsilon so the near-dup pair structure
-grows ~10×, not 100×) — then times each family query at 1× and 10× and
+synthesizes a 10× corpus — documents/embeddings/events/customer
+unioned with 9 deterministic id-shifted copies (texts get periodic
+per-copy tag tokens and embeddings a per-copy first-dim epsilon so the
+near-dup pair structure grows ~10×, not 100×; every other TPC-H table
+is symlinked, so families reading those must stay out of FAMILY) —
+then times each family query at 1× and 10× and
 reports the per-query scaling exponent alpha = log(t10/t1)/log(10).
 alpha ≈ 1 is linear; anything materially super-linear is named in the
 "superlinear" list. Output: ONE JSON line, also written to
