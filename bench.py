@@ -133,6 +133,13 @@ drops in the same rerun (media -58%, corpus -49%, cc -30%) are the CC
 local-finish landing after the mid-round record, matching its A/B
 above.
 
+r9 SPREAD evidence (same code, same data, serialized runs hours
+apart): the full 77-query headline read 89.5, then 96.5, then 103.4 s
+across the session — a monotonic ~8% box drift with no code change
+between runs. Round-over-round totals carry at least this much
+environment noise; per-query attribution (isolated 5-run A/B) remains
+the only comparison this repo treats as evidence.
+
 r9 FULL-SWEEP finding (SPARK_GRAFT_BENCH_ALL=1, runs=2, final r9 code,
 165 timed queries, 358 s total): one outlier — dedup_bow_cosine at
 157 s, dwarfing everything else. Expected, not a regression: that
