@@ -146,6 +146,36 @@ def test_connected_clusters_local_finish_parity(spark):
         assert got == want, f"contract_first={contract}"
 
 
+def test_connected_clusters_random_graphs_all_strategies(spark):
+    # seeded random graphs with mixed component shapes; every strategy
+    # combination must match the union-find reference exactly
+    import random
+
+    rng = random.Random(90815)
+    for trial in range(4):
+        n = rng.randint(8, 40)
+        m = rng.randint(n // 2, 2 * n)
+        pairs = list(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(m)
+            }
+        )
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        want = set(_union_find(pairs).items())
+        for contract in (True, False):
+            got = {
+                (r.doc, r.cluster_id)
+                for r in connected_clusters(
+                    df, local_finish_edges=None, contract_first=contract
+                ).collect()
+            }
+            assert got == want, f"trial={trial} contract={contract}"
+
+
 def test_connected_clusters_contraction_pure_cliques(spark):
     # two disjoint cliques contract to ZERO edges in the pre-pass; the
     # loop then runs on an empty graph and the compose step must still
