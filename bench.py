@@ -155,6 +155,22 @@ Every other non-headline entry read under 9 s, the slowest being the
 two recall-instrumentation entries that carry brute-force ground
 truth by design.
 
+r10 BOX-SPEED CANARY (methodology): every record now carries
+"canary_pre_sec" / "canary_post_sec" — the median-of-3 wall time of a
+FIXED, data-independent, CPU-bound workload
+(spark.range(2B).sum(xxhash64(id)), one shuffle-free whole-stage
+codegen scan over all local[*] cores) measured immediately after
+session warmup and again after the last timed query. The canary reads
+no files and allocates no caches, so its time moves ONLY with box
+state (CPU contention from neighbors, thermal/cgroup throttling).
+Interpretation rule for cross-record comparisons: a per-query move
+with a flat canary ratio is evidence of a real plan/code change; a
+move that tracks the canary ratio is the box. The r8->r9 driver
+records diverged 37% on byte-identical code with only circumstantial
+environment evidence (the three >2x movers below) — the canary makes
+that attribution falsifiable going forward. No backfill: the record
+starts at r10.
+
 r8 ATTRIBUTION of corpus_shuffle_shards (+39% in r7, small absolute):
 measured isolated on the r8 data generation at 0.179 s, within noise
 of its r6 0.146 s reading (run-to-run spread on sub-0.2 s queries
@@ -265,6 +281,22 @@ HEADLINE = [
 ]
 
 
+def canary(spark, runs: int = 3) -> float:
+    """Box-speed canary: median wall time of a FIXED data-independent
+    CPU-bound workload — sum(xxhash64(id)) over spark.range(2B), one
+    shuffle-free whole-stage-codegen scan saturating every local core.
+    No file IO, no caches, no shuffle: the reading moves only with box
+    state, so cross-record per-query comparisons can be normalized by
+    the canary ratio (see the r10 methodology note in the module
+    docstring)."""
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        spark.range(2_000_000_000).selectExpr("sum(xxhash64(id)) as h").collect()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -284,6 +316,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    canary_pre = canary(spark)
     # SPARK_GRAFT_BENCH_ALL=1 times every registry entry (full-surface
     # sweep for regression hunting); default is the curated headline list.
     if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
@@ -390,6 +423,8 @@ def main() -> None:
     timings["ann_ivfpq_store_backed"] = round(statistics.median(samples), 3)
     shutil.rmtree(pq_dir, ignore_errors=True)
 
+    canary_post = canary(spark)
+
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
     result = {
@@ -399,6 +434,8 @@ def main() -> None:
         "queries": timings,
         "n": runs,
         "sf": sf,
+        "canary_pre_sec": canary_pre,
+        "canary_post_sec": canary_post,
     }
     # The driver tail-captures stdout with a HARD 2,000-byte cap, and
     # ~74 per-query timings need ~3 KB — chunked stdout alone can never
@@ -445,6 +482,8 @@ def main() -> None:
                 "sf": sf,
                 "queries_in_chunk_lines": len(timings),
                 "chunk_lines": n_chunks,
+                "canary_pre_sec": canary_pre,
+                "canary_post_sec": canary_post,
             },
             separators=(",", ":"),
         )

@@ -22,6 +22,7 @@ the shuffle on equi-joins over the bucket key).
 
 from __future__ import annotations
 
+import os
 import re
 import shutil
 from dataclasses import dataclass
@@ -192,16 +193,29 @@ def flatten_batch_store(
     every global pass open()-bound; see compact_small_files). Returns
     the flattened row count.
 
-    Atomic: writes to a temp dir and renames, so a crash mid-flatten
-    never leaves a torn output (the temp dir is simply orphaned). The
-    source store is untouched — the stream keeps appending to it, and
-    the next close re-flattens."""
+    Near-atomic swap: writes to a temp dir, renames the previous
+    output ASIDE (not rmtree-in-place — deleting first would leave a
+    crash window with the old output destroyed and no new one yet),
+    renames the temp dir into place, and only then deletes the old
+    copy. The unsafe window is the instant between the two renames
+    (out_dir briefly absent); a crash anywhere leaves either the old
+    output intact or the new one in place, plus an orphaned
+    ``.tmp__flatten`` / ``.old__flatten`` dir the next flatten cleans.
+    (True atomicity needs a symlink or catalog pointer flip — out of
+    scope for a filesystem sink.) The source store is untouched — the
+    stream keeps appending to it, and the next close re-flattens."""
     tmp = out_dir + ".tmp__flatten"
+    old = out_dir + ".old__flatten"
+    for leftover in (tmp, old):  # crashed prior swap
+        if Path(leftover).exists():
+            shutil.rmtree(leftover)
     df = spark.read.parquet(store_dir).drop("batch_id")
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
     if Path(out_dir).exists():
-        shutil.rmtree(out_dir)
-    shutil.move(tmp, out_dir)
+        os.rename(out_dir, old)
+    os.rename(tmp, out_dir)
+    if Path(old).exists():
+        shutil.rmtree(old)
     return spark.read.parquet(out_dir).count()
 
 

@@ -161,16 +161,26 @@ def connected_clusters(
 
     fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # tracked (not bare persist): the local-finish path returns a LAZY
-    # plan over this cache, so its lifetime belongs to the caller's
-    # harness (release_tracked); the loop path unpersists eagerly below
-    # and the later tracked release is a no-op.
+    # tracked as a backstop: both paths release this cache eagerly
+    # (the local finish checkpoints then unpersists below; the loop
+    # unpersists once the first round materializes), but the
+    # non-convergence raise would otherwise leak it — release_tracked
+    # catches that, and the normal-path double-unpersist is a no-op.
     edges = tracked_persist(edges.distinct())
 
     if local_finish_edges is not None and edges.count() <= local_finish_edges:
         # the count materializes the cache the loop's round 0 would
-        # have paid for anyway — the big-graph branch loses nothing
-        return _local_label_components(edges)
+        # have paid for anyway — the big-graph branch loses nothing.
+        # Cut the returned plan loose from the cache before handing it
+        # back: the edge set is <= local_finish_edges rows by the gate,
+        # so an eager localCheckpoint is one cheap cache read, and the
+        # persist releases NOW — library callers invoking this
+        # repeatedly without release_tracked() no longer accumulate a
+        # MEMORY_AND_DISK edge relation per call (checkpoint blocks
+        # are reclaimed by the ContextCleaner once the plan is GC'd).
+        finished = edges.localCheckpoint(eager=True)
+        edges.unpersist()
+        return _local_label_components(finished)
 
     mapping = None
     if contract_first:

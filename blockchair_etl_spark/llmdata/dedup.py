@@ -1344,7 +1344,13 @@ def remove_duplicated_spans(
     )
     all_docs = df.select(
         F.col(id_col).alias("doc"),
-        F.size(tokens_col(text_col)).cast("bigint").alias("n_tokens"),
+        # NULL text: F.size(NULL array) is -1, which would surface as
+        # n_tokens_removed=-1 (a silent negative count, diverging from
+        # SQL NULL semantics) — treat a NULL document as 0 tokens.
+        F.when(F.col(text_col).isNotNull(), F.size(tokens_col(text_col)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
     )
     return all_docs.join(kept_agg, "doc", "left").select(
         F.col("doc").alias(id_col),

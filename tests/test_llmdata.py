@@ -1013,6 +1013,21 @@ def test_remove_duplicated_spans_planted(spark):
     assert out[4].clean_text == "short doc" and out[4].n_tokens_removed == 0
 
 
+def test_remove_duplicated_spans_null_text(spark):
+    """NULL text must count as 0 tokens, never -1 (F.size of a NULL
+    array is -1; the r9 advice flagged the silent negative
+    n_tokens_removed)."""
+    from blockchair_etl_spark.llmdata.dedup import remove_duplicated_spans
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta"), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, n=5).collect()}
+    assert out[2].clean_text == ""
+    assert out[2].n_tokens_kept == 0
+    assert out[2].n_tokens_removed == 0  # was -1 before the guard
+    assert out[1].n_tokens_removed == 0
+
+
 def test_remove_duplicated_spans_matches_python_reference(spark):
     import random
 
