@@ -158,7 +158,7 @@ truth by design.
 r10 BOX-SPEED CANARY (methodology): every record now carries
 "canary_pre_sec" / "canary_post_sec" — the median-of-3 wall time of a
 FIXED, data-independent, CPU-bound workload
-(spark.range(2B).sum(xxhash64(id)), one shuffle-free whole-stage
+(spark.range(4B).sum(xxhash64(id)), one shuffle-free whole-stage
 codegen scan over all local[*] cores) measured immediately after
 session warmup and again after the last timed query. The canary reads
 no files and allocates no caches, so its time moves ONLY with box
@@ -170,6 +170,27 @@ records diverged 37% on byte-identical code with only circumstantial
 environment evidence (the three >2x movers below) — the canary makes
 that attribution falsifiable going forward. No backfill: the record
 starts at r10.
+
+r10 ATTRIBUTION of the three >2x r8->r9 driver-record movers
+(text_chunking 0.54->2.12, winsorize_values 0.35->0.98,
+text_line_dedup 1.14->2.38; r9 verdict "What's wrong" #1): measured
+isolated (fresh session per query, 5 runs, median, r10 data
+generation, canary-bracketed): text_chunking 0.843 s (samples
+0.62-1.16), winsorize_values 0.650 s (0.52-0.77), text_line_dedup
+1.922 s (1.64-2.33). All three sit 1.2-2.5x BELOW their r9 driver
+readings on code whose text family is byte-identical since r8
+(git-verified: last text.py change is the r9 gopher-gate attribution
+commit, docstring-only for these paths). The decisive new evidence is
+the canary itself: across these three back-to-back sessions the FIXED
+CPU-only canary read 0.39-1.09 s — a 2.8x spread on a workload that
+cannot regress by code — and the slowest query reading (line_dedup,
+canary_pre 1.09) coincided with the slowest box state. Box-state
+drift of the disputed magnitude is directly observed on this machine;
+the r9 driver readings were taken during exactly such a window (the
+committed same-code BENCH_DETAIL.json already read text_chunking 0.59
+vs the driver's 2.12 on identical code+data). Closed: box state, not
+regressions; future records carry the canary so this attribution is a
+ratio check instead of a forensic exercise.
 
 r8 ATTRIBUTION of corpus_shuffle_shards (+39% in r7, small absolute):
 measured isolated on the r8 data generation at 0.179 s, within noise
@@ -283,7 +304,7 @@ HEADLINE = [
 
 def canary(spark, runs: int = 3) -> float:
     """Box-speed canary: median wall time of a FIXED data-independent
-    CPU-bound workload — sum(xxhash64(id)) over spark.range(2B), one
+    CPU-bound workload — sum(xxhash64(id)) over spark.range(4B), one
     shuffle-free whole-stage-codegen scan saturating every local core.
     No file IO, no caches, no shuffle: the reading moves only with box
     state, so cross-record per-query comparisons can be normalized by
@@ -292,7 +313,7 @@ def canary(spark, runs: int = 3) -> float:
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        spark.range(2_000_000_000).selectExpr("sum(xxhash64(id)) as h").collect()
+        spark.range(4_000_000_000).selectExpr("sum(xxhash64(id)) as h").collect()
         samples.append(time.perf_counter() - t0)
     return round(statistics.median(samples), 3)
 
