@@ -299,6 +299,8 @@ HEADLINE = [
     "media_dedup_survivors",
     "corpus_prep_v4_pipeline",
     "dedup_span_removal",
+    # round-10 addition: the pixel-space (perceptual) media dedup twin
+    "media_pixel_dedup_survivors",
 ]
 
 

@@ -4,9 +4,9 @@
 All headline perf claims rest on one scale point (sf0.1). This script
 synthesizes a 10× corpus — documents/embeddings/events/customer
 unioned with 9 deterministic id-shifted copies (texts get periodic
-per-copy tag tokens and embeddings a per-copy first-dim epsilon so the
-near-dup pair structure grows ~10×, not 100×; every other TPC-H table
-is symlinked, so families reading those must stay out of FAMILY) —
+per-copy tag tokens and embeddings a per-copy orthogonal sign-flip so
+the near-dup pair structure grows ~10×, not 100×; every other TPC-H
+table is symlinked, so families reading those must stay out of FAMILY) —
 then times each family query at 1× and 10× and
 reports the per-query scaling exponent alpha = log(t10/t1)/log(10).
 alpha ≈ 1 is linear; anything materially super-linear is named in the
@@ -87,6 +87,9 @@ FAMILY = [
     # exact-substring span removal: shingle-df agg + coverage window,
     # linear like its measurement sibling dedup_repeated_ngram_spans
     "dedup_span_removal",
+    # round-10 addition: the perceptual pixel-space media-dedup twin —
+    # decode+resize mapInPandas fan-out, pigeonhole pair join, CC
+    "media_pixel_dedup_survivors",
 ]
 
 # Pair-generating queries: any blocked self-join whose within-block pair
@@ -112,6 +115,7 @@ PAIR_QUERIES = {
     "dedup_ngram_containment",
     "corpus_embedding_curation_pipeline",
     "media_dedup_survivors",
+    "media_pixel_dedup_survivors",
 }
 
 COPIES = 10
@@ -173,11 +177,27 @@ def synthesize(spark, src: str, dst: str) -> None:
     parts = [
         emb.select(
             (F.col("vec_id") + F.lit(i * n_emb)).alias("vec_id"),
-            # first-dim epsilon per copy: keeps copies in the same LSH/IVF
-            # neighborhoods without making them exact duplicates
-            F.expr(
-                f"transform(embedding, (x, j) -> CASE WHEN j = 0 THEN "
-                f"cast(x + {i} * 1e-4 AS float) ELSE x END)"
+            # Per-copy deterministic SIGN-FLIP transform (diagonal ±1 —
+            # an orthogonal matrix): within-copy cosine is preserved
+            # exactly (dot and norms invariant under a shared sign
+            # pattern), so the base corpus's REAL near-dup pairs
+            # replicate COPIES× — linear, the growth the fixture
+            # promises. Cross-copy cosine collapses to ~0 ± 1/sqrt(dim)
+            # (two copies agree on ~half the signs), far below every
+            # dedup/ANN threshold in the family. The old first-dim
+            # epsilon (x + i*1e-4) kept every copy a NEIGHBOR of its
+            # original, so cross-copy pairs grew quadratically BY
+            # CONSTRUCTION and dedup_embedding_* alphas measured the
+            # fixture, not the operator (r9 verdict #4 — the text
+            # side's periodic tags fixed the same artifact in r8).
+            (
+                F.col("embedding")
+                if i == 0
+                else F.expr(
+                    f"transform(embedding, (x, j) -> CASE WHEN "
+                    f"pmod(xxhash64('copy{i}|', j), 2) = 0 "
+                    f"THEN x ELSE cast(-x AS float) END)"
+                )
             ).alias("embedding"),
             "label",
         )

@@ -166,17 +166,31 @@ def resize_images(
     height: int = 4,
     fake_decode: bool = True,
     max_source_side: int = 64,
+    decoder: str = "rng",
 ) -> DataFrame:
     """Images → fixed (height, width, 3) pixel grids, normalized [0, 1].
 
     The decode step (stubbed, like extract_features) materializes each
     image at its METADATA-declared (width, height) — capped at
     ``max_source_side`` so a lying metadata row can't allocate
-    unboundedly — with the deterministic fake decoder seeded by the
-    content hash, so identical bytes give identical source pixels at
-    any declared size. The resample is nearest-index gathering on a
-    numpy grid (two fancy-index ops per image, no Python pixel loop);
-    a real codec/resampler drops into the same per-item slot.
+    unboundedly — then resamples by nearest-index gathering on a numpy
+    grid (two fancy-index ops per image, no Python pixel loop); a real
+    codec/resampler drops into the same per-item slot.
+
+    Two stub decoders (``decoder``):
+
+    - ``"rng"`` (default): content-hash-seeded RNG pixels — stable per
+      payload, but NO locality: payloads differing in one byte decode
+      to unrelated grids, so it can only model exact-duplicate media.
+    - ``"bytegrid"``: grayscale grid read directly from evenly-spaced
+      payload bytes — source pixel k holds payload byte
+      ``k·n_bytes // n_src_px`` in all three channels. This preserves
+      LOCALITY, the property a real codec has and the RNG stub lacks:
+      payloads differing in a few bytes decode to grids differing in a
+      few cells, so pixel-space near-dup detection (perceptual_hashes →
+      pigeonhole pairs) exercises real 0 < hamming ≤ k paths, and the
+      transform is SQL-expressible so a DuckDB oracle can replay it
+      bit-exactly. An empty payload decodes to the zero grid.
 
     Spark-side shape: kind filter + column pruning happen BEFORE the
     Python boundary (only media_id/content/width/height cross Arrow),
@@ -211,13 +225,25 @@ def resize_images(
                 src_w = int(min(sw, max_source_side)) if _pd.notna(sw) and sw else 8
                 src_h = int(min(sh, max_source_side)) if _pd.notna(sh) and sh else 8
                 src_w, src_h = max(src_w, 1), max(src_h, 1)
-                seed = int.from_bytes(
-                    _hashlib.sha256(bytes(c) if c is not None else b"").digest()[:8],
-                    "big",
-                )
-                img = _np.random.default_rng(seed).integers(
-                    0, 256, size=(src_h, src_w, 3), dtype=_np.uint8
-                )
+                payload = bytes(c) if c is not None else b""
+                if decoder == "bytegrid":
+                    n_src = src_h * src_w
+                    if payload:
+                        raw = _np.frombuffer(payload, dtype=_np.uint8)
+                        pos = (_np.arange(n_src) * len(raw)) // n_src
+                        gray = raw[pos]
+                    else:
+                        gray = _np.zeros(n_src, dtype=_np.uint8)
+                    img = _np.repeat(
+                        gray.reshape(src_h, src_w, 1), 3, axis=2
+                    )
+                else:
+                    seed = int.from_bytes(
+                        _hashlib.sha256(payload).digest()[:8], "big"
+                    )
+                    img = _np.random.default_rng(seed).integers(
+                        0, 256, size=(src_h, src_w, 3), dtype=_np.uint8
+                    )
                 rows = (_np.arange(height) * src_h) // height
                 cols = (_np.arange(width) * src_w) // width
                 resized = img[rows][:, cols].astype(_np.float32) / 255.0
@@ -233,6 +259,53 @@ def resize_images(
             yield out[out_cols]
 
     return pruned.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def ahash_fingerprints(
+    resized: DataFrame, id_col: str = "media_id", pixels_col: str = "pixels"
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprints over resized pixel
+    grids → (doc, simhash), the input shape dedup.simhash_near_pairs
+    expects.
+
+    The classic perceptual hash: gray each cell, set bit k iff cell k
+    is brighter than the grid mean. Computed entirely JVM-side with
+    higher-order array functions — no Python stage, no shuffle, one
+    projection over resize_images' output: cell grays are recovered
+    exactly from the normalized floats (v/255 in float32 round-trips
+    bit-exactly for all 256 byte values, pytest-verified), and the
+    mean comparison is exact-integer (gray·n_cells > Σ gray, no
+    division). Callers must resize every image to the SAME grid — the
+    pigeonhole pair join needs uniform fingerprint width — and keep
+    cells ≤ 32 so the hash shares the engine's 32-bit Hamming
+    machinery (8×4 is the dedup default; a real 64-bit 8×8 pHash
+    would need the 64-bit block split).
+
+    Unlike the byte-gram SimHash (dedup.media_byte_fingerprints),
+    this operates in PIXEL space after decode+resize, so with a real
+    codec it catches re-encoded/resampled variants whose bytes share
+    nothing — the actual multimodal-dedup failure mode. The bytegrid
+    stub decoder preserves locality, so the near-dup path (small
+    positive Hamming distances) is exercised for real even without a
+    codec."""
+    from pyspark.sql import functions as F
+
+    grays = (
+        f"transform(sequence(0, CAST(size({pixels_col}) div 3 AS INT) - 1), "
+        f"k -> CAST(round(CAST(element_at({pixels_col}, k*3+1) AS DOUBLE) "
+        f"* 255.0D, 0) AS BIGINT))"
+    )
+    fp = (
+        "IF(size(__gs) = 0, 0L, "
+        "aggregate(sequence(0, size(__gs) - 1), 0L, (acc, k) -> "
+        "acc + IF(element_at(__gs, k+1) * size(__gs) > __tot, "
+        "shiftleft(1L, k), 0L)))"
+    )
+    return (
+        resized.withColumn("__gs", F.expr(grays))
+        .withColumn("__tot", F.expr("aggregate(__gs, 0L, (acc, x) -> acc + x)"))
+        .select(F.col(id_col).alias("doc"), F.expr(fp).alias("simhash"))
+    )
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

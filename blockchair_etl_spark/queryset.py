@@ -7043,6 +7043,111 @@ def media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("media_id", "simhash")
 
 
+@register(
+    "media_pixel_dedup_survivors",
+    survey="LLM-multimodal,LLM-dedup (perceptual pixel-space media dedup composed end-to-end)",
+    desc="perceptual (PIXEL-space) media dedup COMPOSED: decode + "
+    "nearest-index resize to a fixed 8x4 grid (multimodal."
+    "resize_images, bytegrid stub decoder — locality-preserving and "
+    "oracle-exact) -> average-hash fingerprints computed JVM-side "
+    "over the pixel arrays (multimodal.ahash_fingerprints) -> "
+    "pigeonhole Hamming pairs (<= 3 bits) -> connected components -> "
+    "keep the min-id member per cluster. The byte-SimHash twin "
+    "(media_dedup_survivors) sees payload BYTES and misses "
+    "re-encoded variants; this pipeline sees pixels after decode, "
+    "which with a real codec catches them — the actual "
+    "multimodal-dedup failure mode (r9 verdict #5). Synthetic "
+    "per-image metadata (width 4+id%13, height 4+id%11) exercises "
+    "metadata-driven decode at varying source sizes",
+    oracle="""
+WITH RECURSIVE meta AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS nb,
+         4 + doc_id % 13 AS sw, 4 + doc_id % 11 AS sh
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, k, hx, nb, sw * sh AS nsrc,
+         ((((k // 4) * sh) // 8) * sw + (((k % 4) * sw) // 4)) AS idx
+  FROM meta, unnest(range(0, 32)) AS u(k)
+  WHERE nb > 0
+),
+gvals AS (
+  SELECT doc_id, k,
+         (instr('0123456789abcdef',
+                substr(hx, 2 * ((idx * nb) // nsrc) + 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef',
+                  substr(hx, 2 * ((idx * nb) // nsrc) + 2, 1)) - 1) AS g
+  FROM cells
+),
+tot AS (SELECT doc_id, SUM(g) AS tot FROM gvals GROUP BY 1),
+fp AS (
+  SELECT g.doc_id AS doc,
+         CAST(SUM(CASE WHEN g.g * 32 > t.tot
+                       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+              AS BIGINT) AS pixhash
+  FROM gvals g JOIN tot t USING (doc_id) GROUP BY 1
+),
+pairs AS (
+  SELECT a.doc AS u, b.doc AS v
+  FROM fp a JOIN fp b ON a.doc < b.doc
+  WHERE bit_count(xor(a.pixhash, b.pixhash)) <= 3
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(v, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+),
+clusters AS (SELECT v AS doc, MIN(r) AS cluster_id FROM reach GROUP BY v)
+SELECT d.doc_id AS media_id, f.pixhash
+FROM documents d LEFT JOIN fp f ON f.doc = d.doc_id
+WHERE NOT EXISTS (
+  SELECT 1 FROM clusters c WHERE c.doc = d.doc_id AND c.doc <> c.cluster_id
+)
+""",
+)
+def media_pixel_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .caching import tracked_persist
+    from .llmdata import multimodal as _mm
+    from .llmdata.clusters import connected_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+        # synthetic per-image metadata: real media tables carry decoder
+        # dimensions; the id-derived sizes make every decode path
+        # metadata-dependent (and the oracle replays them exactly)
+        (F.lit(4) + F.col("doc_id") % 13).cast("long").alias("width"),
+        (F.lit(4) + F.col("doc_id") % 11).cast("long").alias("height"),
+        F.lit("image").alias("kind"),
+    )
+    nonempty = media.filter(F.length("content") > 0)
+    resized = _mm.resize_images(nonempty, width=4, height=8, decoder="bytegrid")
+    # the fingerprint relation feeds three consumers (both sides of the
+    # pigeonhole block join and the survivor join-back), same shape as
+    # the byte-SimHash twin — persist so decode + resize + hash run once
+    fp = tracked_persist(
+        _mm.ahash_fingerprints(resized).select(
+            "doc", F.col("simhash").alias("pixhash")
+        )
+    )
+    dup_pairs = _dedup.simhash_near_pairs(
+        fp, max_hamming=3, bits=32, fp_col="pixhash"
+    )
+    clusters = connected_clusters(dup_pairs)
+    removed = clusters.filter(F.col("doc") != F.col("cluster_id")).select("doc")
+    survivors = media.select("media_id").join(
+        removed, media.media_id == removed.doc, "left_anti"
+    )
+    # empty payloads have no pixels to hash but trivially survive
+    # (nothing to block on) — left join keeps them, NULL pixhash
+    return survivors.join(
+        fp.select(F.col("doc").alias("media_id"), "pixhash"), "media_id", "left"
+    ).select("media_id", "pixhash")
+
+
 def _corpus_prep_v4_oracle() -> str:
     from .llmdata.text import ACCENT_DST, ACCENT_SRC
 

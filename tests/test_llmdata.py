@@ -474,6 +474,54 @@ def test_multimodal_resize_deterministic_and_pruned(spark):
     assert np.allclose(got, want)
 
 
+def test_bytegrid_decoder_locality_and_ahash_parity(spark):
+    """The bytegrid stub decoder must (a) preserve locality — payloads
+    differing in a few bytes decode to grids differing in a few cells,
+    so pixel near-dup detection exercises 0 < hamming <= k for real —
+    and (b) match a plain-python reference bit-exactly (the property
+    the DuckDB oracle relies on). Also pins the float32 round-trip:
+    v/255 recovers v exactly for every byte value."""
+    import numpy as np
+
+    vals = (np.arange(256, dtype=np.uint8).astype(np.float32) / 255.0) * 255.0
+    assert (np.round(vals.astype(np.float64)).astype(int) == np.arange(256)).all()
+
+    base = b"hello world this is a payload with enough bytes"
+    rows = [
+        (1, "image", bytearray(base), "image/fake", 7, 9, None, "u"),
+        # one byte differs -> at most a few grid cells differ
+        (2, "image", bytearray(base[:-2] + b"Xs"), "image/fake", 7, 9, None, "u"),
+        (3, "image", bytearray(b"completely different content entirely here!!!!!"),
+         "image/fake", 7, 9, None, "u"),
+        (4, "image", bytearray(b""), "image/fake", 5, 5, None, "u"),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    fp = mm.ahash_fingerprints(
+        mm.resize_images(media, width=4, height=8, decoder="bytegrid")
+    )
+    got = {r.doc: r.simhash for r in fp.collect()}
+
+    def ref_fp(payload, sw, sh, ow=4, oh=8):
+        n_src = sw * sh
+        if payload:
+            raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+            gray = raw[(np.arange(n_src) * len(raw)) // n_src]
+        else:
+            gray = np.zeros(n_src, dtype=np.uint8)
+        img = gray.reshape(sh, sw)
+        g = img[(np.arange(oh) * sh) // oh][:, (np.arange(ow) * sw) // ow]
+        g = g.reshape(-1).astype(int)
+        return sum((1 << k) for k in range(len(g)) if g[k] * len(g) > g.sum())
+
+    for mid, _, payload, _, sw, sh, _, _ in rows:
+        assert got[mid] == ref_fp(payload, sw, sh), mid
+    # locality: the 1-byte variant lands within a small Hamming ball;
+    # the unrelated payload does not
+    assert bin(got[1] ^ got[2]).count("1") <= 3
+    assert bin(got[1] ^ got[3]).count("1") > 3
+    assert got[4] == 0  # empty payload -> zero grid -> zero hash
+
+
 def test_frame_sampling_plan(spark):
     media = spark.createDataFrame(
         [(1, "video", None, "video/fake", None, None, 3500, "u")],

@@ -105,6 +105,9 @@ _ARROW_BATCH_OK = {
     "dedup_corpus_survivors",
     "dedup_best_quality_survivors",
     "media_dedup_survivors",
+    # pixel-space twin: resize_images' decode stub is the mapInPandas
+    # boundary (codec work can't be SQL); the aHash fold itself is JVM
+    "media_pixel_dedup_survivors",
 }
 
 
