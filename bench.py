@@ -209,6 +209,19 @@ import sys
 import time
 
 
+# r10 HEADLINE-SIZE DECISION (r9 verdict stretch #8 asked for a
+# recorded decision either way): the list stays COMPLETE (78 entries,
+# ~100-110 s per median-of-3 record) rather than capped at ~50.
+# Rationale: (a) BENCH_DETAIL.json's per-query series is the repo's
+# only cross-round regression record — a dropped query loses its
+# history exactly when a regression in it would go unnoticed; (b) the
+# real per-record cost driver is the ~15 multi-second dedup/ANN
+# queries, which are precisely the ones worth tracking every round —
+# pruning the cheap §2 tail saves little; (c) the canary
+# (canary_pre/post_sec) now absorbs the box-drift question that made
+# totals hard to compare, which was the actual pain the cap aimed at.
+# Revisit if the list passes ~90 entries or the record passes ~150 s
+# on a quiet box.
 HEADLINE = [
     "q1_pricing_summary",
     "p1_stg_projection",

@@ -87,9 +87,12 @@ FAMILY = [
     # exact-substring span removal: shingle-df agg + coverage window,
     # linear like its measurement sibling dedup_repeated_ngram_spans
     "dedup_span_removal",
-    # round-10 addition: the perceptual pixel-space media-dedup twin —
-    # decode+resize mapInPandas fan-out, pigeonhole pair join, CC
-    "media_pixel_dedup_survivors",
+    # media_pixel_dedup_survivors (the 8x4=32-bit oracle twin) is
+    # deliberately ABSENT: at fixed 32-bit width the pigeonhole block
+    # join's RANDOM collisions alone grow quadratically (4*2^-8 ~ 1.6%
+    # of all pairs — the fixed-LSH-plane trap), which is why width is
+    # the scale knob; the 64-bit corpus-scale configuration is measured
+    # as media_pixel_dedup_adaptive (custom runner) instead.
 ]
 
 # Pair-generating queries: any blocked self-join whose within-block pair
@@ -115,7 +118,7 @@ PAIR_QUERIES = {
     "dedup_ngram_containment",
     "corpus_embedding_curation_pipeline",
     "media_dedup_survivors",
-    "media_pixel_dedup_survivors",
+    "media_pixel_dedup_adaptive",
 }
 
 COPIES = 10
@@ -468,8 +471,45 @@ def _custom_runners(spark, repo: str, scale: int):
         index = spark_.read.parquet(path)
         return ivfpq_adc_topk_from_index(index, cents, books, qv, k=10, n_probe=2)
 
+    def run_media_pixel_adaptive(spark_, sf_dir: str):
+        # The 100 TB configuration of the perceptual media-dedup
+        # pipeline: 8x8 grid -> 64-bit aHash (the registry entry pins
+        # 8x4=32 bits for the SQL oracle, whose pigeonhole random-
+        # collision rate is quadratic-in-waiting at corpus scale — see
+        # multimodal.ahash_fingerprints' width note). Composition is
+        # otherwise identical: decode+resize -> aHash -> pigeonhole
+        # pairs (4x16-bit blocks) -> CC -> min-id survivors.
+        from pyspark.sql import functions as SF
+
+        from blockchair_etl_spark.caching import tracked_persist
+        from blockchair_etl_spark.llmdata import multimodal as mm
+        from blockchair_etl_spark.llmdata.clusters import connected_clusters
+        from blockchair_etl_spark.llmdata.dedup import simhash_near_pairs
+
+        docs = load_table(spark_, sf_dir, "documents")
+        media = docs.select(
+            SF.col("doc_id").alias("media_id"),
+            SF.col("text").cast("binary").alias("content"),
+            (SF.lit(4) + SF.col("doc_id") % 13).cast("long").alias("width"),
+            (SF.lit(4) + SF.col("doc_id") % 11).cast("long").alias("height"),
+            SF.lit("image").alias("kind"),
+        )
+        nonempty = media.filter(SF.length("content") > 0)
+        resized = mm.resize_images(nonempty, width=8, height=8, decoder="bytegrid")
+        fp = tracked_persist(mm.ahash_fingerprints(resized))
+        pairs = simhash_near_pairs(fp, max_hamming=3, bits=64)
+        clusters = connected_clusters(pairs)
+        removed = clusters.filter(SF.col("doc") != SF.col("cluster_id")).select("doc")
+        survivors = media.select("media_id").join(
+            removed, media.media_id == removed.doc, "left_anti"
+        )
+        return survivors.join(
+            fp.select(SF.col("doc").alias("media_id"), "simhash"), "media_id", "left"
+        )
+
     return {
         "dedup_bow_cosine_zipf": run_zipf,
+        "media_pixel_dedup_adaptive": run_media_pixel_adaptive,
         "trace_funds_3hop": run_trace3,
         "dedup_semantic_semdedup": run_semdedup_adaptive,
         "dedup_incremental_embedding": run_incr_emb_adaptive,

@@ -964,6 +964,42 @@ def contamination_scores(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination as an ACTION: drop every training
+    document whose eval-set shingle overlap reaches ``threshold`` —
+    the removal step on top of :func:`contamination_scores`'
+    measurement, the same measure→act pairing as repeated_ngram_stats
+    → remove_duplicated_spans (r9 verdict #6).
+
+    Returns ``docs`` with all columns intact, minus contaminated rows.
+    A document with no n-gram shingles (shorter than ``n`` tokens) has
+    nothing to match and is trivially clean; a document at EXACTLY the
+    threshold is dropped (>= semantics, so threshold=0.0 means "drop
+    on any overlap" — the GPT-3/PaLM-style strict rule).
+
+    Scale shape: contamination scoring is one broadcast join of the
+    linear training-shingle stream against the benchmark's distinct
+    shingle set (eval suites are tiny relative to the corpus) plus a
+    doc-keyed hash-agg; the removal is one left_anti join on the
+    contaminated id set — no second pass over text. Composes into any
+    prep pipeline as a predicate stage between normalization and
+    dedup (test_decontaminate_composes_into_prep pins the v4-shape
+    composition)."""
+    contaminated = (
+        contamination_scores(docs, bench, id_col=id_col, text_col=text_col, n=n)
+        .filter(F.col("contamination") >= threshold)
+        .select(F.col("doc").alias(id_col))
+    )
+    return docs.join(contaminated, id_col, "left_anti")
+
+
 def semantic_dedup_survivors(
     emb: DataFrame,
     centroids,

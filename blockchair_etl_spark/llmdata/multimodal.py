@@ -276,10 +276,22 @@ def ahash_fingerprints(
     bit-exactly for all 256 byte values, pytest-verified), and the
     mean comparison is exact-integer (gray·n_cells > Σ gray, no
     division). Callers must resize every image to the SAME grid — the
-    pigeonhole pair join needs uniform fingerprint width — and keep
-    cells ≤ 32 so the hash shares the engine's 32-bit Hamming
-    machinery (8×4 is the dedup default; a real 64-bit 8×8 pHash
-    would need the 64-bit block split).
+    pigeonhole pair join needs uniform fingerprint width — with at
+    most 64 cells (one BIGINT; the bit-63 cell sets the sign bit via
+    the bitwise-OR fold, which is overflow-free by construction).
+
+    WIDTH IS THE SCALE KNOB (Manku et al., WWW'07): pigeonhole
+    blocking over b-bit fingerprints with k-bit Hamming tolerance
+    joins on (k+1) blocks of b/(k+1) bits, so two RANDOM fingerprints
+    collide on some block with probability (k+1)·2^-(b/(k+1)) — at 32
+    bits / 4 blocks that is ~1.6%, which against a 500k-image corpus
+    manufactures ~2e9 coincidental candidates (quadratic-in-waiting,
+    the same trap as a fixed LSH plane count). The 8×4=32-bit grid is
+    the small-corpus/oracle configuration; corpus-scale dedup uses
+    8×8=64 bits (collision rate 4·2^-16 ≈ 0.006%), and
+    dedup.simhash_near_pairs(bits=64) splits the blocks correctly
+    either way. bench_scaling's media_pixel_dedup_adaptive runner
+    measures the 64-bit configuration.
 
     Unlike the byte-gram SimHash (dedup.media_byte_fingerprints),
     this operates in PIXEL space after decode+resize, so with a real
@@ -295,10 +307,12 @@ def ahash_fingerprints(
         f"k -> CAST(round(CAST(element_at({pixels_col}, k*3+1) AS DOUBLE) "
         f"* 255.0D, 0) AS BIGINT))"
     )
+    # bitwise-OR fold, not +: identical for distinct bits, and the
+    # 64-cell grid's bit-63 term (Long.MIN_VALUE) cannot overflow an OR
     fp = (
         "IF(size(__gs) = 0, 0L, "
         "aggregate(sequence(0, size(__gs) - 1), 0L, (acc, k) -> "
-        "acc + IF(element_at(__gs, k+1) * size(__gs) > __tot, "
+        "acc | IF(element_at(__gs, k+1) * size(__gs) > __tot, "
         "shiftleft(1L, k), 0L)))"
     )
     return (

@@ -521,6 +521,35 @@ def test_bytegrid_decoder_locality_and_ahash_parity(spark):
     assert bin(got[1] ^ got[3]).count("1") > 3
     assert got[4] == 0  # empty payload -> zero grid -> zero hash
 
+    # 64-bit (8x8) scale configuration: the bit-63 cell rides the sign
+    # bit via the OR fold — parity vs the same python reference with
+    # two's-complement wrap, and the 64-bit pigeonhole block split
+    # finds the near-dup pair
+    from blockchair_etl_spark.llmdata.dedup import simhash_near_pairs
+
+    fp64 = mm.ahash_fingerprints(
+        mm.resize_images(media, width=8, height=8, decoder="bytegrid")
+    )
+    got64 = {r.doc: r.simhash for r in fp64.collect()}
+
+    def to_i64(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    for mid, _, payload, _, sw, sh, _, _ in rows:
+        assert got64[mid] == to_i64(ref_fp(payload, sw, sh, ow=8, oh=8)), mid
+    assert any(v < 0 for v in got64.values())  # bit 63 exercised
+    pairs64 = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(fp64, max_hamming=3, bits=64).collect()
+    }
+    want64 = {
+        (a, b)
+        for a in got64
+        for b in got64
+        if a < b and bin((got64[a] ^ got64[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert pairs64 == want64 and (1, 2) in pairs64
+
 
 def test_frame_sampling_plan(spark):
     media = spark.createDataFrame(
@@ -716,6 +745,103 @@ def test_contamination_benchmark_docs_score_one(spark, docs):
     # and docs outside the benchmark are not all contaminated
     outside = [v for k, v in by_doc.items() if k not in bench_ids]
     assert any(v < 1.0 for v in outside)
+
+
+def test_decontaminate_removes_planted_overlap(spark):
+    """decontaminate = the ACTION on contamination_scores: docs at or
+    above the overlap threshold are dropped, sub-n docs and clean docs
+    survive with all columns intact; parity against a plain-python
+    shingle-overlap reference."""
+    from blockchair_etl_spark.llmdata.dedup import decontaminate
+
+    eval_text = "the quick brown fox jumps over the lazy dog today"
+    rows = [
+        (1, eval_text, 10),  # verbatim eval member -> contamination 1.0
+        (2, "the quick brown fox jumps over something else entirely now", 20),
+        (3, "completely unrelated training text with no shared trigrams", 30),
+        (4, "too short", 40),  # < n tokens -> no shingles -> clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, extra bigint")
+    bench = spark.createDataFrame([(100, eval_text)], "doc_id bigint, text string")
+
+    def shingles(t, n=3):
+        toks = t.split()
+        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bset = shingles(eval_text)
+    expect_keep = {
+        did
+        for did, t, _ in rows
+        if not shingles(t) or len(shingles(t) & bset) / len(shingles(t)) < 0.3
+    }
+    out = decontaminate(docs, bench, threshold=0.3)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == expect_keep
+    assert 1 not in got  # the verbatim eval member is gone
+    assert got[4].extra == 40  # columns ride through untouched
+    # strict mode: any overlap at all drops the partially-overlapping doc
+    strict = {r.doc_id for r in decontaminate(docs, bench, threshold=1e-9).collect()}
+    assert strict == {3, 4}
+
+
+def test_decontaminate_composes_into_prep(spark, docs):
+    """The v4-shape composition (r9 verdict #6): decontamination slots
+    between normalization and the downstream gates as one more
+    predicate stage, and the composed output is exactly 'pipeline
+    output minus contaminated ids' — plus the plan-level contract that
+    the benchmark shingle side joins BROADCAST (eval suites are tiny;
+    the corpus-side stream must never shuffle on the eval join)."""
+    from blockchair_etl_spark.llmdata.dedup import (
+        contamination_scores,
+        decontaminate,
+        exact_duplicate_groups,
+    )
+    from blockchair_etl_spark.llmdata.text import gopher_quality_gate, normalize_text
+
+    # the eval set is compared in the SAME normalized space as the corpus
+    bench = normalize_text(docs.filter(F.col("doc_id") % 7 == 0))
+    normed = normalize_text(docs)
+
+    # composed: normalize -> decontaminate -> gate -> exact dedup
+    clean = decontaminate(normed, bench, threshold=0.5, text_col="norm_text")
+    gated = gopher_quality_gate(clean, text_col="norm_text").filter("keep")
+    kept = clean.join(gated.select("doc_id"), "doc_id")
+    survivors = kept.join(
+        exact_duplicate_groups(kept, text_col="norm_text")
+        .select(F.col("canonical_id").alias("doc_id")),
+        "doc_id",
+    )
+    got = {r.doc_id for r in survivors.select("doc_id").collect()}
+
+    # independent expectation: the same chain WITHOUT decontamination,
+    # minus the contaminated id set (scored on the same normalized text)
+    gated0 = gopher_quality_gate(normed, text_col="norm_text").filter("keep")
+    contaminated = {
+        r.doc
+        for r in contamination_scores(normed, bench, text_col="norm_text")
+        .filter(F.col("contamination") >= 0.5)
+        .collect()
+    }
+    kept0 = normed.join(gated0.select("doc_id"), "doc_id").filter(
+        ~F.col("doc_id").isin(contaminated) if contaminated else F.lit(True)
+    )
+    survivors0 = kept0.join(
+        exact_duplicate_groups(kept0, text_col="norm_text")
+        .select(F.col("canonical_id").alias("doc_id")),
+        "doc_id",
+    )
+    want = {r.doc_id for r in survivors0.select("doc_id").collect()}
+    assert got == want and contaminated  # non-trivial removal exercised
+
+    # plan gate: the eval-SHINGLE join specifically is a broadcast hash
+    # join (other joins in the composed pipeline may legitimately
+    # sort-merge on doc_id; the corpus-side shingle stream must not
+    # shuffle on feat)
+    import re
+
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"BroadcastHashJoin \[feat#\d+", plan), plan[:2000]
+    assert not re.search(r"SortMergeJoin \[feat#\d+", plan)
 
 
 def test_winsorize_bounds_and_idempotence(spark):
