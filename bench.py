@@ -192,6 +192,16 @@ vs the driver's 2.12 on identical code+data). Closed: box state, not
 regressions; future records carry the canary so this attribution is a
 ratio check instead of a forensic exercise.
 
+r10 SPREAD record (two serialized same-code 78-query runs, ~25 min
+apart): totals 80.37 -> 95.45 s (+19%) while the canary read
+0.634/0.562 then 0.650/0.641 (+8% at most). Reading: roughly half the
+total spread tracks raw box speed (canary), the rest is scheduling
+jitter concentrated in the multi-job driver-iterated dedup family —
+consistent with every prior round's spread note. Both records carry
+the canary, so the DRIVER's r10 record can now be normalized against
+whichever box state it lands in; the committed BENCH_DETAIL.json is
+the second (slower) run, the conservative same-code baseline.
+
 r8 ATTRIBUTION of corpus_shuffle_shards (+39% in r7, small absolute):
 measured isolated on the r8 data generation at 0.179 s, within noise
 of its r6 0.146 s reading (run-to-run spread on sub-0.2 s queries
