@@ -801,21 +801,7 @@ def simhash_near_pairs(
     This is the standard web-scale simhash dedup shape: the block join
     is O(Σ bucket²) on 8-bit buckets, never O(n²).
     """
-    n_blocks = max_hamming + 1
-    block_bits = bits // n_blocks
-    mask = (1 << block_bits) - 1
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("block_idx"),
-                F.shiftright(F.col(fp_col), i * block_bits).bitwiseAND(mask).alias("block_val"),
-            )
-            for i in range(n_blocks)
-        ]
-    )
-    exploded = fingerprints.select(
-        F.col(id_col).alias("doc"), F.col(fp_col).alias("fp"), F.explode(blocks).alias("b")
-    ).select("doc", "fp", F.col("b.block_idx").alias("bi"), F.col("b.block_val").alias("bv"))
+    exploded = _simhash_blocks(fingerprints, max_hamming, bits, id_col, fp_col)
     a = exploded.select(
         F.col("doc").alias("id_a"), F.col("fp").alias("fp_a"), "bi", "bv"
     )
@@ -831,6 +817,123 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
     )
+
+
+def _simhash_blocks(
+    fingerprints: DataFrame,
+    max_hamming: int,
+    bits: int,
+    id_col: str,
+    fp_col: str,
+) -> DataFrame:
+    """(doc, fp, bi, bv) pigeonhole block rows — the shared explode of
+    simhash_near_pairs/simhash_cross_pairs."""
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_idx"),
+                F.shiftright(F.col(fp_col), i * block_bits)
+                .bitwiseAND(mask)
+                .alias("block_val"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    return fingerprints.select(
+        F.col(id_col).alias("doc"),
+        F.col(fp_col).alias("fp"),
+        F.explode(blocks).alias("b"),
+    ).select(
+        "doc", "fp", F.col("b.block_idx").alias("bi"), F.col("b.block_val").alias("bv")
+    )
+
+
+def simhash_cross_pairs(
+    new_fp: DataFrame,
+    store: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    id_col: str = "doc",
+    fp_col: str = "simhash",
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Hamming-ball pairs BETWEEN two fingerprint relations (arriving
+    batch vs persisted index): id_a from ``new_fp``, id_b from
+    ``store``, hamming ≤ max_hamming — the asymmetric half of
+    incremental media dedup (within-batch pairs come from
+    simhash_near_pairs over the batch alone).
+
+    Scale shape: both sides explode to (max_hamming+1) pigeonhole block
+    rows and meet on (block_idx, block_value); with ``broadcast_new``
+    (the daily-ingest default) the small batch side broadcasts, so the
+    corpus-sized store NEVER shuffles — the probe is one broadcast hash
+    join over the store's block scan, the index analog of
+    minhash_cross_pairs. Disable for batch sizes near the store size
+    (one-shot-corpus territory — use simhash_near_pairs instead)."""
+    a = _simhash_blocks(new_fp, max_hamming, bits, id_col, fp_col).select(
+        F.col("doc").alias("id_a"), F.col("fp").alias("fp_a"), "bi", "bv"
+    )
+    if broadcast_new:
+        a = F.broadcast(a)
+    b = _simhash_blocks(store, max_hamming, bits, id_col, fp_col).select(
+        F.col("doc").alias("id_b"), F.col("fp").alias("fp_b"), "bi", "bv"
+    )
+    return (
+        a.join(b, ["bi", "bv"])
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+    )
+
+
+def incremental_media_dedup(
+    new_media: DataFrame,
+    store: DataFrame | None,
+    max_hamming: int = 3,
+    bits: int = 32,
+    gram_bytes: int = 4,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an arriving media batch against the persisted fingerprint
+    index — the media twin of incremental_minhash_dedup /
+    incremental_embedding_dedup, completing the incremental family
+    across the three modalities.
+
+    Returns (pairs, updated_store): pairs = (new_id, existing_id,
+    hamming ≤ max_hamming), new-vs-store only; updated_store = store ∪
+    the batch's fingerprints (one (doc, simhash) row per payload —
+    write it back for tomorrow). The store relation is exactly what
+    media_byte_fingerprints emits, so a corpus fingerprinted once is
+    probed forever; only the NEW batch pays the byte-gram explode.
+    SimHash fingerprints are seed-free md5 folds, so signatures
+    computed tomorrow are comparable with signatures stored today —
+    the same portability contract as the minhash band store."""
+    new_fp = tracked_persist(
+        media_byte_fingerprints(
+            new_media,
+            bits=bits,
+            gram_bytes=gram_bytes,
+            id_col=id_col,
+            content_col=content_col,
+        )
+    )
+    if store is None:
+        return (
+            new_fp.select(
+                F.col("doc").alias("id_a"),
+                F.col("doc").alias("id_b"),
+                F.lit(0).cast("bigint").alias("hamming"),
+            ).filter(F.lit(False)),
+            new_fp,
+        )
+    pairs = simhash_cross_pairs(new_fp, store, max_hamming, bits)
+    return pairs, store.unionByName(new_fp)
 
 
 def bow_cosine_pairs(
@@ -979,10 +1082,13 @@ def decontaminate(
     → remove_duplicated_spans (r9 verdict #6).
 
     Returns ``docs`` with all columns intact, minus contaminated rows.
-    A document with no n-gram shingles (shorter than ``n`` tokens) has
-    nothing to match and is trivially clean; a document at EXACTLY the
-    threshold is dropped (>= semantics, so threshold=0.0 means "drop
-    on any overlap" — the GPT-3/PaLM-style strict rule).
+    A document with no n-gram shingles (shorter than ``n`` tokens) or
+    with ZERO eval-set hits is trivially clean — the n_hits > 0 guard
+    makes threshold=0.0 the GPT-3/PaLM-style strict rule ("drop on any
+    overlap") instead of vacuously dropping the whole corpus (a
+    zero-overlap doc scores contamination 0.0, which >= 0.0 alone
+    would catch); a document at EXACTLY a positive threshold is
+    dropped (>= semantics).
 
     Scale shape: contamination scoring is one broadcast join of the
     linear training-shingle stream against the benchmark's distinct
@@ -994,7 +1100,7 @@ def decontaminate(
     composition)."""
     contaminated = (
         contamination_scores(docs, bench, id_col=id_col, text_col=text_col, n=n)
-        .filter(F.col("contamination") >= threshold)
+        .filter((F.col("n_hits") > 0) & (F.col("contamination") >= threshold))
         .select(F.col("doc").alias(id_col))
     )
     return docs.join(contaminated, id_col, "left_anti")

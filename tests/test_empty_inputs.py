@@ -287,3 +287,46 @@ def test_streaming_prep_processor_on_empty_batch(spark, empty_docs, tmp_path):
     proc = make_prep_batch_processor(hashed_weights(spark, n_features=64), out)
     proc(empty_docs.select("doc_id", "text"), 0)
     assert not os.path.exists(out)
+
+
+def test_r10_operators_on_empty_inputs(spark, empty_docs, docs):
+    """Round-10 surface on degenerate inputs: decontamination with an
+    empty corpus or empty eval set, the pixel-dedup stages on an empty
+    media relation, and the incremental media probe with an empty
+    batch."""
+    from blockchair_etl_spark.llmdata import multimodal as mm
+    from blockchair_etl_spark.llmdata.dedup import (
+        decontaminate,
+        incremental_media_dedup,
+        media_byte_fingerprints,
+        simhash_cross_pairs,
+    )
+
+    # empty corpus -> empty output; empty eval set -> nothing is
+    # contaminated, the corpus rides through whole
+    assert decontaminate(empty_docs, docs.select("doc_id", "text")).count() == 0
+    n = docs.count()
+    assert decontaminate(docs, empty_docs, threshold=0.0).count() == n
+
+    empty_media = spark.createDataFrame(
+        [], "media_id bigint, content binary, width long, height long, kind string"
+    )
+    resized = mm.resize_images(empty_media, width=4, height=8, decoder="bytegrid")
+    assert resized.count() == 0
+    fp = mm.ahash_fingerprints(resized)
+    assert fp.count() == 0
+
+    # empty batch vs a real store: no pairs, store unchanged
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("content")
+    )
+    store = media_byte_fingerprints(media.limit(50))
+    n_store = store.count()
+    empty_fp = media_byte_fingerprints(
+        empty_media.select("media_id", "content")
+    )
+    assert simhash_cross_pairs(empty_fp, store).count() == 0
+    pairs, updated = incremental_media_dedup(
+        empty_media.select("media_id", "content"), store
+    )
+    assert pairs.count() == 0 and updated.count() == n_store

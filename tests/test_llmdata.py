@@ -551,6 +551,53 @@ def test_bytegrid_decoder_locality_and_ahash_parity(spark):
     assert pairs64 == want64 and (1, 2) in pairs64
 
 
+def test_incremental_media_dedup(spark, docs):
+    """The media twin of incremental_minhash_dedup: cross pairs vs the
+    persisted fingerprint store equal the full-corpus pigeonhole pairs
+    restricted to new-vs-old; the batch side of the probe join is
+    BROADCAST so the store never shuffles; an empty store yields no
+    pairs and seeds the index."""
+    from blockchair_etl_spark.llmdata.dedup import (
+        incremental_media_dedup,
+        media_byte_fingerprints,
+        simhash_near_pairs,
+    )
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    old = media.filter(F.col("media_id") % 2 == 0)
+    new = media.filter(F.col("media_id") % 2 == 1)
+    store = media_byte_fingerprints(old)
+    pairs, updated = incremental_media_dedup(new, store)
+    got = {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()}
+
+    full = simhash_near_pairs(media_byte_fingerprints(media))
+    want = {
+        (a, b, h) if a % 2 == 1 else (b, a, h)
+        for a, b, h in ((r.id_a, r.id_b, r.hamming) for r in full.collect())
+        if (a % 2) != (b % 2)  # cross-split only; id_a is the NEW side
+    }
+    assert got == want and got  # non-trivial cross pairs exercised
+
+    # updated store == fingerprints of the union, one row per payload
+    up = {(r.doc, r.simhash) for r in updated.collect()}
+    allfp = {(r.doc, r.simhash) for r in media_byte_fingerprints(media).collect()}
+    assert up == allfp
+
+    # empty-store seeding
+    p0, s0 = incremental_media_dedup(new, None)
+    assert p0.count() == 0
+    assert {(r.doc, r.simhash) for r in s0.collect()} == {
+        (r.doc, r.simhash) for r in media_byte_fingerprints(new).collect()
+    }
+
+    # plan gate: the probe join broadcasts the batch side
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_frame_sampling_plan(spark):
     media = spark.createDataFrame(
         [(1, "video", None, "video/fake", None, None, 3500, "u")],
@@ -779,8 +826,10 @@ def test_decontaminate_removes_planted_overlap(spark):
     assert set(got) == expect_keep
     assert 1 not in got  # the verbatim eval member is gone
     assert got[4].extra == 40  # columns ride through untouched
-    # strict mode: any overlap at all drops the partially-overlapping doc
-    strict = {r.doc_id for r in decontaminate(docs, bench, threshold=1e-9).collect()}
+    # strict mode (threshold=0.0): any overlap at all drops the
+    # partially-overlapping doc; zero-overlap docs are NOT vacuously
+    # dropped (the n_hits > 0 guard)
+    strict = {r.doc_id for r in decontaminate(docs, bench, threshold=0.0).collect()}
     assert strict == {3, 4}
 
 
