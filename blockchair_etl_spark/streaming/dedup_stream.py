@@ -110,32 +110,9 @@ def make_batch_processor(
             pairs = minhash_pairs_from_store(
                 new_store, num_hashes=num_hashes, threshold=threshold
             )
-            old = _read_store(spark, store_dir)
-            if old is not None and exactly_once:
-                if "batch_id" not in old.columns:
-                    # a store created with exactly_once=False has no
-                    # batch_id partition column — the cross-probe filter
-                    # below would raise an opaque AnalysisException
-                    # inside foreachBatch; fail with the actual problem
-                    raise ValueError(
-                        f"signature store at {store_dir} was created with "
-                        "exactly_once=False (no batch_id partition); a "
-                        "store's delivery mode is fixed at creation — "
-                        "rebuild the store or run with exactly_once=False"
-                    )
-                # a half-finished earlier attempt of THIS batch may have
-                # registered its signatures; partition-pruned filter
-                # keeps them out of the cross probe
-                old = old.filter(F.col("batch_id") != F.lit(int(batch_id)))
-            elif old is not None and "batch_id" in old.columns:
-                # the reverse mix would silently append unpartitioned
-                # rows into a batch_id-partitioned layout
-                raise ValueError(
-                    f"signature store at {store_dir} is batch_id-partitioned "
-                    "(created with exactly_once=True); a store's delivery "
-                    "mode is fixed at creation — run with exactly_once=True "
-                    "or rebuild the store"
-                )
+            old = _check_mode_and_prune(
+                _read_store(spark, store_dir), exactly_once, batch_id, store_dir
+            )
             if old is not None:
                 old = old.drop("batch_id")
                 pairs = pairs.unionByName(
@@ -154,6 +131,142 @@ def make_batch_processor(
             release_tracked()
 
     return _process
+
+
+def _check_mode_and_prune(
+    old: DataFrame | None, exactly_once: bool, batch_id: int, store_dir: str
+) -> DataFrame | None:
+    """Enforce the store's fixed delivery mode (module docstring) and,
+    in exactly-once mode, prune the CURRENT batch's partition out of
+    the cross probe — a half-finished earlier attempt of this batch may
+    have registered its rows, and they must not echo within-batch pairs
+    back as cross-pairs. Shared by the MinHash and media processors."""
+    if old is None:
+        return None
+    if exactly_once:
+        if "batch_id" not in old.columns:
+            # a store created with exactly_once=False has no batch_id
+            # partition column — the cross-probe filter below would
+            # raise an opaque AnalysisException inside foreachBatch;
+            # fail with the actual problem
+            raise ValueError(
+                f"signature store at {store_dir} was created with "
+                "exactly_once=False (no batch_id partition); a "
+                "store's delivery mode is fixed at creation — "
+                "rebuild the store or run with exactly_once=False"
+            )
+        return old.filter(F.col("batch_id") != F.lit(int(batch_id)))
+    if "batch_id" in old.columns:
+        # the reverse mix would silently append unpartitioned rows
+        # into a batch_id-partitioned layout
+        raise ValueError(
+            f"signature store at {store_dir} is batch_id-partitioned "
+            "(created with exactly_once=True); a store's delivery "
+            "mode is fixed at creation — run with exactly_once=True "
+            "or rebuild the store"
+        )
+    return old
+
+
+def make_media_batch_processor(
+    store_dir: str,
+    pairs_dir: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+    gram_bytes: int = 4,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    exactly_once: bool = False,
+):
+    """The MEDIA twin of make_batch_processor: a media stream
+    (id, binary payload) drains per trigger; each micro-batch computes
+    byte-gram SimHash fingerprints once, emits within-batch pairs
+    (simhash_near_pairs) plus batch-vs-index pairs (simhash_cross_pairs
+    — the batch side broadcasts, the index never shuffles), and appends
+    its fingerprints to the store. Same delivery-mode contract and
+    batch_id-partition machinery as the MinHash loop; SimHash's
+    seed-free md5 fold makes fingerprints appended today comparable
+    with fingerprints appended last month. Completes the streaming
+    dedup surface across modalities alongside the batch twin
+    (llmdata.dedup.incremental_media_dedup)."""
+    from ..caching import release_tracked, tracked_persist
+    from ..llmdata.dedup import (
+        media_byte_fingerprints,
+        simhash_cross_pairs,
+        simhash_near_pairs,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        # the fingerprint relation feeds three branches (within-pairs,
+        # cross probe, index append); persist so the gram explode +
+        # SimHash agg runs once per micro-batch
+        new_fp = tracked_persist(
+            media_byte_fingerprints(
+                batch_df,
+                bits=bits,
+                gram_bytes=gram_bytes,
+                id_col=id_col,
+                content_col=content_col,
+            )
+        )
+        try:
+            pairs = simhash_near_pairs(new_fp, max_hamming=max_hamming, bits=bits)
+            old = _check_mode_and_prune(
+                _read_store(spark, store_dir), exactly_once, batch_id, store_dir
+            )
+            if old is not None:
+                old = old.drop("batch_id")
+                pairs = pairs.unionByName(
+                    simhash_cross_pairs(
+                        new_fp, old, max_hamming=max_hamming, bits=bits
+                    )
+                )
+            if exactly_once:
+                _overwrite_batch_partition(pairs, batch_id, pairs_dir)
+                _overwrite_batch_partition(new_fp, batch_id, store_dir)
+            else:
+                pairs.write.mode("append").parquet(pairs_dir)
+                # store append LAST, same ordering rationale as the
+                # MinHash processor
+                new_fp.write.mode("append").parquet(store_dir)
+        finally:
+            release_tracked()
+
+    return _process
+
+
+def incremental_media_stream(
+    media_stream: DataFrame,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+    gram_bytes: int = 4,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    exactly_once: bool = False,
+):
+    """media stream (id, content) → foreachBatch writer appending
+    near-dup pairs to ``pairs_dir`` and fingerprints to ``store_dir``;
+    caller picks the trigger and starts it, as with
+    incremental_minhash_stream."""
+    _process = make_media_batch_processor(
+        store_dir,
+        pairs_dir,
+        max_hamming,
+        bits,
+        gram_bytes,
+        id_col,
+        content_col,
+        exactly_once,
+    )
+    return media_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
 
 
 def _overwrite_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:

@@ -335,6 +335,83 @@ def test_streaming_dedup_exactly_once_replay(spark, docs, tmp_path):
     assert once == want and want
 
 
+def test_streaming_incremental_media_matches_batch(spark, docs, tmp_path):
+    """The media foreachBatch loop: 3 micro-batches of payloads against
+    a growing fingerprint store must emit, across all batches, EXACTLY
+    the pair set the one-shot pigeonhole operator finds on the full
+    corpus — and a replayed batch in exactly-once mode leaves pairs and
+    store byte-identical."""
+    from blockchair_etl_spark.llmdata.dedup import (
+        media_byte_fingerprints,
+        simhash_near_pairs,
+    )
+    from blockchair_etl_spark.streaming.dedup_stream import (
+        incremental_media_stream,
+        make_media_batch_processor,
+    )
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    src = str(tmp_path / "media_src")
+    for i in range(3):
+        media.filter(F.col("media_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        incremental_media_stream(
+            stream,
+            store_dir=str(tmp_path / "media_store"),
+            pairs_dir=str(tmp_path / "media_pairs"),
+            checkpoint_dir=str(tmp_path / "media_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b), r.hamming)
+        for r in spark.read.parquet(str(tmp_path / "media_pairs")).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(media_byte_fingerprints(media)).collect()
+    }
+    assert got == want and want
+    # every payload long enough to fingerprint is registered
+    n_fp = media_byte_fingerprints(media).count()
+    assert spark.read.parquet(str(tmp_path / "media_store")).count() == n_fp
+
+    # exactly-once replay: re-processing the same (batch_df, batch_id)
+    # leaves both sinks byte-identical (shared _check_mode_and_prune
+    # machinery with the MinHash loop, replayed here on the media path)
+    store_dir = str(tmp_path / "xo_media_store")
+    pairs_dir = str(tmp_path / "xo_media_pairs")
+    proc = make_media_batch_processor(store_dir, pairs_dir, exactly_once=True)
+    b0 = media.filter(F.col("media_id") % 2 == 0)
+    b1 = media.filter(F.col("media_id") % 2 == 1)
+    proc(b0, 0)
+    proc(b1, 1)
+
+    def pair_set():
+        return {
+            (min(r.id_a, r.id_b), max(r.id_a, r.id_b), r.hamming)
+            for r in spark.read.parquet(pairs_dir).collect()
+        }
+
+    once = pair_set()
+    store_once = spark.read.parquet(store_dir).count()
+    proc(b1, 1)  # worst replay: signatures already registered
+    assert pair_set() == once == want
+    assert spark.read.parquet(store_dir).count() == store_once == n_fp
+
+
 def test_simhash_locality(docs):
     # near-dup docs (jaccard >= 0.8) should have small hamming distance
     fp = {r.doc: r.simhash for r in simhash_fingerprints(docs).collect()}
