@@ -119,6 +119,7 @@ PAIR_QUERIES = {
     "corpus_embedding_curation_pipeline",
     "media_dedup_survivors",
     "media_pixel_dedup_adaptive",
+    "dedup_incremental_media_bigstore",
 }
 
 COPIES = 10
@@ -417,6 +418,38 @@ def _custom_runners(spark, repo: str, scale: int):
         emb = load_table(spark_, sf_dir, "embeddings")
         return cluster_balanced_sample(emb, per_bucket=20, dim=64)
 
+    _media_fp_store: dict[str, tuple] = {}
+
+    def run_incr_media_big_store(spark_, sf_dir: str):
+        # Media twin of run_incr_mh_big_store: persisted byte-gram
+        # SimHash fingerprint index ~10x the daily batch, store build
+        # untimed (run 1 pays it, the median excludes it); the timed
+        # cost is the batch's gram explode + the broadcast pigeonhole
+        # probe of the store — per-batch cost must stay ~flat as the
+        # index grows (probe, not rescan).
+        from blockchair_etl_spark.llmdata.dedup import (
+            incremental_media_dedup,
+            media_byte_fingerprints,
+        )
+
+        from pyspark.sql import functions as SF
+
+        if sf_dir not in _media_fp_store:
+            docs = load_table(spark_, sf_dir, "documents")
+            media = docs.select(
+                SF.col("doc_id").alias("media_id"),
+                SF.col("text").cast("binary").alias("content"),
+            )
+            batch = media.filter(SF.col("media_id") % 11 == 0)
+            store = media_byte_fingerprints(
+                media.filter(SF.col("media_id") % 11 != 0)
+            ).persist()
+            store.count()
+            _media_fp_store[sf_dir] = (batch, store)
+        batch, store = _media_fp_store[sf_dir]
+        pairs, _updated = incremental_media_dedup(batch, store)
+        return pairs
+
     _mh_sig_store: dict[str, str] = {}
 
     def run_minhash_store_backed(spark_, sf_dir: str):
@@ -515,6 +548,7 @@ def _custom_runners(spark, repo: str, scale: int):
         "dedup_incremental_embedding": run_incr_emb_adaptive,
         "dedup_incremental_bigstore": run_incr_emb_big_store,
         "dedup_incremental_mh_bigstore": run_incr_mh_big_store,
+        "dedup_incremental_media_bigstore": run_incr_media_big_store,
         "sample_cluster_balanced_adaptive": run_cluster_balanced_adaptive,
         "dedup_minhash_store_backed": run_minhash_store_backed,
         "ann_ivfpq_store_backed": run_ivfpq_store_backed,
