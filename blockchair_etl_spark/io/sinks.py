@@ -206,9 +206,18 @@ def flatten_batch_store(
     stream keeps appending to it, and the next close re-flattens."""
     tmp = out_dir + ".tmp__flatten"
     old = out_dir + ".old__flatten"
-    for leftover in (tmp, old):  # crashed prior swap
-        if Path(leftover).exists():
-            shutil.rmtree(leftover)
+    if Path(tmp).exists():  # crashed prior write — incomplete, discard
+        shutil.rmtree(tmp)
+    if Path(old).exists():
+        if not Path(out_dir).exists():
+            # a prior run crashed between its two renames: `old` holds
+            # the ONLY flattened output. Restore it instead of deleting
+            # it — deleting here would leave no output at all if the
+            # rewrite below then fails (the crash-safety invariant is
+            # "old output intact OR new output in place", always).
+            os.rename(old, out_dir)
+        else:
+            shutil.rmtree(old)  # prior swap completed, copy is stale
     df = spark.read.parquet(store_dir).drop("batch_id")
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
     if Path(out_dir).exists():

@@ -774,6 +774,10 @@ def minhash_cross_pairs(
     )
     return (
         a.join(b, ["band_idx", "band_key"])
+        # a doc present on BOTH sides (an at-least-once replay whose
+        # earlier attempt already registered the batch in the store, or
+        # a re-ingested id) must not emit a spurious (X, X) self-pair
+        .filter(F.col("a_doc") != F.col("b_doc"))
         .select(
             F.col("a_doc").alias("id_a"),
             F.col("b_doc").alias("id_b"),
@@ -883,6 +887,9 @@ def simhash_cross_pairs(
     )
     return (
         a.join(b, ["bi", "bv"])
+        # same-doc-on-both-sides guard (at-least-once replay / re-ingest
+        # — see minhash_cross_pairs): never emit a self-pair
+        .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b", "fp_a", "fp_b")
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))

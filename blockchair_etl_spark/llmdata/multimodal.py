@@ -199,6 +199,13 @@ def resize_images(
     """
     from pyspark.sql import functions as F
 
+    if decoder not in ("rng", "bytegrid"):
+        # a typo'd name would otherwise silently select the locality-
+        # free RNG decoder and degrade near-dup detection to
+        # exact-duplicates-only with no error anywhere downstream
+        raise ValueError(
+            f"unknown decoder {decoder!r}: expected 'rng' or 'bytegrid'"
+        )
     out_cols = [f.name for f in RESIZED_SCHEMA.fields]
     pruned = media.filter(F.col("kind") == "image").select(
         "media_id", "content", "width", "height"
@@ -302,18 +309,28 @@ def ahash_fingerprints(
     codec."""
     from pyspark.sql import functions as F
 
+    # empty/short guard OUTSIDE the transform: sequence(0, -1) is NOT
+    # empty (Spark infers step -1 and yields [0, -1]), so a bare
+    # transform over it would index into the empty pixels array
     grays = (
-        f"transform(sequence(0, CAST(size({pixels_col}) div 3 AS INT) - 1), "
+        f"CASE WHEN size({pixels_col}) < 3 THEN array() "
+        f"ELSE transform(sequence(0, CAST(size({pixels_col}) div 3 AS INT) - 1), "
         f"k -> CAST(round(CAST(element_at({pixels_col}, k*3+1) AS DOUBLE) "
-        f"* 255.0D, 0) AS BIGINT))"
+        f"* 255.0D, 0) AS BIGINT)) END"
     )
     # bitwise-OR fold, not +: identical for distinct bits, and the
-    # 64-cell grid's bit-63 term (Long.MIN_VALUE) cannot overflow an OR
+    # 64-cell grid's bit-63 term (Long.MIN_VALUE) cannot overflow an OR.
+    # >64 cells would wrap silently (shiftleft masks the shift mod 64,
+    # colliding fingerprints and mass-false-pairing the pigeonhole
+    # join) — raise in-plan instead.
     fp = (
-        "IF(size(__gs) = 0, 0L, "
-        "aggregate(sequence(0, size(__gs) - 1), 0L, (acc, k) -> "
+        "CASE WHEN size(__gs) > 64 THEN CAST(raise_error("
+        "'ahash_fingerprints: grid exceeds 64 cells — fingerprint bits "
+        "would wrap; resize to at most 8x8') AS BIGINT) "
+        "WHEN size(__gs) = 0 THEN 0L "
+        "ELSE aggregate(sequence(0, size(__gs) - 1), 0L, (acc, k) -> "
         "acc | IF(element_at(__gs, k+1) * size(__gs) > __tot, "
-        "shiftleft(1L, k), 0L)))"
+        "shiftleft(1L, k), 0L)) END"
     )
     return (
         resized.withColumn("__gs", F.expr(grays))

@@ -678,3 +678,16 @@ def test_batch_store_retention_and_flatten(spark, tmp_path):
     proc(docs.filter(F.col("doc_id") % 3 == 0), 3)
     n2 = flatten_batch_store(spark, store, out, n_files=2)
     assert n2 == spark.read.parquet(store).count()
+
+    # crash recovery: a failure between the two swap renames leaves
+    # out_dir absent and .old__flatten holding the only output — the
+    # next flatten must RESTORE it (not delete it) before rewriting,
+    # so a second crash during the rewrite still leaves output behind
+    import os
+
+    os.rename(out, out + ".old__flatten")
+    n3 = flatten_batch_store(spark, store, out, n_files=2)
+    assert n3 == n2
+    assert not os.path.exists(out + ".old__flatten")
+    assert not os.path.exists(out + ".tmp__flatten")
+    assert spark.read.parquet(out).count() == n2

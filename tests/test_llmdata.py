@@ -335,6 +335,52 @@ def test_streaming_dedup_exactly_once_replay(spark, docs, tmp_path):
     assert once == want and want
 
 
+def test_cross_pairs_never_emit_self_pairs(spark, docs):
+    """At-least-once replay / re-ingest hazard: a doc present on BOTH
+    sides of the cross probe (its earlier attempt already registered it
+    in the store) must not emit a spurious (X, X) self-pair — for both
+    the SimHash and the MinHash cross operators."""
+    from blockchair_etl_spark.llmdata.dedup import (
+        media_byte_fingerprints,
+        minhash_band_store,
+        minhash_cross_pairs,
+        simhash_cross_pairs,
+    )
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    fp = media_byte_fingerprints(media.limit(60))
+    sp = simhash_cross_pairs(fp, fp)  # store == batch: worst replay
+    assert sp.filter(F.col("id_a") == F.col("id_b")).count() == 0
+
+    store = minhash_band_store(docs.limit(60))
+    mp = minhash_cross_pairs(store, store)
+    assert mp.filter(F.col("id_a") == F.col("id_b")).count() == 0
+
+
+def test_ahash_guards(spark):
+    """aHash edge guards: >64 cells raises in-plan instead of silently
+    wrapping fingerprint bits; an empty pixels array hashes to 0 (the
+    sequence(0,-1)-is-not-empty trap); a typo'd decoder name raises."""
+    import pytest
+
+    rows = [(1, [0.5] * (16 * 8 * 3)), (2, [])]
+    df = spark.createDataFrame(rows, "media_id bigint, pixels array<float>")
+    big = mm.ahash_fingerprints(df.filter("media_id = 1"))
+    with pytest.raises(Exception, match="grid exceeds 64 cells"):
+        big.collect()
+    empty = mm.ahash_fingerprints(df.filter("media_id = 2"))
+    assert empty.first().simhash == 0
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"x"), "m", 4, 4, None, "u")], schema=mm.MEDIA_SCHEMA
+    )
+    with pytest.raises(ValueError, match="unknown decoder"):
+        mm.resize_images(media, decoder="byte_grid")
+
+
 def test_streaming_incremental_media_matches_batch(spark, docs, tmp_path):
     """The media foreachBatch loop: 3 micro-batches of payloads against
     a growing fingerprint store must emit, across all batches, EXACTLY
