@@ -940,7 +940,11 @@ def incremental_media_dedup(
             new_fp,
         )
     pairs = simhash_cross_pairs(new_fp, store, max_hamming, bits)
-    return pairs, store.unionByName(new_fp)
+    # a replayed/re-ingested doc already in the store must not grow it
+    # (the docstring's one-(doc, simhash)-row-per-payload contract);
+    # fingerprints are deterministic per payload so keeping either copy
+    # is equivalent
+    return pairs, store.unionByName(new_fp).dropDuplicates(["doc"])
 
 
 def bow_cosine_pairs(

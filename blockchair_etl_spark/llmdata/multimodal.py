@@ -278,11 +278,17 @@ def ahash_fingerprints(
     The classic perceptual hash: gray each cell, set bit k iff cell k
     is brighter than the grid mean. Computed entirely JVM-side with
     higher-order array functions — no Python stage, no shuffle, one
-    projection over resize_images' output: cell grays are recovered
-    exactly from the normalized floats (v/255 in float32 round-trips
-    bit-exactly for all 256 byte values, pytest-verified), and the
-    mean comparison is exact-integer (gray·n_cells > Σ gray, no
-    division). Callers must resize every image to the SAME grid — the
+    projection over resize_images' output: per-channel bytes are
+    recovered exactly from the normalized floats (v/255 in float32
+    round-trips bit-exactly for all 256 byte values, pytest-verified),
+    each cell's gray is the exact-integer CHANNEL SUM R+G+B (comparing
+    3·mean scales both sides of the brightness test by 3, so the sum
+    is equivalent to mean luma with no division), and the mean
+    comparison is exact-integer (sum·n_cells > Σ sums). For
+    grayscale-equal channels (the bytegrid stub decoder) this is
+    bit-identical to a single-channel hash; for true RGB inputs it is
+    the perceptually correct brightness, not an R-channel hash.
+    Callers must resize every image to the SAME grid — the
     pigeonhole pair join needs uniform fingerprint width — with at
     most 64 cells (one BIGINT; the bit-63 cell sets the sign bit via
     the bitwise-OR fold, which is overflow-free by construction).
@@ -312,11 +318,19 @@ def ahash_fingerprints(
     # empty/short guard OUTSIDE the transform: sequence(0, -1) is NOT
     # empty (Spark infers step -1 and yields [0, -1]), so a bare
     # transform over it would index into the empty pixels array
+    def _chan(off: int) -> str:
+        return (
+            f"CAST(round(CAST(element_at({pixels_col}, k*3+{off}) AS DOUBLE) "
+            f"* 255.0D, 0) AS BIGINT)"
+        )
+
+    # each channel rounds back to its exact byte independently, so the
+    # sum is the exact integer R+G+B (max 765·64 cells — nowhere near
+    # BIGINT range)
     grays = (
         f"CASE WHEN size({pixels_col}) < 3 THEN array() "
         f"ELSE transform(sequence(0, CAST(size({pixels_col}) div 3 AS INT) - 1), "
-        f"k -> CAST(round(CAST(element_at({pixels_col}, k*3+1) AS DOUBLE) "
-        f"* 255.0D, 0) AS BIGINT)) END"
+        f"k -> {_chan(1)} + {_chan(2)} + {_chan(3)}) END"
     )
     # bitwise-OR fold, not +: identical for distinct bits, and the
     # 64-cell grid's bit-63 term (Long.MIN_VALUE) cannot overflow an OR.

@@ -721,6 +721,149 @@ def test_incremental_media_dedup(spark, docs):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
+def test_ahash_rgb_luma_sum(spark):
+    """On true-RGB input (the rng decoder — channels differ), the aHash
+    brightness test must use the per-cell CHANNEL SUM R+G+B, not channel
+    0 alone (advisor r10: a channel-0 hash silently becomes an R-channel
+    hash once a real codec lands). Pinned against a numpy reference; at
+    least one image must witness sum != channel-0 so the assertion has
+    teeth."""
+    import hashlib
+
+    import numpy as np
+
+    rows = [
+        (i, "image", bytearray(f"rgb payload {i}".encode()), "image/fake",
+         5 + i, 6 + i, None, "u")
+        for i in range(6)
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    fp = mm.ahash_fingerprints(
+        mm.resize_images(media, width=4, height=8, decoder="rng")
+    )
+    got = {r.doc: r.simhash for r in fp.collect()}
+
+    def decode_resize(payload, sw, sh, ow=4, oh=8):
+        seed = int.from_bytes(hashlib.sha256(bytes(payload)).digest()[:8], "big")
+        img = np.random.default_rng(seed).integers(
+            0, 256, size=(sh, sw, 3), dtype=np.uint8
+        )
+        r = img[(np.arange(oh) * sh) // oh][:, (np.arange(ow) * sw) // ow]
+        # the float32 v/255 round-trip is exact, so the reference works
+        # on the raw bytes directly
+        return r.reshape(-1, 3).astype(int)
+
+    def hash_of(cells):
+        sums = cells.sum(axis=1)
+        return sum(
+            (1 << k) for k in range(len(sums)) if sums[k] * len(sums) > sums.sum()
+        )
+
+    witnessed = False
+    for mid, _, payload, _, sw, sh, _, _ in rows:
+        cells = decode_resize(payload, sw, sh)
+        assert got[mid] == hash_of(cells), mid
+        ch0 = cells[:, 0]
+        ch0_hash = sum(
+            (1 << k) for k in range(len(ch0)) if ch0[k] * len(ch0) > ch0.sum()
+        )
+        witnessed = witnessed or ch0_hash != hash_of(cells)
+    assert witnessed  # at least one image distinguishes sum from channel 0
+
+
+def test_incremental_media_store_replay_no_dup(spark, docs):
+    """At-least-once replay: re-ingesting docs already in the store must
+    not grow it — updated_store keeps one (doc, simhash) row per payload
+    (advisor r10: unionByName alone duplicated replayed rows)."""
+    from blockchair_etl_spark.llmdata.dedup import (
+        incremental_media_dedup,
+        media_byte_fingerprints,
+    )
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    ).limit(40)
+    store = media_byte_fingerprints(media)
+    n = store.count()
+    # replay the exact same batch against its own store
+    _, updated = incremental_media_dedup(media, store)
+    assert updated.count() == n
+    assert updated.groupBy("doc").count().filter("count > 1").count() == 0
+    # and the surviving rows are still the true fingerprints
+    assert {(r.doc, r.simhash) for r in updated.collect()} == {
+        (r.doc, r.simhash) for r in store.collect()
+    }
+
+
+def test_multimodal_joint_dedup_transitivity(spark, sf_dir):
+    """The joint survivor rule is CC over the UNION edge set: a row must
+    drop when a path of alternating-modality edges reaches a smaller id,
+    even though neither modality alone links the endpoints. Pinned with
+    an independent python union-find over the two per-modality pair
+    sets (not the SQL oracle — this checks the composition semantics,
+    not engine parity)."""
+    from blockchair_etl_spark.llmdata import multimodal as mm_
+    from blockchair_etl_spark.llmdata.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+    from blockchair_etl_spark.queryset import (
+        load_table,
+        multimodal_joint_dedup_survivors,
+    )
+
+    docs_df = load_table(spark, sf_dir, "documents")
+    tpairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs_df, num_hashes=16, band_size=4, threshold=0.5
+        ).collect()
+    }
+    media = docs_df.selectExpr(
+        "doc_id AS media_id",
+        "CAST(text AS BINARY) AS content",
+        "CAST(4 + doc_id % 13 AS LONG) AS width",
+        "CAST(4 + doc_id % 11 AS LONG) AS height",
+        "'image' AS kind",
+    ).filter("length(content) > 0")
+    ppairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(
+            mm_.ahash_fingerprints(
+                mm_.resize_images(media, width=4, height=8, decoder="bytegrid")
+            ),
+            max_hamming=3,
+            bits=32,
+        ).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in tpairs | ppairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_ids = {r.doc_id for r in docs_df.select("doc_id").collect()}
+    want = {i for i in all_ids if find(i) == i}
+
+    got = {
+        r.doc_id for r in multimodal_joint_dedup_survivors(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the composition must be STRICTER than either modality alone on
+    # this fixture, and the union must contain genuinely cross-modal
+    # clusters (an edge set where neither side covers the other)
+    assert tpairs - ppairs and ppairs - tpairs
+
+
 def test_frame_sampling_plan(spark):
     media = spark.createDataFrame(
         [(1, "video", None, "video/fake", None, None, 3500, "u")],
