@@ -7148,6 +7148,129 @@ def media_pixel_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("media_id", "pixhash")
 
 
+@register(
+    "multimodal_joint_dedup_survivors",
+    survey="LLM-multimodal,LLM-dedup (cross-modal joint-survivor composition)",
+    desc="CROSS-MODAL joint dedup: multimodal training rows carry "
+    "(text, image) together, and per-modality survivor rules disagree "
+    "on the classic multimodal near-dup (caption paraphrased, image "
+    "identical — text dedup keeps it, media dedup drops it, and vice "
+    "versa). This entry unions the text MinHash-LSH verified pairs "
+    "with the pixel aHash pigeonhole pairs into ONE edge set, runs a "
+    "single connected-components pass over the union, and keeps the "
+    "min-id member per JOINT cluster — a row survives only if no "
+    "modality links it (directly or transitively, even through edges "
+    "that alternate modalities) to a smaller-id row. Every stage is an "
+    "already-verified operator (dedup_minhash_lsh, "
+    "media_pixel_dedup_survivors' fingerprint+pair stages, "
+    "dedup_connected_clusters); the new surface is the composition "
+    "(r10 verdict #3)",
+    oracle=f"""
+WITH RECURSIVE sig AS ({_sql_minhash_sig(16)}),
+bands AS (
+  SELECT doc, 0 AS band_idx, md5(concat_ws('|', m0, m1, m2, m3)) AS band_key FROM sig
+  UNION ALL SELECT doc, 1, md5(concat_ws('|', m4, m5, m6, m7)) FROM sig
+  UNION ALL SELECT doc, 2, md5(concat_ws('|', m8, m9, m10, m11)) FROM sig
+  UNION ALL SELECT doc, 3, md5(concat_ws('|', m12, m13, m14, m15)) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+),
+tpairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sig a ON c.id_a = a.doc JOIN sig b ON c.id_b = b.doc
+  WHERE ({_SQL_EST_MATCHES}) / 16.0 >= 0.5
+),
+meta AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS nb,
+         4 + doc_id % 13 AS sw, 4 + doc_id % 11 AS sh
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, k, hx, nb, sw * sh AS nsrc,
+         ((((k // 4) * sh) // 8) * sw + (((k % 4) * sw) // 4)) AS idx
+  FROM meta, unnest(range(0, 32)) AS u(k)
+  WHERE nb > 0
+),
+gvals AS (
+  SELECT doc_id, k,
+         (instr('0123456789abcdef',
+                substr(hx, 2 * ((idx * nb) // nsrc) + 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef',
+                  substr(hx, 2 * ((idx * nb) // nsrc) + 2, 1)) - 1) AS g
+  FROM cells
+),
+tot AS (SELECT doc_id, SUM(g) AS tot FROM gvals GROUP BY 1),
+fp AS (
+  SELECT g.doc_id AS doc,
+         CAST(SUM(CASE WHEN g.g * 32 > t.tot
+                       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+              AS BIGINT) AS pixhash
+  FROM gvals g JOIN tot t USING (doc_id) GROUP BY 1
+),
+ppairs AS (
+  SELECT a.doc AS id_a, b.doc AS id_b
+  FROM fp a JOIN fp b ON a.doc < b.doc
+  WHERE bit_count(xor(a.pixhash, b.pixhash)) <= 3
+),
+allp AS (SELECT id_a, id_b FROM tpairs UNION SELECT id_a, id_b FROM ppairs),
+edges AS (SELECT id_a AS u, id_b AS v FROM allp UNION SELECT id_b, id_a FROM allp),
+reach(v, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+),
+clusters AS (SELECT v AS doc, MIN(r) AS cluster_id FROM reach GROUP BY v)
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM clusters c WHERE c.doc = d.doc_id AND c.doc <> c.cluster_id
+)
+""",
+)
+def multimodal_joint_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .caching import tracked_persist
+    from .llmdata import multimodal as _mm
+    from .llmdata.clusters import connected_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    # text modality: MinHash-LSH candidates verified at est-Jaccard >= 0.5
+    text_pairs = _dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, band_size=4, threshold=0.5
+    ).select("id_a", "id_b")
+    # image modality: same synthetic (payload, metadata) stand-in as
+    # media_pixel_dedup_survivors — decode+resize once through the Arrow
+    # boundary, aHash JVM-side, persist so the pigeonhole self-join
+    # reads the fingerprints from cache instead of re-decoding
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+        (F.lit(4) + F.col("doc_id") % 13).cast("long").alias("width"),
+        (F.lit(4) + F.col("doc_id") % 11).cast("long").alias("height"),
+        F.lit("image").alias("kind"),
+    ).filter(F.length("content") > 0)
+    fp = tracked_persist(
+        _mm.ahash_fingerprints(
+            _mm.resize_images(media, width=4, height=8, decoder="bytegrid")
+        )
+    )
+    pixel_pairs = _dedup.simhash_near_pairs(fp, max_hamming=3, bits=32).select(
+        "id_a", "id_b"
+    )
+    # one edge set across modalities; distinct so a pair both modalities
+    # find contributes one edge (CC is idempotent to duplicates but the
+    # propagation joins shouldn't carry them)
+    edges = text_pairs.unionByName(pixel_pairs).distinct()
+    clusters = connected_clusters(edges)
+    removed = clusters.filter(F.col("doc") != F.col("cluster_id")).select("doc")
+    return docs.join(
+        removed, docs.doc_id == removed.doc, "left_anti"
+    ).select("doc_id", "lang")
+
+
 def _corpus_prep_v4_oracle() -> str:
     from .llmdata.text import ACCENT_DST, ACCENT_SRC
 

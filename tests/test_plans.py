@@ -108,6 +108,9 @@ _ARROW_BATCH_OK = {
     # pixel-space twin: resize_images' decode stub is the mapInPandas
     # boundary (codec work can't be SQL); the aHash fold itself is JVM
     "media_pixel_dedup_survivors",
+    # cross-modal composition: carries the pixel pipeline's decode stub
+    # (same boundary as media_pixel_dedup_survivors) plus CC local finish
+    "multimodal_joint_dedup_survivors",
 }
 
 
