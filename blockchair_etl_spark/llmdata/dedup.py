@@ -1037,12 +1037,24 @@ def bow_cosine_pairs(
     )
 
 
+def bench_shingle_set(
+    bench: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """The benchmark's DISTINCT shingle relation (one ``feat`` column) —
+    the broadcast side of every contamination check. Exposed so
+    repeated consumers (the streaming prep loop scores EVERY micro-batch
+    against the same eval set) compute and persist it once instead of
+    re-shingling the benchmark per batch."""
+    return exploded_shingles(bench, text_col, id_col, n).select("feat").distinct()
+
+
 def contamination_scores(
     docs: DataFrame,
-    bench: DataFrame,
+    bench: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    bench_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark-contamination check: for every training document, the
     fraction of its distinct n-gram shingles that also appear in the
@@ -1053,11 +1065,18 @@ def contamination_scores(
     relation; the benchmark side collapses to its DISTINCT shingle set
     (eval suites are tiny relative to the corpus, so the join
     broadcasts); one hash-agg per side. Scores are exact integer ratios
-    (one exactly-rounded division), so thresholding is reproducible."""
+    (one exactly-rounded division), so thresholding is reproducible.
+
+    ``bench_shingles``: precomputed :func:`bench_shingle_set` relation;
+    when given, ``bench`` is ignored (pass None) — the repeat-scoring
+    path (streaming loops) builds the set once and reuses it."""
     train_sh = exploded_shingles(docs, text_col, id_col, n)
-    bench_sh = (
-        exploded_shingles(bench, text_col, id_col, n).select("feat").distinct()
-    )
+    if bench_shingles is not None:
+        bench_sh = bench_shingles
+    else:
+        if bench is None:
+            raise ValueError("need bench or bench_shingles")
+        bench_sh = bench_shingle_set(bench, text_col, id_col, n)
     sizes = train_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = (
         train_sh.join(F.broadcast(bench_sh), "feat")
@@ -1080,11 +1099,12 @@ def contamination_scores(
 
 def decontaminate(
     docs: DataFrame,
-    bench: DataFrame,
+    bench: DataFrame | None,
     threshold: float = 0.1,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    bench_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination as an ACTION: drop every training
     document whose eval-set shingle overlap reaches ``threshold`` —
@@ -1108,9 +1128,17 @@ def decontaminate(
     contaminated id set — no second pass over text. Composes into any
     prep pipeline as a predicate stage between normalization and
     dedup (test_decontaminate_composes_into_prep pins the v4-shape
-    composition)."""
+    composition). ``bench_shingles`` as in :func:`contamination_scores`
+    (precomputed set; ``bench`` may then be None)."""
     contaminated = (
-        contamination_scores(docs, bench, id_col=id_col, text_col=text_col, n=n)
+        contamination_scores(
+            docs,
+            bench,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            bench_shingles=bench_shingles,
+        )
         .filter((F.col("n_hits") > 0) & (F.col("contamination") >= threshold))
         .select(F.col("doc").alias(id_col))
     )

@@ -56,6 +56,9 @@ def make_prep_batch_processor(
     bias_q: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bench_shingles: DataFrame | None = None,
+    contamination_threshold: float = 0.0,
+    ngram_n: int = 3,
 ):
     """The foreachBatch body, exposed so tests can drive it directly
     (including replaying a (batch_df, batch_id) to exercise the
@@ -65,14 +68,35 @@ def make_prep_batch_processor(
     (classify.hashed_weights stand-in, or the real trained relation).
     A doc survives iff logit_q >= logit_threshold AND the Gopher gate
     keeps it; survivors land in ``out_dir`` partitioned by batch_id.
+
+    ``bench_shingles``: precomputed eval-set shingle relation
+    (dedup.bench_shingle_set — compute+persist ONCE, outside the loop;
+    it rides along every micro-batch as the broadcast side, the same
+    artifact contract as ``weights``). When given, the decontamination
+    stage (dedup.decontaminate on the normalized text) runs between
+    normalization and the classifier/gate predicates — contamination,
+    like the classifier verdict, is PER-ROW given the fixed eval set,
+    so it streams without state. ``contamination_threshold`` as in
+    decontaminate (default 0.0 = the strict drop-on-any-overlap rule).
     """
     from ..llmdata.classify import linear_classifier_scores
+    from ..llmdata.dedup import decontaminate
     from ..llmdata.text import gopher_quality_gate, normalize_text
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
         normed = normalize_text(batch_df, text_col=text_col, id_col=id_col)
+        if bench_shingles is not None:
+            normed = decontaminate(
+                normed,
+                None,
+                threshold=contamination_threshold,
+                id_col=id_col,
+                text_col="norm_text",
+                n=ngram_n,
+                bench_shingles=bench_shingles,
+            )
         clf = linear_classifier_scores(
             normed,
             weights,
@@ -107,17 +131,51 @@ def corpus_prep_stream(
     bias_q: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bench: DataFrame | None = None,
+    contamination_threshold: float = 0.0,
+    ngram_n: int = 3,
 ):
     """docs stream (id, text) -> foreachBatch writer appending each
     micro-batch's surviving (id, norm_text, logit_q) rows to a
     batch_id-partitioned store (replay-idempotent, module docstring).
 
+    ``bench``: optional eval-set docs (id, text). When given, the bench
+    text is canonically normalized (the same normalize_text the loop
+    applies to every batch — contamination must compare in one
+    normalized space) and its distinct shingle set is computed ONCE
+    here, persisted, and reused by every micro-batch's decontamination
+    stage — the per-batch cost is one broadcast join against the cached
+    set, never a re-shingle of the benchmark.
+
     Returns the un-started DataStreamWriter so the caller picks the
     trigger (``.trigger(availableNow=True)`` for the daily drop) and
     starts it.
     """
+    bench_shingles = None
+    if bench is not None:
+        from ..caching import tracked_persist
+        from ..llmdata.dedup import bench_shingle_set
+        from ..llmdata.text import normalize_text
+
+        bench_shingles = tracked_persist(
+            bench_shingle_set(
+                normalize_text(bench, text_col=text_col, id_col=id_col),
+                text_col="norm_text",
+                id_col=id_col,
+                n=ngram_n,
+            )
+        )
     _process = make_prep_batch_processor(
-        weights, out_dir, n_features, logit_threshold, bias_q, text_col, id_col
+        weights,
+        out_dir,
+        n_features,
+        logit_threshold,
+        bias_q,
+        text_col,
+        id_col,
+        bench_shingles=bench_shingles,
+        contamination_threshold=contamination_threshold,
+        ngram_n=ngram_n,
     )
     return docs_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
