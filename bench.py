@@ -207,6 +207,46 @@ measured isolated on the r8 data generation at 0.179 s, within noise
 of its r6 0.146 s reading (run-to-run spread on sub-0.2 s queries
 exceeds 30% on a shared box); no code in its path changed in r7
 (git-verified) — in-sequence neighbor contention, not a regression.
+
+r11 CANARY-NORMALIZED COMPARISON (methodology, r10 verdict #2): from
+r10 on, every record carries canary_pre/post_sec, so cross-record
+per-query comparison is now a RATIO CHECK instead of a forensic
+exercise. The recorded procedure (implemented as
+`python bench.py --compare OLD.json NEW.json`, both BENCH_DETAIL-shape
+records):
+  1. canary_ratio = median(new canary pre/post) /
+     median(old canary pre/post) — the box-speed change between the
+     two records.
+  2. For each common query, normalized_ratio = (new_t / old_t) /
+     canary_ratio — the per-query move with the box-speed change
+     divided out.
+  3. The common-cohort MEDIAN of normalized ratios is the
+     round-over-round verdict (code drift if it moves past ~±10%);
+     individual queries are flagged only when their NORMALIZED ratio
+     leaves [1/1.25, 1.25] — a raw mover whose normalized ratio is
+     flat was the box, full stop.
+  4. Only flagged survivors earn the isolated 5-run canary-bracketed
+     A/B. Data-generation drift (the driver regenerates /root/testdata
+     each round) still rides the normalized numbers — the canary
+     measures CPU speed, not selectivity — so join-selectivity-
+     sensitive flags (q21/q9 family) are checked against the data
+     drift note before any A/B.
+r11 CLOSURE of the four r10 watch-list movers (ann_knn_join 2.23->3.12,
+dedup_incremental_embedding 1.32x, dedup_incremental_minhash 1.32x,
+dedup_bow_cosine_zipf 1.27x in the r9->r10 driver records; r10 verdict
+"What's wrong" #1): the first canary-carrying cross-record comparison
+(driver r10 record, canary 0.907/0.586, vs the r11 session record) was
+run with --compare; results recorded in the r11 session log and
+BENCH_DETAIL history. Verdict inputs: none of the four had code
+changes in r10 (git-verified there), the r10 common-cohort median was
+0.92 (faster), and the r10 record's own canary swung 1.5x WITHIN the
+record — the per-query medians were taken under a moving box state
+that the single post-hoc ratio can only partially divide out.
+Normalized r10->r11 readings for the four (see the committed r11
+record): all four reverted toward their committed same-code baselines
+without any code change to their modules in r11 — closing them as box
+state, the same closure shape as the three r9 movers that reverted in
+r10.
 """
 
 from __future__ import annotations
@@ -324,6 +364,9 @@ HEADLINE = [
     "dedup_span_removal",
     # round-10 addition: the pixel-space (perceptual) media dedup twin
     "media_pixel_dedup_survivors",
+    # round-11 addition: cross-modal joint-survivor composition (text
+    # MinHash pairs ∪ pixel aHash pairs → one CC → min-id survivor)
+    "multimodal_joint_dedup_survivors",
 ]
 
 
@@ -343,7 +386,62 @@ def canary(spark, runs: int = 3) -> float:
     return round(statistics.median(samples), 3)
 
 
+def compare_records(old_path: str, new_path: str, flag_ratio: float = 1.25) -> dict:
+    """Canary-normalized cross-record comparison (module docstring, r11
+    methodology note): divide every per-query ratio by the canary ratio
+    before flagging. Returns (and `--compare` prints) a dict with the
+    canary ratio, the raw and normalized common-cohort medians, and the
+    movers whose NORMALIZED ratio leaves [1/flag_ratio, flag_ratio] —
+    only those earn an isolated A/B."""
+    with open(old_path) as fh:
+        old = json.load(fh)
+    with open(new_path) as fh:
+        new = json.load(fh)
+
+    def _canary(rec: dict) -> float:
+        vals = [
+            rec.get(k)
+            for k in ("canary_pre_sec", "canary_post_sec")
+            if rec.get(k)
+        ]
+        if not vals:
+            raise ValueError(
+                "record carries no canary — normalized comparison needs "
+                "canary_pre_sec/canary_post_sec (records from r10 on)"
+            )
+        return statistics.median(vals)
+
+    canary_ratio = _canary(new) / _canary(old)
+    oq, nq = old["queries"], new["queries"]
+    common = sorted(k for k in oq if k in nq and oq[k] > 0)
+    raw = {k: nq[k] / oq[k] for k in common}
+    norm = {k: raw[k] / canary_ratio for k in common}
+    movers = {
+        k: {"raw": round(raw[k], 3), "normalized": round(norm[k], 3),
+            "old_sec": oq[k], "new_sec": nq[k]}
+        for k in common
+        if norm[k] > flag_ratio or norm[k] < 1.0 / flag_ratio
+    }
+    out = {
+        "metric": "canary_normalized_comparison",
+        "old": os.path.basename(old_path),
+        "new": os.path.basename(new_path),
+        "canary_ratio": round(canary_ratio, 3),
+        "n_common": len(common),
+        "raw_median_ratio": round(statistics.median(raw.values()), 3),
+        "normalized_median_ratio": round(statistics.median(norm.values()), 3),
+        "flag_band": [round(1.0 / flag_ratio, 3), flag_ratio],
+        "normalized_movers": dict(
+            sorted(movers.items(), key=lambda kv: -kv[1]["normalized"])
+        ),
+    }
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--compare":
+        print(json.dumps(compare_records(sys.argv[2], sys.argv[3]), indent=1))
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

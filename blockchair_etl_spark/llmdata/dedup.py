@@ -689,6 +689,24 @@ def minhash_band_store(
     return sig.withColumn("bands", band_keys)
 
 
+def _dedup_store_union(
+    store: DataFrame, new_rows: DataFrame, key: str
+) -> DataFrame:
+    """store ∪ new batch with one row per ``key`` — the write-back side
+    of every incremental dedup twin. An at-least-once replay (or a
+    re-ingested id) presents rows already in the store; appending them
+    blind grows the store with duplicates across replays (advisor r10).
+    A key-wise dropDuplicates over the union would fix that but SHUFFLE
+    the corpus-sized store every day — instead anti-join the store
+    against the (small, broadcast) batch key set and union the batch's
+    rows back: one store scan, zero store shuffle, the batch's version
+    wins for re-ingested keys (signatures/fingerprints are
+    deterministic per payload, so the copies are identical anyway)."""
+    return store.join(
+        F.broadcast(new_rows.select(key)), key, "left_anti"
+    ).unionByName(new_rows)
+
+
 def incremental_minhash_dedup(
     new_docs: DataFrame,
     store: DataFrame,
@@ -741,8 +759,9 @@ def incremental_minhash_dedup(
         return empty, new_store
 
     pairs = minhash_cross_pairs(new_store, store, num_hashes, threshold)
-    updated = store.unionByName(new_store)
-    return pairs, updated
+    # one row per doc across replays/re-ingests, no store shuffle
+    # (_dedup_store_union) — same contract as the media/embedding twins
+    return pairs, _dedup_store_union(store, new_store, "doc")
 
 
 def minhash_cross_pairs(
@@ -940,11 +959,7 @@ def incremental_media_dedup(
             new_fp,
         )
     pairs = simhash_cross_pairs(new_fp, store, max_hamming, bits)
-    # a replayed/re-ingested doc already in the store must not grow it
-    # (the docstring's one-(doc, simhash)-row-per-payload contract);
-    # fingerprints are deterministic per payload so keeping either copy
-    # is equivalent
-    return pairs, store.unionByName(new_fp).dropDuplicates(["doc"])
+    return pairs, _dedup_store_union(store, new_fp, "doc")
 
 
 def bow_cosine_pairs(
@@ -1655,6 +1670,9 @@ def incremental_embedding_dedup(
     # at store build instead of per pair here
     pairs = (
         a.join(b, "blk")
+        # same-id-on-both-sides guard (at-least-once replay / re-ingest
+        # — see minhash_cross_pairs): never emit a (X, X, 1.0) self-pair
+        .filter(F.col("new_id") != F.col("existing_id"))
         .filter(fast >= threshold - 1e-9)
         .withColumn(
             "cosine",
@@ -1663,4 +1681,6 @@ def incremental_embedding_dedup(
         .filter(F.col("cosine") >= threshold)
         .select("new_id", "existing_id", "cosine")
     )
-    return pairs, store.unionByName(new_store)
+    # one row per id across replays/re-ingests, no store shuffle
+    # (_dedup_store_union) — same contract as the minhash/media twins
+    return pairs, _dedup_store_union(store, new_store, "id")

@@ -691,3 +691,127 @@ def test_batch_store_retention_and_flatten(spark, tmp_path):
     assert not os.path.exists(out + ".old__flatten")
     assert not os.path.exists(out + ".tmp__flatten")
     assert spark.read.parquet(out).count() == n2
+
+
+def test_media_store_flatten_retention_roundtrip(spark, tmp_path):
+    """Store maintenance over the MEDIA fingerprint store (r10 verdict
+    #5): a batch_id-partitioned store built by the real media stream
+    processor survives flatten + retention, and the flattened relation
+    is probe-equivalent — simhash_cross_pairs against the flattened
+    store finds exactly the pairs the partitioned store finds."""
+    from blockchair_etl_spark.io.sinks import (
+        batch_store_retention,
+        flatten_batch_store,
+    )
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.dedup import (
+        media_byte_fingerprints,
+        simhash_cross_pairs,
+    )
+    from blockchair_etl_spark.streaming.dedup_stream import (
+        make_media_batch_processor,
+    )
+    from pyspark.sql import functions as F
+
+    media = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    store = str(tmp_path / "media_store")
+    pairs_dir = str(tmp_path / "media_pairs")
+    proc = make_media_batch_processor(store, pairs_dir, exactly_once=True)
+    for i in range(3):
+        proc(media.filter(F.col("media_id") % 3 == i), i)
+
+    # layout: same batch_id partitioning as the prep store
+    full = spark.read.parquet(store)
+    assert set(full.columns) == {"doc", "simhash", "batch_id"}
+
+    # flatten, then probe the flattened store: cross pairs of a fresh
+    # batch must equal the probe against the partitioned store
+    flat_dir = str(tmp_path / "media_flat")
+    n = flatten_batch_store(spark, store, flat_dir, n_files=2)
+    flat = spark.read.parquet(flat_dir)
+    assert n == full.count() and "batch_id" not in flat.columns
+    probe = media.filter(F.col("media_id") % 7 == 0)
+    probe_fp = media_byte_fingerprints(probe)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_cross_pairs(probe_fp, flat).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_cross_pairs(probe_fp, full.drop("batch_id")).collect()
+    }
+    assert got == want and got
+
+    # retention drops the oldest batch; the flattened copy (taken
+    # before the sweep) still holds the full index — the documented
+    # "flatten first if the full index must survive" contract
+    keep_ids = {
+        r.doc for r in full.filter(F.col("batch_id") >= 1).collect()
+    }
+    assert batch_store_retention(store, keep_last=2) == ["batch_id=0"]
+    assert {r.doc for r in spark.read.parquet(store).collect()} == keep_ids
+    assert spark.read.parquet(flat_dir).count() == n
+
+
+def test_embedding_store_flatten_retention_roundtrip(spark, tmp_path):
+    """Store maintenance over the EMBEDDING LSH-bucket store (r10
+    verdict #5): the store carries bucket + norm columns beyond the
+    (id, payload) shape — flatten must preserve them all, and the
+    incremental probe against the flattened store must return
+    bit-identical pairs (bucket ids and exact-decimal norms survive the
+    parquet round-trip + compaction)."""
+    from blockchair_etl_spark.io.sinks import (
+        batch_store_retention,
+        flatten_batch_store,
+    )
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.dedup import (
+        build_embedding_store,
+        incremental_embedding_dedup,
+    )
+    from blockchair_etl_spark.streaming.dedup_stream import (
+        _overwrite_batch_partition,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    store_dir = str(tmp_path / "emb_store")
+    # day-partitioned writes of the bucketed index (the batch-side
+    # store maintenance a daily incremental loop performs)
+    for i in range(3):
+        _overwrite_batch_partition(
+            build_embedding_store(
+                emb.filter(F.col("vec_id") % 3 == i), dim=64, n_planes=4
+            ),
+            i,
+            store_dir,
+        )
+    full = spark.read.parquet(store_dir)
+    assert set(full.columns) == {"id", "v", "blk", "norm", "norm_d", "batch_id"}
+
+    flat_dir = str(tmp_path / "emb_flat")
+    n = flatten_batch_store(spark, store_dir, flat_dir, n_files=2)
+    flat = spark.read.parquet(flat_dir)
+    assert n == emb.count()
+    assert set(flat.columns) == {"id", "v", "blk", "norm", "norm_d"}
+
+    # probe parity after compaction: bit-identical pairs (cosine is the
+    # exact-decimal rescore, so == comparison is legitimate)
+    probe = emb.filter(F.col("vec_id") % 11 == 0)
+    got_pairs, _ = incremental_embedding_dedup(
+        probe, flat, dim=64, threshold=0.3, n_planes=4
+    )
+    want_pairs, _ = incremental_embedding_dedup(
+        probe, full.drop("batch_id"), dim=64, threshold=0.3, n_planes=4
+    )
+    got = {(r.new_id, r.existing_id): r.cosine for r in got_pairs.collect()}
+    want = {(r.new_id, r.existing_id): r.cosine for r in want_pairs.collect()}
+    assert got == want and got
+
+    # retention: oldest batch partition dropped, newer two intact
+    keep_ids = {r.id for r in full.filter(F.col("batch_id") >= 1).collect()}
+    assert batch_store_retention(store_dir, keep_last=2) == ["batch_id=0"]
+    assert {r.id for r in spark.read.parquet(store_dir).collect()} == keep_ids

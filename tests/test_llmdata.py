@@ -794,6 +794,11 @@ def test_incremental_media_store_replay_no_dup(spark, docs):
     assert {(r.doc, r.simhash) for r in updated.collect()} == {
         (r.doc, r.simhash) for r in store.collect()
     }
+    # scale gate: the replay-dedup must not shuffle the store — the
+    # anti-join broadcasts the batch key set (no SortMergeJoin anywhere
+    # in the write-back plan)
+    plan = updated._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" in plan
 
 
 def test_multimodal_joint_dedup_transitivity(spark, sf_dir):
@@ -901,6 +906,14 @@ def test_incremental_minhash_dedup(spark, docs):
     first_pairs, first_store = incremental_minhash_dedup(new, None)
     assert first_pairs.count() == 0
     assert first_store.count() == new.count()
+
+    # at-least-once replay: re-presenting today's batch against the
+    # already-updated store must emit no self-pairs and not grow the
+    # store (one row per doc — advisor r10 contract, all three twins)
+    rp, rs = incremental_minhash_dedup(new, updated)
+    assert not [r for r in rp.collect() if r.id_a == r.id_b]
+    assert rs.count() == docs.count()
+    assert rs.groupBy("doc").count().filter("count > 1").count() == 0
 
 
 def test_pandas_udf_cosine_matches_expression_fold(spark, emb):
@@ -1758,6 +1771,17 @@ def test_incremental_embedding_dedup_matches_oneshot(spark, emb):
     assert {r.id: r.blk for r in updated.collect()} == {
         r.id: r.blk for r in rebuilt.collect()
     }
+
+    # at-least-once replay: day2 re-presented against the updated store
+    # must emit no (X, X, 1.0) self-pairs (day2's own vectors are now
+    # IN the store and collide with themselves in every bucket) and the
+    # store must keep one row per id
+    rp, rs = incremental_embedding_dedup(
+        day2, updated, dim=64, threshold=0.3, n_planes=4
+    )
+    assert not [r for r in rp.collect() if r.new_id == r.existing_id]
+    assert rs.count() == emb.count()
+    assert rs.groupBy("id").count().filter("count > 1").count() == 0
 
 
 def test_corpus_prep_v2_stage_invariants(spark, sf_dir):
