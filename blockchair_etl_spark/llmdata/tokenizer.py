@@ -1,0 +1,190 @@
+"""Learned-vocabulary tokenizer: distributed BPE training + apply.
+
+The one LLM-pipeline capability the engine previously lacked (r10
+verdict stretch #7): `text.token_stats` counts tokens with a fixed
+heuristic, but nothing LEARNS a vocabulary. Byte-pair encoding
+(Sennrich et al., ACL'16) is the standard: start from characters,
+repeatedly merge the most frequent adjacent symbol pair, and the
+ordered merge list IS the vocabulary artifact.
+
+Scale shape — the classic scalable-BPE factoring:
+
+- Training never iterates over the corpus. One corpus scan builds the
+  WORD FREQUENCY TABLE (distinct word → count); natural-language
+  corpora have ~10^7-10^8 distinct words at 100 TB, so the word table
+  is the small relation every merge round works on. Each round is one
+  pair-explode + hash-agg over the word table plus a top-1 collect
+  (O(1) driver rows — the same driver-loop contract as Lloyd
+  iterations in ivf.py and the CC rounds in clusters.py), then one
+  column rewrite of the symbol arrays. Symbol arrays shrink
+  monotonically, so rounds get cheaper as training proceeds.
+- The merge fold is a JVM-side `aggregate` over the symbol array (no
+  Python stage): greedy left-to-right, the original BPE semantics —
+  [a a a] under merge (a,a) becomes [aa a], because after a merge the
+  accumulator tail is the merged symbol and no longer matches `l`.
+- Apply encodes DISTINCT words only (one fold chain per distinct word,
+  k chained aggregates in one whole-stage-codegen projection) and
+  joins the encodings back to the token stream — repeated words are
+  never re-encoded, the same distinct-side trick the classifier's
+  featurizer uses. Document reassembly is one ordered hash-agg per
+  doc (array_sort over collected (pos, toks) structs, then flatten).
+
+Determinism: ties on pair count break by (left, right) lexicographic
+ascending — a total order, so the learned merge list is identical
+across partitionings and engines (pytest pins parity against a plain
+python reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import tokens_col
+
+# chars -> symbol array; (?!^)(?!$) splits between every pair of
+# characters without matching at the string boundaries (a bare (?!^)
+# also matches at end-of-string, and Java split's -1 limit then keeps
+# the trailing empty symbol)
+_SYMS = "split(word, '(?!^)(?!$)')"
+
+
+def word_frequency_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(word, freq, syms) — the relation BPE training iterates on.
+    One corpus scan, one hash-agg; `syms` starts as the character
+    split."""
+    return (
+        docs.select(F.explode(tokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.expr(_SYMS))
+    )
+
+
+def _merge_fold(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) into
+    left+right — one JVM-side aggregate, no Python. Overlapping runs
+    merge non-overlapping from the left ([a a a] -> [aa a]) because the
+    merged tail symbol no longer equals `left` (left+right != left for
+    nonempty right)."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(l, r, cnt) adjacent-pair frequencies over the word table,
+    weighted by word frequency."""
+    pairs = F.expr(
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"
+    )
+    return (
+        words.filter(F.size("syms") >= 2)
+        .select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn an ordered BPE merge list from the corpus.
+
+    Stops early when no pair reaches ``min_pair_count`` (merging a
+    pair seen once memorizes noise). Each round localCheckpoints the
+    rewritten word table so lineage stays O(1) across rounds (the CC
+    loop's contract); the table is tiny relative to the corpus, so the
+    checkpoint cost is the explicit round barrier, not data volume.
+    """
+    words = word_frequency_table(docs, text_col, id_col).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            top = (
+                _pair_counts(words)
+                .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0].cnt < min_pair_count:
+                break
+            l, r = top[0].l, top[0].r
+            merges.append((l, r))
+            nxt = words.withColumn(
+                "syms", _merge_fold(F.col("syms"), l, r)
+            ).localCheckpoint()
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return merges
+
+
+def encode_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Add `toks` (the BPE encoding) to a relation carrying a `word`
+    column: character split, then every merge applied IN ORDER as one
+    chained column expression — k folds in a single codegen'd
+    projection, no per-merge job."""
+    col = F.expr(_SYMS)
+    for l, r in merges:
+        col = _merge_fold(col, l, r)
+    return words.withColumn("toks", col)
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge list →
+    (id, tokens array<string>, n_tokens BIGINT), one row per input doc
+    (empty/NULL text keeps a row with an empty token array).
+
+    The fold chain runs over DISTINCT words only; the token stream
+    joins the encodings back by word, and documents reassemble with
+    one ordered hash-agg (array_sort over (pos, toks) structs — dense
+    posexplode positions make row order recoverable without a window).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "word"),
+    )
+    encoded = encode_words(toks.select("word").distinct(), merges)
+    per_doc = (
+        toks.join(encoded, "word")
+        .groupBy("doc")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                    lambda s: s.getField("toks"),
+                )
+            ).alias("tokens")
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("tokens", F.array().cast("array<string>")).alias("tokens"),
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("bigint"))
+    )

@@ -1306,6 +1306,101 @@ def test_streaming_prep_decontamination_two_drain_replay(spark, docs, tmp_path):
     assert again == want
 
 
+def _ref_bpe(texts, n_merges, min_pair_count=2):
+    """Plain-python BPE reference with the module's documented
+    semantics: count-desc / (l, r)-lexicographic-asc tie-break, greedy
+    left-to-right merge fold."""
+    import re
+    from collections import Counter
+
+    freqs = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", (t or "").lower()):
+            if w:
+                freqs[w] += 1
+    words = {w: list(w) for w in freqs}
+
+    def fold(syms, l, r):
+        out = []
+        for x in syms:
+            if out and out[-1] == l and x == r:
+                out[-1] = l + r
+            else:
+                out.append(x)
+        return out
+
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += freqs[w]
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((l, r))
+        words = {w: fold(s, l, r) for w, s in words.items()}
+    return merges, fold
+
+
+def test_bpe_train_apply_parity(spark, docs):
+    """The distributed BPE merge loop must learn EXACTLY the merge list
+    a plain-python reference learns (deterministic tie-break), and
+    bpe_apply must encode every document identically to folding the
+    merges by hand — including early stop when no pair reaches
+    min_pair_count, empty-text rows, and overlapping-run greedy
+    semantics ([a a a] -> [aa a])."""
+    import re
+
+    from blockchair_etl_spark.llmdata.tokenizer import (
+        bpe_apply,
+        bpe_train,
+        encode_words,
+    )
+
+    sample = docs.limit(120).select("doc_id", "text")
+    texts = [r.text for r in sample.collect()]
+    want_merges, fold = _ref_bpe(texts, n_merges=12)
+    got_merges = bpe_train(sample, n_merges=12)
+    assert got_merges == want_merges and len(got_merges) == 12
+
+    applied = {r.doc_id: list(r.tokens) for r in bpe_apply(sample, got_merges).collect()}
+    for r in sample.collect():
+        toks = []
+        for w in re.split(r"[^a-z0-9]+", (r.text or "").lower()):
+            if w:
+                syms = list(w)
+                for l, rr in got_merges:
+                    syms = fold(syms, l, rr)
+                toks.extend(syms)
+        assert applied[r.doc_id] == toks, r.doc_id
+
+    # early stop: a corpus whose best pair is a hapax learns nothing
+    # further; greedy overlap pinned explicitly on 'aaa'
+    tiny = spark.createDataFrame(
+        [(1, "aaa aaa"), (2, "b"), (3, None)], "doc_id bigint, text string"
+    )
+    m = bpe_train(tiny, n_merges=5, min_pair_count=2)
+    assert m[0] == ("a", "a")  # freq-2 'aaa' drives the first merge
+    enc = {
+        r.word: list(r.toks)
+        for r in encode_words(
+            spark.createDataFrame([("aaa",)], "word string"), m[:1]
+        ).collect()
+    }
+    assert enc["aaa"] == ["aa", "a"]
+    out = {r.doc_id: (list(r.tokens), r.n_tokens) for r in bpe_apply(tiny, m).collect()}
+    assert out[3] == ([], 0)  # NULL text keeps a row
+
+    # plan hygiene: apply runs no Python stage (all folds are JVM-side)
+    plan = (
+        bpe_apply(sample, got_merges)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
 def test_winsorize_bounds_and_idempotence(spark):
     from blockchair_etl_spark.operators.approx import winsorize
 
