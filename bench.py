@@ -234,19 +234,37 @@ records):
 r11 CLOSURE of the four r10 watch-list movers (ann_knn_join 2.23->3.12,
 dedup_incremental_embedding 1.32x, dedup_incremental_minhash 1.32x,
 dedup_bow_cosine_zipf 1.27x in the r9->r10 driver records; r10 verdict
-"What's wrong" #1): the first canary-carrying cross-record comparison
-(driver r10 record, canary 0.907/0.586, vs the r11 session record) was
-run with --compare; results recorded in the r11 session log and
-BENCH_DETAIL history. Verdict inputs: none of the four had code
-changes in r10 (git-verified there), the r10 common-cohort median was
-0.92 (faster), and the r10 record's own canary swung 1.5x WITHIN the
-record — the per-query medians were taken under a moving box state
-that the single post-hoc ratio can only partially divide out.
-Normalized r10->r11 readings for the four (see the committed r11
-record): all four reverted toward their committed same-code baselines
-without any code change to their modules in r11 — closing them as box
-state, the same closure shape as the three r9 movers that reverted in
-r10.
+"What's wrong" #1): the FIRST canary-normalized cross-record
+comparison (--compare, driver r10 record canary 0.907/0.586 vs the
+r11 session record canary 0.851/0.594) read canary_ratio 0.968 —
+box CPU speed essentially flat — with normalized common-cohort median
+0.876 over 78 queries and ZERO queries flagged on the slow side. All
+four watch-list movers reverted to at-or-below their committed
+same-code baselines with no change to their timed plans (ann_knn_join
+3.124 -> 1.722, normalized 0.57; dedup_incremental_minhash 2.212 ->
+1.341, 0.63; dedup_incremental_embedding 2.749 -> 1.816, 0.68;
+dedup_bow_cosine_zipf 3.275 -> 2.747, 0.84 — inside the band).
+CLOSED as box state, the same shape as the three r9 movers that
+reverted in r10. Residual methodology note: the broad ~12% normalized
+speedup on a flat canary shows the canary captures CPU speed but not
+SCHEDULER contention (it is one job; the multi-job dedup family is
+where the spread concentrates) — the normalized median is therefore a
+lower bound on environment noise, and the flag band stays at 1.25x.
+
+r11 ATTRIBUTION of q1_pricing_summary (r10 stretch #8: 2.0 s driver
+reading for a single-scan hash aggregate): isolated 5-run
+canary-bracketed A/B (canary 0.71-0.77). (a) isolated median 1.571 s
+(samples 1.35-1.6 after the 3.6 s first-run warmup) vs the driver's
+2.0 — the reading was box-inflated; (b) plan-compile floor is 0.2 s
+(5 runs of analyze+optimize+physical-plan only); (c) the sf0.1
+lineitem scan gets 3 input splits, so the unwidened stage reads
+~0.45 s/split — BELOW the recorded >=1 s/split fanout-widening bar;
+(d) the widening A/B confirms the bar: a repartition(32)-widened
+decimal aggregate read 1.01-1.14 s vs 0.85-0.95 s unwidened — the
+full-row shuffle costs more than the parallelism buys at 600k rows.
+CLOSED: correctly-shaped single-stage aggregate, not a widening
+candidate; ~0.2 s of its reading is plan compile, the rest tracks box
+state.
 """
 
 from __future__ import annotations
