@@ -458,6 +458,8 @@ def compare_records(old_path: str, new_path: str, flag_ratio: float = 1.25) -> d
 
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--compare":
+        if len(sys.argv) < 4:
+            sys.exit("usage: bench.py --compare OLD_RECORD.json NEW_RECORD.json")
         print(json.dumps(compare_records(sys.argv[2], sys.argv[3]), indent=1))
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -119,6 +119,7 @@ PAIR_QUERIES = {
     "corpus_embedding_curation_pipeline",
     "media_dedup_survivors",
     "media_pixel_dedup_adaptive",
+    "multimodal_joint_dedup_adaptive",
     "dedup_incremental_media_bigstore",
 }
 
@@ -540,9 +541,28 @@ def _custom_runners(spark, repo: str, scale: int):
             fp.select(SF.col("doc").alias("media_id"), "simhash"), "media_id", "left"
         )
 
+    def run_joint_dedup_adaptive(spark_, sf_dir: str):
+        # The 100 TB configuration of the cross-modal joint-survivor
+        # composition (registry: multimodal_joint_dedup_survivors, which
+        # pins the 8x4=32-bit aHash for its SQL oracle): the SAME shared
+        # body (queryset.joint_dedup_survivors) at the 8x8=64-bit pixel
+        # width, so the measured pipeline cannot drift from the verified
+        # one. Width is the pixel side's scale knob exactly as in
+        # media_pixel_dedup_adaptive; the text side's banding is already
+        # corpus-safe. The union edge set is what CC sees, so this
+        # measures the composition's real scale shape, not either
+        # modality alone.
+        from blockchair_etl_spark.queryset import joint_dedup_survivors
+
+        docs = load_table(spark_, sf_dir, "documents")
+        return joint_dedup_survivors(docs, width=8, height=8, bits=64).select(
+            "doc_id"
+        )
+
     return {
         "dedup_bow_cosine_zipf": run_zipf,
         "media_pixel_dedup_adaptive": run_media_pixel_adaptive,
+        "multimodal_joint_dedup_adaptive": run_joint_dedup_adaptive,
         "trace_funds_3hop": run_trace3,
         "dedup_semantic_semdedup": run_semdedup_adaptive,
         "dedup_incremental_embedding": run_incr_emb_adaptive,

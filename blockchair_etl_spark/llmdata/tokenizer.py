@@ -48,9 +48,7 @@ from .text import tokens_col
 _SYMS = "split(word, '(?!^)(?!$)')"
 
 
-def word_frequency_table(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
+def word_frequency_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq, syms) — the relation BPE training iterates on.
     One corpus scan, one hash-agg; `syms` starts as the character
     split."""
@@ -101,7 +99,6 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int = 32,
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_pair_count: int = 2,
 ) -> list[tuple[str, str]]:
     """Learn an ordered BPE merge list from the corpus.
@@ -112,7 +109,7 @@ def bpe_train(
     loop's contract); the table is tiny relative to the corpus, so the
     checkpoint cost is the explicit round barrier, not data volume.
     """
-    words = word_frequency_table(docs, text_col, id_col).localCheckpoint()
+    words = word_frequency_table(docs, text_col).localCheckpoint()
     merges: list[tuple[str, str]] = []
     try:
         for _ in range(n_merges):
@@ -136,15 +133,33 @@ def bpe_train(
     return merges
 
 
-def encode_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+def encode_words(
+    words: DataFrame, merges: list[tuple[str, str]], chunk: int = 64
+) -> DataFrame:
     """Add `toks` (the BPE encoding) to a relation carrying a `word`
-    column: character split, then every merge applied IN ORDER as one
-    chained column expression — k folds in a single codegen'd
-    projection, no per-merge job."""
-    col = F.expr(_SYMS)
-    for l, r in merges:
-        col = _merge_fold(col, l, r)
-    return words.withColumn("toks", col)
+    column: character split, then every merge applied IN ORDER.
+
+    Merges chain as nested fold expressions, so expression-tree depth
+    grows with the merge count — fine at tens of merges, but a
+    production vocabulary (10k-50k merges) would blow Catalyst's
+    recursion long before any job ran (and Catalyst's CollapseProject
+    re-inlines split projections, so chunked .select alone doesn't
+    bound the depth). Every ``chunk`` merges the partial encoding is
+    therefore localCheckpointed — a real optimizer barrier. The
+    checkpointed relation is the DISTINCT-WORD table (bpe_apply's
+    contract), so the materialization cost is vocabulary-sized, not
+    corpus-sized; with merges <= chunk (the common case and every
+    oracle path) no checkpoint happens and the encoding stays one pure
+    codegen projection."""
+    out = words.withColumn("toks", F.expr(_SYMS))
+    for i in range(0, len(merges), chunk):
+        col = F.col("toks")
+        for l, r in merges[i : i + chunk]:
+            col = _merge_fold(col, l, r)
+        out = out.withColumn("toks", col)
+        if i + chunk < len(merges):
+            out = out.localCheckpoint()
+    return out
 
 
 def bpe_apply(

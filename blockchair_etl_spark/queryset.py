@@ -7232,11 +7232,29 @@ WHERE NOT EXISTS (
 """,
 )
 def multimodal_joint_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # 8x4=32-bit aHash is the SQL-oracle configuration; bench_scaling's
+    # multimodal_joint_dedup_adaptive runs the same composition at the
+    # 8x8=64-bit corpus-scale width (shared body: joint_dedup_survivors)
+    return joint_dedup_survivors(docs, width=4, height=8, bits=32).select(
+        "doc_id", "lang"
+    )
+
+
+def joint_dedup_survivors(
+    docs: DataFrame, width: int, height: int, bits: int
+) -> DataFrame:
+    """The cross-modal joint-survivor composition, parameterized by the
+    pixel side's grid/fingerprint width (the scale knob — see
+    multimodal.ahash_fingerprints): text MinHash-LSH pairs ∪ pixel
+    aHash pigeonhole pairs → one CC over the union → min-id survivor.
+    Returns the surviving docs rows. Shared by the registry entry
+    (32-bit oracle twin) and bench_scaling's 64-bit adaptive runner so
+    the measured pipeline can never drift from the verified one."""
     from .caching import tracked_persist
     from .llmdata import multimodal as _mm
     from .llmdata.clusters import connected_clusters
 
-    docs = load_table(spark, sf_dir, "documents")
     # text modality: MinHash-LSH candidates verified at est-Jaccard >= 0.5
     text_pairs = _dedup.minhash_lsh_pairs(
         docs, num_hashes=16, band_size=4, threshold=0.5
@@ -7254,10 +7272,10 @@ def multimodal_joint_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFr
     ).filter(F.length("content") > 0)
     fp = tracked_persist(
         _mm.ahash_fingerprints(
-            _mm.resize_images(media, width=4, height=8, decoder="bytegrid")
+            _mm.resize_images(media, width=width, height=height, decoder="bytegrid")
         )
     )
-    pixel_pairs = _dedup.simhash_near_pairs(fp, max_hamming=3, bits=32).select(
+    pixel_pairs = _dedup.simhash_near_pairs(fp, max_hamming=3, bits=bits).select(
         "id_a", "id_b"
     )
     # one edge set across modalities; distinct so a pair both modalities
@@ -7266,9 +7284,7 @@ def multimodal_joint_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFr
     edges = text_pairs.unionByName(pixel_pairs).distinct()
     clusters = connected_clusters(edges)
     removed = clusters.filter(F.col("doc") != F.col("cluster_id")).select("doc")
-    return docs.join(
-        removed, docs.doc_id == removed.doc, "left_anti"
-    ).select("doc_id", "lang")
+    return docs.join(removed, docs.doc_id == removed.doc, "left_anti")
 
 
 def _corpus_prep_v4_oracle() -> str:

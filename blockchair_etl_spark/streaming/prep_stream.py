@@ -87,8 +87,17 @@ def make_prep_batch_processor(
         if not batch_df.take(1):
             return
         normed = normalize_text(batch_df, text_col=text_col, id_col=id_col)
+        scoped = None
         if bench_shingles is not None:
-            normed = decontaminate(
+            # normed feeds THREE branches of the per-batch plan (the
+            # classifier, the gate, and the kept projection); the
+            # decontamination subtree (shingle explode + per-doc agg +
+            # anti-join) is the first shuffle-heavy stage in that shared
+            # subtree, so persist the decontaminated batch — scoped
+            # .persist()/.unpersist(), NOT tracked_persist: a global
+            # release here would also drop the stream-lifetime
+            # bench_shingles cache (and any sibling loop's caches)
+            normed = scoped = decontaminate(
                 normed,
                 None,
                 threshold=contamination_threshold,
@@ -96,27 +105,31 @@ def make_prep_batch_processor(
                 text_col="norm_text",
                 n=ngram_n,
                 bench_shingles=bench_shingles,
+            ).persist()
+        try:
+            clf = linear_classifier_scores(
+                normed,
+                weights,
+                n_features=n_features,
+                bias_q=bias_q,
+                id_col=id_col,
+                text_col="norm_text",
             )
-        clf = linear_classifier_scores(
-            normed,
-            weights,
-            n_features=n_features,
-            bias_q=bias_q,
-            id_col=id_col,
-            text_col="norm_text",
-        )
-        gated = gopher_quality_gate(normed, text_col="norm_text", id_col=id_col)
-        kept = (
-            normed.join(
-                clf.filter(F.col("logit_q") >= int(logit_threshold)).select(
-                    id_col, "logit_q"
-                ),
-                id_col,
+            gated = gopher_quality_gate(normed, text_col="norm_text", id_col=id_col)
+            kept = (
+                normed.join(
+                    clf.filter(F.col("logit_q") >= int(logit_threshold)).select(
+                        id_col, "logit_q"
+                    ),
+                    id_col,
+                )
+                .join(gated.filter("keep").select(id_col), id_col)
+                .select(id_col, "norm_text", "logit_q")
             )
-            .join(gated.filter("keep").select(id_col), id_col)
-            .select(id_col, "norm_text", "logit_q")
-        )
-        _overwrite_batch_partition(kept, batch_id, out_dir)
+            _overwrite_batch_partition(kept, batch_id, out_dir)
+        finally:
+            if scoped is not None:
+                scoped.unpersist()
 
     return _process
 
@@ -153,18 +166,21 @@ def corpus_prep_stream(
     """
     bench_shingles = None
     if bench is not None:
-        from ..caching import tracked_persist
         from ..llmdata.dedup import bench_shingle_set
         from ..llmdata.text import normalize_text
 
-        bench_shingles = tracked_persist(
-            bench_shingle_set(
-                normalize_text(bench, text_col=text_col, id_col=id_col),
-                text_col="norm_text",
-                id_col=id_col,
-                n=ngram_n,
-            )
-        )
+        # plain .persist(), NOT tracked_persist: the cache must live for
+        # the STREAM's lifetime, and sibling foreachBatch loops (the
+        # dedup stream's processors) call the global release_tracked()
+        # per batch — a tracked entry here would be dropped by the first
+        # batch of any co-running loop and every later batch would
+        # silently re-shingle the benchmark
+        bench_shingles = bench_shingle_set(
+            normalize_text(bench, text_col=text_col, id_col=id_col),
+            text_col="norm_text",
+            id_col=id_col,
+            n=ngram_n,
+        ).persist()
     _process = make_prep_batch_processor(
         weights,
         out_dir,
