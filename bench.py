@@ -382,9 +382,11 @@ HEADLINE = [
     "dedup_span_removal",
     # round-10 addition: the pixel-space (perceptual) media dedup twin
     "media_pixel_dedup_survivors",
-    # round-11 addition: cross-modal joint-survivor composition (text
+    # round-11 additions: cross-modal joint-survivor composition (text
     # MinHash pairs ∪ pixel aHash pairs → one CC → min-id survivor)
+    # and the learned-vocab BPE apply step
     "multimodal_joint_dedup_survivors",
+    "tokenizer_bpe_apply",
 ]
 
 

@@ -800,6 +800,96 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1)
 
 
+# Pinned demonstration vocabulary for the BPE-apply oracle entry: the
+# merge list is the model ARTIFACT (bpe_train learns one; applying a
+# given list is deterministic), so the entry pins a literal list —
+# common English bigram merges, in order — and BOTH the Spark call and
+# the DuckDB oracle are generated from this one constant so they cannot
+# drift. Training itself is pytest-verified against a python reference
+# (test_bpe_train_apply_parity); it is a driver-loop aggregation, not a
+# single SQL statement.
+_BPE_DEMO_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+]
+
+
+def _sql_bpe_apply_oracle(merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin of tokenizer.bpe_apply for a literal merge list.
+
+    The greedy left-to-right merge fold is EXACTLY non-overlapping
+    string replace over fully delimited symbols: encode a word's
+    symbols as |s1^|s2^|...^ and each merge (l, r) as
+    replace('|l^|r^' -> '|lr^'); both scanners consume the match and
+    continue AFTER the replacement, and the two-sided delimiters make
+    prefix/suffix false matches impossible (equivalence fuzzed over
+    400+ random words x 11 chained merges in the r11 session).
+    Tokens are [a-z0-9]+ so the delimiter characters never occur
+    inside a symbol."""
+    enc = (
+        "'|' || array_to_string(list_transform("
+        "generate_series(1, length(word)), i -> substr(word, i, 1)), '^|') || '^'"
+    )
+    for l, r in merges:
+        enc = f"replace({enc}, '|{l}^|{r}^', '|{l}{r}^')"
+    return f"""
+WITH ws AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+toks AS (
+  SELECT doc_id, u.i AS wpos, ws.w[u.i] AS word
+  FROM ws, unnest(generate_series(1, len(ws.w))) AS u(i)
+),
+encw AS (
+  SELECT word,
+         string_split(substr(e, 2, length(e) - 2), '^|') AS toks_arr
+  FROM (SELECT word, {enc} AS e
+        FROM (SELECT DISTINCT word FROM toks))
+),
+occ AS (
+  SELECT t.doc_id, t.wpos, e.toks_arr, len(e.toks_arr) AS n
+  FROM toks t JOIN encw e USING (word)
+),
+offs AS (
+  SELECT doc_id, wpos, toks_arr,
+         COALESCE(SUM(n) OVER (PARTITION BY doc_id ORDER BY wpos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM occ
+)
+SELECT o.doc_id, CAST(o.off + u.i - 1 AS BIGINT) AS pos,
+       o.toks_arr[u.i] AS token
+FROM offs o, unnest(generate_series(1, len(o.toks_arr))) AS u(i)
+"""
+
+
+@register(
+    "tokenizer_bpe_apply",
+    survey="LLM-text (learned-vocabulary tokenizer, apply step)",
+    desc="BPE tokenization with a pinned learned vocabulary (the merge "
+    "list is the model artifact; applying it is deterministic): words "
+    "-> character symbols -> 8 ordered greedy merges folded JVM-side "
+    "over DISTINCT words only, encodings joined back to the token "
+    "stream, documents reassembled in order -> one row per (doc, "
+    "token position). The DuckDB twin replays the fold as chained "
+    "delimiter-safe string replaces; training the list is the "
+    "driver-loop aggregation pytest-verified in tokenizer.bpe_train",
+    oracle=_sql_bpe_apply_oracle(_BPE_DEMO_MERGES),
+)
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.tokenizer import bpe_apply
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bpe_apply(docs, _BPE_DEMO_MERGES)
+        .select("doc_id", F.posexplode("tokens").alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
+    )
+
+
 def _sql_minhash_sig(num_hashes: int = 16) -> str:
     mins = ",\n         ".join(
         f"MIN(md5('{i}|' || feat)) AS m{i}" for i in range(num_hashes)
