@@ -390,6 +390,25 @@ HEADLINE = [
 ]
 
 
+def sched_canary(spark, jobs: int = 20, runs: int = 3) -> float:
+    """Scheduler-jitter canary (r11 methodology addendum): median wall
+    time of ``jobs`` SEQUENTIAL trivial actions (spark.range(1).count()
+    — one task each, no data work), i.e. ~pure per-job scheduling
+    overhead. The CPU canary above moves only with core speed; the r11
+    normalized comparison showed a broad per-query drift it could not
+    explain, concentrated in the multi-job driver-iterated dedup family
+    — exactly the component this canary reads. Interpretation: a
+    per-query move in a MULTI-JOB query that tracks sched_ratio while
+    the CPU canary is flat is scheduler contention, still box state."""
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        for _ in range(jobs):
+            spark.range(1).count()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 3)
+
+
 def canary(spark, runs: int = 3) -> float:
     """Box-speed canary: median wall time of a FIXED data-independent
     CPU-bound workload — sum(xxhash64(id)) over spark.range(4B), one
@@ -455,6 +474,21 @@ def compare_records(old_path: str, new_path: str, flag_ratio: float = 1.25) -> d
             sorted(movers.items(), key=lambda kv: -kv[1]["normalized"])
         ),
     }
+    # informational (records from r11 on): the scheduler-jitter canary
+    # ratio — a flagged MULTI-JOB query whose move tracks this while the
+    # CPU canary is flat is scheduler contention, still box state
+    sched = [
+        [
+            rec.get(k)
+            for k in ("canary_sched_pre_sec", "canary_sched_post_sec")
+            if rec.get(k)
+        ]
+        for rec in (old, new)
+    ]
+    if sched[0] and sched[1]:
+        out["sched_ratio"] = round(
+            statistics.median(sched[1]) / statistics.median(sched[0]), 3
+        )
     return out
 
 
@@ -483,6 +517,7 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     canary_pre = canary(spark)
+    sched_pre = sched_canary(spark)
     # SPARK_GRAFT_BENCH_ALL=1 times every registry entry (full-surface
     # sweep for regression hunting); default is the curated headline list.
     if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
@@ -590,6 +625,7 @@ def main() -> None:
     shutil.rmtree(pq_dir, ignore_errors=True)
 
     canary_post = canary(spark)
+    sched_post = sched_canary(spark)
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -602,6 +638,8 @@ def main() -> None:
         "sf": sf,
         "canary_pre_sec": canary_pre,
         "canary_post_sec": canary_post,
+        "canary_sched_pre_sec": sched_pre,
+        "canary_sched_post_sec": sched_post,
     }
     # The driver tail-captures stdout with a HARD 2,000-byte cap, and
     # ~74 per-query timings need ~3 KB — chunked stdout alone can never
@@ -650,6 +688,8 @@ def main() -> None:
                 "chunk_lines": n_chunks,
                 "canary_pre_sec": canary_pre,
                 "canary_post_sec": canary_post,
+                "canary_sched_pre_sec": sched_pre,
+                "canary_sched_post_sec": sched_post,
             },
             separators=(",", ":"),
         )

@@ -330,3 +330,35 @@ def test_r10_operators_on_empty_inputs(spark, empty_docs, docs):
         empty_media.select("media_id", "content"), store
     )
     assert pairs.count() == 0 and updated.count() == n_store
+
+
+def test_r11_operators_on_empty_inputs(spark, empty_docs, docs):
+    """Round-11 surface on degenerate inputs: BPE training on an empty
+    corpus learns nothing (and applying an empty merge list is the
+    character split); the joint cross-modal dedup of an empty corpus is
+    empty; decontamination against an EMPTY precomputed shingle set
+    keeps the whole corpus."""
+    from blockchair_etl_spark.llmdata.dedup import bench_shingle_set, decontaminate
+    from blockchair_etl_spark.llmdata.tokenizer import bpe_apply, bpe_train
+    from blockchair_etl_spark.queryset import joint_dedup_survivors
+
+    assert bpe_train(empty_docs, n_merges=5) == []
+    out = bpe_apply(empty_docs, [])
+    assert out.count() == 0 and set(out.columns) == {"doc_id", "tokens", "n_tokens"}
+    # empty merge list on a real corpus == character split, one row/doc
+    applied = bpe_apply(docs.limit(5), [])
+    rows = applied.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert all(len(t) == 1 for t in r.tokens)
+
+    assert joint_dedup_survivors(empty_docs, width=4, height=8, bits=32).count() == 0
+
+    empty_sh = bench_shingle_set(empty_docs)
+    n = docs.count()
+    assert (
+        decontaminate(
+            docs, None, threshold=0.0, bench_shingles=empty_sh
+        ).count()
+        == n
+    )
