@@ -453,6 +453,12 @@ def compare_records(old_path: str, new_path: str, flag_ratio: float = 1.25) -> d
     canary_ratio = _canary(new) / _canary(old)
     oq, nq = old["queries"], new["queries"]
     common = sorted(k for k in oq if k in nq and oq[k] > 0)
+    if not common:
+        raise ValueError(
+            "records share no (nonzero-timed) queries — compare two "
+            "records of the same suite (e.g. two headline BENCH_DETAIL "
+            "records), not a scaling/family record against a headline one"
+        )
     raw = {k: nq[k] / oq[k] for k in common}
     norm = {k: raw[k] / canary_ratio for k in common}
     movers = {

@@ -555,9 +555,7 @@ def _custom_runners(spark, repo: str, scale: int):
         from blockchair_etl_spark.queryset import joint_dedup_survivors
 
         docs = load_table(spark_, sf_dir, "documents")
-        return joint_dedup_survivors(docs, width=8, height=8, bits=64).select(
-            "doc_id"
-        )
+        return joint_dedup_survivors(docs, width=8, height=8).select("doc_id")
 
     return {
         "dedup_bow_cosine_zipf": run_zipf,

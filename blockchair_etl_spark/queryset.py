@@ -7326,21 +7326,23 @@ def multimodal_joint_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFr
     # 8x4=32-bit aHash is the SQL-oracle configuration; bench_scaling's
     # multimodal_joint_dedup_adaptive runs the same composition at the
     # 8x8=64-bit corpus-scale width (shared body: joint_dedup_survivors)
-    return joint_dedup_survivors(docs, width=4, height=8, bits=32).select(
+    return joint_dedup_survivors(docs, width=4, height=8).select(
         "doc_id", "lang"
     )
 
 
-def joint_dedup_survivors(
-    docs: DataFrame, width: int, height: int, bits: int
-) -> DataFrame:
+def joint_dedup_survivors(docs: DataFrame, width: int, height: int) -> DataFrame:
     """The cross-modal joint-survivor composition, parameterized by the
-    pixel side's grid/fingerprint width (the scale knob — see
-    multimodal.ahash_fingerprints): text MinHash-LSH pairs ∪ pixel
-    aHash pigeonhole pairs → one CC over the union → min-id survivor.
+    pixel side's grid (the scale knob — see
+    multimodal.ahash_fingerprints; the fingerprint width is width·height
+    by construction, so it is derived here rather than taken as a
+    separate knob a caller could mismatch into silently-truncated
+    pigeonhole blocks): text MinHash-LSH pairs ∪ pixel aHash pigeonhole
+    pairs → one CC over the union → min-id survivor.
     Returns the surviving docs rows. Shared by the registry entry
     (32-bit oracle twin) and bench_scaling's 64-bit adaptive runner so
     the measured pipeline can never drift from the verified one."""
+    bits = width * height
     from .caching import tracked_persist
     from .llmdata import multimodal as _mm
     from .llmdata.clusters import connected_clusters

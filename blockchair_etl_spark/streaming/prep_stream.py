@@ -134,6 +134,34 @@ def make_prep_batch_processor(
     return _process
 
 
+def prepare_bench_shingles(
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Build + persist the decontamination artifact for the prep loop:
+    the eval set canonically normalized (the same normalize_text the
+    loop applies to every batch — contamination must compare in one
+    normalized space), collapsed to its distinct shingle relation.
+
+    The returned frame is ``.persist()``ed and CALLER-OWNED: unpersist
+    it when the stream(s) using it are done. Plain persist, NOT
+    tracked_persist — sibling foreachBatch loops (the dedup stream's
+    processors) call the global release_tracked() per batch, and a
+    tracked entry would be dropped by the first batch of any co-running
+    loop, silently re-shingling the benchmark every batch after."""
+    from ..llmdata.dedup import bench_shingle_set
+    from ..llmdata.text import normalize_text
+
+    return bench_shingle_set(
+        normalize_text(bench, text_col=text_col, id_col=id_col),
+        text_col="norm_text",
+        id_col=id_col,
+        n=ngram_n,
+    ).persist()
+
+
 def corpus_prep_stream(
     docs_stream: DataFrame,
     weights: DataFrame,
@@ -145,6 +173,7 @@ def corpus_prep_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench: DataFrame | None = None,
+    bench_shingles: DataFrame | None = None,
     contamination_threshold: float = 0.0,
     ngram_n: int = 3,
 ):
@@ -152,35 +181,29 @@ def corpus_prep_stream(
     micro-batch's surviving (id, norm_text, logit_q) rows to a
     batch_id-partitioned store (replay-idempotent, module docstring).
 
-    ``bench``: optional eval-set docs (id, text). When given, the bench
-    text is canonically normalized (the same normalize_text the loop
-    applies to every batch — contamination must compare in one
-    normalized space) and its distinct shingle set is computed ONCE
-    here, persisted, and reused by every micro-batch's decontamination
-    stage — the per-batch cost is one broadcast join against the cached
-    set, never a re-shingle of the benchmark.
+    Decontamination, two ways to enable it:
+
+    - ``bench_shingles``: a prepared artifact from
+      :func:`prepare_bench_shingles` — CALLER-OWNED cache, the right
+      path for a long-lived session running many daily drops (one
+      artifact serves every stream; the caller unpersists it when
+      done).
+    - ``bench``: convenience for one-stream sessions — the eval docs
+      are normalized + shingled + persisted here ONCE; that internal
+      cache has no release handle and lives until the SparkSession
+      ends, so repeated corpus_prep_stream(bench=...) calls in one
+      session accumulate one pinned cache each (use the artifact path
+      instead).
+
+    Either way, every micro-batch's decontamination is one broadcast
+    join against the cached set — never a re-shingle of the benchmark.
 
     Returns the un-started DataStreamWriter so the caller picks the
     trigger (``.trigger(availableNow=True)`` for the daily drop) and
     starts it.
     """
-    bench_shingles = None
-    if bench is not None:
-        from ..llmdata.dedup import bench_shingle_set
-        from ..llmdata.text import normalize_text
-
-        # plain .persist(), NOT tracked_persist: the cache must live for
-        # the STREAM's lifetime, and sibling foreachBatch loops (the
-        # dedup stream's processors) call the global release_tracked()
-        # per batch — a tracked entry here would be dropped by the first
-        # batch of any co-running loop and every later batch would
-        # silently re-shingle the benchmark
-        bench_shingles = bench_shingle_set(
-            normalize_text(bench, text_col=text_col, id_col=id_col),
-            text_col="norm_text",
-            id_col=id_col,
-            n=ngram_n,
-        ).persist()
+    if bench is not None and bench_shingles is None:
+        bench_shingles = prepare_bench_shingles(bench, text_col, id_col, ngram_n)
     _process = make_prep_batch_processor(
         weights,
         out_dir,

@@ -352,7 +352,7 @@ def test_r11_operators_on_empty_inputs(spark, empty_docs, docs):
     for r in rows:
         assert all(len(t) == 1 for t in r.tokens)
 
-    assert joint_dedup_survivors(empty_docs, width=4, height=8, bits=32).count() == 0
+    assert joint_dedup_survivors(empty_docs, width=4, height=8).count() == 0
 
     empty_sh = bench_shingle_set(empty_docs)
     n = docs.count()

@@ -1400,6 +1400,20 @@ def test_bpe_train_apply_parity(spark, docs):
     )
     assert "EvalPython" not in plan and "InPandas" not in plan
 
+    # the depth-capped (localCheckpoint) branch of encode_words must be
+    # semantically invisible: chunk=2 forces checkpoint barriers inside
+    # the 12-merge chain — encodings must equal the single-projection
+    # form, including across chunk-boundary merges
+    words = spark.createDataFrame(
+        [("thequickbrown",), ("aaaa",), ("zzz",), ("a",)], "word string"
+    )
+    unchunked = {r.word: list(r.toks) for r in encode_words(words, got_merges).collect()}
+    chunked = {
+        r.word: list(r.toks)
+        for r in encode_words(words, got_merges, chunk=2).collect()
+    }
+    assert chunked == unchunked
+
 
 def test_winsorize_bounds_and_idempotence(spark):
     from blockchair_etl_spark.operators.approx import winsorize
