@@ -87,6 +87,9 @@ FAMILY = [
     # exact-substring span removal: shingle-df agg + coverage window,
     # linear like its measurement sibling dedup_repeated_ngram_spans
     "dedup_span_removal",
+    # round-11: BPE apply — distinct-word encode + join-back; scale
+    # story is vocabulary growth (Heaps-sublinear) vs occurrence growth
+    "tokenizer_bpe_apply",
     # media_pixel_dedup_survivors (the 8x4=32-bit oracle twin) is
     # deliberately ABSENT: at fixed 32-bit width the pigeonhole block
     # join's RANDOM collisions alone grow quadratically (4*2^-8 ~ 1.6%
@@ -557,10 +560,29 @@ def _custom_runners(spark, repo: str, scale: int):
         docs = load_table(spark_, sf_dir, "documents")
         return joint_dedup_survivors(docs, width=8, height=8).select("doc_id")
 
+    def run_bpe_train(spark_, sf_dir: str):
+        # BPE TRAINING scale shape: the corpus is scanned once into the
+        # word-frequency table; each of the 8 merge rounds is one
+        # pair-agg + top-1 collect + symbol rewrite on that table. 10x
+        # corpus grows the DISTINCT-word table sublinearly (Heaps), so
+        # alpha well under 1 is the expected signature — the loop's cost
+        # is per-round scheduling plus word-table size, never corpus
+        # rescans. bpe_train is a driver loop returning the merge list,
+        # so the timed work happens eagerly here and the returned 1-row
+        # frame only carries the artifact into the noop sink.
+        from blockchair_etl_spark.llmdata.tokenizer import bpe_train
+
+        docs = load_table(spark_, sf_dir, "documents")
+        merges = bpe_train(docs, n_merges=8)
+        return spark_.createDataFrame(
+            [(";".join(f"{l}+{r}" for l, r in merges),)], "merges string"
+        )
+
     return {
         "dedup_bow_cosine_zipf": run_zipf,
         "media_pixel_dedup_adaptive": run_media_pixel_adaptive,
         "multimodal_joint_dedup_adaptive": run_joint_dedup_adaptive,
+        "tokenizer_bpe_train": run_bpe_train,
         "trace_funds_3hop": run_trace3,
         "dedup_semantic_semdedup": run_semdedup_adaptive,
         "dedup_incremental_embedding": run_incr_emb_adaptive,
