@@ -162,6 +162,31 @@ def encode_words(
     return out
 
 
+def merges_to_frame(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """The learned vocabulary as a persistable relation
+    (merge_idx, left, right) — the same write-once/read-forever artifact
+    contract as the MinHash band store and the embedding bucket store:
+    bpe_train once, write the frame to parquet, and every later
+    apply/stream loads it. ORDER IS THE MODEL — merge_idx preserves it
+    across the (unordered) parquet round-trip."""
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_idx bigint, left string, right string",
+    )
+
+
+def frame_to_merges(df: DataFrame) -> list[tuple[str, str]]:
+    """Inverse of :func:`merges_to_frame`: reload the ordered merge
+    list from its persisted relation (a driver-side artifact read —
+    vocabularies are O(10k) rows, never data-scale)."""
+    return [
+        (r.left, r.right)
+        for r in df.select("merge_idx", "left", "right")
+        .orderBy("merge_idx")
+        .collect()
+    ]
+
+
 def bpe_apply(
     docs: DataFrame,
     merges: list[tuple[str, str]],

@@ -1414,6 +1414,26 @@ def test_bpe_train_apply_parity(spark, docs):
     }
     assert chunked == unchunked
 
+    # artifact round-trip: the merge list survives a parquet write/read
+    # with ORDER intact (order is the model), and applying the reloaded
+    # vocabulary is identical
+    import tempfile
+
+    from blockchair_etl_spark.llmdata.tokenizer import (
+        frame_to_merges,
+        merges_to_frame,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/bpe_vocab"
+        merges_to_frame(spark, got_merges).write.parquet(path)
+        reloaded = frame_to_merges(spark.read.parquet(path))
+    assert reloaded == got_merges
+    re_applied = {
+        r.doc_id: list(r.tokens) for r in bpe_apply(sample, reloaded).collect()
+    }
+    assert re_applied == applied
+
 
 def test_winsorize_bounds_and_idempotence(spark):
     from blockchair_etl_spark.operators.approx import winsorize
