@@ -251,6 +251,17 @@ SCHEDULER contention (it is one job; the multi-job dedup family is
 where the spread concentrates) — the normalized median is therefore a
 lower bound on environment noise, and the flag band stays at 1.25x.
 
+r11 FULL-SWEEP finding (SPARK_GRAFT_BENCH_ALL=1, runs=2, final r11
+code, 168 timed queries, 270.5 s total vs r9's 358 s on 165): the one
+outlier remains dedup_bow_cosine (99.7 s, down from r9's 157 s) — the
+documented adversarial exact-form fixture (31-term vocabulary, nothing
+for the df bound to prune; the deployed shape is the df-bounded
+dedup_bow_cosine_zipf at 2.7 s). Every other entry read under 6.3 s,
+the slowest being the two recall-instrumentation entries that carry
+brute-force ground truth by design and the new joint-dedup composition
+(5.6 s in-sweep vs 3.2 s in the headline record — in-sequence
+ordering, both well-shaped). No regression candidates.
+
 r11 ATTRIBUTION of q1_pricing_summary (r10 stretch #8: 2.0 s driver
 reading for a single-scan hash aggregate): isolated 5-run
 canary-bracketed A/B (canary 0.71-0.77). (a) isolated median 1.571 s
