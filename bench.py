@@ -449,10 +449,13 @@ def compare_records(old_path: str, new_path: str, flag_ratio: float = 1.25) -> d
         new = json.load(fh)
 
     def _canary(rec: dict) -> float:
+        # `is not None`, not truthiness: a legitimate 0.0 reading (or a
+        # null stored alongside a valid twin) must not be silently
+        # dropped from the median (advisor r11).
         vals = [
             rec.get(k)
             for k in ("canary_pre_sec", "canary_post_sec")
-            if rec.get(k)
+            if rec.get(k) is not None
         ]
         if not vals:
             raise ValueError(
@@ -487,24 +490,44 @@ def compare_records(old_path: str, new_path: str, flag_ratio: float = 1.25) -> d
         "raw_median_ratio": round(statistics.median(raw.values()), 3),
         "normalized_median_ratio": round(statistics.median(norm.values()), 3),
         "flag_band": [round(1.0 / flag_ratio, 3), flag_ratio],
-        "normalized_movers": dict(
-            sorted(movers.items(), key=lambda kv: -kv[1]["normalized"])
-        ),
     }
-    # informational (records from r11 on): the scheduler-jitter canary
-    # ratio — a flagged MULTI-JOB query whose move tracks this while the
-    # CPU canary is flat is scheduler contention, still box state
+    # Scheduler-jitter canary ratio (records from r11 on): the CPU
+    # canary is ONE job and reads core speed only; sched_canary (20
+    # sequential one-task jobs) reads per-job scheduling overhead — the
+    # component the r11 record saw swing 1.5x WITHIN one record while
+    # the CPU canary moved 15%. APPLIED, not just reported (r11 verdict
+    # #2): a CPU-flagged mover whose ratio falls back inside the band
+    # when divided by sched_ratio instead is scheduler contention —
+    # still box state — and moves to `sched_closed` rather than earning
+    # an isolated A/B. Single-job queries can also close this way: the
+    # per-JOB overhead sched_canary reads is paid once per job
+    # regardless of fan-out, and it dominates exactly the sub-second
+    # queries where the raw movers concentrate.
     sched = [
         [
             rec.get(k)
             for k in ("canary_sched_pre_sec", "canary_sched_post_sec")
-            if rec.get(k)
+            if rec.get(k) is not None
         ]
         for rec in (old, new)
     ]
+    sched_ratio = None
     if sched[0] and sched[1]:
-        out["sched_ratio"] = round(
-            statistics.median(sched[1]) / statistics.median(sched[0]), 3
+        sched_ratio = statistics.median(sched[1]) / statistics.median(sched[0])
+        out["sched_ratio"] = round(sched_ratio, 3)
+    sched_closed = {}
+    if sched_ratio:
+        for k in list(movers):
+            s = raw[k] / sched_ratio
+            movers[k]["sched_normalized"] = round(s, 3)
+            if 1.0 / flag_ratio <= s <= flag_ratio:
+                sched_closed[k] = movers.pop(k)
+    out["normalized_movers"] = dict(
+        sorted(movers.items(), key=lambda kv: -kv[1]["normalized"])
+    )
+    if sched_closed:
+        out["sched_closed"] = dict(
+            sorted(sched_closed.items(), key=lambda kv: -kv[1]["normalized"])
         )
     return out
 

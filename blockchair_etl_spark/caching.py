@@ -58,3 +58,31 @@ def release_tracked(blocking: bool = False) -> int:
 
 def tracked_count() -> int:
     return len(_TRACKED)
+
+
+def release_local_checkpoint(df: DataFrame, blocking: bool = False) -> bool:
+    """Free the block-manager blocks behind a ``localCheckpoint``-ed
+    frame. ``DataFrame.unpersist()`` only clears CacheManager entries —
+    it does NOT touch the checkpointed RDD's blocks (measured r12: a
+    checkpoint-per-round driver loop that "unpersisted" each superseded
+    table still held every round's blocks), and relying on the JVM
+    ContextCleaner means waiting on two garbage collectors (the py4j
+    handle, then the JVM RDD). This reaches the ``LogicalRDD`` at the
+    analyzed-plan root and unpersists its RDD directly — deterministic
+    release for iterate-checkpoint-swap loops.
+
+    Returns True when a checkpoint RDD was released. ONLY call on a
+    frame nothing will read again: a locally-checkpointed frame has no
+    lineage to recompute from, so any later action on it (or a plan
+    built over it) fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+    Falls back to ``df.unpersist()`` (False) when the root is not a
+    LogicalRDD — e.g. a frame that was never checkpointed."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(blocking)
+            return True
+        df.unpersist(blocking)
+    except Exception:  # session already stopped — nothing to free
+        pass
+    return False

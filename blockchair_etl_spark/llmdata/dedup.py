@@ -690,7 +690,7 @@ def minhash_band_store(
 
 
 def _dedup_store_union(
-    store: DataFrame, new_rows: DataFrame, key: str
+    store: DataFrame, new_rows: DataFrame, key: str, broadcast_new: bool = True
 ) -> DataFrame:
     """store ∪ new batch with one row per ``key`` — the write-back side
     of every incremental dedup twin. An at-least-once replay (or a
@@ -698,13 +698,26 @@ def _dedup_store_union(
     blind grows the store with duplicates across replays (advisor r10).
     A key-wise dropDuplicates over the union would fix that but SHUFFLE
     the corpus-sized store every day — instead anti-join the store
-    against the (small, broadcast) batch key set and union the batch's
-    rows back: one store scan, zero store shuffle, the batch's version
-    wins for re-ingested keys (signatures/fingerprints are
-    deterministic per payload, so the copies are identical anyway)."""
-    return store.join(
-        F.broadcast(new_rows.select(key)), key, "left_anti"
-    ).unionByName(new_rows)
+    against the batch key set and union the batch's rows back: one
+    store scan, the batch's version wins for re-ingested keys.
+
+    ``broadcast_new`` (default True — daily batches are store-small)
+    broadcasts the batch's key column into the anti-join; for a
+    near-store-sized one-shot "batch" through the incremental API, pass
+    False and the anti-join shuffles both sides instead of pushing a
+    store-scale key set through the driver (the same knob
+    simhash_cross_pairs carries, advisor r11).
+
+    Semantics note (advisor r11): a key re-ingested with a CHANGED
+    payload is silently adopted — the old row is dropped, no old-vs-new
+    pair is emitted (the probes' id self-pair filter masks the
+    comparison). That is the right contract for deterministic
+    signatures over immutable payloads (this library's stores); a
+    mutable-payload corpus needs a change-detection pass upstream."""
+    keys = new_rows.select(key)
+    if broadcast_new:
+        keys = F.broadcast(keys)
+    return store.join(keys, key, "left_anti").unionByName(new_rows)
 
 
 def incremental_minhash_dedup(
@@ -716,6 +729,7 @@ def incremental_minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    broadcast_new: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup an arriving batch against the existing corpus index.
 
@@ -761,7 +775,7 @@ def incremental_minhash_dedup(
     pairs = minhash_cross_pairs(new_store, store, num_hashes, threshold)
     # one row per doc across replays/re-ingests, no store shuffle
     # (_dedup_store_union) — same contract as the media/embedding twins
-    return pairs, _dedup_store_union(store, new_store, "doc")
+    return pairs, _dedup_store_union(store, new_store, "doc", broadcast_new)
 
 
 def minhash_cross_pairs(
@@ -925,6 +939,7 @@ def incremental_media_dedup(
     gram_bytes: int = 4,
     id_col: str = "media_id",
     content_col: str = "content",
+    broadcast_new: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup an arriving media batch against the persisted fingerprint
     index — the media twin of incremental_minhash_dedup /
@@ -958,8 +973,10 @@ def incremental_media_dedup(
             ).filter(F.lit(False)),
             new_fp,
         )
-    pairs = simhash_cross_pairs(new_fp, store, max_hamming, bits)
-    return pairs, _dedup_store_union(store, new_fp, "doc")
+    pairs = simhash_cross_pairs(
+        new_fp, store, max_hamming, bits, broadcast_new=broadcast_new
+    )
+    return pairs, _dedup_store_union(store, new_fp, "doc", broadcast_new)
 
 
 def bow_cosine_pairs(
@@ -1609,6 +1626,7 @@ def incremental_embedding_dedup(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_new: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup an arriving embedding batch against the persisted bucketed
     store — the embedding-space twin of incremental_minhash_dedup (the
@@ -1683,4 +1701,135 @@ def incremental_embedding_dedup(
     )
     # one row per id across replays/re-ingests, no store shuffle
     # (_dedup_store_union) — same contract as the minhash/media twins
-    return pairs, _dedup_store_union(store, new_store, "id")
+    return pairs, _dedup_store_union(store, new_store, "id", broadcast_new)
+
+
+def survivors_from_edges(
+    docs: DataFrame, edges: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """docs rows that survive min-id dedup over a duplicate edge set
+    (id_a, id_b): one connected-components pass, drop every doc that is
+    not its cluster's minimum. The joint-cluster rule shared by the
+    batch cross-modal composition (queryset.joint_dedup_survivors) and
+    the incremental/streaming joint twins — one body, so the survivor
+    semantics cannot drift between the oracle'd entry and the
+    store-backed paths."""
+    from .clusters import connected_clusters
+
+    clusters = connected_clusters(edges.select("id_a", "id_b"))
+    removed = clusters.filter(F.col("doc") != F.col("cluster_id")).select("doc")
+    return docs.join(removed, docs[id_col] == removed.doc, "left_anti")
+
+
+def incremental_joint_dedup(
+    new_docs: DataFrame,
+    new_media: DataFrame,
+    text_store: DataFrame | None,
+    media_store: DataFrame | None,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_hamming: int = 3,
+    width: int = 4,
+    height: int = 8,
+    decoder: str = "bytegrid",
+    broadcast_new: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Cross-modal joint dedup for an ARRIVING batch against BOTH
+    persisted modality indexes (r11 verdict #5) — the incremental twin
+    of the batch joint composition (queryset.joint_dedup_survivors):
+    text MinHash-LSH pairs ∪ pixel aHash pigeonhole pairs over one
+    batch, probing the text band store and the pixel fingerprint store.
+
+    ``new_docs`` carries (doc_id, text); ``new_media`` the SAME ids as
+    (media_id, content, width, height, kind) — the two modality views
+    of one arriving corpus slice, exactly how the batch operator
+    derives them. The pixel side is the aHash pipeline (decode →
+    resize to width×height → JVM aHash), NOT byte-gram SimHash: joint
+    parity requires the same fingerprints the batch composition hashes,
+    and width·height derives the pigeonhole bits so callers can't
+    mismatch the blocks (same guard as joint_dedup_survivors).
+
+    Returns (edges, updated_text_store, updated_media_store):
+
+    - ``edges`` — (id_a, id_b), distinct, the union across BOTH
+      modalities of within-batch pairs AND batch-vs-store pairs. Unlike
+      the single-modality twins (which leave within-batch pairs to the
+      one-shot operator), the joint twin must emit them: the joint
+      CLUSTER rule spans modalities, so a within-batch text pair can
+      bridge two pixel clusters — dropping it would split a joint
+      cluster. Every duplicate pair of the growing corpus is emitted
+      exactly once, in the batch where its later member arrives — so
+      the UNION of edges across batches fed to
+      :func:`survivors_from_edges` reproduces the batch operator's
+      survivors exactly (pytest cumulative-parity contract).
+    - both stores updated through :func:`_dedup_store_union` — one row
+      per key across at-least-once replays, no store shuffle.
+
+    Bootstrap: pass None for both stores (or either, for a corpus
+    whose modality indexes were seeded at different times); a None
+    store contributes no cross pairs and is seeded with the batch.
+
+    Scale shape: O(|batch|) shingling/hashing/decoding; two bucket
+    joins probe the stores (band keys; pigeonhole blocks) with the
+    batch side broadcast (``broadcast_new`` — pass False for a
+    near-store-sized backfill batch); the stores never shuffle, never
+    rescan. Per-day cost is independent of corpus size — the measured
+    bigstore contract of the single-modality twins, composed."""
+    from . import multimodal as _mm
+
+    bits = width * height
+    new_text_store = tracked_persist(
+        minhash_band_store(
+            new_docs, num_hashes, band_size, text_col, doc_id_col, shingle_n
+        )
+    )
+    new_fp = tracked_persist(
+        _mm.ahash_fingerprints(
+            _mm.resize_images(new_media, width=width, height=height, decoder=decoder)
+        )
+    )
+
+    edges = minhash_pairs_from_store(
+        new_text_store, num_hashes=num_hashes, threshold=threshold
+    ).select("id_a", "id_b")
+    if text_store is not None:
+        edges = edges.unionByName(
+            minhash_cross_pairs(
+                new_text_store, text_store, num_hashes, threshold
+            ).select("id_a", "id_b")
+        )
+    edges = edges.unionByName(
+        simhash_near_pairs(new_fp, max_hamming=max_hamming, bits=bits).select(
+            "id_a", "id_b"
+        )
+    )
+    if media_store is not None:
+        edges = edges.unionByName(
+            simhash_cross_pairs(
+                new_fp,
+                media_store,
+                max_hamming=max_hamming,
+                bits=bits,
+                broadcast_new=broadcast_new,
+            ).select("id_a", "id_b")
+        )
+    # one edge per pair: a duplicate found by both modalities (or by
+    # band- and block-collisions alike) must not ride the CC
+    # propagation joins twice — same rationale as the batch composition
+    edges = edges.distinct()
+
+    updated_text = (
+        new_text_store
+        if text_store is None
+        else _dedup_store_union(text_store, new_text_store, "doc", broadcast_new)
+    )
+    updated_media = (
+        new_fp
+        if media_store is None
+        else _dedup_store_union(media_store, new_fp, "doc", broadcast_new)
+    )
+    return edges, updated_text, updated_media

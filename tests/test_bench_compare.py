@@ -1,0 +1,78 @@
+"""bench.py --compare: canary-normalized cross-record comparison.
+
+Pure-python (no Spark) — pins the r11 advisor fix (a 0.0 or null
+canary reading is handled explicitly, not silently dropped by a
+truthiness filter) and the r11 verdict #2 extension (sched_ratio is
+APPLIED: a CPU-flagged mover whose raw ratio is explained by the
+scheduler canary moves to `sched_closed` instead of earning an A/B).
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import compare_records  # noqa: E402
+
+
+def _write(tmp_path, name, rec):
+    p = tmp_path / name
+    p.write_text(json.dumps(rec))
+    return str(p)
+
+
+def test_compare_applies_sched_ratio(tmp_path):
+    # box: CPU flat (canary 1.0 -> 1.0), scheduler 2x slower
+    # (sched 1.0 -> 2.0). q_sched moved 1.8x raw — inside the band
+    # once divided by sched_ratio; q_real moved 4x — survives both.
+    old = {
+        "canary_pre_sec": 1.0, "canary_post_sec": 1.0,
+        "canary_sched_pre_sec": 1.0, "canary_sched_post_sec": 1.0,
+        "queries": {"q_flat": 1.0, "q_sched": 1.0, "q_real": 1.0},
+    }
+    new = {
+        "canary_pre_sec": 1.0, "canary_post_sec": 1.0,
+        "canary_sched_pre_sec": 2.0, "canary_sched_post_sec": 2.0,
+        "queries": {"q_flat": 1.0, "q_sched": 1.8, "q_real": 4.0},
+    }
+    out = compare_records(
+        _write(tmp_path, "old.json", old), _write(tmp_path, "new.json", new)
+    )
+    assert out["canary_ratio"] == 1.0
+    assert out["sched_ratio"] == 2.0
+    assert list(out["normalized_movers"]) == ["q_real"]
+    assert out["normalized_movers"]["q_real"]["sched_normalized"] == 2.0
+    assert list(out["sched_closed"]) == ["q_sched"]
+    assert out["sched_closed"]["q_sched"]["sched_normalized"] == 0.9
+
+
+def test_compare_handles_null_and_zero_canary_fields(tmp_path):
+    # a null stored alongside a valid twin is skipped, not fatal; the
+    # surviving reading carries the median (advisor r11: `is not None`,
+    # not truthiness)
+    old = {
+        "canary_pre_sec": 0.5, "canary_post_sec": None,
+        "queries": {"q": 1.0},
+    }
+    new = {
+        "canary_pre_sec": 1.0, "canary_post_sec": 1.0,
+        "queries": {"q": 2.0},
+    }
+    out = compare_records(
+        _write(tmp_path, "o.json", old), _write(tmp_path, "n.json", new)
+    )
+    assert out["canary_ratio"] == 2.0  # median(1.0) / median(0.5 only)
+    assert out["normalized_median_ratio"] == 1.0
+    assert "sched_ratio" not in out  # pre-r11 record: reported absent
+
+    # an explicit 0.0 canary is a reading, not a missing field: it must
+    # enter the median (and the degenerate all-zero old record is a
+    # loud ZeroDivision, never a silent skip)
+    old0 = {"canary_pre_sec": 0.0, "canary_post_sec": 0.0, "queries": {"q": 1.0}}
+    with pytest.raises(ZeroDivisionError):
+        compare_records(
+            _write(tmp_path, "o0.json", old0), _write(tmp_path, "n.json", new)
+        )
