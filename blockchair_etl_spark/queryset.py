@@ -7345,7 +7345,6 @@ def joint_dedup_survivors(docs: DataFrame, width: int, height: int) -> DataFrame
     bits = width * height
     from .caching import tracked_persist
     from .llmdata import multimodal as _mm
-    from .llmdata.clusters import connected_clusters
 
     # text modality: MinHash-LSH candidates verified at est-Jaccard >= 0.5
     text_pairs = _dedup.minhash_lsh_pairs(
@@ -7372,11 +7371,10 @@ def joint_dedup_survivors(docs: DataFrame, width: int, height: int) -> DataFrame
     )
     # one edge set across modalities; distinct so a pair both modalities
     # find contributes one edge (CC is idempotent to duplicates but the
-    # propagation joins shouldn't carry them)
+    # propagation joins shouldn't carry them). Survivor rule shared
+    # with the incremental/streaming joint twins (dedup.py, r12).
     edges = text_pairs.unionByName(pixel_pairs).distinct()
-    clusters = connected_clusters(edges)
-    removed = clusters.filter(F.col("doc") != F.col("cluster_id")).select("doc")
-    return docs.join(removed, docs.doc_id == removed.doc, "left_anti")
+    return _dedup.survivors_from_edges(docs, edges, "doc_id")
 
 
 def _corpus_prep_v4_oracle() -> str:
