@@ -335,3 +335,187 @@ def _read_store(spark, path: str):
         return spark.read.parquet(path)
     except AnalysisException:
         return None
+
+
+def make_joint_batch_processor(
+    text_store_dir: str,
+    media_store_dir: str,
+    pairs_dir: str,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_hamming: int = 3,
+    width: int = 4,
+    height: int = 8,
+    decoder: str = "bytegrid",
+    media_view=None,
+    exactly_once: bool = False,
+):
+    """The CROSS-MODAL joint foreachBatch body (r11 verdict #6): each
+    micro-batch carries both modality views of an arriving corpus
+    slice; per trigger it emits the union of within-batch and
+    batch-vs-index duplicate edges across BOTH modalities (text MinHash
+    bands; pixel aHash pigeonhole blocks — the joint cluster rule spans
+    modalities, so within-batch pairs are emitted here, unlike the
+    single-modality loops where they're the one-shot operator's job)
+    and maintains BOTH stores. Downstream, the accumulated pairs table
+    IS the joint edge set: dedup.survivors_from_edges over it
+    reproduces the batch composition's survivors (the same
+    cumulative-parity contract as dedup.incremental_joint_dedup, which
+    this loop is the streaming form of).
+
+    ``media_view``: callable batch_df → (media_id, content, width,
+    height, kind) building the pixel-side frame from the batch; None
+    selects those columns verbatim with ``id_col`` as media_id (the
+    shape a multimodal corpus table already has). width·height derives
+    the fingerprint bits — the same can't-mismatch guard as the batch
+    composition.
+
+    Delivery semantics are the module's standard matrix, with THREE
+    sinks instead of two: default at-least-once appends (pairs first,
+    then both stores — a replay re-emits pairs but never registers
+    signatures before its pairs are durable); ``exactly_once=True``
+    partitions all three sinks by batch_id with dynamic overwrite and
+    prunes the current batch_id out of BOTH cross probes
+    (_check_mode_and_prune ×2), so a replay at any failure point —
+    including between the two store writes — rewrites exactly its own
+    partitions."""
+    from ..caching import release_tracked, tracked_persist
+    from ..llmdata import multimodal as _mm
+    from ..llmdata.dedup import (
+        minhash_band_store,
+        minhash_cross_pairs,
+        minhash_pairs_from_store,
+        simhash_cross_pairs,
+        simhash_near_pairs,
+    )
+
+    bits = width * height
+
+    def _media(batch_df: DataFrame) -> DataFrame:
+        if media_view is not None:
+            return media_view(batch_df)
+        return batch_df.select(
+            F.col(id_col).alias("media_id"), "content", "width", "height", "kind"
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        new_text = tracked_persist(
+            minhash_band_store(
+                batch_df, num_hashes, band_size, text_col, id_col, shingle_n
+            )
+        )
+        new_fp = tracked_persist(
+            _mm.ahash_fingerprints(
+                _mm.resize_images(
+                    _media(batch_df), width=width, height=height, decoder=decoder
+                )
+            )
+        )
+        try:
+            edges = minhash_pairs_from_store(
+                new_text, num_hashes=num_hashes, threshold=threshold
+            ).select("id_a", "id_b")
+            edges = edges.unionByName(
+                simhash_near_pairs(new_fp, max_hamming=max_hamming, bits=bits)
+                .select("id_a", "id_b")
+            )
+            old_text = _check_mode_and_prune(
+                _read_store(spark, text_store_dir),
+                exactly_once,
+                batch_id,
+                text_store_dir,
+            )
+            if old_text is not None:
+                edges = edges.unionByName(
+                    minhash_cross_pairs(
+                        new_text, old_text.drop("batch_id"), num_hashes, threshold
+                    ).select("id_a", "id_b")
+                )
+            old_media = _check_mode_and_prune(
+                _read_store(spark, media_store_dir),
+                exactly_once,
+                batch_id,
+                media_store_dir,
+            )
+            if old_media is not None:
+                edges = edges.unionByName(
+                    simhash_cross_pairs(
+                        new_fp,
+                        old_media.drop("batch_id"),
+                        max_hamming=max_hamming,
+                        bits=bits,
+                    ).select("id_a", "id_b")
+                )
+            # one edge per pair per batch (both modalities can find the
+            # same duplicate); cross-batch the accumulated table may
+            # repeat an unordered pair only on at-least-once replay —
+            # the documented consumer contract (dedup on the pair)
+            edges = edges.distinct()
+            if exactly_once:
+                _overwrite_batch_partition(edges, batch_id, pairs_dir)
+                _overwrite_batch_partition(new_text, batch_id, text_store_dir)
+                _overwrite_batch_partition(new_fp, batch_id, media_store_dir)
+            else:
+                edges.write.mode("append").parquet(pairs_dir)
+                # stores LAST (same ordering rationale as the
+                # single-modality loops); text before media is
+                # arbitrary but fixed — a failure between the two store
+                # writes replays into a rewrite of both in exactly-once
+                # mode and a harmless re-append pair echo otherwise
+                new_text.write.mode("append").parquet(text_store_dir)
+                new_fp.write.mode("append").parquet(media_store_dir)
+        finally:
+            release_tracked()
+
+    return _process
+
+
+def incremental_joint_stream(
+    docs_stream: DataFrame,
+    text_store_dir: str,
+    media_store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_hamming: int = 3,
+    width: int = 4,
+    height: int = 8,
+    decoder: str = "bytegrid",
+    media_view=None,
+    exactly_once: bool = False,
+):
+    """multimodal corpus stream → foreachBatch writer maintaining the
+    joint duplicate-edge table and BOTH modality stores; caller picks
+    the trigger and starts it, as with incremental_minhash_stream."""
+    _process = make_joint_batch_processor(
+        text_store_dir,
+        media_store_dir,
+        pairs_dir,
+        num_hashes,
+        band_size,
+        threshold,
+        text_col,
+        id_col,
+        shingle_n,
+        max_hamming,
+        width,
+        height,
+        decoder,
+        media_view,
+        exactly_once,
+    )
+    return docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )

@@ -962,6 +962,107 @@ def test_incremental_joint_dedup_replay_idempotent(spark, sf_dir):
     assert with_replay == base
 
 
+def test_streaming_joint_loop_two_drain_and_replay(spark, docs, tmp_path):
+    """r11 verdict #6: the streaming joint loop. Drain 1 (3 micro-
+    batches) + drain 2 (a late 4th file through the SAME checkpoint)
+    must leave a pairs table whose survivors equal the batch joint
+    composition over the full corpus; replaying a micro-batch through
+    the exactly-once processor leaves pairs and BOTH stores
+    byte-identical (the standard two-drain replay matrix, now with two
+    stores per trigger)."""
+    from blockchair_etl_spark.llmdata.dedup import survivors_from_edges
+    from blockchair_etl_spark.queryset import joint_dedup_survivors
+    from blockchair_etl_spark.streaming.dedup_stream import (
+        incremental_joint_stream,
+        make_joint_batch_processor,
+    )
+
+    base = docs.select("doc_id", "text")
+    src = str(tmp_path / "jsrc")
+    for i in range(3):
+        base.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    dirs = {k: str(tmp_path / k) for k in ("jtext", "jmedia", "jpairs", "jckpt")}
+
+    def _drain():
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            incremental_joint_stream(
+                stream,
+                text_store_dir=dirs["jtext"],
+                media_store_dir=dirs["jmedia"],
+                pairs_dir=dirs["jpairs"],
+                checkpoint_dir=dirs["jckpt"],
+                media_view=_joint_media_view,
+                exactly_once=True,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    _drain()
+    part1 = base.filter(F.col("doc_id") % 4 < 3)
+    surv1 = {
+        r.doc_id
+        for r in survivors_from_edges(
+            part1, spark.read.parquet(dirs["jpairs"])
+        ).collect()
+    }
+    want1 = {
+        r.doc_id for r in joint_dedup_survivors(part1, width=4, height=8).collect()
+    }
+    assert surv1 == want1
+
+    # drain 2: a late file lands; the checkpointed query continues and
+    # processes ONLY it — cumulative parity must now hold corpus-wide
+    base.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.mode("append").parquet(
+        src
+    )
+    _drain()
+    edges = spark.read.parquet(dirs["jpairs"])
+    got = {r.doc_id for r in survivors_from_edges(base, edges).collect()}
+    want = {
+        r.doc_id for r in joint_dedup_survivors(base, width=4, height=8).collect()
+    }
+    assert got == want
+    # both stores hold exactly one row per key
+    assert spark.read.parquet(dirs["jtext"]).count() == base.count()
+    assert (
+        spark.read.parquet(dirs["jmedia"]).count()
+        == _joint_media_view(base).count()
+    )
+
+    # replay: re-run the LAST batch (its partitions already written)
+    # through the processor directly — pairs and BOTH stores must be
+    # byte-identical afterwards
+    def _snap(path):
+        return sorted(
+            tuple(x) for x in spark.read.parquet(path).drop("batch_id").collect()
+        )
+
+    before = {k: _snap(dirs[k]) for k in ("jtext", "jmedia", "jpairs")}
+    last_bid = int(
+        spark.read.parquet(dirs["jpairs"]).agg(F.max("batch_id")).first()[0]
+    )
+    proc = make_joint_batch_processor(
+        dirs["jtext"],
+        dirs["jmedia"],
+        dirs["jpairs"],
+        media_view=_joint_media_view,
+        exactly_once=True,
+    )
+    proc(base.filter(F.col("doc_id") % 4 == 3), last_bid)
+    for k in ("jtext", "jmedia", "jpairs"):
+        assert _snap(dirs[k]) == before[k], k
+
+
 def test_frame_sampling_plan(spark):
     media = spark.createDataFrame(
         [(1, "video", None, "video/fake", None, None, 3500, "u")],
