@@ -31,14 +31,21 @@ def assign_packs(
     n_shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """→ (doc_id, shard, n_tokens, pack_id, pack_offset).
 
     pack_id is per-shard (global pack key = (shard, pack_id));
     pack_offset is the document's starting token position within its
-    pack's budget window.
+    pack's budget window. ``n_tokens_col`` packs by a caller-supplied
+    token currency (a learned-tokenizer count) instead of the
+    whitespace heuristic over ``text_col``.
     """
-    toks = F.size(tokens_col(text_col)).cast("bigint")
+    toks = (
+        F.col(n_tokens_col).cast("bigint")
+        if n_tokens_col
+        else F.size(tokens_col(text_col)).cast("bigint")
+    )
     shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("bigint")
     t = docs.select(
         F.col(id_col), shard.alias("shard"), toks.alias("n_tokens")

@@ -269,6 +269,7 @@ def quality_budget_select(
     text_col: str = "text",
     id_bands: int = 32,
     band_threshold_rows: int = 1_000_000,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Select the highest-quality documents until a corpus-wide token
     budget: a doc is included iff the EXACT cumulative token count of
@@ -328,10 +329,18 @@ def quality_budget_select(
 
     from .text import tokens_col
 
+    # n_tokens_col: budget in a caller-supplied token currency (e.g. a
+    # learned-tokenizer count from bpe_apply — the v5 prep pipeline)
+    # instead of the whitespace-token heuristic over text_col
+    toks = (
+        F.col(n_tokens_col).cast("bigint")
+        if n_tokens_col
+        else F.size(tokens_col(text_col)).cast("bigint")
+    )
     t = df.select(
         F.col(id_col),
         F.col(score_col).alias("score"),
-        F.size(tokens_col(text_col)).cast("bigint").alias("n_tokens"),
+        toks.alias("n_tokens"),
     )
     numeric_id = isinstance(t.schema[id_col].dataType, NumericType)
     scalars = t.agg(

@@ -7519,6 +7519,104 @@ def corpus_prep_v4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "score", "n_tokens", "cum_before", "logit_q")
 
 
+def _corpus_prep_v5_oracle() -> str:
+    """v5 oracle: the BPE-apply encoding CTE (per-doc LEARNED-token
+    counts — the same delimiter-safe replace chain as the
+    tokenizer_bpe_apply oracle, generated from the same
+    _BPE_DEMO_MERGES constant so the two entries cannot drift)
+    composed with the corpus_token_budget window and the
+    pack_split_straddlers pack-assignment arithmetic."""
+    enc = (
+        "'|' || array_to_string(list_transform("
+        "generate_series(1, length(word)), i -> substr(word, i, 1)), '^|') || '^'"
+    )
+    for l, r in _BPE_DEMO_MERGES:
+        enc = f"replace({enc}, '|{l}^|{r}^', '|{l}{r}^')"
+    return f"""
+WITH ws AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+occ AS (SELECT doc_id, unnest(w) AS word FROM ws),
+encw AS (
+  SELECT word,
+         CAST(len(string_split(substr(e, 2, length(e) - 2), '^|')) AS BIGINT) AS n
+  FROM (SELECT word, {enc} AS e
+        FROM (SELECT DISTINCT word FROM occ))
+),
+cnt AS (
+  SELECT o.doc_id, CAST(SUM(e.n) AS BIGINT) AS n_tokens
+  FROM occ o JOIN encw e USING (word) GROUP BY 1
+),
+t AS (
+  SELECT d.doc_id, d.n_chars AS score,
+         CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN cnt c USING (doc_id)
+),
+b AS (SELECT CAST(SUM(n_tokens) // 5 AS BIGINT) AS budget FROM t),
+cum AS (
+  SELECT doc_id, score, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY score DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM t
+),
+sel AS (SELECT cum.* FROM cum, b WHERE cum.cum_before < b.budget),
+p AS (
+  SELECT doc_id, score, n_tokens, cum_before,
+         CAST(doc_id % 8 AS BIGINT) AS shard,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY doc_id % 8 ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS pcum
+  FROM sel
+)
+SELECT doc_id, score, n_tokens, cum_before, shard,
+       CAST(pcum // 2048 AS BIGINT) AS pack_id,
+       CAST(pcum % 2048 AS BIGINT) AS pack_offset
+FROM p
+"""
+
+
+@register(
+    "corpus_prep_v5_pipeline",
+    survey="LLM end-to-end (v5: learned-tokenizer counts as the budget "
+    "and packing currency)",
+    desc="training-corpus prep v5 — the tokenize -> budget-select -> "
+    "pack shape a real pretraining pipeline runs (r11 verdict stretch "
+    "#7): BPE-apply with the pinned learned vocabulary produces each "
+    "document's LEARNED token count, quality_budget_select budgets the "
+    "best fifth of *BPE* tokens by n_chars rank (n_tokens_col — the "
+    "heuristic whitespace count never enters), and assign_packs bins "
+    "the selected docs into 2048-BPE-token training packs across 8 "
+    "shards. The oracle composes the tokenizer_bpe_apply replace-chain "
+    "CTE (same merge-list constant) with the corpus_token_budget "
+    "window and the packing arithmetic",
+    oracle=_corpus_prep_v5_oracle(),
+)
+def corpus_prep_v5_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .caching import tracked_persist
+    from .llmdata.packing import assign_packs
+    from .llmdata.sampling import quality_budget_select
+    from .llmdata.tokenizer import bpe_apply
+
+    docs = load_table(spark, sf_dir, "documents")
+    # learned-token counts: one distinct-word fold + join-back; the
+    # token arrays themselves never materialize here (n_tokens only)
+    tok = bpe_apply(docs, _BPE_DEMO_MERGES).select("doc_id", "n_tokens")
+    scored = docs.select("doc_id", "n_chars").join(tok, "doc_id")
+    # selected feeds both the pack assignment and the score join-back
+    selected = tracked_persist(
+        quality_budget_select(
+            scored, score_col="n_chars", budget_den=5, n_tokens_col="n_tokens"
+        )
+    )
+    packed = assign_packs(selected, budget=2048, n_shards=8, n_tokens_col="n_tokens")
+    return packed.join(
+        selected.select("doc_id", "score", "cum_before"), "doc_id"
+    ).select(
+        "doc_id", "score", "n_tokens", "cum_before", "shard", "pack_id", "pack_offset"
+    )
+
+
 def _lsh_recall_topk_cte(p: int) -> str:
     """One fixed-plane-count (top-10 in the query's LSH bucket) CTE
     pair for the recall sweep — planes inlined via _sql_lsh_bucket, so
