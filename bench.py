@@ -398,6 +398,9 @@ HEADLINE = [
     # and the learned-vocab BPE apply step
     "multimodal_joint_dedup_survivors",
     "tokenizer_bpe_apply",
+    # round-12 addition: tokenize -> budget-select -> pack with BPE
+    # counts as the currency
+    "corpus_prep_v5_pipeline",
 ]
 
 
@@ -513,14 +516,30 @@ def compare_records(old_path: str, new_path: str, flag_ratio: float = 1.25) -> d
     ]
     sched_ratio = None
     if sched[0] and sched[1]:
+        # an all-zero old sched canary divides loudly (ZeroDivisionError)
+        # — a reading of 0.0 is data, not a missing field, same contract
+        # as the CPU canary above
         sched_ratio = statistics.median(sched[1]) / statistics.median(sched[0])
         out["sched_ratio"] = round(sched_ratio, 3)
     sched_closed = {}
-    if sched_ratio:
+    if sched_ratio is not None:
+        # Absolute-delta gate: per-job scheduling overhead is bounded —
+        # the sched canary runs 20 one-task jobs, the same order of
+        # magnitude as a multi-job registry query — so the canary's own
+        # absolute swing is the most scheduler contention can plausibly
+        # add. A mover whose absolute move exceeds that swing (e.g. a
+        # 10 s query up 9 s against a 0.8 s canary delta) stays flagged
+        # no matter what the ratio says; without this gate any record
+        # with a moved sched canary could silently close a real
+        # regression on a long query.
+        sched_abs = abs(statistics.median(sched[1]) - statistics.median(sched[0]))
         for k in list(movers):
             s = raw[k] / sched_ratio
             movers[k]["sched_normalized"] = round(s, 3)
-            if 1.0 / flag_ratio <= s <= flag_ratio:
+            if (
+                1.0 / flag_ratio <= s <= flag_ratio
+                and abs(nq[k] - oq[k]) <= sched_abs
+            ):
                 sched_closed[k] = movers.pop(k)
     out["normalized_movers"] = dict(
         sorted(movers.items(), key=lambda kv: -kv[1]["normalized"])

@@ -90,6 +90,11 @@ FAMILY = [
     # round-11: BPE apply — distinct-word encode + join-back; scale
     # story is vocabulary growth (Heaps-sublinear) vs occurrence growth
     "tokenizer_bpe_apply",
+    # round-12: the v5 pipeline composes the BPE distinct-word encode,
+    # the two-phase budget cumulative sum, and the per-shard packing
+    # windows — each linear or sublinear alone; the composition is the
+    # thing to watch
+    "corpus_prep_v5_pipeline",
     # media_pixel_dedup_survivors (the 8x4=32-bit oracle twin) is
     # deliberately ABSENT: at fixed 32-bit width the pigeonhole block
     # join's RANDOM collisions alone grow quadratically (4*2^-8 ~ 1.6%
@@ -578,11 +583,29 @@ def _custom_runners(spark, repo: str, scale: int):
             [(";".join(f"{l}+{r}" for l, r in merges),)], "merges string"
         )
 
+    def run_bpe_train_batched(spark_, sf_dir: str):
+        # The MERGE-COUNT axis of BPE training (r11 verdict #3): 64
+        # merges in batch_k=8 rounds — the same ~8 driver round-trips
+        # as the k=1/8-merge family above but an 8x larger vocabulary,
+        # so comparing the two families' times reads the per-round vs
+        # per-merge cost split directly (rounds dominate: the pair-agg
+        # and rewrite work is word-table-sized either way), and this
+        # family's own 1x->10x alpha pins the corpus-scaling of a
+        # production-shaped batched train.
+        from blockchair_etl_spark.llmdata.tokenizer import bpe_train
+
+        docs = load_table(spark_, sf_dir, "documents")
+        merges = bpe_train(docs, n_merges=64, batch_k=8)
+        return spark_.createDataFrame(
+            [(";".join(f"{l}+{r}" for l, r in merges),)], "merges string"
+        )
+
     return {
         "dedup_bow_cosine_zipf": run_zipf,
         "media_pixel_dedup_adaptive": run_media_pixel_adaptive,
         "multimodal_joint_dedup_adaptive": run_joint_dedup_adaptive,
         "tokenizer_bpe_train": run_bpe_train,
+        "tokenizer_bpe_train_batched": run_bpe_train_batched,
         "trace_funds_3hop": run_trace3,
         "dedup_semantic_semdedup": run_semdedup_adaptive,
         "dedup_incremental_embedding": run_incr_emb_adaptive,

@@ -76,13 +76,54 @@ def release_local_checkpoint(df: DataFrame, blocking: bool = False) -> bool:
     lineage to recompute from, so any later action on it (or a plan
     built over it) fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
     Falls back to ``df.unpersist()`` (False) when the root is not a
-    LogicalRDD — e.g. a frame that was never checkpointed."""
+    LogicalRDD — e.g. a frame that was never checkpointed.
+
+    Failures are WARNED, not swallowed silently: the only legitimate
+    failure here is a stopped session (teardown), and a leak with no
+    signal is exactly the bug this helper exists to fix."""
+    import warnings
+
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() == "LogicalRDD":
             plan.rdd().unpersist(blocking)
             return True
         df.unpersist(blocking)
-    except Exception:  # session already stopped — nothing to free
-        pass
+    except Exception as exc:  # pragma: no cover — teardown path
+        warnings.warn(
+            "release_local_checkpoint failed "
+            f"({type(exc).__name__}: {exc}); checkpoint blocks may leak "
+            "unless the session is already stopped",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return False
+
+
+class _CheckpointHandle:
+    """Duck-typed stand-in in the _TRACKED registry for a frame whose
+    blocks are CHECKPOINT blocks: release_tracked calls .unpersist on
+    every entry, and for a checkpointed frame that must route through
+    release_local_checkpoint (a plain DataFrame.unpersist never frees
+    checkpoint blocks — see above)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        release_local_checkpoint(self._df, blocking)
+
+
+def tracked_checkpoint_release(df: DataFrame) -> DataFrame:
+    """Register an already-localCheckpoint'ed frame so the NEXT
+    release_tracked() frees its checkpoint blocks (the deferred-release
+    contract tracked_persist gives cached frames, extended to
+    checkpoint blocks). One sharp edge the caller inherits: unlike a
+    persist, a released checkpoint CANNOT recompute — re-collecting the
+    frame (or a plan over it) after release fails loudly with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND instead of silently re-running.
+    That matches the registry contract (caches live until the caller's
+    terminal action, one query at a time), but rules out re-collection
+    patterns that a persisted frame would tolerate."""
+    _TRACKED.append(_CheckpointHandle(df))  # type: ignore[arg-type]
+    return df

@@ -772,7 +772,9 @@ def incremental_minhash_dedup(
         )
         return empty, new_store
 
-    pairs = minhash_cross_pairs(new_store, store, num_hashes, threshold)
+    pairs = minhash_cross_pairs(
+        new_store, store, num_hashes, threshold, broadcast_new=broadcast_new
+    )
     # one row per doc across replays/re-ingests, no store shuffle
     # (_dedup_store_union) — same contract as the media/embedding twins
     return pairs, _dedup_store_union(store, new_store, "doc", broadcast_new)
@@ -783,14 +785,19 @@ def minhash_cross_pairs(
     store: DataFrame,
     num_hashes: int = 16,
     threshold: float = 0.5,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Band-bucket pairs BETWEEN two signature stores (new batch vs
     existing index): id_a from ``new_store``, id_b from ``store``,
     est_jaccard ≥ threshold. The asymmetric half of incremental dedup —
     within-batch pairs come from minhash_pairs_from_store(new_store).
-    Only the (typically small) new side's bands shuffle against the
-    store's band relation; the store is never rescanned beyond the
-    bucket join."""
+    With ``broadcast_new`` (the daily-ingest default) the small batch
+    side's exploded bands broadcast, so the corpus-sized store NEVER
+    shuffles — the probe is one broadcast hash join over the store's
+    band scan (the same knob and rationale as simhash_cross_pairs;
+    before r12 this relied on AQE size estimation, which a conservative
+    store-side stat can defeat at scale). Disable for batch sizes near
+    the store size."""
 
     def banded(s: DataFrame, prefix: str) -> DataFrame:
         return s.select(
@@ -800,6 +807,8 @@ def minhash_cross_pairs(
         )
 
     a = banded(new_store, "a")
+    if broadcast_new:
+        a = F.broadcast(a)
     b = banded(store, "b")
     matches = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
@@ -1721,6 +1730,58 @@ def survivors_from_edges(
     return docs.join(removed, docs[id_col] == removed.doc, "left_anti")
 
 
+def joint_edge_set(
+    new_text_store: DataFrame,
+    new_fp: DataFrame,
+    old_text_store: DataFrame | None,
+    old_media_store: DataFrame | None,
+    num_hashes: int = 16,
+    threshold: float = 0.5,
+    max_hamming: int = 3,
+    bits: int = 32,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """THE joint duplicate-edge rule over prebuilt modality relations:
+    (id_a, id_b), distinct, the union across both modalities of
+    within-batch pairs and batch-vs-store pairs (a None store
+    contributes no cross pairs — the bootstrap case). One body shared
+    by the incremental twin (incremental_joint_dedup) and the streaming
+    processor (streaming.dedup_stream.make_joint_batch_processor) so
+    their cumulative-parity contracts cannot drift apart — the edge
+    half of the same guarantee survivors_from_edges gives the survivor
+    half. ``distinct`` because a duplicate found by both modalities
+    must not ride the CC propagation joins twice."""
+    edges = minhash_pairs_from_store(
+        new_text_store, num_hashes=num_hashes, threshold=threshold
+    ).select("id_a", "id_b")
+    if old_text_store is not None:
+        edges = edges.unionByName(
+            minhash_cross_pairs(
+                new_text_store,
+                old_text_store,
+                num_hashes,
+                threshold,
+                broadcast_new=broadcast_new,
+            ).select("id_a", "id_b")
+        )
+    edges = edges.unionByName(
+        simhash_near_pairs(new_fp, max_hamming=max_hamming, bits=bits).select(
+            "id_a", "id_b"
+        )
+    )
+    if old_media_store is not None:
+        edges = edges.unionByName(
+            simhash_cross_pairs(
+                new_fp,
+                old_media_store,
+                max_hamming=max_hamming,
+                bits=bits,
+                broadcast_new=broadcast_new,
+            ).select("id_a", "id_b")
+        )
+    return edges.distinct()
+
+
 def incremental_joint_dedup(
     new_docs: DataFrame,
     new_media: DataFrame,
@@ -1793,34 +1854,17 @@ def incremental_joint_dedup(
         )
     )
 
-    edges = minhash_pairs_from_store(
-        new_text_store, num_hashes=num_hashes, threshold=threshold
-    ).select("id_a", "id_b")
-    if text_store is not None:
-        edges = edges.unionByName(
-            minhash_cross_pairs(
-                new_text_store, text_store, num_hashes, threshold
-            ).select("id_a", "id_b")
-        )
-    edges = edges.unionByName(
-        simhash_near_pairs(new_fp, max_hamming=max_hamming, bits=bits).select(
-            "id_a", "id_b"
-        )
+    edges = joint_edge_set(
+        new_text_store,
+        new_fp,
+        text_store,
+        media_store,
+        num_hashes=num_hashes,
+        threshold=threshold,
+        max_hamming=max_hamming,
+        bits=bits,
+        broadcast_new=broadcast_new,
     )
-    if media_store is not None:
-        edges = edges.unionByName(
-            simhash_cross_pairs(
-                new_fp,
-                media_store,
-                max_hamming=max_hamming,
-                bits=bits,
-                broadcast_new=broadcast_new,
-            ).select("id_a", "id_b")
-        )
-    # one edge per pair: a duplicate found by both modalities (or by
-    # band- and block-collisions alike) must not ride the CC
-    # propagation joins twice — same rationale as the batch composition
-    edges = edges.distinct()
 
     updated_text = (
         new_text_store

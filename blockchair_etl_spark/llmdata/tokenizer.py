@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..caching import release_local_checkpoint
+from ..caching import release_local_checkpoint, tracked_checkpoint_release
 from .text import tokens_col
 
 # chars -> symbol array; (?!^)(?!$) splits between every pair of
@@ -234,9 +234,12 @@ def encode_words(
     materializes its predecessor's blocks are dead weight — they are
     unpersisted immediately (bpe_train's words/nxt swap; advisor r11:
     without this a k-merge list pinned ceil(k/chunk)-1 block-manager
-    copies of the word table until session end). Only the LAST
-    checkpoint stays pinned: the returned frame reads from it, so its
-    lifetime belongs to the caller's action."""
+    copies of the word table until session end). The LAST checkpoint
+    backs the returned frame, so it registers with the deferred-release
+    registry instead (caching.tracked_checkpoint_release): the harness
+    release after the caller's terminal action frees it — with the
+    documented checkpoint edge that the frame cannot be re-collected
+    after that release."""
     out = words.withColumn("toks", F.expr(_SYMS))
     prev_ckpt: DataFrame | None = None
     for i in range(0, len(merges), chunk):
@@ -249,6 +252,8 @@ def encode_words(
             if prev_ckpt is not None:
                 release_local_checkpoint(prev_ckpt)
             prev_ckpt = out
+    if prev_ckpt is not None:
+        tracked_checkpoint_release(prev_ckpt)
     return out
 
 

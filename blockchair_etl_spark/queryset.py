@@ -820,8 +820,12 @@ _BPE_DEMO_MERGES: list[tuple[str, str]] = [
 ]
 
 
-def _sql_bpe_apply_oracle(merges: list[tuple[str, str]]) -> str:
-    """DuckDB twin of tokenizer.bpe_apply for a literal merge list.
+def _sql_bpe_enc_expr(merges: list[tuple[str, str]]) -> str:
+    """The DuckDB greedy-merge-fold expression over a `word` column —
+    THE encoding scheme, factored so every oracle that replays the BPE
+    fold (tokenizer_bpe_apply, corpus_prep_v5_pipeline) generates it
+    from one body and a change to the delimiter scheme or replace chain
+    can never leave a sibling oracle silently stale.
 
     The greedy left-to-right merge fold is EXACTLY non-overlapping
     string replace over fully delimited symbols: encode a word's
@@ -838,6 +842,13 @@ def _sql_bpe_apply_oracle(merges: list[tuple[str, str]]) -> str:
     )
     for l, r in merges:
         enc = f"replace({enc}, '|{l}^|{r}^', '|{l}{r}^')"
+    return enc
+
+
+def _sql_bpe_apply_oracle(merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin of tokenizer.bpe_apply for a literal merge list —
+    the fold expression itself is _sql_bpe_enc_expr (shared)."""
+    enc = _sql_bpe_enc_expr(merges)
     return f"""
 WITH ws AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
 toks AS (
@@ -7526,12 +7537,7 @@ def _corpus_prep_v5_oracle() -> str:
     _BPE_DEMO_MERGES constant so the two entries cannot drift)
     composed with the corpus_token_budget window and the
     pack_split_straddlers pack-assignment arithmetic."""
-    enc = (
-        "'|' || array_to_string(list_transform("
-        "generate_series(1, length(word)), i -> substr(word, i, 1)), '^|') || '^'"
-    )
-    for l, r in _BPE_DEMO_MERGES:
-        enc = f"replace({enc}, '|{l}^|{r}^', '|{l}{r}^')"
+    enc = _sql_bpe_enc_expr(_BPE_DEMO_MERGES)
     return f"""
 WITH ws AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
 occ AS (SELECT doc_id, unnest(w) AS word FROM ws),

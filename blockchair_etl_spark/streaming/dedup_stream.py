@@ -385,13 +385,7 @@ def make_joint_batch_processor(
     partitions."""
     from ..caching import release_tracked, tracked_persist
     from ..llmdata import multimodal as _mm
-    from ..llmdata.dedup import (
-        minhash_band_store,
-        minhash_cross_pairs,
-        minhash_pairs_from_store,
-        simhash_cross_pairs,
-        simhash_near_pairs,
-    )
+    from ..llmdata.dedup import joint_edge_set, minhash_band_store
 
     bits = width * height
 
@@ -419,45 +413,33 @@ def make_joint_batch_processor(
             )
         )
         try:
-            edges = minhash_pairs_from_store(
-                new_text, num_hashes=num_hashes, threshold=threshold
-            ).select("id_a", "id_b")
-            edges = edges.unionByName(
-                simhash_near_pairs(new_fp, max_hamming=max_hamming, bits=bits)
-                .select("id_a", "id_b")
-            )
             old_text = _check_mode_and_prune(
                 _read_store(spark, text_store_dir),
                 exactly_once,
                 batch_id,
                 text_store_dir,
             )
-            if old_text is not None:
-                edges = edges.unionByName(
-                    minhash_cross_pairs(
-                        new_text, old_text.drop("batch_id"), num_hashes, threshold
-                    ).select("id_a", "id_b")
-                )
             old_media = _check_mode_and_prune(
                 _read_store(spark, media_store_dir),
                 exactly_once,
                 batch_id,
                 media_store_dir,
             )
-            if old_media is not None:
-                edges = edges.unionByName(
-                    simhash_cross_pairs(
-                        new_fp,
-                        old_media.drop("batch_id"),
-                        max_hamming=max_hamming,
-                        bits=bits,
-                    ).select("id_a", "id_b")
-                )
-            # one edge per pair per batch (both modalities can find the
-            # same duplicate); cross-batch the accumulated table may
+            # the edge rule is the SHARED body (dedup.joint_edge_set) —
+            # within-batch ∪ cross-store across both modalities,
+            # distinct per batch; cross-batch the accumulated table may
             # repeat an unordered pair only on at-least-once replay —
             # the documented consumer contract (dedup on the pair)
-            edges = edges.distinct()
+            edges = joint_edge_set(
+                new_text,
+                new_fp,
+                old_text.drop("batch_id") if old_text is not None else None,
+                old_media.drop("batch_id") if old_media is not None else None,
+                num_hashes=num_hashes,
+                threshold=threshold,
+                max_hamming=max_hamming,
+                bits=bits,
+            )
             if exactly_once:
                 _overwrite_batch_partition(edges, batch_id, pairs_dir)
                 _overwrite_batch_partition(new_text, batch_id, text_store_dir)

@@ -26,25 +26,31 @@ def _write(tmp_path, name, rec):
 
 def test_compare_applies_sched_ratio(tmp_path):
     # box: CPU flat (canary 1.0 -> 1.0), scheduler 2x slower
-    # (sched 1.0 -> 2.0). q_sched moved 1.8x raw — inside the band
-    # once divided by sched_ratio; q_real moved 4x — survives both.
+    # (sched 1.0 -> 2.0, absolute swing 1.0 s). q_sched moved 1.8x raw
+    # with a 0.8 s absolute delta — inside the band once divided by
+    # sched_ratio AND within the canary's own absolute swing, so it
+    # closes. q_real moved 4x — survives both normalizations. q_long
+    # moved the same 1.8x RATIO but +8 s ABSOLUTE — per-job scheduling
+    # overhead cannot explain 8 s against a 1 s canary swing, so the
+    # absolute-delta gate keeps it flagged (sched_normalized annotated).
     old = {
         "canary_pre_sec": 1.0, "canary_post_sec": 1.0,
         "canary_sched_pre_sec": 1.0, "canary_sched_post_sec": 1.0,
-        "queries": {"q_flat": 1.0, "q_sched": 1.0, "q_real": 1.0},
+        "queries": {"q_flat": 1.0, "q_sched": 1.0, "q_real": 1.0, "q_long": 10.0},
     }
     new = {
         "canary_pre_sec": 1.0, "canary_post_sec": 1.0,
         "canary_sched_pre_sec": 2.0, "canary_sched_post_sec": 2.0,
-        "queries": {"q_flat": 1.0, "q_sched": 1.8, "q_real": 4.0},
+        "queries": {"q_flat": 1.0, "q_sched": 1.8, "q_real": 4.0, "q_long": 18.0},
     }
     out = compare_records(
         _write(tmp_path, "old.json", old), _write(tmp_path, "new.json", new)
     )
     assert out["canary_ratio"] == 1.0
     assert out["sched_ratio"] == 2.0
-    assert list(out["normalized_movers"]) == ["q_real"]
+    assert sorted(out["normalized_movers"]) == ["q_long", "q_real"]
     assert out["normalized_movers"]["q_real"]["sched_normalized"] == 2.0
+    assert out["normalized_movers"]["q_long"]["sched_normalized"] == 0.9
     assert list(out["sched_closed"]) == ["q_sched"]
     assert out["sched_closed"]["q_sched"]["sched_normalized"] == 0.9
 

@@ -1776,33 +1776,40 @@ def test_bpe_fold_ansi_mode_safe(spark):
 
 
 def test_encode_words_releases_superseded_checkpoints(spark):
-    """Advisor r11: the chunked path must unpersist each superseded
-    localCheckpoint once its successor materializes — a 12-merge/chunk-2
-    chain takes 5 checkpoint barriers but may pin only the LAST one
-    (the returned frame reads from it)."""
+    """Advisor r11 + r12 review: the chunked path must unpersist each
+    superseded localCheckpoint once its successor materializes — a
+    12-merge/chunk-2 chain takes 5 checkpoint barriers but pins only
+    the LAST one (backing the returned frame) until the harness's
+    release_tracked, after which NOTHING remains. Also pins that
+    bpe_train's words/nxt swap really frees each round's table
+    (DataFrame.unpersist never freed checkpoint blocks — the r12
+    measured finding behind caching.release_local_checkpoint)."""
+    from blockchair_etl_spark.caching import release_tracked
     from blockchair_etl_spark.llmdata.tokenizer import bpe_train, encode_words
 
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    before = set(jmap.keys())
+    release_tracked(blocking=True)
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
     docs = spark.createDataFrame(
         [(i, "the quick brown fox jumps over the lazy dog " * 3) for i in range(30)],
         "doc_id bigint, text string",
     )
     merges = bpe_train(docs, n_merges=12)
     assert len(merges) == 12
+
+    def leaked():
+        return {
+            k
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keys()
+            if k not in before
+        }
+
+    assert leaked() == set()  # the train loop frees every round's table
     words = spark.createDataFrame([("thequickbrown",), ("aaaa",)], "word string")
     out = encode_words(words, merges, chunk=2)
     out.collect()
-    leaked = {
-        k: v
-        for k, v in spark.sparkContext._jsc.getPersistentRDDs().items()
-        if k not in before
-    }
-    try:
-        assert len(leaked) == 1  # only the final barrier stays pinned
-    finally:
-        for rdd in leaked.values():
-            rdd.unpersist(True)
+    assert len(leaked()) == 1  # only the final barrier stays pinned
+    release_tracked(blocking=True)
+    assert leaked() == set()  # ...and the registry release frees it
 
 
 def test_winsorize_bounds_and_idempotence(spark):
