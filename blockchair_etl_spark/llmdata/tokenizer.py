@@ -23,9 +23,12 @@ Scale shape — the classic scalable-BPE factoring:
   [a a a] under merge (a,a) becomes [aa a], because after a merge the
   accumulator tail is the merged symbol and no longer matches `l`.
 - Apply encodes DISTINCT words only (one fold chain per distinct word,
-  k chained aggregates in one whole-stage-codegen projection) and
-  joins the encodings back to the token stream — repeated words are
-  never re-encoded, the same distinct-side trick the classifier's
+  k chained aggregates in one projection — JVM-side but INTERPRETED at
+  this nesting depth: higher-order functions are CodegenFallback, a
+  fact measured in r12's jstack and the reason the vectorized
+  mapInPandas twin exists for production vocabularies) and joins the
+  encodings back to the token stream — repeated words are never
+  re-encoded, the same distinct-side trick the classifier's
   featurizer uses. Document reassembly is one ordered hash-agg per
   doc (array_sort over collected (pos, toks) structs, then flatten).
 
@@ -148,6 +151,7 @@ def bpe_train(
     text_col: str = "text",
     min_pair_count: int = 2,
     batch_k: int = 1,
+    rewriter: str = "fold",
 ) -> list[tuple[str, str]]:
     """Learn an ordered BPE merge list from the corpus.
 
@@ -178,9 +182,30 @@ def bpe_train(
     merges was, at the round snapshot, at least as frequent as every
     later pick in the same batch and ≥ min_pair_count (pytest pins both
     the bound and exact parity against a batched python reference).
+
+    ``rewriter``: how each round rewrites the word table's symbol
+    arrays. "fold" (default) chains k _merge_fold expressions — no
+    Python stage, right at oracle scales; "vectorized" applies the
+    round's picks with the shared python fold over Arrow batches
+    (_py_fold_merges — bit-identical, pytest parity). Measured r12 at
+    100k distinct words: the expression rewrite is interpreted
+    ArrayAggregate eval and costs ~8 s/round, the dominant term of a
+    506 s 1024-merge train; the vectorized rewrite is the same >10×
+    win as encode_words_vectorized. batch_k is capped at
+    _MAX_FOLD_CHAIN for the fold rewriter (deeper chains fail Catalyst
+    ANALYSIS — measured; the vectorized rewriter has no such ceiling).
     """
     if batch_k < 1:
         raise ValueError(f"batch_k must be >= 1, got {batch_k}")
+    if rewriter not in ("fold", "vectorized"):
+        raise ValueError(f"unknown rewriter {rewriter!r}: use 'fold' or 'vectorized'")
+    if rewriter == "fold" and batch_k > _MAX_FOLD_CHAIN:
+        raise ValueError(
+            f"batch_k={batch_k} exceeds the {_MAX_FOLD_CHAIN}-deep fold-chain "
+            "analyzer ceiling (measured r12: nested higher-order aggregates "
+            "past ~100 fail Catalyst's Resolution fixed point); use "
+            "rewriter='vectorized' for larger batches"
+        )
     words = word_frequency_table(docs, text_col).localCheckpoint()
     merges: list[tuple[str, str]] = []
     try:
@@ -197,10 +222,14 @@ def bpe_train(
                 break
             picked = select_disjoint([(t.l, t.r, t.cnt) for t in top], k)
             merges.extend(picked)
-            col = F.col("syms")
-            for l, r in picked:
-                col = _merge_fold(col, l, r)
-            nxt = words.withColumn("syms", col).localCheckpoint()
+            if rewriter == "vectorized":
+                rewritten = _rewrite_syms_vectorized(words, picked)
+            else:
+                col = F.col("syms")
+                for l, r in picked:
+                    col = _merge_fold(col, l, r)
+                rewritten = words.withColumn("syms", col)
+            nxt = rewritten.localCheckpoint()
             # release_local_checkpoint, NOT DataFrame.unpersist: the
             # latter never frees checkpoint blocks (caching.py), so the
             # swap would pin every round's word table until JVM GC
@@ -209,6 +238,28 @@ def bpe_train(
     finally:
         release_local_checkpoint(words)
     return merges
+
+
+def _rewrite_syms_vectorized(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """One train round's symbol-array rewrite as an Arrow-batched
+    python fold (schema-preserving mapInPandas over the word table) —
+    bit-identical to the chained _merge_fold expressions via the shared
+    _py_fold_merges body."""
+    ms = list(merges)
+    schema = words.schema
+
+    def _go(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["syms"] = [
+                None if s is None else _py_fold_merges(list(s), ms)
+                for s in pdf["syms"]
+            ]
+            yield pdf
+
+    return words.mapInPandas(_go, schema=schema)
 
 
 def encode_words(
@@ -228,7 +279,9 @@ def encode_words(
     contract), so the materialization cost is vocabulary-sized, not
     corpus-sized; with merges <= chunk (the common case and every
     oracle path) no checkpoint happens and the encoding stays one pure
-    codegen projection.
+    expression projection (no Python stage; interpreted eval — see the
+    module docstring and encode_words_vectorized for where that
+    ceases to be the right trade).
 
     Each localCheckpoint is EAGER, so once the next chunk's checkpoint
     materializes its predecessor's blocks are dead weight — they are
@@ -239,7 +292,39 @@ def encode_words(
     registry instead (caching.tracked_checkpoint_release): the harness
     release after the caller's terminal action frees it — with the
     documented checkpoint edge that the frame cannot be re-collected
-    after that release."""
+    after that release.
+
+    A >chunk merge list also REPARTITIONS the word table first
+    (measured r12, jstack on a 100k-word × 1024-merge encode): the
+    distinct-word shuffle is small, so AQE coalesces it to ONE
+    partition — and the fold chain is compute-dominated (interpreted
+    ArrayAggregate.eval at this nesting depth — nested higher-order
+    functions are CodegenFallback, not codegen), so the whole encode
+    serialized onto a single core (1000+ s of CPU on one task). This is
+    exactly the recorded fanout-widening bar (≳1 s per input split,
+    compute-dominated single scan). At ≤chunk merges (every oracle
+    path) nothing changes — no shuffle, no barrier, one projection.
+
+    CHUNK POLICY (r12 recorded A/B, 99,705 distinct words × 1024
+    merges, widened, local[32], canary 0.75): chunk=32 read 78–85 s
+    and chunk=64 77–84 s — within noise of each other — while
+    chunk=128 FAILED ANALYSIS outright ("Max iterations (100) reached
+    for batch Resolution": nested lambda resolution costs the analyzer
+    a fixed-point iteration per level). So 64 stays the default, the
+    ceiling is guarded (_MAX_FOLD_CHAIN), and the real production-vocab
+    decision is not chunk at all: encode_words_vectorized ran the same
+    workload in 6.2 s (≈13×) — use it past ~hundreds of merges."""
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+    if chunk > _MAX_FOLD_CHAIN:
+        raise ValueError(
+            f"chunk={chunk} exceeds the {_MAX_FOLD_CHAIN}-deep fold-chain "
+            "analyzer ceiling (measured r12: a 128-deep chain fails "
+            "Catalyst Resolution); use encode_words_vectorized for "
+            "production vocabularies instead of raising chunk"
+        )
+    if len(merges) > chunk:
+        words = words.repartition(words.sparkSession.sparkContext.defaultParallelism)
     out = words.withColumn("toks", F.expr(_SYMS))
     prev_ckpt: DataFrame | None = None
     for i in range(0, len(merges), chunk):
@@ -255,6 +340,95 @@ def encode_words(
     if prev_ckpt is not None:
         tracked_checkpoint_release(prev_ckpt)
     return out
+
+
+# Hard ceiling on chained merge-fold expressions in ONE projection:
+# measured r12 — a 128-deep nested higher-order aggregate fails ANALYSIS
+# outright ("Max iterations (100) reached for batch Resolution": each
+# nested lambda costs the analyzer a fixed-point iteration), and 64 is
+# the deepest chain the suite pins green. Guarded in encode_words
+# (chunk) and bpe_train (batch_k) so callers hit a named error, not the
+# analyzer's.
+_MAX_FOLD_CHAIN = 64
+
+
+def _py_fold_merges(
+    syms: list[str], merges: list[tuple[str, str]]
+) -> list[str]:
+    """The sequential-greedy merge fold in plain python — bit-identical
+    to chained _merge_fold expressions (pytest parity), with a cheap
+    applicability screen (skip merges whose symbols aren't in the
+    current symbol set; stale set entries only cost a scan, never a
+    wrong result). Shared by the vectorized encoder and the vectorized
+    train rewriter so the two python paths cannot drift."""
+    present = set(syms)
+    for l, r in merges:
+        if l not in present or r not in present:
+            continue
+        out: list[str] = []
+        for x in syms:
+            if out and out[-1] == l and x == r:
+                out[-1] = l + r
+            else:
+                out.append(x)
+        syms = out
+        present = set(syms)
+    return syms
+
+
+def encode_words_vectorized(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """The PRODUCTION-VOCABULARY twin of :func:`encode_words`: the same
+    sequential-greedy fold, computed by an Arrow-batched python loop
+    over the distinct-word table (mapInPandas) instead of a chained
+    Catalyst expression — bit-identical output (pytest parity).
+
+    Why it exists (measured r12, jstack mid-run): at ~1k merges the
+    expression chain evaluates as INTERPRETED ``ArrayAggregate.eval``
+    (nested higher-order functions are CodegenFallback — the depth-32
+    recursive eval frames are visible in the thread dump), costing
+    1000+ s of CPU for 100k words × 1024 merges. The python fold does
+    the identical work at honest interpreter speed with a cheap
+    per-merge applicability screen (skip merges whose symbols aren't in
+    the word's symbol set — at production vocab sizes almost every
+    merge is skipped per word), distributed over Arrow batches. The
+    expression path stays the default for ≤~hundreds of merges: no
+    Python stage, no Arrow boundary, and every SQL-oracle path uses it.
+
+    Semantics note: this replays merges IN ORDER (one pass per merge,
+    greedy left-to-right) — NOT the rank-priority encode of common BPE
+    libraries, which re-applies an early merge to adjacencies a later
+    merge creates and can therefore diverge from the sequential fold
+    this engine's oracle pins."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    ms = list(merges)
+    schema = StructType(
+        list(words.schema.fields) + [StructField("toks", ArrayType(StringType()))]
+    )
+
+    def _encode_batches(batches):
+        cache: dict[str, list[str]] = {}
+
+        def enc(word):
+            if word is None:
+                return None
+            got = cache.get(word)
+            if got is not None:
+                return got
+            # split('', '(?!^)(?!$)') yields [''] — match the
+            # expression path's empty-word form exactly
+            syms = _py_fold_merges(list(word) if word else [""], ms)
+            cache[word] = syms
+            return syms
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["toks"] = [enc(w) for w in pdf["word"]]
+            yield pdf
+
+    return words.mapInPandas(_encode_batches, schema=schema)
 
 
 def merges_to_frame(spark, merges: list[tuple[str, str]]) -> DataFrame:
@@ -287,21 +461,31 @@ def bpe_apply(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    encoder: str = "fold",
 ) -> DataFrame:
     """Tokenize the corpus with a learned merge list →
     (id, tokens array<string>, n_tokens BIGINT), one row per input doc
     (empty/NULL text keeps a row with an empty token array).
 
-    The fold chain runs over DISTINCT words only; the token stream
-    joins the encodings back by word, and documents reassemble with
-    one ordered hash-agg (array_sort over (pos, toks) structs — dense
+    The encode runs over DISTINCT words only; the token stream joins
+    the encodings back by word, and documents reassemble with one
+    ordered hash-agg (array_sort over (pos, toks) structs — dense
     posexplode positions make row order recoverable without a window).
+
+    ``encoder``: "fold" (default — the Catalyst expression chain, no
+    Python stage; right for the ≤~hundreds-of-merges vocabularies every
+    oracle path uses) or "vectorized" (the Arrow-batched python fold —
+    the production-vocabulary path; see encode_words_vectorized for the
+    measured crossover). Both are bit-identical (pytest parity).
     """
+    if encoder not in ("fold", "vectorized"):
+        raise ValueError(f"unknown encoder {encoder!r}: use 'fold' or 'vectorized'")
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.posexplode(tokens_col(text_col)).alias("pos", "word"),
     )
-    encoded = encode_words(toks.select("word").distinct(), merges)
+    encode = encode_words if encoder == "fold" else encode_words_vectorized
+    encoded = encode(toks.select("word").distinct(), merges)
     per_doc = (
         toks.join(encoded, "word")
         .groupBy("doc")

@@ -1751,6 +1751,70 @@ def test_bpe_train_batched_rounds(spark, docs):
     assert s3 != b3 and set(s3) == set(b3)  # order-only divergence here
 
 
+def test_bpe_vectorized_encoder_parity(spark, docs):
+    """r12 (measured finding behind it: nested higher-order aggregate
+    is interpreted CodegenFallback eval, so at production vocab sizes
+    the expression chain is the wrong trade): the Arrow-batched python
+    encoder must be bit-identical to the expression fold — over the
+    real corpus vocabulary, the empty word, overlapping runs, and
+    chunk-boundary merges — and bpe_apply(encoder='vectorized') must
+    match bpe_apply(encoder='fold') document-for-document."""
+    from blockchair_etl_spark.llmdata.tokenizer import (
+        bpe_apply,
+        bpe_train,
+        encode_words,
+        encode_words_vectorized,
+    )
+
+    sample = docs.limit(120).select("doc_id", "text")
+    merges = bpe_train(sample, n_merges=12)
+    words = sample.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word")
+    ).distinct()
+    fold = {
+        r.word: list(r.toks) for r in encode_words(words, merges).collect()
+    }
+    vec = {
+        r.word: list(r.toks)
+        for r in encode_words_vectorized(words, merges).collect()
+    }
+    assert vec == fold
+    # '' and overlapping-run forms pinned explicitly (the fold path's
+    # split('') -> [''] shape must be matched exactly)
+    tiny = spark.createDataFrame([("aaa",), ("",)], "word string")
+    got = {
+        r.word: list(r.toks)
+        for r in encode_words_vectorized(tiny, [("a", "a")]).collect()
+    }
+    assert got == {"aaa": ["aa", "a"], "": [""]}
+
+    a = bpe_apply(sample, merges).collect()
+    b = bpe_apply(sample, merges, encoder="vectorized").collect()
+    assert {(r.doc_id, tuple(r.tokens), r.n_tokens) for r in a} == {
+        (r.doc_id, tuple(r.tokens), r.n_tokens) for r in b
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown encoder"):
+        bpe_apply(sample, merges, encoder="pandas")
+
+    # the vectorized train REWRITER shares the same python fold: the
+    # learned merge list must be bit-identical at k=1 and batched k
+    assert bpe_train(sample, n_merges=12, rewriter="vectorized") == merges
+    assert bpe_train(
+        sample, n_merges=12, batch_k=4, rewriter="vectorized"
+    ) == bpe_train(sample, n_merges=12, batch_k=4)
+
+    # measured r12 analyzer ceiling: deep fold chains must fail with
+    # the named guard, not Catalyst's Resolution error
+    with pytest.raises(ValueError, match="analyzer ceiling"):
+        encode_words(words, merges, chunk=128)
+    with pytest.raises(ValueError, match="analyzer ceiling"):
+        bpe_train(sample, n_merges=200, batch_k=128)
+    with pytest.raises(ValueError, match="unknown rewriter"):
+        bpe_train(sample, n_merges=2, rewriter="arrow")
+
+
 def test_bpe_fold_ansi_mode_safe(spark):
     """Advisor r11: the merge fold's empty-accumulator guard must not
     rely on ansi.enabled=false (Spark's AND doesn't short-circuit, and
