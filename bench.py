@@ -251,6 +251,37 @@ SCHEDULER contention (it is one job; the multi-job dedup family is
 where the spread concentrates) — the normalized median is therefore a
 lower bound on environment noise, and the flag band stays at 1.25x.
 
+r12 SCHED-NORMALIZED COMPARISON (first use of sched_closed, r11
+verdict #2): driver r11 record (canary 0.702/0.613, sched 2.172/1.409)
+vs the r12 session record (canary 0.932/0.593 — a 1.57x IN-RECORD
+swing, the box degraded mid-run; sched 1.454/1.249): canary_ratio
+1.16, normalized common-cohort median 1.031 over 80 queries — r12
+code is flat round-over-round. quality_gopher_gate (r11 "What's
+wrong" #1, 1.41x raw with text.py untouched) CLOSED exactly as
+predicted: 0.688 -> 0.503 s, sched_normalized 0.969 — dead flat once
+the scheduler component divides out; the closure used the new
+sched_closed path (flagged fast-side by the CPU canary, absolute
+delta 0.185 s inside the 0.7 s sched-canary swing). The 12 slow-side
+normalized movers all have r12-untouched code paths (q9/q18/q21 are
+the documented data-drift family — the driver regenerated testdata
+between the records); isolated canary-bracketed 5-run A/Bs on the
+worst three: q9 0.982 s (vs 1.254 in-sweep), text_tfidf_topk 1.149
+(vs 1.278), dedup_embedding_lsh_blocked 2.119 (vs 2.185) — all at or
+under their sweep readings on a still-slow box (canary 0.85-0.99 vs
+r11's 0.70), box state + data drift, no code regression.
+
+r12 ATTRIBUTION of the joint-dedup in-sweep delta (r11 stretch #8:
+5.6 s in the r11 168-query full sweep vs 3.2 s headline): isolated
+5-run canary-bracketed A/B of multimodal_joint_dedup_survivors read
+MEDIAN 4.892 s in a FRESH session (first run 10.1 s) vs 2.975 s
+in-sequence in the same-day headline record — the delta runs the
+WRONG direction for a leaked persist (a leak would slow the in-sweep
+side), and tracks JVM/JIT warmup instead: the composition is CC-heavy
+(many small jobs), so a warmed JVM (80 queries of codegen/JIT before
+it) runs it ~1.6x faster than a cold one. Not order-sensitive, no
+leak; the r11 full-sweep 5.6 s reading was runs=2 neighbor contention
+on top of the same effect. CLOSED.
+
 r11 FULL-SWEEP finding (SPARK_GRAFT_BENCH_ALL=1, runs=2, final r11
 code, 168 timed queries, 270.5 s total vs r9's 358 s on 165): the one
 outlier remains dedup_bow_cosine (99.7 s, down from r9's 157 s) — the
@@ -516,9 +547,15 @@ def compare_records(old_path: str, new_path: str, flag_ratio: float = 1.25) -> d
     ]
     sched_ratio = None
     if sched[0] and sched[1]:
-        # an all-zero old sched canary divides loudly (ZeroDivisionError)
-        # — a reading of 0.0 is data, not a missing field, same contract
-        # as the CPU canary above
+        # a 0.0 sched reading on EITHER side is bogus data, not a
+        # missing field — fail loudly at the ratio (the old-side zero
+        # divides here; the new-side zero would otherwise surface as a
+        # data-dependent ZeroDivision inside the mover loop, or not at
+        # all on a mover-free record)
+        if statistics.median(sched[1]) == 0:
+            raise ZeroDivisionError(
+                "new record's sched canary medians to 0.0 — not a usable reading"
+            )
         sched_ratio = statistics.median(sched[1]) / statistics.median(sched[0])
         out["sched_ratio"] = round(sched_ratio, 3)
     sched_closed = {}

@@ -199,12 +199,14 @@ def bpe_train(
         raise ValueError(f"batch_k must be >= 1, got {batch_k}")
     if rewriter not in ("fold", "vectorized"):
         raise ValueError(f"unknown rewriter {rewriter!r}: use 'fold' or 'vectorized'")
-    if rewriter == "fold" and batch_k > _MAX_FOLD_CHAIN:
+    # the rewrite chain's depth is min(batch_k, n_merges) picks per
+    # round at most — a large batch_k over a small total is shallow
+    if rewriter == "fold" and min(batch_k, n_merges) > _MAX_FOLD_CHAIN:
         raise ValueError(
-            f"batch_k={batch_k} exceeds the {_MAX_FOLD_CHAIN}-deep fold-chain "
-            "analyzer ceiling (measured r12: nested higher-order aggregates "
-            "past ~100 fail Catalyst's Resolution fixed point); use "
-            "rewriter='vectorized' for larger batches"
+            f"batch_k={batch_k} would chain >{_MAX_FOLD_CHAIN} merge folds "
+            "per round — past the analyzer ceiling (measured r12: nested "
+            "higher-order aggregates past ~100 fail Catalyst's Resolution "
+            "fixed point); use rewriter='vectorized' for larger batches"
         )
     words = word_frequency_table(docs, text_col).localCheckpoint()
     merges: list[tuple[str, str]] = []
@@ -316,12 +318,15 @@ def encode_words(
     workload in 6.2 s (≈13×) — use it past ~hundreds of merges."""
     if chunk < 1:
         raise ValueError(f"chunk must be >= 1, got {chunk}")
-    if chunk > _MAX_FOLD_CHAIN:
+    # the actual per-projection depth is min(chunk, len(merges)) — a
+    # large chunk over a small merge list builds a shallow, safe chain
+    if min(chunk, len(merges)) > _MAX_FOLD_CHAIN:
         raise ValueError(
-            f"chunk={chunk} exceeds the {_MAX_FOLD_CHAIN}-deep fold-chain "
-            "analyzer ceiling (measured r12: a 128-deep chain fails "
-            "Catalyst Resolution); use encode_words_vectorized for "
-            "production vocabularies instead of raising chunk"
+            f"chunk={chunk} with {len(merges)} merges would build a "
+            f">{_MAX_FOLD_CHAIN}-deep fold chain — past the analyzer "
+            "ceiling (measured r12: a 128-deep chain fails Catalyst "
+            "Resolution); use encode_words_vectorized for production "
+            "vocabularies instead of raising chunk"
         )
     if len(merges) > chunk:
         words = words.repartition(words.sparkSession.sparkContext.defaultParallelism)
@@ -409,19 +414,16 @@ def encode_words_vectorized(
     )
 
     def _encode_batches(batches):
-        cache: dict[str, list[str]] = {}
+        # no memo dict: the documented input is the DISTINCT-word
+        # table, where a cache can never hit and only doubles the
+        # partition's resident encoding memory (r12 review)
 
         def enc(word):
             if word is None:
                 return None
-            got = cache.get(word)
-            if got is not None:
-                return got
             # split('', '(?!^)(?!$)') yields [''] — match the
             # expression path's empty-word form exactly
-            syms = _py_fold_merges(list(word) if word else [""], ms)
-            cache[word] = syms
-            return syms
+            return _py_fold_merges(list(word) if word else [""], ms)
 
         for pdf in batches:
             pdf = pdf.copy()

@@ -82,3 +82,21 @@ def test_compare_handles_null_and_zero_canary_fields(tmp_path):
         compare_records(
             _write(tmp_path, "o0.json", old0), _write(tmp_path, "n.json", new)
         )
+
+    # ...and the NEW-side all-zero sched canary fails loudly AT THE
+    # RATIO, not data-dependently inside the mover loop (r12 review:
+    # a mover-free record would otherwise succeed silently)
+    olds = {
+        "canary_pre_sec": 1.0, "canary_post_sec": 1.0,
+        "canary_sched_pre_sec": 1.0, "canary_sched_post_sec": 1.0,
+        "queries": {"q": 1.0},
+    }
+    news = {
+        "canary_pre_sec": 1.0, "canary_post_sec": 1.0,
+        "canary_sched_pre_sec": 0.0, "canary_sched_post_sec": 0.0,
+        "queries": {"q": 1.0},  # no movers — must STILL raise
+    }
+    with pytest.raises(ZeroDivisionError, match="sched canary"):
+        compare_records(
+            _write(tmp_path, "os.json", olds), _write(tmp_path, "ns.json", news)
+        )

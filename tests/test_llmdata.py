@@ -1806,9 +1806,17 @@ def test_bpe_vectorized_encoder_parity(spark, docs):
     ) == bpe_train(sample, n_merges=12, batch_k=4)
 
     # measured r12 analyzer ceiling: deep fold chains must fail with
-    # the named guard, not Catalyst's Resolution error
+    # the named guard, not Catalyst's Resolution error — but ONLY when
+    # the actual depth min(chunk, len(merges)) exceeds it (a defensive
+    # large chunk over a short merge list built a safe shallow chain
+    # before the guard existed and must keep working)
     with pytest.raises(ValueError, match="analyzer ceiling"):
-        encode_words(words, merges, chunk=128)
+        encode_words(words, [("a", "b")] * 128, chunk=128)
+    shallow = {
+        r.word: list(r.toks)
+        for r in encode_words(words, merges, chunk=128).collect()
+    }
+    assert shallow == fold
     with pytest.raises(ValueError, match="analyzer ceiling"):
         bpe_train(sample, n_merges=200, batch_k=128)
     with pytest.raises(ValueError, match="unknown rewriter"):
