@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, functions as F
 from pyspark.sql.types import StructField, StructType
 
+from ..caching import release_local_checkpoint
+
 
 def _local_label_components(edges: DataFrame) -> DataFrame:
     """Exact min-label components of a SMALL edge list in one task.
@@ -224,6 +226,13 @@ def connected_clusters(
         "vertex", F.col("vertex").alias("label")
     )
     converged = False
+    # superseded round checkpoints are released explicitly:
+    # DataFrame.unpersist never frees localCheckpoint blocks (measured
+    # r12 — caching.release_local_checkpoint), so without this every
+    # round pinned a label-table copy until JVM GC. The FINAL round's
+    # checkpoint backs the returned plan and stays (one table per
+    # invocation, reclaimed by GC once the caller drops the frame).
+    prev_ckpt: DataFrame | None = None
     for it in range(max_iterations):
         if salt:
             joined = salted_join(
@@ -271,6 +280,9 @@ def connected_clusters(
             obs, F.sum(F.col("__chg").cast("long")).alias("changed")
         ).localCheckpoint(eager=True)
         changed = obs.get["changed"]
+        if prev_ckpt is not None:
+            release_local_checkpoint(prev_ckpt)
+        prev_ckpt = new_labels
         labels = new_labels.drop("__chg")
         if not changed:
             converged = True

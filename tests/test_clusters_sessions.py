@@ -62,6 +62,29 @@ def test_connected_clusters_long_chain_converges_in_log_rounds(spark):
     assert len(got) == 201
 
 
+def test_connected_clusters_releases_round_checkpoints(spark):
+    """r12: DataFrame.unpersist never frees localCheckpoint blocks
+    (caching.release_local_checkpoint is the real release), so the CC
+    loop must explicitly free each superseded round's label table —
+    a multi-round run may pin at most the FINAL round's checkpoint
+    (backing the returned plan), never one per round."""
+    from blockchair_etl_spark.caching import release_tracked
+
+    release_tracked(blocking=True)
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    pairs = [(i, i + 1) for i in range(200)]  # diameter forces rounds
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    res = connected_clusters(df, max_iterations=12, local_finish_edges=None)
+    assert res.count() == 201
+    release_tracked(blocking=True)  # the loop's tracked edge persists
+    leaked = [
+        k
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keys()
+        if k not in before
+    ]
+    assert len(leaked) <= 1, leaked  # only the final round's checkpoint
+
+
 def test_connected_clusters_adaptive_doubling_parity(spark):
     # The hop join engages only after `doubling_after` plain rounds;
     # every setting must produce identical clusters. A near-clique
