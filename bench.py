@@ -282,6 +282,19 @@ it) runs it ~1.6x faster than a cold one. Not order-sensitive, no
 leak; the r11 full-sweep 5.6 s reading was runs=2 neighbor contention
 on top of the same effect. CLOSED.
 
+r12 FULL-SWEEP finding (SPARK_GRAFT_BENCH_ALL=1, runs=2, final r12
+code, 169 timed queries, 340.9 s total, canary 0.734/0.605 — a slower
+box than the r11 sweep's day): no new outlier class. The slowest
+entries are the same documented set — dedup_bow_cosine 122.3 s (the
+adversarial exact-form fixture; deployed shape dedup_bow_cosine_zipf
+2.2 s), the two recall-instrumentation entries carrying brute-force
+ground truth by design (7.9 / 4.5 s), the composed v3/v4/v5 pipelines
+(7.6 / 5.7 / 6.4 s in-sweep; v5 reads 3.3 s isolated in the scaling
+base — the same in-sweep inflation the joint entry shows, attributed
+below to JVM-warmup/neighbor effects, not plan shape), multiprobe and
+the joint composition. quality_gopher_gate read 0.439 s — fully
+recovered. No regression candidates.
+
 r11 FULL-SWEEP finding (SPARK_GRAFT_BENCH_ALL=1, runs=2, final r11
 code, 168 timed queries, 270.5 s total vs r9's 358 s on 165): the one
 outlier remains dedup_bow_cosine (99.7 s, down from r9's 157 s) — the
