@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..caching import release_local_checkpoint
+
 
 class TraceBudgetExceeded(RuntimeError):
     """Raised when a hop's frontier exceeds the configured row budget."""
@@ -57,6 +59,7 @@ def trace_funds(
 
     step_edges = edges
     persisted = []
+    frontier_ckpts: list[DataFrame] = []
     if reuse_edge_partitioning and max_hops > 1:
         # One shuffle up front; hops 2..N join on this partitioning.
         step_edges = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
@@ -75,6 +78,10 @@ def trace_funds(
             if n > max_frontier_rows:
                 for df in persisted:
                     df.unpersist()
+                # nothing is returned on this path — any frontier
+                # blocks the budget counts materialized go too
+                for df in frontier_ckpts:
+                    release_local_checkpoint(df)
                 raise TraceBudgetExceeded(
                     f"hop {hop - 1} frontier has {n} rows > budget {max_frontier_rows}"
                 )
@@ -87,6 +94,7 @@ def trace_funds(
         )
         # Truncate lineage so plan depth stays O(1) per hop, not O(hops).
         frontier = frontier.localCheckpoint(eager=False)
+        frontier_ckpts.append(frontier)
         acc = acc.unionByName(frontier)
 
     if persisted:
@@ -98,6 +106,14 @@ def trace_funds(
         acc = acc.localCheckpoint(eager=True)
         for df in persisted:
             df.unpersist()
+        # ...and the per-hop frontier checkpoints (lazy; they
+        # materialized while acc's eager checkpoint computed) are now
+        # dead weight behind acc's own blocks — release them explicitly
+        # (DataFrame.unpersist never frees checkpoint blocks; r12,
+        # caching.release_local_checkpoint). Only acc's checkpoint
+        # remains, reclaimed when the caller drops the result.
+        for df in frontier_ckpts:
+            release_local_checkpoint(df)
 
     return acc
 

@@ -58,6 +58,24 @@ def test_trace_budget_raises_at_documented_limit(spark):
     assert out.filter(F.col("hop") == 2).count() == 40 * 40
 
 
+def test_trace_releases_frontier_checkpoints(spark):
+    """r12: on the reuse-edge-partitioning path, the per-hop frontier
+    checkpoints materialize while the result's eager checkpoint
+    computes and must then be released explicitly (DataFrame.unpersist
+    never frees checkpoint blocks) — a 3-hop dashboard trace may leave
+    only the ONE result checkpoint behind, not one block set per hop."""
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    edges = _fanout_edges(spark, fan=6)
+    out = trace_funds(edges, source=0, max_hops=3)
+    assert out.count() > 0
+    leaked = [
+        k
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keys()
+        if k not in before
+    ]
+    assert len(leaked) <= 1, leaked  # only the result's own checkpoint
+
+
 def test_trace_fallback_degrades_to_one_hop(spark):
     """The reference dashboard's OOM contract: a too-deep trace re-runs
     at depth 1 instead of failing (app.py:380-383 analog)."""
