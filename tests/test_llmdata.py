@@ -1122,6 +1122,12 @@ def test_incremental_minhash_dedup(spark, docs):
     # may still pick one on a tiny fixture — that's AQE's call, the
     # point is a store-sized batch is no longer FORCED through it)
     assert "ResolvedHint" not in updated_nb._jdf.queryExecution().analyzed().toString()
+    # ...and with the default the probe DOES force the batch side's
+    # broadcast (r12: the cross probe no longer trusts AQE size
+    # estimation — the corpus-sized band store must never shuffle),
+    # same for the write-back anti-join
+    assert "ResolvedHint" in pairs._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in updated._jdf.queryExecution().analyzed().toString()
 
 
 def test_pandas_udf_cosine_matches_expression_fold(spark, emb):
