@@ -282,6 +282,17 @@ it) runs it ~1.6x faster than a cold one. Not order-sensitive, no
 leak; the r11 full-sweep 5.6 s reading was runs=2 neighbor contention
 on top of the same effect. CLOSED.
 
+r12 STRATEGY-CHANGE A/B of dedup_incremental_minhash (the one timed
+entry whose plan changed this round — minhash_cross_pairs now FORCES
+the batch side's broadcast instead of trusting AQE size estimation):
+isolated 5-run canary-bracketed median 1.915 s (canary 0.74-0.85) vs
+the r11 driver's 1.431 s (canary 0.70) — normalized ~1.19, inside the
+band and consistent with --compare not flagging it. At sf0.1 the hint
+costs nothing measurable (AQE was already choosing broadcast on the
+small fixture); what it buys is determinism at scale — a conservative
+store-side size stat can no longer flip the probe into shuffling the
+corpus-sized band store. KEPT.
+
 r12 FULL-SWEEP finding (SPARK_GRAFT_BENCH_ALL=1, runs=2, final r12
 code, 169 timed queries, 340.9 s total, canary 0.734/0.605 — a slower
 box than the r11 sweep's day): no new outlier class. The slowest
