@@ -1827,6 +1827,16 @@ def test_bpe_vectorized_encoder_parity(spark, docs):
         bpe_train(sample, n_merges=200, batch_k=128)
     with pytest.raises(ValueError, match="unknown rewriter"):
         bpe_train(sample, n_merges=2, rewriter="arrow")
+    # ...and the escape hatch the ceiling error names must actually
+    # work there: the vectorized rewriter has no chain, so a >64
+    # batch_k runs — and still matches the batched python reference
+    # (k is min(batch_k, n_merges) per round in both)
+    texts = [r.text for r in sample.collect()]
+    want_big_k, _ = _ref_bpe_batched(texts, n_merges=12, batch_k=128)
+    assert (
+        bpe_train(sample, n_merges=12, batch_k=128, rewriter="vectorized")
+        == want_big_k
+    )
 
 
 def test_bpe_fold_ansi_mode_safe(spark):
