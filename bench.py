@@ -520,7 +520,17 @@ def compare_records(old_path: str, new_path: str, flag_ratio: float = 1.25) -> d
                 "record carries no canary — normalized comparison needs "
                 "canary_pre_sec/canary_post_sec (records from r10 on)"
             )
-        return statistics.median(vals)
+        med = statistics.median(vals)
+        if med <= 0.0:
+            # mirror the sched-canary guard (advisor r12): a 0.0 CPU
+            # canary is a bogus reading (the workload cannot finish in
+            # 0 s) — name it instead of dying in the ratio division
+            raise ValueError(
+                f"record carries a non-positive CPU canary median ({med}) "
+                f"from {vals} — bogus reading; re-record the benchmark "
+                "instead of normalizing against it"
+            )
+        return med
 
     canary_ratio = _canary(new) / _canary(old)
     oq, nq = old["queries"], new["queries"]

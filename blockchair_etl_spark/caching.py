@@ -33,6 +33,16 @@ from pyspark.storagelevel import StorageLevel
 
 _TRACKED: list[DataFrame] = []
 
+#: Labels of the DESTRUCTIVE entries freed by the most recent
+#: :func:`release_tracked` call (advisor r12: the registry mixes
+#: recomputable cache releases with checkpoint releases that poison
+#: their frame — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on any later
+#: action). A harness that acts twice on one built frame (correctness
+#: replay then timing) can check this after the first release: empty
+#: means every released frame recomputes safely; any label here names
+#: a frame that must be REBUILT, not re-collected.
+last_destructive_release: list[str] = []
+
 
 def tracked_persist(
     df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
@@ -44,15 +54,24 @@ def tracked_persist(
 
 
 def release_tracked(blocking: bool = False) -> int:
-    """Unpersist every tracked frame; returns how many were released."""
+    """Unpersist every tracked frame; returns how many were released.
+
+    Side channel: :data:`last_destructive_release` is rewritten with
+    the labels of any checkpoint-backed entries freed by THIS call —
+    those frames (and plans built over them) cannot be acted on again;
+    everything else recomputes safely."""
     n = 0
+    destructive: list[str] = []
     while _TRACKED:
         df = _TRACKED.pop()
         try:
             df.unpersist(blocking)
             n += 1
+            if isinstance(df, _CheckpointHandle):
+                destructive.append(df.label)
         except Exception:  # session already stopped — nothing to free
             pass
+    last_destructive_release[:] = destructive
     return n
 
 
@@ -76,7 +95,14 @@ def release_local_checkpoint(df: DataFrame, blocking: bool = False) -> bool:
     lineage to recompute from, so any later action on it (or a plan
     built over it) fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
     Falls back to ``df.unpersist()`` (False) when the root is not a
-    LogicalRDD — e.g. a frame that was never checkpointed.
+    LogicalRDD — e.g. a frame that was never checkpointed — OR when the
+    root IS a LogicalRDD but its RDD holds no blocks (advisor r12: any
+    RDD-backed frame, e.g. createDataFrame over an RDD, also roots at
+    LogicalRDD; a *persisted* such frame caches through the
+    CacheManager, not the plan RDD, so unpersisting the plan RDD would
+    leak the cache while reporting success — probed by storage level:
+    a materialized localCheckpoint's RDD reads memory+disk, a plain
+    RDD-backed plan reads NONE).
 
     Failures are WARNED, not swallowed silently: the only legitimate
     failure here is a stopped session (teardown), and a leak with no
@@ -86,8 +112,10 @@ def release_local_checkpoint(df: DataFrame, blocking: bool = False) -> bool:
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(blocking)
-            return True
+            lvl = plan.rdd().getStorageLevel()
+            if lvl.useMemory() or lvl.useDisk() or lvl.useOffHeap():
+                plan.rdd().unpersist(blocking)
+                return True
         df.unpersist(blocking)
     except Exception as exc:  # pragma: no cover — teardown path
         warnings.warn(
@@ -107,14 +135,15 @@ class _CheckpointHandle:
     release_local_checkpoint (a plain DataFrame.unpersist never frees
     checkpoint blocks — see above)."""
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, label: str = "<checkpoint>"):
         self._df = df
+        self.label = label
 
     def unpersist(self, blocking: bool = False) -> None:
         release_local_checkpoint(self._df, blocking)
 
 
-def tracked_checkpoint_release(df: DataFrame) -> DataFrame:
+def tracked_checkpoint_release(df: DataFrame, label: str = "<checkpoint>") -> DataFrame:
     """Register an already-localCheckpoint'ed frame so the NEXT
     release_tracked() frees its checkpoint blocks (the deferred-release
     contract tracked_persist gives cached frames, extended to
@@ -124,6 +153,9 @@ def tracked_checkpoint_release(df: DataFrame) -> DataFrame:
     CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND instead of silently re-running.
     That matches the registry contract (caches live until the caller's
     terminal action, one query at a time), but rules out re-collection
-    patterns that a persisted frame would tolerate."""
-    _TRACKED.append(_CheckpointHandle(df))  # type: ignore[arg-type]
+    patterns that a persisted frame would tolerate. ``label`` names the
+    entry in :data:`last_destructive_release` so a caller that released
+    can tell a recomputable release from a poisoning one (advisor
+    r12)."""
+    _TRACKED.append(_CheckpointHandle(df, label))  # type: ignore[arg-type]
     return df

@@ -75,12 +75,18 @@ def test_compare_handles_null_and_zero_canary_fields(tmp_path):
     assert "sched_ratio" not in out  # pre-r11 record: reported absent
 
     # an explicit 0.0 canary is a reading, not a missing field: it must
-    # enter the median (and the degenerate all-zero old record is a
-    # loud ZeroDivision, never a silent skip)
+    # enter the median — and the degenerate all-zero record raises the
+    # same NAMED error the sched path does (advisor r12: a bare
+    # ZeroDivisionError at canary_ratio explained nothing), on either
+    # side of the comparison
     old0 = {"canary_pre_sec": 0.0, "canary_post_sec": 0.0, "queries": {"q": 1.0}}
-    with pytest.raises(ZeroDivisionError):
+    with pytest.raises(ValueError, match="non-positive CPU canary"):
         compare_records(
             _write(tmp_path, "o0.json", old0), _write(tmp_path, "n.json", new)
+        )
+    with pytest.raises(ValueError, match="non-positive CPU canary"):
+        compare_records(
+            _write(tmp_path, "n.json", new), _write(tmp_path, "o0.json", old0)
         )
 
     # ...and the NEW-side all-zero sched canary fails loudly AT THE
