@@ -343,7 +343,10 @@ def encode_words(
                 release_local_checkpoint(prev_ckpt)
             prev_ckpt = out
     if prev_ckpt is not None:
-        tracked_checkpoint_release(prev_ckpt)
+        # labeled so caching.last_destructive_release names this entry
+        # after the harness release — the ONE registry path whose
+        # released frame cannot be re-collected (advisor r12)
+        tracked_checkpoint_release(prev_ckpt, label="encode_words>chunk")
     return out
 
 
@@ -381,8 +384,51 @@ def _py_fold_merges(
     return syms
 
 
+def _py_rank_priority_merges(
+    syms: list[str], ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """HF/GPT-2-style BPE encode: repeatedly merge the LOWEST-RANK
+    adjacent pair present anywhere in the word (all non-overlapping
+    occurrences, left to right) until no ranked pair remains. Unlike
+    the sequential fold (:func:`_py_fold_merges`, one pass per merge in
+    merge order), this re-applies an EARLY merge to adjacencies a later
+    merge creates — the semantics of the GPT-2 `bpe()` loop and HF
+    tokenizers. The two strategies agree on every merge list a
+    bpe_train run can produce on a word where each merge's operands
+    predate it, but diverge on crafted/imported rank tables (pytest
+    pins a divergence fixture).
+
+    Cost shape: O(passes × word length) with a dict probe per
+    adjacency — the same per-word working set as the sequential fold;
+    rank lookup is O(1) so a production-size rank table costs nothing
+    per pair."""
+    while len(syms) > 1:
+        best_rank: int | None = None
+        best: tuple[str, str] | None = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (syms[i], syms[i + 1])
+        if best is None:
+            break
+        l, r = best
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def encode_words_vectorized(
-    words: DataFrame, merges: list[tuple[str, str]]
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    strategy: str = "sequential",
 ) -> DataFrame:
     """The PRODUCTION-VOCABULARY twin of :func:`encode_words`: the same
     sequential-greedy fold, computed by an Arrow-batched python loop
@@ -401,17 +447,37 @@ def encode_words_vectorized(
     expression path stays the default for ≤~hundreds of merges: no
     Python stage, no Arrow boundary, and every SQL-oracle path uses it.
 
-    Semantics note: this replays merges IN ORDER (one pass per merge,
-    greedy left-to-right) — NOT the rank-priority encode of common BPE
-    libraries, which re-applies an early merge to adjacencies a later
-    merge creates and can therefore diverge from the sequential fold
-    this engine's oracle pins."""
+    Strategy (r12 verdict #3 — a DOCUMENTED variant, not a silent
+    semantic):
+
+    - ``"sequential"`` (default): replay merges IN ORDER, one greedy
+      left-to-right pass per merge — the fold the expression chain
+      computes and every oracle path pins. An early merge never sees
+      an adjacency a later merge creates.
+    - ``"rank_priority"``: the HF/GPT-2 encode — repeatedly apply the
+      lowest-rank pair present anywhere in the word until fixed point
+      (:func:`_py_rank_priority_merges`). Matches production BPE
+      libraries on imported vocabularies; diverges from sequential on
+      rank tables where an early-rank merge consumes a token a
+      later-rank merge creates (pytest divergence fixture). Vectorized
+      path only — the expression chain does not support it (a
+      fixed-point loop has no bounded fold depth)."""
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
+    if strategy not in ("sequential", "rank_priority"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use 'sequential' or 'rank_priority'"
+        )
     ms = list(merges)
+    # first occurrence wins on a (malformed) duplicated pair — the
+    # lowest rank is the one rank-priority must honor
+    ranks: dict[tuple[str, str], int] = {}
+    for i, pair in enumerate(ms):
+        ranks.setdefault(pair, i)
     schema = StructType(
         list(words.schema.fields) + [StructField("toks", ArrayType(StringType()))]
     )
+    rank_priority = strategy == "rank_priority"
 
     def _encode_batches(batches):
         # no memo dict: the documented input is the DISTINCT-word
@@ -423,7 +489,10 @@ def encode_words_vectorized(
                 return None
             # split('', '(?!^)(?!$)') yields [''] — match the
             # expression path's empty-word form exactly
-            return _py_fold_merges(list(word) if word else [""], ms)
+            syms = list(word) if word else [""]
+            if rank_priority:
+                return _py_rank_priority_merges(syms, ranks)
+            return _py_fold_merges(syms, ms)
 
         for pdf in batches:
             pdf = pdf.copy()
@@ -464,6 +533,7 @@ def bpe_apply(
     text_col: str = "text",
     id_col: str = "doc_id",
     encoder: str = "fold",
+    strategy: str = "sequential",
 ) -> DataFrame:
     """Tokenize the corpus with a learned merge list →
     (id, tokens array<string>, n_tokens BIGINT), one row per input doc
@@ -479,15 +549,31 @@ def bpe_apply(
     oracle path uses) or "vectorized" (the Arrow-batched python fold —
     the production-vocabulary path; see encode_words_vectorized for the
     measured crossover). Both are bit-identical (pytest parity).
+
+    ``strategy``: "sequential" (default — the fold semantics every
+    oracle pins) or "rank_priority" (HF/GPT-2 fixed-point encode;
+    vectorized only — see encode_words_vectorized). Every registry
+    entry uses sequential; rank_priority exists for imported
+    production vocabularies whose published semantics are the
+    fixed-point loop.
     """
     if encoder not in ("fold", "vectorized"):
         raise ValueError(f"unknown encoder {encoder!r}: use 'fold' or 'vectorized'")
+    if strategy != "sequential" and encoder != "vectorized":
+        raise ValueError(
+            f"strategy {strategy!r} needs encoder='vectorized' — the "
+            "expression chain only computes the sequential fold"
+        )
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.posexplode(tokens_col(text_col)).alias("pos", "word"),
     )
-    encode = encode_words if encoder == "fold" else encode_words_vectorized
-    encoded = encode(toks.select("word").distinct(), merges)
+    if encoder == "fold":
+        encoded = encode_words(toks.select("word").distinct(), merges)
+    else:
+        encoded = encode_words_vectorized(
+            toks.select("word").distinct(), merges, strategy=strategy
+        )
     per_doc = (
         toks.join(encoded, "word")
         .groupBy("doc")

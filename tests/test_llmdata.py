@@ -1839,6 +1839,133 @@ def test_bpe_vectorized_encoder_parity(spark, docs):
     )
 
 
+def _ref_hf_bpe(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Independent HF/GPT-2-style reference encode, written in the
+    shape of the published gpt-2 `bpe()` loop (min-by-rank over the
+    pair SET, then one merge pass) rather than the engine's
+    scan-for-best form — so a shared bug can't hide."""
+    ranks: dict[tuple[str, str], float] = {}
+    for i, p in enumerate(merges):
+        if p not in ranks:
+            ranks[p] = i
+    syms = list(word) if word else [""]
+    while True:
+        pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+        if not pairs:
+            break
+        bigram = min(pairs, key=lambda p: ranks.get(p, float("inf")))
+        if bigram not in ranks:
+            break
+        first, second = bigram
+        new: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == first and syms[i + 1] == second:
+                new.append(first + second)
+                i += 2
+            else:
+                new.append(syms[i])
+                i += 1
+        syms = new
+    return syms
+
+
+def test_bpe_rank_priority_strategy(spark, docs):
+    """r12 verdict #3: rank-priority (HF/GPT-2) encode as a DOCUMENTED
+    variant. Pins (a) the crafted divergence fixture where greedy
+    sequential ≠ rank-priority, (b) fuzzed parity vs an independent
+    plain-python HF-style reference, (c) agreement with sequential on
+    every TRAINED merge list (training can't produce a rank table
+    where an early merge consumes a later merge's output token), and
+    (d) the bpe_apply plumbing + guards."""
+    import pytest
+
+    from blockchair_etl_spark.llmdata.tokenizer import (
+        _py_fold_merges,
+        _py_rank_priority_merges,
+        bpe_apply,
+        bpe_train,
+        encode_words_vectorized,
+    )
+
+    # (a) divergence fixture: merge 0 = (a, bc) references the token
+    # merge 1 CREATES. Sequential replays in order (merge 0 never
+    # applies: no 'bc' yet); rank-priority applies (b,c) first, then
+    # re-visits rank 0 on the new adjacency and fully fuses the word.
+    crafted = [("a", "bc"), ("b", "c")]
+    assert _py_fold_merges(["a", "b", "c"], crafted) == ["a", "bc"]
+    assert _py_rank_priority_merges(
+        ["a", "b", "c"], {p: i for i, p in enumerate(crafted)}
+    ) == ["abc"]
+    tiny = spark.createDataFrame([("abc",)], "word string")
+    seq = encode_words_vectorized(tiny, crafted).collect()[0]
+    rp = encode_words_vectorized(tiny, crafted, strategy="rank_priority").collect()[0]
+    assert list(seq.toks) == ["a", "bc"]
+    assert list(rp.toks) == ["abc"]
+
+    # (b) fuzzed parity vs the independent HF-style reference: random
+    # words over a 3-symbol alphabet (dense pair collisions), random
+    # merge lists INCLUDING multi-char + duplicate pairs
+    import random
+
+    rng = random.Random(1307)
+    alpha = "abc"
+    words, merge_lists = [], []
+    for _ in range(40):
+        words.append("".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))))
+    for _ in range(12):
+        ms = []
+        toks = list(alpha)
+        for _ in range(rng.randint(1, 8)):
+            l, r = rng.choice(toks), rng.choice(toks)
+            ms.append((l, r))
+            toks.append(l + r)
+        rng.shuffle(ms)  # shuffled ranks = the crafted-import regime
+        merge_lists.append(ms)
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    for ms in merge_lists:
+        got = {
+            r.word: list(r.toks)
+            for r in encode_words_vectorized(
+                wdf, ms, strategy="rank_priority"
+            ).collect()
+        }
+        want = {w: _ref_hf_bpe(w, ms) for w in words}
+        assert got == want, ms
+
+    # (c) on a TRAINED merge list the strategies agree word-for-word
+    sample = docs.limit(80).select("doc_id", "text")
+    trained = bpe_train(sample, n_merges=10)
+    corpus_words = sample.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word")
+    ).distinct()
+    a = {
+        r.word: list(r.toks)
+        for r in encode_words_vectorized(corpus_words, trained).collect()
+    }
+    b = {
+        r.word: list(r.toks)
+        for r in encode_words_vectorized(
+            corpus_words, trained, strategy="rank_priority"
+        ).collect()
+    }
+    assert a == b
+
+    # (d) plumbing: end-to-end apply agrees on the trained list; the
+    # fold encoder refuses the strategy it cannot compute
+    x = bpe_apply(sample, trained, encoder="vectorized").collect()
+    y = bpe_apply(
+        sample, trained, encoder="vectorized", strategy="rank_priority"
+    ).collect()
+    assert {(r.doc_id, tuple(r.tokens)) for r in x} == {
+        (r.doc_id, tuple(r.tokens)) for r in y
+    }
+    with pytest.raises(ValueError, match="needs encoder='vectorized'"):
+        bpe_apply(sample, trained, strategy="rank_priority")
+    with pytest.raises(ValueError, match="unknown strategy"):
+        encode_words_vectorized(tiny, crafted, strategy="greedy")
+
+
 def test_bpe_fold_ansi_mode_safe(spark):
     """Advisor r11: the merge fold's empty-accumulator guard must not
     rely on ansi.enabled=false (Spark's AND doesn't short-circuit, and
@@ -1848,6 +1975,10 @@ def test_bpe_fold_ansi_mode_safe(spark):
 
     words = spark.createDataFrame([("aaa",), ("ba",), ("",)], "word string")
     want = {"aaa": ["aa", "a"], "ba": ["b", "a"], "": [""]}
+    # restore whatever the suite's session actually ran with, not a
+    # hardcoded 'false' (advisor r12: a hardcoded restore silently
+    # rewrites the shared config if the pinned default ever changes)
+    saved_ansi = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         got = {
@@ -1855,7 +1986,7 @@ def test_bpe_fold_ansi_mode_safe(spark):
             for r in encode_words(words, [("a", "a")]).collect()
         }
     finally:
-        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.ansi.enabled", saved_ansi)
     assert got == want
     # and identical under the repo's pinned non-ANSI session
     assert got == {
