@@ -27,6 +27,19 @@ cadence, or use the incremental signature-store loop
 standard production shape: cheap per-row filtering at ingest, global
 passes over the filtered store.
 
+v5 currency (r12 verdict #3): the batch v5 pipeline replaced the
+whitespace-heuristic token count with the LEARNED tokenizer's count as
+the budget/packing currency. Tokenizing is PER-ROW given a frozen
+vocabulary, so it streams: pass ``merges`` (the ordered merge list —
+load it ONCE per stream lifetime with tokenizer.frame_to_merges from
+the persisted vocabulary relation, the same load-once artifact
+contract as the bench shingles and the classifier weights) and each
+micro-batch's surviving rows land with their learned ``n_tokens``.
+The daily global pass then budgets and packs the accumulated store in
+BPE tokens (quality_budget_select/assign_packs with
+n_tokens_col="n_tokens") without ever re-tokenizing — exactly the
+batch v5 stages over the store.
+
 Delivery semantics: ALWAYS exactly-once. Unlike the dedup stream, this
 sink maintains no cross-batch index — each batch's output rows derive
 from that batch alone — so idempotence costs only the batch_id
@@ -59,6 +72,8 @@ def make_prep_batch_processor(
     bench_shingles: DataFrame | None = None,
     contamination_threshold: float = 0.0,
     ngram_n: int = 3,
+    merges: list[tuple[str, str]] | None = None,
+    encoder: str = "fold",
 ):
     """The foreachBatch body, exposed so tests can drive it directly
     (including replaying a (batch_df, batch_id) to exercise the
@@ -78,10 +93,22 @@ def make_prep_batch_processor(
     like the classifier verdict, is PER-ROW given the fixed eval set,
     so it streams without state. ``contamination_threshold`` as in
     decontaminate (default 0.0 = the strict drop-on-any-overlap rule).
+
+    ``merges``: the frozen learned vocabulary (ordered merge list) —
+    when given, each surviving row is tokenized over the NORMALIZED
+    text with bpe_apply (distinct-word fold + join-back; token arrays
+    never materialize) and the store row gains its learned
+    ``n_tokens`` BIGINT, the v5 budget/packing currency (module
+    docstring). Load it once per stream lifetime
+    (tokenizer.frame_to_merges) — it is a driver-side O(vocab) list,
+    never data-scale. ``encoder`` as in bpe_apply ("fold" default;
+    "vectorized" for production vocabularies past ~hundreds of
+    merges).
     """
     from ..llmdata.classify import linear_classifier_scores
     from ..llmdata.dedup import decontaminate
     from ..llmdata.text import gopher_quality_gate, normalize_text
+    from ..llmdata.tokenizer import bpe_apply
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -126,6 +153,20 @@ def make_prep_batch_processor(
                 .join(gated.filter("keep").select(id_col), id_col)
                 .select(id_col, "norm_text", "logit_q")
             )
+            if merges is not None:
+                # tokenize SURVIVORS only (the gates already paid for
+                # themselves); n_tokens join-back keeps token arrays
+                # out of the store
+                kept = kept.join(
+                    bpe_apply(
+                        kept,
+                        merges,
+                        text_col="norm_text",
+                        id_col=id_col,
+                        encoder=encoder,
+                    ).select(id_col, "n_tokens"),
+                    id_col,
+                )
             _overwrite_batch_partition(kept, batch_id, out_dir)
         finally:
             if scoped is not None:
@@ -176,10 +217,13 @@ def corpus_prep_stream(
     bench_shingles: DataFrame | None = None,
     contamination_threshold: float = 0.0,
     ngram_n: int = 3,
+    merges: list[tuple[str, str]] | None = None,
+    encoder: str = "fold",
 ):
     """docs stream (id, text) -> foreachBatch writer appending each
-    micro-batch's surviving (id, norm_text, logit_q) rows to a
-    batch_id-partitioned store (replay-idempotent, module docstring).
+    micro-batch's surviving (id, norm_text, logit_q) rows — plus the
+    learned n_tokens when ``merges`` is given (the v5 currency, module
+    docstring) — to a batch_id-partitioned store (replay-idempotent).
 
     Decontamination, two ways to enable it:
 
@@ -215,6 +259,8 @@ def corpus_prep_stream(
         bench_shingles=bench_shingles,
         contamination_threshold=contamination_threshold,
         ngram_n=ngram_n,
+        merges=merges,
+        encoder=encoder,
     )
     return docs_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

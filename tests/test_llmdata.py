@@ -1520,6 +1520,143 @@ def test_streaming_prep_decontamination_two_drain_replay(spark, docs, tmp_path):
     assert again == want
 
 
+def test_streaming_prep_v5_learned_token_currency(spark, docs, tmp_path):
+    """r12 verdict #3: the streaming prep loop carries the v5 currency —
+    each micro-batch's survivors land with their LEARNED (BPE) token
+    count, computed against a frozen vocabulary artifact loaded once
+    per stream lifetime, so the daily global budget/pack pass runs in
+    BPE tokens without re-tokenizing. Matrix: (a) two checkpointed
+    drains union to the batch composition of the same per-row stages
+    (normalize -> classify -> gate -> tokenize), n_tokens included;
+    (b) the GLOBAL v5 stages (quality_budget_select + assign_packs,
+    n_tokens currency) over the accumulated store match the batch v5
+    stages byte-for-byte; (c) a replayed batch rewrites its partition
+    byte-identically."""
+    from blockchair_etl_spark.llmdata.classify import (
+        hashed_weights,
+        linear_classifier_scores,
+    )
+    from blockchair_etl_spark.llmdata.packing import assign_packs
+    from blockchair_etl_spark.llmdata.sampling import quality_budget_select
+    from blockchair_etl_spark.llmdata.text import (
+        gopher_quality_gate,
+        normalize_text,
+    )
+    from blockchair_etl_spark.llmdata.tokenizer import (
+        bpe_apply,
+        bpe_train,
+        frame_to_merges,
+        merges_to_frame,
+    )
+    from blockchair_etl_spark.streaming.prep_stream import (
+        corpus_prep_stream,
+        make_prep_batch_processor,
+    )
+
+    sample = docs.limit(150).select("doc_id", "text")
+    weights = hashed_weights(spark, n_features=4096, scale=1024, seed="w5")
+
+    # the vocabulary ARTIFACT contract: train once, persist the merge
+    # relation, and every stream loads the ordered list back ONCE
+    vocab_path = str(tmp_path / "vocab")
+    merges_to_frame(spark, bpe_train(sample, n_merges=10)).write.parquet(vocab_path)
+    merges = frame_to_merges(spark.read.parquet(vocab_path))
+    assert len(merges) == 10
+
+    src = str(tmp_path / "v5src")
+    ckpt = str(tmp_path / "v5ckpt")
+    out = str(tmp_path / "v5store")
+
+    def drain():
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            corpus_prep_stream(stream, weights, out, ckpt, merges=merges)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    for i in range(2):
+        sample.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    drain()
+    sample.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    store = spark.read.parquet(out)
+    got = {
+        (r.doc_id, r.norm_text, r.logit_q, r.n_tokens) for r in store.collect()
+    }
+
+    # (a) batch composition of the same per-row stages
+    normed = normalize_text(sample)
+    clf = linear_classifier_scores(normed, weights, text_col="norm_text")
+    gated = gopher_quality_gate(normed, text_col="norm_text")
+    kept = (
+        normed.join(
+            clf.filter(F.col("logit_q") >= 0).select("doc_id", "logit_q"),
+            "doc_id",
+        )
+        .join(gated.filter("keep").select("doc_id"), "doc_id")
+        .select("doc_id", "norm_text", "logit_q")
+    )
+    want_df = kept.join(
+        bpe_apply(kept, merges, text_col="norm_text").select("doc_id", "n_tokens"),
+        "doc_id",
+    )
+    want = {
+        (r.doc_id, r.norm_text, r.logit_q, r.n_tokens) for r in want_df.collect()
+    }
+    assert got == want and want
+    # learned counts, not the whitespace heuristic: BPE merges shrink
+    # at least one surviving doc below its whitespace-char token count
+    assert any(r.n_tokens != len(r.norm_text) for r in store.collect())
+
+    # (b) the daily GLOBAL pass over the store == batch v5 stages,
+    # byte-for-byte, in the learned currency
+    def select_pack(rel):
+        sel = quality_budget_select(
+            rel.select("doc_id", "logit_q", "n_tokens"),
+            score_col="logit_q",
+            budget_den=5,
+            n_tokens_col="n_tokens",
+        )
+        packed = assign_packs(sel, budget=256, n_shards=4, n_tokens_col="n_tokens")
+        return {
+            tuple(r)
+            for r in packed.join(
+                sel.select("doc_id", "score", "cum_before"), "doc_id"
+            ).collect()
+        }
+
+    assert select_pack(store) == select_pack(want_df)
+
+    # (c) replay byte-identity: reprocess batch 0's rows under its
+    # batch_id — the store must not change
+    b0 = {
+        r.doc_id
+        for r in store.filter(F.col("batch_id") == 0).select("doc_id").collect()
+    }
+    proc = make_prep_batch_processor(weights, out, merges=merges)
+    proc(
+        sample.filter(F.col("doc_id").isin(*b0) if b0 else F.lit(False)),
+        0,
+    )
+    again = {
+        (r.doc_id, r.norm_text, r.logit_q, r.n_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == want
+
+
 def _ref_bpe(texts, n_merges, min_pair_count=2):
     """Plain-python BPE reference with the module's documented
     semantics: count-desc / (l, r)-lexicographic-asc tie-break, greedy
