@@ -249,6 +249,39 @@ def ivfpq_encode(
     return res.select(F.col(id_col), "ivf_cluster").join(coded, id_col)
 
 
+def ivfpq_index_append(
+    index: DataFrame,
+    new_vectors: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Daily-ingest maintenance of a deployed IVF-PQ index (r12 verdict
+    stretch #7): encode the ARRIVING vectors against the FROZEN trained
+    centroids/codebooks and union them into the prebuilt index relation
+    with one row per id — the `_dedup_store_union` write-back contract
+    every incremental dedup store uses (store left_anti batch-keys ∪
+    batch: an at-least-once replay, or a re-ingested id, lands exactly
+    once, the batch's version wins, and the index-sized store NEVER
+    shuffles — ``broadcast_new`` as there; pass False for a
+    near-index-sized backfill).
+
+    Because the codebooks are frozen, the appended index is
+    BIT-IDENTICAL to re-encoding the full corpus with the same
+    artifacts (pytest append-vs-rebuild probe parity), so probe results
+    never depend on arrival order. The trade every IVF-PQ deployment
+    makes: quantization error drifts as the vector distribution drifts
+    away from the training sample — recompute the codebooks (a full
+    re-encode) on the retrain cadence, not per batch; the recall
+    instrumentation entry (ann_ivfpq_recall) is the drift monitor."""
+    from .dedup import _dedup_store_union
+
+    encoded = ivfpq_encode(new_vectors, centroids, codebooks, id_col, vec_col)
+    return _dedup_store_union(index, encoded, id_col, broadcast_new=broadcast_new)
+
+
 def ivfpq_adc_topk(
     emb: DataFrame,
     centroids: np.ndarray,

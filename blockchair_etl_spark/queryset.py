@@ -6123,6 +6123,123 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_incremental",
+    survey="LLM-similarity (incremental IVF-PQ index maintenance)",
+    desc="the daily-ingest ANN maintenance path (r12 verdict stretch "
+    "#7): centroids + PQ codebooks are FROZEN on the initial corpus "
+    "(vec_id % 4 != 0), the prebuilt index is appended with the "
+    "arriving quarter encoded against those frozen artifacts through "
+    "the _dedup_store_union write-back (store left_anti broadcast "
+    "batch-keys ∪ batch — one row per key on replay, the store never "
+    "shuffles), and the probe runs over the appended index. The "
+    "oracle re-derives the SAME search from scratch with no store at "
+    "all — seeds from the initial subset, encode + ADC over the full "
+    "corpus — so a hash match proves append == rebuild bit-exactly",
+    oracle=f"""
+WITH init AS (SELECT * FROM embeddings WHERE vec_id % 4 <> 0),
+n AS (SELECT GREATEST(COUNT(*) // 8, 1) AS step FROM init),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS c, e.embedding AS cv
+  FROM init e, n
+  WHERE e.vec_id % n.step = 0
+  ORDER BY e.vec_id
+  LIMIT 8
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+adists AS (
+  SELECT e.vec_id, e.embedding, cent.c,
+         {_sql_sq_dist('e.embedding', 'cent.cv')} AS d
+  FROM embeddings e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, embedding, c AS ivf_cluster
+  FROM (SELECT vec_id, embedding, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+        FROM adists)
+  WHERE rn = 1
+),
+res AS (
+  SELECT a.vec_id, a.ivf_cluster,
+         list_transform(list_zip(a.embedding, ct.cv),
+                        x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS rv
+  FROM assigned a JOIN cent ct ON ct.c = a.ivf_cluster
+),
+n2 AS (SELECT GREATEST(COUNT(*) // 16, 1) AS step FROM init),
+seedv AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY r.vec_id) - 1 AS sc, r.rv
+  FROM res r, n2
+  WHERE r.vec_id % n2.step = 0 AND r.vec_id % 4 <> 0
+  ORDER BY r.vec_id
+  LIMIT 16
+),
+js AS (SELECT unnest(range(0, 4)) AS j),
+cb AS (SELECT sc AS c, j, rv[j*16+1 : j*16+16] AS cbv FROM seedv, js),
+sub AS (
+  SELECT r.vec_id, r.ivf_cluster, j.j, r.rv[j.j*16+1 : j.j*16+16] AS sv
+  FROM res r, js j
+),
+cdists AS (
+  SELECT s.vec_id, s.j, cb.c, {_sql_q_dist('s.sv', 'cb.cbv')} AS d
+  FROM sub s JOIN cb ON s.j = cb.j
+),
+codes AS (
+  SELECT vec_id, j, c
+  FROM (SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM cdists)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT cent.c
+  FROM cent, q
+  ORDER BY {_sql_sq_dist('cent.cv', 'q.qv')} ASC, cent.c ASC
+  LIMIT 2
+),
+qres AS (
+  SELECT ct.c,
+         list_transform(list_zip(q.qv, ct.cv),
+                        x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS qrv
+  FROM cent ct JOIN probes p ON ct.c = p.c, q
+),
+scored AS (
+  SELECT r.vec_id,
+         CAST(SUM({_sql_q_dist('list_slice(qr.qrv, co.j*16+1, co.j*16+16)', 'cb.cbv')})
+              AS DOUBLE) / 16777216.0 AS adc
+  FROM codes co
+  JOIN res r ON r.vec_id = co.vec_id
+  JOIN qres qr ON qr.c = r.ivf_cluster
+  JOIN cb ON cb.j = co.j AND cb.c = co.c
+  GROUP BY r.vec_id
+)
+SELECT vec_id, adc FROM scored ORDER BY adc ASC, vec_id ASC LIMIT 10
+""",
+)
+def ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.ivf import seed_centroids
+    from .llmdata.pq import (
+        ivfpq_adc_topk_from_index,
+        ivfpq_encode,
+        ivfpq_index_append,
+        residual_frame,
+        seed_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    initial = emb.filter(F.col("vec_id") % 4 != 0)
+    arriving = emb.filter(F.col("vec_id") % 4 == 0)
+    cents = seed_centroids(initial, n_centroids=8)
+    books = seed_pq_codebooks(
+        residual_frame(initial, cents), dim=64, m=4, ksub=16, vec_col="residual"
+    )
+    store = ivfpq_encode(initial, cents, books)
+    appended = ivfpq_index_append(store, arriving, cents, books)
+    # vec_id=0 arrives incrementally (0 % 4 == 0) — the query probes a
+    # vector the frozen codebooks never saw at train time
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return ivfpq_adc_topk_from_index(appended, cents, books, qv, k=10, n_probe=2)
+
+
+@register(
     "dedup_semantic_semdedup",
     survey="LLM-dedup (SemDeDup semantic pruning)",
     desc="SemDeDup-style semantic dedup: k-means-codebook clusters "
@@ -7714,6 +7831,21 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query resurfaces to the driver within a few rounds rather than being
 # permanently rotated out. `_DRIVER_VERIFIED_FALLBACK` (the r1-r4 keys) is
 # used only if the JSON files are unreadable.
+#
+# Window-budget decision (r12 verdict stretch #8): at 166 entries and a
+# 50-slot window, steady-state staleness is ~3.3 rounds — inside the
+# "no entry >4 rounds stale" bar the rotation was built for. The
+# candidates for retiring to pytest-only (freeing slots) are the
+# instrumentation rows whose oracles restate another entry's CTE stack
+# (dedup_minhash_accuracy / dedup_simhash_accuracy / ann_ivfpq_recall /
+# ann_lsh_recall share their pair/top-k stacks with the corresponding
+# operator entries). DECISION: keep them oracle'd for now — each adds a
+# distinct FAILURE MODE the base entry can't catch (a recall/accuracy
+# number moving means the approximation knobs drifted even when the
+# operator row still hashes green), and 4 slots buys only ~0.3 rounds
+# of staleness. Revisit if the registry passes ~180 entries or any
+# cohort's staleness exceeds 4 rounds; retire the accuracy twins first,
+# their operator rows keep the machinery driver-verified.
 # ---------------------------------------------------------------------------
 
 _DRIVER_VERIFIED_FALLBACK = frozenset({
