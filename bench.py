@@ -293,6 +293,27 @@ small fixture); what it buys is determinism at scale — a conservative
 store-side size stat can no longer flip the probe into shuffling the
 corpus-sized band store. KEPT.
 
+r13 SCHED-NORMALIZED COMPARISON (r12 verdict #4 — the five r12 raw
+movers): driver r12 record (canary 0.682/0.507, sched 1.909/1.346) vs
+the r13 session record (canary 0.680/0.581, sched 2.090/1.538):
+canary_ratio 1.061, sched_ratio 1.115, normalized common-cohort
+median 1.003 over 81 queries — r13 code is dead flat. ALL FIVE r12
+watch-list movers CLOSED inside the band, most on the fast side:
+text_normalize 0.853, dedup_span_removal 0.764, dedup_bow_cosine_zipf
+1.033, dedup_incremental_embedding 1.144, ann_ivfpq_topk 0.876 —
+box state, exactly as the r12 evidence predicted; no A/B needed. The
+one NEW normalized mover, graph_personalized_pagerank (1.328 norm,
++0.38 s absolute), earned the isolated canary-bracketed 5-run A/B:
+median 1.267 s (samples 5.17 warmup, then 1.61/1.27/1.26/1.18;
+canary 0.827→0.561 in-bracket — a 1.47x swing). Attribution: the
+query's committed-record history on UNCHANGED code reads 1.219,
+1.305, 0.962, 1.190, 1.289, 0.937 — the r12 driver's 0.937 was the
+fast tail of a bimodal ~0.94-1.31 envelope and the r13 1.320 sits
+inside it; the iterative power-rounds are scheduler-dominated (many
+small jobs), the same JVM/sched sensitivity class as the joint-dedup
+note below. CLOSED as record-to-record variance, no code change in
+any pagerank path this round (git-verified).
+
 r12 FULL-SWEEP finding (SPARK_GRAFT_BENCH_ALL=1, runs=2, final r12
 code, 169 timed queries, 340.9 s total, canary 0.734/0.605 — a slower
 box than the r11 sweep's day): no new outlier class. The slowest
