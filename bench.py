@@ -477,6 +477,9 @@ HEADLINE = [
     # round-12 addition: tokenize -> budget-select -> pack with BPE
     # counts as the currency
     "corpus_prep_v5_pipeline",
+    # round-13 addition: the daily-ingest ANN maintenance path (frozen
+    # artifacts, store anti-join append, probe over the appended index)
+    "ann_ivfpq_incremental",
 ]
 
 

@@ -95,6 +95,12 @@ FAMILY = [
     # windows — each linear or sublinear alone; the composition is the
     # thing to watch
     "corpus_prep_v5_pipeline",
+    # round-13: incremental IVF-PQ maintenance — the scale story is the
+    # frozen-artifact encode of the arriving quarter plus the store
+    # anti-join (broadcast batch keys, store scan only), per the
+    # daily-ingest contract; embeddings is a synthesized table so the
+    # alpha is meaningful
+    "ann_ivfpq_incremental",
     # media_pixel_dedup_survivors (the 8x4=32-bit oracle twin) is
     # deliberately ABSENT: at fixed 32-bit width the pigeonhole block
     # join's RANDOM collisions alone grow quadratically (4*2^-8 ~ 1.6%
