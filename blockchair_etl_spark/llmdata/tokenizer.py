@@ -194,7 +194,18 @@ def bpe_train(
     win as encode_words_vectorized. batch_k is capped at
     _MAX_FOLD_CHAIN for the fold rewriter (deeper chains fail Catalyst
     ANALYSIS — measured; the vectorized rewriter has no such ceiling).
-    """
+
+    _pair_counts DECISION (r12 verdict #5, measured r13 on the same
+    100k-word hex corpus, 1024 merges, batch_k=16, vectorized
+    rewriter, canary 0.714/0.554): 81 rounds total ~82 s, split
+    pair-count+top-k-collect 35.6 s vs rewrite+checkpoint 44.4 s —
+    the per-round pair aggregation is ~44% of round time, ROUGHLY
+    BALANCED with the rewrite, not dominant. An Arrow-batched
+    pair-count twin could at best halve its share (~20% end-to-end)
+    while adding a second python path to keep bit-identical with the
+    explode+hash-agg the oracles pin — not built; re-measure if the
+    word table's symbol arrays ever get long enough (document-level
+    BPE, not word-level) to move the explode cost superlinearly."""
     if batch_k < 1:
         raise ValueError(f"batch_k must be >= 1, got {batch_k}")
     if rewriter not in ("fold", "vectorized"):
@@ -469,15 +480,18 @@ def encode_words_vectorized(
             f"unknown strategy {strategy!r}: use 'sequential' or 'rank_priority'"
         )
     ms = list(merges)
-    # first occurrence wins on a (malformed) duplicated pair — the
-    # lowest rank is the one rank-priority must honor
+    rank_priority = strategy == "rank_priority"
+    # rank table only for the strategy that reads it — the sequential
+    # closure must not ship a second O(vocab) structure to every task
+    # (r13 review). First occurrence wins on a (malformed) duplicated
+    # pair — the lowest rank is the one rank-priority must honor.
     ranks: dict[tuple[str, str], int] = {}
-    for i, pair in enumerate(ms):
-        ranks.setdefault(pair, i)
+    if rank_priority:
+        for i, pair in enumerate(ms):
+            ranks.setdefault(pair, i)
     schema = StructType(
         list(words.schema.fields) + [StructField("toks", ArrayType(StringType()))]
     )
-    rank_priority = strategy == "rank_priority"
 
     def _encode_batches(batches):
         # no memo dict: the documented input is the DISTINCT-word
@@ -559,6 +573,13 @@ def bpe_apply(
     """
     if encoder not in ("fold", "vectorized"):
         raise ValueError(f"unknown encoder {encoder!r}: use 'fold' or 'vectorized'")
+    # strategy VALUE first, compatibility second (r13 review: a typo'd
+    # strategy under the default encoder used to earn the misleading
+    # "switch to vectorized" advice, then fail again there)
+    if strategy not in ("sequential", "rank_priority"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use 'sequential' or 'rank_priority'"
+        )
     if strategy != "sequential" and encoder != "vectorized":
         raise ValueError(
             f"strategy {strategy!r} needs encoder='vectorized' — the "

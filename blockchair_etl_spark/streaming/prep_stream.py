@@ -108,13 +108,25 @@ def make_prep_batch_processor(
     from ..llmdata.classify import linear_classifier_scores
     from ..llmdata.dedup import decontaminate
     from ..llmdata.text import gopher_quality_gate, normalize_text
-    from ..llmdata.tokenizer import bpe_apply
+    from ..llmdata.tokenizer import _MAX_FOLD_CHAIN, bpe_apply
+
+    # a >_MAX_FOLD_CHAIN merge list under the fold encoder would
+    # eagerly localCheckpoint the word table INSIDE every micro-batch
+    # and register it with the global deferred-release registry — a
+    # per-batch block leak in a loop that (by the module's stream-
+    # lifetime-artifact contract) never calls release_tracked, and a
+    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND hazard if a sibling loop's
+    # per-batch release fires mid-plan (r13 review). The vectorized
+    # encoder is bit-identical for the sequential strategy (pytest
+    # parity) and checkpoints nothing — route long vocabularies there.
+    if merges is not None and encoder == "fold" and len(merges) > _MAX_FOLD_CHAIN:
+        encoder = "vectorized"
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
         normed = normalize_text(batch_df, text_col=text_col, id_col=id_col)
-        scoped = None
+        scoped = scoped_kept = None
         if bench_shingles is not None:
             # normed feeds THREE branches of the per-batch plan (the
             # classifier, the gate, and the kept projection); the
@@ -156,7 +168,14 @@ def make_prep_batch_processor(
             if merges is not None:
                 # tokenize SURVIVORS only (the gates already paid for
                 # themselves); n_tokens join-back keeps token arrays
-                # out of the store
+                # out of the store. kept feeds FOUR branches of the
+                # tokenized plan (outer join-back left side, the id
+                # frame inside bpe_apply, and the token stream's two
+                # consumers), and its subtree carries the classifier
+                # featurization join — scoped persist like the
+                # decontamination branch above, NOT tracked_persist
+                # (same sibling-loop release hazard)
+                kept = scoped_kept = kept.persist()
                 kept = kept.join(
                     bpe_apply(
                         kept,
@@ -169,6 +188,8 @@ def make_prep_batch_processor(
                 )
             _overwrite_batch_partition(kept, batch_id, out_dir)
         finally:
+            if scoped_kept is not None:
+                scoped_kept.unpersist()
             if scoped is not None:
                 scoped.unpersist()
 

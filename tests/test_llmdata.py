@@ -1616,9 +1616,37 @@ def test_streaming_prep_v5_learned_token_currency(spark, docs, tmp_path):
         (r.doc_id, r.norm_text, r.logit_q, r.n_tokens) for r in want_df.collect()
     }
     assert got == want and want
-    # learned counts, not the whitespace heuristic: BPE merges shrink
-    # at least one surviving doc below its whitespace-char token count
-    assert any(r.n_tokens != len(r.norm_text) for r in store.collect())
+    # learned counts for real (r13 review: the batch-parity check above
+    # is self-parity — both sides call bpe_apply): replay the merges
+    # with the test-local plain-python fold over each STORED row's
+    # normalized text and require every stored n_tokens to match, plus
+    # at least one doc where a merge actually fired (count < char sum)
+    import re as _re
+
+    _, _fold = _ref_bpe([], 0)
+
+    def _py_ntokens(text):
+        n = 0
+        for w in _re.split(r"[^a-z0-9]+", (text or "").lower()):
+            if not w:
+                continue
+            syms = list(w)
+            for l, r in merges:
+                syms = _fold(syms, l, r)
+            n += len(syms)
+        return n
+
+    stored = store.collect()
+    assert all(r.n_tokens == _py_ntokens(r.norm_text) for r in stored)
+    assert any(
+        r.n_tokens
+        < sum(
+            len(w)
+            for w in _re.split(r"[^a-z0-9]+", r.norm_text.lower())
+            if w
+        )
+        for r in stored
+    )
 
     # (b) the daily GLOBAL pass over the store == batch v5 stages,
     # byte-for-byte, in the learned currency
@@ -1655,6 +1683,44 @@ def test_streaming_prep_v5_learned_token_currency(spark, docs, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert again == want
+
+
+def test_streaming_prep_long_vocab_routes_off_the_checkpoint_path(
+    spark, docs, tmp_path
+):
+    """r13 review: a >_MAX_FOLD_CHAIN merge list under the fold encoder
+    would eagerly localCheckpoint the word table inside EVERY
+    micro-batch and register it with the global deferred-release
+    registry (a per-batch leak in a loop that never releases, and a
+    poisoning hazard if a sibling loop's release fires mid-plan). The
+    processor must route long vocabularies through the vectorized
+    encoder — bit-identical, checkpoint-free: after a batch, zero
+    tracked entries and zero surviving cached/checkpointed RDDs."""
+    from blockchair_etl_spark.caching import release_tracked, tracked_count
+    from blockchair_etl_spark.llmdata.classify import hashed_weights
+    from blockchair_etl_spark.streaming.prep_stream import (
+        make_prep_batch_processor,
+    )
+
+    release_tracked(blocking=True)
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    # 70 merges (> _MAX_FOLD_CHAIN=64): mostly inert pairs plus one
+    # that fires on real text, so the n_tokens path is exercised
+    long_merges = [("q", f"q{i}") for i in range(69)] + [("t", "h")]
+    out = str(tmp_path / "longvocab_store")
+    proc = make_prep_batch_processor(
+        hashed_weights(spark, n_features=64),
+        out,
+        n_features=64,
+        merges=long_merges,
+        encoder="fold",
+    )
+    proc(docs.limit(40).select("doc_id", "text"), 0)
+    assert tracked_count() == 0
+    leaked = set(spark.sparkContext._jsc.getPersistentRDDs().keys()) - before
+    assert not leaked
+    stored = spark.read.parquet(out)
+    assert "n_tokens" in stored.columns
 
 
 def _ref_bpe(texts, n_merges, min_pair_count=2):
@@ -2101,6 +2167,11 @@ def test_bpe_rank_priority_strategy(spark, docs):
         bpe_apply(sample, trained, strategy="rank_priority")
     with pytest.raises(ValueError, match="unknown strategy"):
         encode_words_vectorized(tiny, crafted, strategy="greedy")
+    # strategy VALUE is validated before encoder compatibility (r13
+    # review: a typo'd strategy under the default fold encoder used to
+    # get "switch to vectorized" advice that then failed again there)
+    with pytest.raises(ValueError, match="unknown strategy"):
+        bpe_apply(sample, trained, strategy="greedy")
 
 
 def test_bpe_fold_ansi_mode_safe(spark):
