@@ -706,11 +706,17 @@ def main() -> None:
     }
     line = json.dumps(result)
     print(line)
-    out_name = (
-        "BENCH_SCALING.json"
-        if COPIES == 10 and not only
-        else f"BENCH_SCALING_{COPIES}x.json"
-    )
+    # a FILTERED run (SPARK_GRAFT_SCALE_FAMILIES) writes a *_partial
+    # artifact: its subset result must never clobber the cumulative
+    # multi-family record, which is extended by hand-merging partials
+    # (r13 review — the ngram 100x rows had to be rescued from a
+    # backup after exactly that overwrite)
+    if only:
+        out_name = f"BENCH_SCALING_{COPIES}x_partial.json"
+    elif COPIES == 10:
+        out_name = "BENCH_SCALING.json"
+    else:
+        out_name = f"BENCH_SCALING_{COPIES}x.json"
     with open(os.path.join(repo, out_name), "w") as f:
         f.write(line + "\n")
     shutil.rmtree(dst, ignore_errors=True)

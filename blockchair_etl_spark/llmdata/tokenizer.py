@@ -275,8 +275,19 @@ def _rewrite_syms_vectorized(
     return words.mapInPandas(_go, schema=schema)
 
 
+# Default merge count per fold-chain projection in encode_words — the
+# PUBLIC face of the checkpoint trigger: a merge list longer than this
+# makes the fold path localCheckpoint per chunk (and register the last
+# one destructively). Callers that must avoid in-plan checkpoints (the
+# streaming prep loop) key their encoder routing off THIS constant, so
+# retuning it retunes them with it. Distinct from _MAX_FOLD_CHAIN (the
+# measured analyzer ceiling, a hard error bound): chunk can be lowered
+# below the ceiling for perf, never raised above it.
+DEFAULT_ENCODE_CHUNK = 64
+
+
 def encode_words(
-    words: DataFrame, merges: list[tuple[str, str]], chunk: int = 64
+    words: DataFrame, merges: list[tuple[str, str]], chunk: int = DEFAULT_ENCODE_CHUNK
 ) -> DataFrame:
     """Add `toks` (the BPE encoding) to a relation carrying a `word`
     column: character split, then every merge applied IN ORDER.

@@ -103,23 +103,31 @@ def make_prep_batch_processor(
     (tokenizer.frame_to_merges) — it is a driver-side O(vocab) list,
     never data-scale. ``encoder`` as in bpe_apply ("fold" default;
     "vectorized" for production vocabularies past ~hundreds of
-    merges).
+    merges) — with ONE streaming override: a merge list longer than
+    the fold path's checkpoint-free depth (tokenizer.
+    DEFAULT_ENCODE_CHUNK, 64) is routed to the vectorized encoder
+    even when "fold" was asked for. Bit-identical output, but it is a
+    mapInPandas stage — executors need pandas/pyarrow — because the
+    fold path past that depth checkpoints inside every micro-batch
+    (the per-batch leak + sibling-release hazard in the body comment).
     """
     from ..llmdata.classify import linear_classifier_scores
     from ..llmdata.dedup import decontaminate
     from ..llmdata.text import gopher_quality_gate, normalize_text
-    from ..llmdata.tokenizer import _MAX_FOLD_CHAIN, bpe_apply
+    from ..llmdata.tokenizer import DEFAULT_ENCODE_CHUNK, bpe_apply
 
-    # a >_MAX_FOLD_CHAIN merge list under the fold encoder would
-    # eagerly localCheckpoint the word table INSIDE every micro-batch
-    # and register it with the global deferred-release registry — a
+    # a merge list past the fold path's checkpoint trigger
+    # (DEFAULT_ENCODE_CHUNK — the same constant that decides it inside
+    # encode_words, so retuning one retunes both) would eagerly
+    # localCheckpoint the word table INSIDE every micro-batch and
+    # register it with the global deferred-release registry — a
     # per-batch block leak in a loop that (by the module's stream-
     # lifetime-artifact contract) never calls release_tracked, and a
     # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND hazard if a sibling loop's
     # per-batch release fires mid-plan (r13 review). The vectorized
     # encoder is bit-identical for the sequential strategy (pytest
     # parity) and checkpoints nothing — route long vocabularies there.
-    if merges is not None and encoder == "fold" and len(merges) > _MAX_FOLD_CHAIN:
+    if merges is not None and encoder == "fold" and len(merges) > DEFAULT_ENCODE_CHUNK:
         encoder = "vectorized"
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -245,6 +253,9 @@ def corpus_prep_stream(
     micro-batch's surviving (id, norm_text, logit_q) rows — plus the
     learned n_tokens when ``merges`` is given (the v5 currency, module
     docstring) — to a batch_id-partitioned store (replay-idempotent).
+    ``merges``/``encoder`` as in make_prep_batch_processor, including
+    its long-vocabulary override: past DEFAULT_ENCODE_CHUNK merges the
+    vectorized (mapInPandas) encoder runs even under encoder="fold".
 
     Decontamination, two ways to enable it:
 
