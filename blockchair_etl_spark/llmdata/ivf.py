@@ -276,3 +276,26 @@ def assign_cluster_pruned(
         cands, F.array_position(dists, F.array_min(dists)).cast("int")
     )["c"]
     return F.when(cands.isNull(), -1 - bucket).otherwise(best).cast("int")
+
+
+def centroids_to_frame(spark, centroids: np.ndarray) -> DataFrame:
+    """The trained coarse centroids as a persistable relation
+    (cluster_id, centroid array<double>) — the write-once/read-forever
+    artifact contract of tokenizer.merges_to_frame: train once, write
+    the frame to parquet, and every later query/append/stream loads it.
+    cluster_id preserves row order (== the assignment argmin order)
+    across the unordered parquet round-trip; float64 round-trips
+    parquet DOUBLE bit-exactly, so a reloaded matrix assigns and probes
+    identically."""
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(centroids)],
+        "cluster_id bigint, centroid array<double>",
+    )
+
+
+def frame_to_centroids(df: DataFrame) -> np.ndarray:
+    """Inverse of :func:`centroids_to_frame` (a driver-side artifact
+    read — centroid matrices are bounded by MAX_CENTROID_CELLS, never
+    data-scale)."""
+    rows = df.select("cluster_id", "centroid").orderBy("cluster_id").collect()
+    return np.array([[float(v) for v in r.centroid] for r in rows])

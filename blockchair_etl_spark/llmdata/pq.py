@@ -392,3 +392,37 @@ def ivfpq_adc_topk_from_index(
 
     scored = probed.select(F.col(id_col), adc)
     return scored.orderBy(F.asc("adc"), F.asc(id_col)).limit(k)
+
+
+def codebooks_to_frame(spark, codebooks: np.ndarray) -> DataFrame:
+    """The trained PQ codebooks as a persistable relation
+    (subspace, code, centroid array<double>) — same write-once artifact
+    contract as ivf.centroids_to_frame; (subspace, code) recovers the
+    (m, ksub, dsub) tensor layout across the parquet round-trip."""
+    m, ksub, _ = codebooks.shape
+    return spark.createDataFrame(
+        [
+            (j, c, [float(v) for v in codebooks[j, c]])
+            for j in range(m)
+            for c in range(ksub)
+        ],
+        "subspace bigint, code bigint, centroid array<double>",
+    )
+
+
+def frame_to_codebooks(df: DataFrame) -> np.ndarray:
+    """Inverse of :func:`codebooks_to_frame` (driver-side artifact read,
+    O(m*ksub) rows). Raises if the relation is ragged — a partial write
+    must not reload as a silently-smaller codebook."""
+    rows = df.select("subspace", "code", "centroid").orderBy(
+        "subspace", "code"
+    ).collect()
+    m = int(rows[-1].subspace) + 1
+    ksub = int(rows[-1].code) + 1
+    if len(rows) != m * ksub:
+        raise ValueError(
+            f"codebook relation is ragged: {len(rows)} rows != "
+            f"{m} subspaces x {ksub} codes"
+        )
+    books = np.array([[float(v) for v in r.centroid] for r in rows])
+    return books.reshape(m, ksub, -1)
