@@ -606,8 +606,44 @@ def _custom_runners(spark, repo: str, scale: int):
             [(";".join(f"{l}+{r}" for l, r in merges),)], "merges string"
         )
 
+    def run_unigram_train(spark_, sf_dir: str):
+        # Unigram-LM TRAINING scale shape (the SentencePiece family,
+        # r13): one corpus scan into the word table, then per EM round
+        # one Arrow-batched forward-backward over DISTINCT words + one
+        # exact decimal hash-agg + an O(vocab) driver collect — the same
+        # never-rescan-the-corpus contract as bpe_train, so the expected
+        # signature is the same Heaps-flat alpha.
+        from blockchair_etl_spark.llmdata.unigram import unigram_train
+
+        docs = load_table(spark_, sf_dir, "documents")
+        pieces = unigram_train(
+            docs, vocab_size=48, max_piece_len=3, em_iters=2, seed_size=2000
+        )
+        return spark_.createDataFrame(
+            [(";".join(p for p, _ in pieces),)], "pieces string"
+        )
+
+    def run_unigram_apply(spark_, sf_dir: str):
+        # Unigram APPLY under a FROZEN artifact (the deployment shape):
+        # the vocabulary is trained once on the BASE corpus and reused
+        # at every scale, so alpha reads pure corpus growth — distinct-
+        # word Viterbi + join-back, the bpe_apply scale story.
+        from blockchair_etl_spark.llmdata.unigram import unigram_apply, unigram_train
+
+        if not hasattr(run_unigram_apply, "_pieces"):
+            base = load_table(spark_, "/root/testdata/sf0.1", "documents")
+            run_unigram_apply._pieces = unigram_train(
+                base, vocab_size=48, max_piece_len=3, em_iters=1, seed_size=2000
+            )
+        docs = load_table(spark_, sf_dir, "documents")
+        return unigram_apply(docs, run_unigram_apply._pieces).select(
+            "doc_id", "n_tokens"
+        )
+
     return {
         "dedup_bow_cosine_zipf": run_zipf,
+        "tokenizer_unigram_train": run_unigram_train,
+        "tokenizer_unigram_apply": run_unigram_apply,
         "media_pixel_dedup_adaptive": run_media_pixel_adaptive,
         "multimodal_joint_dedup_adaptive": run_joint_dedup_adaptive,
         "tokenizer_bpe_train": run_bpe_train,

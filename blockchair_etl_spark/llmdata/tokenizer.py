@@ -596,16 +596,34 @@ def bpe_apply(
             f"strategy {strategy!r} needs encoder='vectorized' — the "
             "expression chain only computes the sequential fold"
         )
+    if encoder == "fold":
+        encode = lambda words: encode_words(words, merges)  # noqa: E731
+    else:
+        encode = lambda words: encode_words_vectorized(  # noqa: E731
+            words, merges, strategy=strategy
+        )
+    return apply_word_encoder(docs, encode, text_col, id_col)
+
+
+def apply_word_encoder(
+    docs: DataFrame,
+    encode,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The tokenize-apply frame every learned tokenizer shares (BPE and
+    unigram): posexplode the token stream, run ``encode`` — a
+    (word) → (word, toks array<string>) DataFrame function — over the
+    DISTINCT-word table only, join the encodings back, and reassemble
+    each document with one ordered hash-agg (array_sort over
+    (pos, toks) structs — dense posexplode positions make row order
+    recoverable without a window). Empty/NULL text keeps its row with
+    an empty token array; n_tokens is BIGINT for oracle-schema parity."""
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.posexplode(tokens_col(text_col)).alias("pos", "word"),
     )
-    if encoder == "fold":
-        encoded = encode_words(toks.select("word").distinct(), merges)
-    else:
-        encoded = encode_words_vectorized(
-            toks.select("word").distinct(), merges, strategy=strategy
-        )
+    encoded = encode(toks.select("word").distinct())
     per_doc = (
         toks.join(encoded, "word")
         .groupBy("doc")

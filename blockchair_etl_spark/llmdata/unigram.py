@@ -1,0 +1,378 @@
+"""Unigram-LM tokenizer (SentencePiece-style): distributed EM training
++ Viterbi apply.
+
+The second learned-vocabulary family alongside BPE (tokenizer.py).
+Kudo (ACL'18, "Subword Regularization") trains a unigram language model
+over a piece inventory by EM — the model is a set of (piece, logp) and
+a word's tokenization is its max-probability segmentation — and prunes
+the inventory down to the target vocabulary between rounds. That (not
+BPE) is what SentencePiece ships by default, so a corpus pipeline that
+claims tokenizer coverage needs both.
+
+Scale shape — the same factoring as distributed BPE:
+
+- Training never iterates over the corpus. One corpus scan builds the
+  word-frequency table (tokenizer.word_frequency_table); every EM
+  round works on DISTINCT words only, weighted by freq.
+- Seeding is one JVM-side substring explode + hash-agg over the word
+  table (every substring occurrence up to max_piece_len, weighted by
+  word freq), then a bounded top-N driver collect — the standard
+  frequent-substring seed.
+- The E-step is an Arrow-batched forward-backward per distinct word
+  (mapInPandas — O(len * max_piece_len) per word, the model dict ships
+  once per task like the BPE rank table), emitting per-(word, piece)
+  expected counts. Cross-word aggregation is ONE hash-agg per round,
+  and the per-round driver traffic is O(|vocab|) piece totals — the
+  Lloyd-iteration contract (ivf.py).
+- Apply encodes DISTINCT words (Arrow-batched Viterbi) and joins back
+  through tokenizer.apply_word_encoder — repeated words are never
+  re-encoded, identical reassembly contract as bpe_apply.
+
+Determinism and engine-portability: per-word expected counts are
+float64 forward-backward in a FIXED iteration order (identical on any
+partitioning — a word's numbers depend only on the word and the model),
+then quantized to integers (round-half-up at 2^-20) BEFORE the
+cross-word sum, which runs in DECIMAL(38,0) — exact, order-independent,
+and overflow-safe where a BIGINT sum could wrap. M-step renormalization
+and pruning happen on the driver over exact integer totals with a total
+tie-break order (count desc, piece asc), so the learned artifact is
+identical across runs, partitionings, and engines. Pytest pins the
+E-step against brute-force segmentation enumeration and the Viterbi
+encode against exhaustive best-path search.
+
+Simplification vs SentencePiece, documented not silent: pruning keeps
+the TOP pieces by expected count (single-character pieces are never
+pruned, guaranteeing coverage) instead of Kudo's loss-based pruning
+(re-estimating the likelihood drop of removing each piece); and the
+final EM round is not followed by the dual-EM refinement. Both affect
+which marginal pieces survive, not the model's semantics; the
+count-ranked variant is the one whose M-step totals the engine can
+aggregate exactly.
+
+Applying to UNSEEN text: a character absent from the model is emitted
+as its own token with a fixed penalty (min model logp - 10) — the
+byte-fallback convention, so apply never drops a row.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from .tokenizer import apply_word_encoder, word_frequency_table
+
+# expected-count quantum: counts are exact multiples of 2^-20 before
+# the cross-word sum (same fixed-point idiom as FIXED_SCALE in pq.py)
+_Q = 1 << 20
+
+# the model dict ships to every task per round (like the BPE rank
+# table); cap it so a misconfigured seed can't make task serialization
+# the bottleneck
+MAX_MODEL_PIECES = 200_000
+
+
+def _quantize(c: float) -> int:
+    """round-half-up at the 2^-20 quantum (python round() is banker's)."""
+    return int(math.floor(c * _Q + 0.5))
+
+
+def _logaddexp(a: float, b: float) -> float:
+    """Stable log(e^a + e^b) with a FIXED evaluation shape — the same
+    floats on every partition and in the pytest reference."""
+    if a == float("-inf"):
+        return b
+    if b == float("-inf"):
+        return a
+    m = a if a >= b else b
+    return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+
+def _py_forward_backward(
+    word: str, model: dict[str, float], max_len: int
+) -> tuple[dict[str, float], float]:
+    """Expected piece counts for ONE occurrence of ``word`` under the
+    unigram model, plus the word's log-partition Z (total log-prob over
+    all segmentations). Log-domain forward-backward over character
+    positions; O(len * max_len). Returns ({}, -inf) only if the word is
+    uncoverable — impossible in training, where every corpus character
+    is a mandatory single-char piece."""
+    L = len(word)
+    neg = float("-inf")
+    alpha = [neg] * (L + 1)
+    beta = [neg] * (L + 1)
+    alpha[0] = 0.0
+    beta[L] = 0.0
+    for i in range(1, L + 1):
+        for j in range(max(0, i - max_len), i):
+            lp = model.get(word[j:i])
+            if lp is not None and alpha[j] != neg:
+                alpha[i] = _logaddexp(alpha[i], alpha[j] + lp)
+    for j in range(L - 1, -1, -1):
+        for i in range(j + 1, min(L, j + max_len) + 1):
+            lp = model.get(word[j:i])
+            if lp is not None and beta[i] != neg:
+                beta[j] = _logaddexp(beta[j], lp + beta[i])
+    z = alpha[L]
+    if z == neg:
+        return {}, neg
+    counts: dict[str, float] = {}
+    for j in range(L):
+        if alpha[j] == neg:
+            continue
+        for i in range(j + 1, min(L, j + max_len) + 1):
+            piece = word[j:i]
+            lp = model.get(piece)
+            if lp is not None and beta[i] != neg:
+                c = math.exp(alpha[j] + lp + beta[i] - z)
+                counts[piece] = counts.get(piece, 0.0) + c
+    return counts, z
+
+
+def _py_viterbi(
+    word: str, model: dict[str, float], max_len: int, unk_logp: float
+) -> list[str]:
+    """Max-probability segmentation. Characters absent from the model
+    score ``unk_logp`` as single-char pieces (byte-fallback convention).
+    Exact-equal score ties prefer the LONGER trailing piece (candidates
+    scanned longest-first, replaced only on strictly-greater score) —
+    a total order, pinned against exhaustive search in pytest."""
+    L = len(word)
+    neg = float("-inf")
+    best = [neg] * (L + 1)
+    back = [0] * (L + 1)
+    best[0] = 0.0
+    for i in range(1, L + 1):
+        for j in range(max(0, i - max_len), i):
+            piece = word[j:i]
+            lp = model.get(piece)
+            if lp is None and i - j == 1:
+                lp = unk_logp
+            if lp is None or best[j] == neg:
+                continue
+            s = best[j] + lp
+            if s > best[i]:
+                best[i] = s
+                back[i] = j
+    out: list[str] = []
+    i = L
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def seed_piece_counts(
+    words: DataFrame, max_piece_len: int = 4, seed_size: int = 4000
+) -> DataFrame:
+    """The seed inventory as a relation (piece, cnt): every substring
+    occurrence up to ``max_piece_len`` chars, weighted by word
+    frequency — one JVM-side explode + hash-agg over the (word, freq)
+    table — with ALL single characters kept (mandatory for coverage)
+    and multi-char pieces capped at the top ``seed_size`` by
+    (count desc, piece asc). Fully SQL-expressible, so this training
+    stage carries the unigram family's hard oracle (registry:
+    tokenizer_unigram_seed); EM and Viterbi are pytest-pinned against
+    brute-force enumeration instead."""
+    sub = F.expr(
+        "flatten(transform(sequence(0, length(word)-1), "
+        f"i -> transform(sequence(1, least({int(max_piece_len)}, length(word)-i)), "
+        "l -> substring(word, i+1, l))))"
+    )
+    counts = (
+        words.select(F.explode(sub).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    singles = counts.filter(F.length("piece") == 1)
+    multi = (
+        counts.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(int(seed_size))
+    )
+    return singles.unionByName(multi)
+
+
+def seed_pieces(
+    words: DataFrame, max_piece_len: int = 4, seed_size: int = 4000
+) -> list[tuple[str, int]]:
+    """The seed inventory as the driver-side list EM starts from
+    (bounded collect: seed_size + alphabet rows)."""
+    rows = seed_piece_counts(words, max_piece_len, seed_size).collect()
+    singles = sorted((r.piece, int(r.cnt)) for r in rows if len(r.piece) == 1)
+    multi = sorted(
+        ((r.piece, int(r.cnt)) for r in rows if len(r.piece) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )
+    return singles + multi
+
+
+def _model_from_counts(counts: dict[str, int]) -> dict[str, float]:
+    total = sum(counts.values())
+    lt = math.log(total)
+    return {p: math.log(c) - lt for p, c in counts.items() if c > 0}
+
+
+def _expected_count_rows(words: DataFrame, model: dict[str, float]) -> DataFrame:
+    """E-step: per-(word, piece) quantized expected counts, Arrow-
+    batched; the exact cross-word piece totals as ONE decimal hash-agg."""
+    max_len = max(len(p) for p in model)
+
+    def _estep(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pieces: list[str] = []
+            qcounts: list[int] = []
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                ec, _ = _py_forward_backward(word, model, max_len)
+                for piece, c in ec.items():
+                    q = _quantize(c * int(freq))
+                    if q > 0:
+                        pieces.append(piece)
+                        qcounts.append(q)
+            yield pd.DataFrame({"piece": pieces, "qcount": qcounts})
+
+    rows = words.select("word", "freq").mapInPandas(
+        _estep, schema="piece string, qcount long"
+    )
+    return rows.groupBy("piece").agg(
+        F.sum(F.col("qcount").cast("decimal(38,0)")).alias("qtotal")
+    )
+
+
+def unigram_train(
+    docs: DataFrame,
+    vocab_size: int = 64,
+    max_piece_len: int = 4,
+    em_iters: int = 2,
+    prune_shrink: float = 0.75,
+    seed_size: int = 4000,
+    text_col: str = "text",
+) -> list[tuple[str, float]]:
+    """Learn a unigram-LM vocabulary → ordered list of (piece, logp),
+    the persistable artifact (pieces_to_frame). ``vocab_size`` counts
+    ALL pieces including the mandatory single characters; each EM round
+    re-estimates piece probabilities from exact integer expected-count
+    totals, then prunes multi-char pieces toward the target by
+    ``prune_shrink`` (module docstring: count-ranked pruning, the
+    documented variant). The artifact orders by (count desc, piece asc)
+    — deterministic across runs and partitionings."""
+    from ..caching import release_tracked, tracked_persist
+
+    words = tracked_persist(
+        word_frequency_table(docs, text_col).select("word", "freq")
+    )
+    try:
+        seeds = seed_pieces(words, max_piece_len, seed_size)
+        singles = {p for p, _ in seeds if len(p) == 1}
+        if vocab_size <= len(singles):
+            raise ValueError(
+                f"vocab_size={vocab_size} cannot cover the corpus: "
+                f"{len(singles)} single-char pieces are mandatory"
+            )
+        if len(seeds) > MAX_MODEL_PIECES:
+            raise ValueError(
+                f"seed inventory {len(seeds)} exceeds MAX_MODEL_PIECES="
+                f"{MAX_MODEL_PIECES}; lower seed_size/max_piece_len"
+            )
+        counts: dict[str, int] = dict(seeds)
+        target_multi = vocab_size - len(singles)
+        for it in range(em_iters):
+            model = _model_from_counts(counts)
+            totals = {
+                r.piece: int(r.qtotal)
+                for r in _expected_count_rows(words, model).collect()
+            }
+            multi = sorted(
+                ((p, c) for p, c in totals.items() if len(p) > 1 and c > 0),
+                key=lambda pc: (-pc[1], pc[0]),
+            )
+            # shrink toward the target; the LAST round lands exactly on it
+            keep = (
+                target_multi
+                if it == em_iters - 1
+                else max(target_multi, int(len(multi) * prune_shrink))
+            )
+            counts = {p: totals.get(p, 0) for p in singles}
+            counts.update(dict(multi[:keep]))
+            # a single char can quantize to zero total only if it never
+            # appears outside higher-probability pieces; keep it alive
+            # at the quantum so coverage (and log()) never breaks
+            for p in singles:
+                if counts[p] <= 0:
+                    counts[p] = 1
+    finally:
+        release_tracked()
+    ordered = sorted(counts.items(), key=lambda pc: (-pc[1], pc[0]))
+    model = _model_from_counts(dict(ordered))
+    return [(p, model[p]) for p, _ in ordered]
+
+
+def unigram_encode_words(
+    words: DataFrame, pieces: list[tuple[str, float]]
+) -> DataFrame:
+    """(word) → (word, toks array<string>): Arrow-batched Viterbi over
+    the distinct-word table (the unigram analog of
+    encode_words_vectorized). Unknown characters fall back to
+    single-char tokens at min(logp) - 10."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    model = dict(pieces)
+    if not model:
+        raise ValueError("empty piece list")
+    max_len = max(len(p) for p in model)
+    unk_logp = min(model.values()) - 10.0
+    schema = StructType(
+        list(words.schema.fields) + [StructField("toks", ArrayType(StringType()))]
+    )
+
+    def _encode(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["toks"] = [
+                None if w is None else _py_viterbi(w, model, max_len, unk_logp)
+                for w in pdf["word"]
+            ]
+            yield pdf
+
+    return words.mapInPandas(_encode, schema=schema)
+
+
+def unigram_apply(
+    docs: DataFrame,
+    pieces: list[tuple[str, float]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a learned unigram vocabulary →
+    (id, tokens array<string>, n_tokens BIGINT) — the shared
+    apply_word_encoder frame, so empty/NULL-text rows and reassembly
+    semantics are identical to bpe_apply."""
+    return apply_word_encoder(
+        docs, lambda w: unigram_encode_words(w, pieces), text_col, id_col
+    )
+
+
+def pieces_to_frame(spark, pieces: list[tuple[str, float]]) -> DataFrame:
+    """The learned vocabulary as a persistable relation
+    (piece_id, piece, logp) — the merges_to_frame artifact contract;
+    piece_id preserves the (count desc, piece asc) model order and
+    float64 logp round-trips parquet DOUBLE bit-exactly."""
+    return spark.createDataFrame(
+        [(i, p, float(lp)) for i, (p, lp) in enumerate(pieces)],
+        "piece_id bigint, piece string, logp double",
+    )
+
+
+def frame_to_pieces(df: DataFrame) -> list[tuple[str, float]]:
+    """Inverse of :func:`pieces_to_frame` (driver-side artifact read,
+    O(vocab) rows)."""
+    return [
+        (r.piece, float(r.logp))
+        for r in df.select("piece_id", "piece", "logp")
+        .orderBy("piece_id")
+        .collect()
+    ]

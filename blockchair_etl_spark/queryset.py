@@ -901,6 +901,51 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tokenizer_unigram_seed",
+    survey="LLM-text (learned-vocabulary tokenizer, unigram-LM family)",
+    desc="Seed inventory of the unigram-LM (SentencePiece-style) "
+    "tokenizer: every substring occurrence up to 3 chars over the "
+    "word-frequency table, weighted by word freq — all single chars "
+    "kept (mandatory coverage), multi-char pieces capped at the top "
+    "100 by (count desc, piece asc) — the cap binds at every driver "
+    "scale, exercising the tie-break order. This is the SQL-expressible "
+    "training stage and carries the family's hard oracle; the EM "
+    "rounds and Viterbi apply are pytest-pinned against brute-force "
+    "segmentation enumeration (tests/test_unigram.py)",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_SQL_TOKS}) AS word FROM documents
+),
+words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY word
+),
+subs AS (
+  SELECT substring(w.word, s.i, l.l) AS piece, w.freq
+  FROM words w,
+       unnest(generate_series(1, length(w.word))) AS s(i),
+       unnest(generate_series(1, least(3, length(w.word) - s.i + 1))) AS l(l)
+),
+counts AS (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM subs GROUP BY piece
+)
+SELECT piece, cnt FROM counts WHERE length(piece) = 1
+UNION ALL
+SELECT piece, cnt FROM (
+  SELECT piece, cnt FROM counts WHERE length(piece) > 1
+  ORDER BY cnt DESC, piece ASC LIMIT 100
+)
+""",
+)
+def tokenizer_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.tokenizer import word_frequency_table
+    from .llmdata.unigram import seed_piece_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = word_frequency_table(docs).select("word", "freq")
+    return seed_piece_counts(words, max_piece_len=3, seed_size=100)
+
+
 def _sql_minhash_sig(num_hashes: int = 16) -> str:
     mins = ",\n         ".join(
         f"MIN(md5('{i}|' || feat)) AS m{i}" for i in range(num_hashes)

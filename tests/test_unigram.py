@@ -1,0 +1,247 @@
+"""Unigram-LM tokenizer: EM training vs brute-force enumeration,
+Viterbi optimality, exact distributed aggregation, artifact round-trip."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchair_etl_spark.io.sources import load_table
+from blockchair_etl_spark.llmdata import unigram as ug
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (1, "banana bandana"),
+        (2, "ban ana nab"),
+        (3, "banana banana nana"),
+        (4, "abba ban bab"),
+        (5, "nana banana ban"),
+        (6, ""),
+        (7, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _brute_segmentations(word, model, unk_logp=None):
+    """Every segmentation of word into model pieces (optionally with
+    unk single chars) with its log-prob — the independent reference."""
+    out = []
+
+    def rec(i, cur, score):
+        if i == len(word):
+            out.append((tuple(cur), score))
+            return
+        for k in range(1, len(word) - i + 1):
+            piece = word[i : i + k]
+            lp = model.get(piece)
+            if lp is None and unk_logp is not None and k == 1:
+                lp = unk_logp
+            if lp is not None:
+                cur.append(piece)
+                rec(i + k, cur, score + lp)
+                cur.pop()
+
+    rec(0, [], 0.0)
+    return out
+
+
+def _brute_expected_counts(word, model):
+    segs = _brute_segmentations(word, model)
+    if not segs:
+        return {}, float("-inf")
+    m = max(s for _, s in segs)
+    z = m + math.log(sum(math.exp(s - m) for _, s in segs))
+    counts = {}
+    for seg, s in segs:
+        w = math.exp(s - z)
+        for p in seg:
+            counts[p] = counts.get(p, 0.0) + w
+    return counts, z
+
+
+def _toy_model():
+    raw = {"a": 10.0, "b": 6.0, "n": 5.0, "an": 4.0, "na": 3.0, "ban": 2.0}
+    t = math.log(sum(raw.values()))
+    return {p: math.log(c) - t for p, c in raw.items()}
+
+
+def test_forward_backward_matches_enumeration():
+    """The E-step's per-word expected counts and log-partition must
+    equal brute-force enumeration over ALL segmentations."""
+    model = _toy_model()
+    for word in ("banana", "nab", "bananan", "a", "ban", "abba"):
+        want, wz = _brute_expected_counts(word, model)
+        got, gz = ug._py_forward_backward(word, model, max_len=3)
+        assert gz == pytest.approx(wz, abs=1e-12)
+        assert set(got) == set(want)
+        for p in want:
+            assert got[p] == pytest.approx(want[p], abs=1e-10), (word, p)
+    # uncoverable word (no 'x' piece, no unk in training)
+    got, gz = ug._py_forward_backward("box", model, max_len=3)
+    assert got == {} and gz == float("-inf")
+
+
+def test_viterbi_optimal_and_deterministic():
+    """Viterbi returns a max-probability segmentation (score equals the
+    brute-force max), concatenates back to the word, falls back to
+    penalized single chars for unknown characters, and is stable."""
+    model = _toy_model()
+    unk = min(model.values()) - 10.0
+    for word in ("banana", "nab", "abba", "bax", "xyz", "ban"):
+        toks = ug._py_viterbi(word, model, max_len=3, unk_logp=unk)
+        assert "".join(toks) == word
+        score = sum(model.get(p, unk) for p in toks)
+        best = max(s for _, s in _brute_segmentations(word, model, unk))
+        assert score == pytest.approx(best, abs=1e-12)
+        assert toks == ug._py_viterbi(word, model, max_len=3, unk_logp=unk)
+    # exact tie (integer logps, no float wiggle): 'ab' scores exactly
+    # 'a'+'b' — the longer trailing piece must win (documented tie-break)
+    tie = {"a": -1.0, "b": -2.0, "ab": -3.0}
+    assert ug._py_viterbi("ab", tie, max_len=2, unk_logp=-50.0) == ["ab"]
+
+
+def test_seed_pieces_hand_counts(spark):
+    """Seed inventory on a micro word table, counts checked by hand."""
+    words = spark.createDataFrame(
+        [("aa", 2), ("ab", 1)], "word string, freq bigint"
+    )
+    got = dict(ug.seed_pieces(words, max_piece_len=2, seed_size=10))
+    assert got == {"a": 5, "b": 1, "aa": 2, "ab": 1}
+    # seed_size caps MULTI-char pieces only; singles always survive
+    capped = ug.seed_pieces(words, max_piece_len=2, seed_size=1)
+    assert dict(capped) == {"a": 5, "b": 1, "aa": 2}
+
+
+def test_estep_distributed_totals_exact(spark, tiny_docs):
+    """The Spark E-step hash-agg must equal the python reference sum
+    EXACTLY (integer equality) — quantize-then-sum makes the cross-word
+    aggregation order-independent."""
+    from blockchair_etl_spark.llmdata.tokenizer import word_frequency_table
+
+    words = word_frequency_table(tiny_docs).select("word", "freq")
+    model = _toy_model()
+    got = {
+        r.piece: int(r.qtotal)
+        for r in ug._expected_count_rows(words.repartition(7), model).collect()
+    }
+    want: dict[str, int] = {}
+    for r in words.collect():
+        ec, _ = ug._py_forward_backward(r.word, model, max_len=3)
+        for p, c in ec.items():
+            q = ug._quantize(c * r.freq)
+            if q > 0:
+                want[p] = want.get(p, 0) + q
+    assert got == want and want
+
+
+def test_unigram_train_apply_end_to_end(spark, tiny_docs):
+    """Train on the tiny corpus: the artifact holds every corpus char,
+    lands exactly on vocab_size, its probabilities normalize, training
+    is partition-invariant, and apply reassembles documents losslessly
+    (the shared apply_word_encoder contract: empty/NULL rows kept)."""
+    pieces = ug.unigram_train(
+        tiny_docs, vocab_size=8, max_piece_len=3, em_iters=2
+    )
+    model = dict(pieces)
+    chars = {"a", "b", "d", "n"}
+    assert chars <= set(model) and len(pieces) == 8
+    assert sum(math.exp(lp) for lp in model.values()) == pytest.approx(1.0)
+
+    again = ug.unigram_train(
+        tiny_docs.repartition(5), vocab_size=8, max_piece_len=3, em_iters=2
+    )
+    assert again == pieces
+
+    applied = ug.unigram_apply(tiny_docs, pieces).collect()
+    got = {r.doc_id: (list(r.tokens), r.n_tokens) for r in applied}
+    assert len(got) == 7
+    assert got[6] == ([], 0) and got[7] == ([], 0)
+    import re
+
+    for r in tiny_docs.collect():
+        if not r.text:
+            continue
+        toks, n = got[r.doc_id]
+        assert "".join(toks) == "".join(re.findall("[a-z0-9]+", r.text.lower()))
+        assert n == len(toks) > 0
+
+    with pytest.raises(ValueError, match="cannot cover"):
+        ug.unigram_train(tiny_docs, vocab_size=4, max_piece_len=3)
+
+
+def test_em_likelihood_nondecreasing(spark, tiny_docs):
+    """EM's defining property: with pruning disabled (vocab_size above
+    the seed inventory), corpus log-likelihood under the returned model
+    is non-decreasing in em_iters. Quantization perturbs the M-step at
+    2^-20 relative, far below the per-iteration gains on this corpus."""
+    from blockchair_etl_spark.llmdata.tokenizer import word_frequency_table
+
+    wf = [(r.word, r.freq) for r in word_frequency_table(tiny_docs).collect()]
+
+    def ll(pieces):
+        model = dict(pieces)
+        max_len = max(len(p) for p in model)
+        total = 0.0
+        for word, freq in wf:
+            _, z = ug._py_forward_backward(word, model, max_len)
+            total += freq * z
+        return total
+
+    scores = [
+        ll(
+            ug.unigram_train(
+                tiny_docs,
+                vocab_size=50,
+                max_piece_len=3,
+                em_iters=k,
+                prune_shrink=1.0,
+            )
+        )
+        for k in (1, 2, 3)
+    ]
+    assert scores[1] >= scores[0] - 1e-9
+    assert scores[2] >= scores[1] - 1e-9
+
+
+def test_unigram_apply_unknown_chars(spark, tiny_docs):
+    """Applying to UNSEEN text: characters absent from the model are
+    emitted as single-char tokens (byte-fallback), rows never drop."""
+    pieces = ug.unigram_train(tiny_docs, vocab_size=8, max_piece_len=3)
+    fresh = spark.createDataFrame(
+        [(100, "banzai! qux")], "doc_id bigint, text string"
+    )
+    row = ug.unigram_apply(fresh, pieces).first()
+    # tokens_col drops the '!' (non-alphanumeric delimiter)
+    assert "".join(row.tokens) == "banzaiqux"
+    for ch in ("z", "q", "u", "x"):
+        assert ch in row.tokens
+
+
+def test_pieces_artifact_roundtrip(spark, tiny_docs, tmp_path):
+    """pieces_to_frame → parquet → frame_to_pieces is bit-exact (order
+    via piece_id, float64 logp through parquet DOUBLE)."""
+    pieces = ug.unigram_train(tiny_docs, vocab_size=8, max_piece_len=3)
+    path = str(tmp_path / "pieces")
+    ug.pieces_to_frame(spark, pieces).write.parquet(path)
+    assert ug.frame_to_pieces(spark.read.parquet(path)) == pieces
+    with pytest.raises(ValueError, match="empty piece list"):
+        ug.unigram_encode_words(tiny_docs.select(F.lit("x").alias("word")), [])
+
+
+def test_unigram_apply_corpus_smoke(spark, sf_dir):
+    """End-to-end on the real documents table: train a small vocabulary
+    and verify lossless reassembly + the BIGINT n_tokens contract on a
+    few hundred documents."""
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    pieces = ug.unigram_train(docs, vocab_size=200, max_piece_len=3, em_iters=1)
+    out = ug.unigram_apply(docs, pieces)
+    assert dict(out.dtypes)["n_tokens"] == "bigint"
+    joined = out.join(docs, "doc_id").select("text", "tokens").collect()
+    import re
+
+    for r in joined:
+        toks = "".join(r.tokens)
+        words = "".join(re.findall("[a-z0-9]+", (r.text or "").lower()))
+        assert toks == words
