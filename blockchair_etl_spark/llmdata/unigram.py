@@ -60,6 +60,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
+from .text import tokens_col
 from .tokenizer import apply_word_encoder, word_frequency_table
 
 # expected-count quantum: counts are exact multiples of 2^-20 before
@@ -89,14 +90,23 @@ def _logaddexp(a: float, b: float) -> float:
 
 
 def _py_forward_backward(
-    word: str, model: dict[str, float], max_len: int
+    word: str, model: dict[str, float], max_len: int, unk_logp: float | None = None
 ) -> tuple[dict[str, float], float]:
     """Expected piece counts for ONE occurrence of ``word`` under the
     unigram model, plus the word's log-partition Z (total log-prob over
     all segmentations). Log-domain forward-backward over character
     positions; O(len * max_len). Returns ({}, -inf) only if the word is
     uncoverable — impossible in training, where every corpus character
-    is a mandatory single-char piece."""
+    is a mandatory single-char piece; SCORING unseen text passes
+    ``unk_logp`` so unknown single characters participate as penalized
+    pieces (the byte-fallback convention, as in Viterbi)."""
+
+    def _lp(piece: str) -> float | None:
+        lp = model.get(piece)
+        if lp is None and unk_logp is not None and len(piece) == 1:
+            return unk_logp
+        return lp
+
     L = len(word)
     neg = float("-inf")
     alpha = [neg] * (L + 1)
@@ -105,12 +115,12 @@ def _py_forward_backward(
     beta[L] = 0.0
     for i in range(1, L + 1):
         for j in range(max(0, i - max_len), i):
-            lp = model.get(word[j:i])
+            lp = _lp(word[j:i])
             if lp is not None and alpha[j] != neg:
                 alpha[i] = _logaddexp(alpha[i], alpha[j] + lp)
     for j in range(L - 1, -1, -1):
         for i in range(j + 1, min(L, j + max_len) + 1):
-            lp = model.get(word[j:i])
+            lp = _lp(word[j:i])
             if lp is not None and beta[i] != neg:
                 beta[j] = _logaddexp(beta[j], lp + beta[i])
     z = alpha[L]
@@ -122,7 +132,7 @@ def _py_forward_backward(
             continue
         for i in range(j + 1, min(L, j + max_len) + 1):
             piece = word[j:i]
-            lp = model.get(piece)
+            lp = _lp(piece)
             if lp is not None and beta[i] != neg:
                 c = math.exp(alpha[j] + lp + beta[i] - z)
                 counts[piece] = counts.get(piece, 0.0) + c
@@ -354,6 +364,193 @@ def unigram_apply(
     return apply_word_encoder(
         docs, lambda w: unigram_encode_words(w, pieces), text_col, id_col
     )
+
+
+def unigram_word_logprobs(
+    words: DataFrame, pieces: list[tuple[str, float]]
+) -> DataFrame:
+    """(word, q_logp BIGINT): each word's log-probability under the
+    unigram LM, marginalized over ALL segmentations (the forward pass
+    Z — the true LM score, not the Viterbi lower bound), quantized at
+    2^-20 so downstream per-document sums are exact integers. Unknown
+    characters participate as penalized single-char pieces (min logp -
+    10), so unseen corpora always score finitely."""
+    model = dict(pieces)
+    if not model:
+        raise ValueError("empty piece list")
+    max_len = max(len(p) for p in model)
+    unk_logp = min(model.values()) - 10.0
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for w in pdf["word"]:
+                _, z = _py_forward_backward(w, model, max_len, unk_logp=unk_logp)
+                out.append(_quantize(z))
+            pdf = pdf.copy()
+            pdf["q_logp"] = pd.Series(out, dtype="int64")
+            yield pdf
+
+    return words.mapInPandas(
+        _score, schema="word string, q_logp long"
+    )
+
+
+def unigram_doc_perplexity(
+    docs: DataFrame,
+    pieces: list[tuple[str, float]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-shaped LM quality signal (Wenzek et al., LREC'20: filter
+    or bucket a crawl by language-model perplexity): → (id, n_words
+    BIGINT, ppl DOUBLE) with ppl = exp(-mean per-word log-prob) under
+    the learned unigram model — low ppl = fluent-under-the-model, high
+    ppl = garbled/outlier text. Consumers compose the threshold as a
+    plain filter stage, exactly like the classifier and Gopher gates.
+
+    Scale/portability shape: the LM scores DISTINCT words only
+    (Arrow-batched forward pass) and joins back to the token stream;
+    per-document totals sum the QUANTIZED integer scores (exact,
+    order-independent — the bigram_fluency idiom), and the only float
+    op is one final exp per document. Empty/NULL-text rows are kept
+    with n_words = 0 and NULL ppl, the gate-friendly convention."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("word")
+    )
+    scored = unigram_word_logprobs(toks.select("word").distinct(), pieces)
+    per_doc = (
+        toks.join(scored, "word")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("q_logp").alias("q_total"),
+        )
+    )
+    ppl = F.exp(-(F.col("q_total").cast("double") / F.lit(float(_Q))) / F.col("n_words"))
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_words", F.lit(0).cast("bigint")).alias("n_words"),
+            ppl.alias("ppl"),
+        )
+    )
+
+
+def _py_sample_segmentation(
+    word: str,
+    model: dict[str, float],
+    max_len: int,
+    alpha: float,
+    unk_logp: float,
+    seed: int,
+) -> list[str]:
+    """ONE segmentation drawn from p(seg) ∝ exp(alpha * score(seg)) by
+    forward-filtering backward-sampling (Kudo ACL'18 §3.2 — subword
+    regularization's sampling step; alpha is the smoothing temperature,
+    alpha→inf recovers Viterbi). Randomness is md5-keyed on
+    (seed, word, position) — engine-portable and partition-invariant,
+    the same derandomization idiom as the MinHash seed family."""
+    import hashlib
+
+    L = len(word)
+    neg = float("-inf")
+
+    def _lp(piece: str) -> float | None:
+        lp = model.get(piece)
+        if lp is None and len(piece) == 1:
+            return unk_logp
+        return lp
+
+    a = [neg] * (L + 1)
+    a[0] = 0.0
+    for i in range(1, L + 1):
+        for j in range(max(0, i - max_len), i):
+            lp = _lp(word[j:i])
+            if lp is not None and a[j] != neg:
+                a[i] = _logaddexp(a[i], a[j] + alpha * lp)
+    out: list[str] = []
+    i = L
+    while i > 0:
+        key = f"{seed}|{word}|{i}".encode()
+        u = int(hashlib.md5(key).hexdigest()[:13], 16) / float(16**13)
+        acc = 0.0
+        chosen = None
+        for j in range(max(0, i - max_len), i):
+            lp = _lp(word[j:i])
+            if lp is None or a[j] == neg:
+                continue
+            p = math.exp(a[j] + alpha * lp - a[i])
+            acc += p
+            if u < acc:
+                chosen = j
+                break
+        if chosen is None:  # float-rounding tail: take the last valid j
+            chosen = max(
+                j
+                for j in range(max(0, i - max_len), i)
+                if _lp(word[j:i]) is not None and a[j] != neg
+            )
+        out.append(word[chosen:i])
+        i = chosen
+    out.reverse()
+    return out
+
+
+def unigram_sample_apply(
+    docs: DataFrame,
+    pieces: list[tuple[str, float]],
+    alpha: float = 1.0,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Subword-regularization tokenize: like unigram_apply but each
+    word's segmentation is SAMPLED from the model (temperature
+    ``alpha``) instead of Viterbi-decoded — the data-augmentation mode
+    production unigram tokenizers ship. Draws are keyed on ``seed``:
+    one seed = one deterministic corpus tokenization (all occurrences
+    of a word share the draw — the distinct-word scale shape); vary
+    seed per epoch for fresh draws, the epoch-shard pattern."""
+    model = dict(pieces)
+    if not model:
+        raise ValueError("empty piece list")
+    max_len = max(len(p) for p in model)
+    unk_logp = min(model.values()) - 10.0
+
+    def _encode(words: DataFrame) -> DataFrame:
+        from pyspark.sql.types import (
+            ArrayType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            list(words.schema.fields)
+            + [StructField("toks", ArrayType(StringType()))]
+        )
+
+        def _go(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["toks"] = [
+                    None
+                    if w is None
+                    else _py_sample_segmentation(
+                        w, model, max_len, alpha, unk_logp, seed
+                    )
+                    for w in pdf["word"]
+                ]
+                yield pdf
+
+        return words.mapInPandas(_go, schema=schema)
+
+    return apply_word_encoder(docs, _encode, text_col, id_col)
 
 
 def pieces_to_frame(spark, pieces: list[tuple[str, float]]) -> DataFrame:

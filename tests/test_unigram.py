@@ -245,3 +245,121 @@ def test_unigram_apply_corpus_smoke(spark, sf_dir):
         toks = "".join(r.tokens)
         words = "".join(re.findall("[a-z0-9]+", (r.text or "").lower()))
         assert toks == words
+
+
+def test_word_logprob_matches_enumeration():
+    """The LM score (forward Z, unk-aware) must equal brute-force
+    enumeration over all segmentations including penalized unknown
+    single chars."""
+    model = _toy_model()
+    unk = min(model.values()) - 10.0
+    for word in ("banana", "nab", "bax", "xyz", "ban"):
+        segs = _brute_segmentations(word, model, unk)
+        m = max(s for _, s in segs)
+        want = m + math.log(sum(math.exp(s - m) for _, s in segs))
+        _, z = ug._py_forward_backward(word, model, max_len=3, unk_logp=unk)
+        assert z == pytest.approx(want, abs=1e-12), word
+        assert ug._quantize(z) == ug._quantize(want)
+
+
+def test_doc_perplexity_exact_and_ordering(spark, tiny_docs):
+    """Per-doc perplexity: n_words exact, ppl reproduces the python
+    reference from quantized integer totals, fluent in-distribution
+    text scores LOWER than garbled text, and empty/NULL rows keep
+    n_words=0 with NULL ppl."""
+    pieces = ug.unigram_train(tiny_docs, vocab_size=8, max_piece_len=3)
+    model = dict(pieces)
+    max_len = max(len(p) for p in model)
+    unk = min(model.values()) - 10.0
+
+    probe = spark.createDataFrame(
+        [
+            (1, "banana ban nana banana"),
+            (2, "zq0xw 9wq7z x0q9w"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.ppl)
+        for r in ug.unigram_doc_perplexity(probe, pieces).collect()
+    }
+    import re
+
+    for r in probe.collect():
+        words = re.findall("[a-z0-9]+", (r.text or "").lower())
+        n, ppl = got[r.doc_id]
+        assert n == len(words)
+        if not words:
+            assert ppl is None
+            continue
+        q_total = sum(
+            ug._quantize(
+                ug._py_forward_backward(w, model, max_len, unk_logp=unk)[1]
+            )
+            for w in words
+        )
+        want = math.exp(-(q_total / float(ug._Q)) / n)
+        assert ppl == pytest.approx(want, rel=1e-12)
+    assert got[1][1] < got[2][1]  # fluent < garbled
+
+
+def test_sample_segmentation_distribution():
+    """Backward sampling draws from p(seg) ∝ exp(alpha·score):
+    empirical frequencies over independent seeds match the enumerated
+    distribution within 5 sigma, and a high temperature concentrates
+    on the Viterbi path."""
+    model = _toy_model()
+    unk = min(model.values()) - 10.0
+    word = "banana"
+    segs = _brute_segmentations(word, model, unk)
+    zs = [math.exp(s) for _, s in segs]
+    tot = sum(zs)
+    want = {seg: p / tot for (seg, _), p in zip(segs, zs)}
+
+    n = 4000
+    counts: dict[tuple, int] = {}
+    for seed in range(n):
+        toks = tuple(
+            ug._py_sample_segmentation(word, model, 3, 1.0, unk, seed)
+        )
+        assert "".join(toks) == word
+        counts[toks] = counts.get(toks, 0) + 1
+    assert set(counts) <= set(want)
+    for seg, p in want.items():
+        if p < 0.005:
+            continue
+        got_p = counts.get(seg, 0) / n
+        sigma = math.sqrt(p * (1 - p) / n)
+        assert abs(got_p - p) < 5 * sigma, (seg, p, got_p)
+
+    vit = tuple(ug._py_viterbi(word, model, 3, unk))
+    for seed in range(100):
+        assert tuple(
+            ug._py_sample_segmentation(word, model, 3, 60.0, unk, seed)
+        ) == vit
+
+
+def test_sample_apply_contract(spark, tiny_docs):
+    """unigram_sample_apply: lossless reassembly, deterministic per
+    seed, fresh draws across seeds, empty/NULL rows kept — the shared
+    apply_word_encoder contract in sampling mode."""
+    import re
+
+    pieces = ug.unigram_train(tiny_docs, vocab_size=8, max_piece_len=3)
+    a = {r.doc_id: list(r.tokens) for r in
+         ug.unigram_sample_apply(tiny_docs, pieces, alpha=1.0, seed=3).collect()}
+    b = {r.doc_id: list(r.tokens) for r in
+         ug.unigram_sample_apply(tiny_docs, pieces, alpha=1.0, seed=3).collect()}
+    c = {r.doc_id: list(r.tokens) for r in
+         ug.unigram_sample_apply(tiny_docs, pieces, alpha=1.0, seed=4).collect()}
+    assert a == b
+    assert a != c  # at least one word re-segments under a fresh seed
+    assert a[6] == [] and a[7] == []
+    for r in tiny_docs.collect():
+        if not r.text:
+            continue
+        assert "".join(a[r.doc_id]) == "".join(
+            re.findall("[a-z0-9]+", r.text.lower())
+        )
