@@ -274,6 +274,9 @@ def synthesize(spark, src: str, dst: str) -> None:
             os.symlink(f"{src}/{t}.parquet", link)
 
 
+_UNIGRAM_PIECES: list = []
+
+
 def _custom_runners(spark, repo: str, scale: int):
     """Family entries that aren't registry queries.
 
@@ -628,15 +631,22 @@ def _custom_runners(spark, repo: str, scale: int):
         # the vocabulary is trained once on the BASE corpus and reused
         # at every scale, so alpha reads pure corpus growth — distinct-
         # word Viterbi + join-back, the bpe_apply scale story.
+        # module-level memo: trained once per PROCESS (the function-
+        # attribute form re-trained per time_queries call). The one
+        # training lands in the first timed sample of the first scale,
+        # which median-of-3 discards — the same lazy-build convention
+        # as the *_store_backed runners below.
         from blockchair_etl_spark.llmdata.unigram import unigram_apply, unigram_train
 
-        if not hasattr(run_unigram_apply, "_pieces"):
+        if not _UNIGRAM_PIECES:
             base = load_table(spark_, "/root/testdata/sf0.1", "documents")
-            run_unigram_apply._pieces = unigram_train(
-                base, vocab_size=48, max_piece_len=3, em_iters=1, seed_size=2000
+            _UNIGRAM_PIECES.extend(
+                unigram_train(
+                    base, vocab_size=48, max_piece_len=3, em_iters=1, seed_size=2000
+                )
             )
         docs = load_table(spark_, sf_dir, "documents")
-        return unigram_apply(docs, run_unigram_apply._pieces).select(
+        return unigram_apply(docs, list(_UNIGRAM_PIECES)).select(
             "doc_id", "n_tokens"
         )
 

@@ -296,6 +296,15 @@ def centroids_to_frame(spark, centroids: np.ndarray) -> DataFrame:
 def frame_to_centroids(df: DataFrame) -> np.ndarray:
     """Inverse of :func:`centroids_to_frame` (a driver-side artifact
     read — centroid matrices are bounded by MAX_CENTROID_CELLS, never
-    data-scale)."""
+    data-scale). Raises if the relation is ragged — a partial write
+    must not reload as a matrix whose row indices (== assignment ids)
+    have silently shifted."""
     rows = df.select("cluster_id", "centroid").orderBy("cluster_id").collect()
+    if not rows:
+        raise ValueError("empty centroid relation")
+    if len(rows) != int(rows[-1].cluster_id) + 1:
+        raise ValueError(
+            f"centroid relation is ragged: {len(rows)} rows but "
+            f"cluster_id runs to {int(rows[-1].cluster_id)}"
+        )
     return np.array([[float(v) for v in r.centroid] for r in rows])

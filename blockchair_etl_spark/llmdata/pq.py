@@ -417,6 +417,8 @@ def frame_to_codebooks(df: DataFrame) -> np.ndarray:
     rows = df.select("subspace", "code", "centroid").orderBy(
         "subspace", "code"
     ).collect()
+    if not rows:
+        raise ValueError("empty codebook relation")
     m = int(rows[-1].subspace) + 1
     ksub = int(rows[-1].code) + 1
     if len(rows) != m * ksub:

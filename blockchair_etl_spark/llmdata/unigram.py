@@ -270,11 +270,17 @@ def unigram_train(
     ``prune_shrink`` (module docstring: count-ranked pruning, the
     documented variant). The artifact orders by (count desc, piece asc)
     — deterministic across runs and partitionings."""
-    from ..caching import release_tracked, tracked_persist
-
-    words = tracked_persist(
-        word_frequency_table(docs, text_col).select("word", "freq")
-    )
+    if em_iters < 1:
+        raise ValueError(
+            f"em_iters={em_iters}: at least one EM round is required — "
+            "the final round is what lands the vocabulary on vocab_size"
+        )
+    # scoped persist/unpersist, NOT the global release_tracked():
+    # training may run while a caller holds tracked frames (or a
+    # pending destructive checkpoint release from encode_words), and
+    # the global release would free those mid-plan — the hazard
+    # prep_stream.py documents for foreachBatch bodies
+    words = word_frequency_table(docs, text_col).select("word", "freq").persist()
     try:
         seeds = seed_pieces(words, max_piece_len, seed_size)
         singles = {p for p, _ in seeds if len(p) == 1}
@@ -315,10 +321,41 @@ def unigram_train(
                 if counts[p] <= 0:
                     counts[p] = 1
     finally:
-        release_tracked()
+        words.unpersist()
     ordered = sorted(counts.items(), key=lambda pc: (-pc[1], pc[0]))
     model = _model_from_counts(dict(ordered))
     return [(p, model[p]) for p, _ in ordered]
+
+
+def _model_geometry(
+    pieces: list[tuple[str, float]],
+) -> tuple[dict[str, float], int, float]:
+    """(model dict, max piece length, unk penalty) — the trio every
+    encode/score path derives from the artifact."""
+    model = dict(pieces)
+    if not model:
+        raise ValueError("empty piece list")
+    return model, max(len(p) for p in model), min(model.values()) - 10.0
+
+
+def _map_word_encoder(words: DataFrame, enc) -> DataFrame:
+    """(word, ...) → (word, ..., toks array<string>) via an
+    Arrow-batched loop over the distinct-word table: the shared
+    mapInPandas scaffolding for every unigram encode path (``enc`` is
+    word → list[str]; NULL words pass through as NULL toks)."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    schema = StructType(
+        list(words.schema.fields) + [StructField("toks", ArrayType(StringType()))]
+    )
+
+    def _go(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["toks"] = [None if w is None else enc(w) for w in pdf["word"]]
+            yield pdf
+
+    return words.mapInPandas(_go, schema=schema)
 
 
 def unigram_encode_words(
@@ -328,27 +365,10 @@ def unigram_encode_words(
     the distinct-word table (the unigram analog of
     encode_words_vectorized). Unknown characters fall back to
     single-char tokens at min(logp) - 10."""
-    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
-
-    model = dict(pieces)
-    if not model:
-        raise ValueError("empty piece list")
-    max_len = max(len(p) for p in model)
-    unk_logp = min(model.values()) - 10.0
-    schema = StructType(
-        list(words.schema.fields) + [StructField("toks", ArrayType(StringType()))]
+    model, max_len, unk_logp = _model_geometry(pieces)
+    return _map_word_encoder(
+        words, lambda w: _py_viterbi(w, model, max_len, unk_logp)
     )
-
-    def _encode(batches):
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["toks"] = [
-                None if w is None else _py_viterbi(w, model, max_len, unk_logp)
-                for w in pdf["word"]
-            ]
-            yield pdf
-
-    return words.mapInPandas(_encode, schema=schema)
 
 
 def unigram_apply(
@@ -375,22 +395,22 @@ def unigram_word_logprobs(
     2^-20 so downstream per-document sums are exact integers. Unknown
     characters participate as penalized single-char pieces (min logp -
     10), so unseen corpora always score finitely."""
-    model = dict(pieces)
-    if not model:
-        raise ValueError("empty piece list")
-    max_len = max(len(p) for p in model)
-    unk_logp = min(model.values()) - 10.0
+    model, max_len, unk_logp = _model_geometry(pieces)
 
     def _score(batches):
         import pandas as pd
 
         for pdf in batches:
-            out = []
-            for w in pdf["word"]:
-                _, z = _py_forward_backward(w, model, max_len, unk_logp=unk_logp)
-                out.append(_quantize(z))
+            out = [
+                None
+                if w is None
+                else _quantize(
+                    _py_forward_backward(w, model, max_len, unk_logp=unk_logp)[1]
+                )
+                for w in pdf["word"]
+            ]
             pdf = pdf.copy()
-            pdf["q_logp"] = pd.Series(out, dtype="int64")
+            pdf["q_logp"] = pd.Series(out, dtype="object")
             yield pdf
 
     return words.mapInPandas(
@@ -516,41 +536,18 @@ def unigram_sample_apply(
     one seed = one deterministic corpus tokenization (all occurrences
     of a word share the draw — the distinct-word scale shape); vary
     seed per epoch for fresh draws, the epoch-shard pattern."""
-    model = dict(pieces)
-    if not model:
-        raise ValueError("empty piece list")
-    max_len = max(len(p) for p in model)
-    unk_logp = min(model.values()) - 10.0
-
-    def _encode(words: DataFrame) -> DataFrame:
-        from pyspark.sql.types import (
-            ArrayType,
-            StringType,
-            StructField,
-            StructType,
-        )
-
-        schema = StructType(
-            list(words.schema.fields)
-            + [StructField("toks", ArrayType(StringType()))]
-        )
-
-        def _go(batches):
-            for pdf in batches:
-                pdf = pdf.copy()
-                pdf["toks"] = [
-                    None
-                    if w is None
-                    else _py_sample_segmentation(
-                        w, model, max_len, alpha, unk_logp, seed
-                    )
-                    for w in pdf["word"]
-                ]
-                yield pdf
-
-        return words.mapInPandas(_go, schema=schema)
-
-    return apply_word_encoder(docs, _encode, text_col, id_col)
+    model, max_len, unk_logp = _model_geometry(pieces)
+    return apply_word_encoder(
+        docs,
+        lambda words: _map_word_encoder(
+            words,
+            lambda w: _py_sample_segmentation(
+                w, model, max_len, alpha, unk_logp, seed
+            ),
+        ),
+        text_col,
+        id_col,
+    )
 
 
 def pieces_to_frame(spark, pieces: list[tuple[str, float]]) -> DataFrame:

@@ -108,6 +108,21 @@ def make_ivfpq_batch_processor(
             return
         spark = batch_df.sparkSession
         encoded = ivfpq_encode(batch_df, centroids, codebooks, id_col, vec_col)
+        # collapse in-batch id collisions (a duplicated source file, or
+        # one id twice in a trigger) BEFORE the store probe, or both
+        # rows would pass the anti-join and break one-row-per-id. The
+        # min-struct winner is deterministic even for conflicting
+        # payloads — unlike dropDuplicates, whose pick is partition-
+        # order-dependent
+        encoded = (
+            encoded.groupBy(id_col)
+            .agg(F.min(F.struct("ivf_cluster", "codes")).alias("_e"))
+            .select(
+                id_col,
+                F.col("_e.ivf_cluster").alias("ivf_cluster"),
+                F.col("_e.codes").alias("codes"),
+            )
+        )
         old = _check_mode_and_prune(
             _read_store(spark, store_dir), exactly_once, batch_id, store_dir
         )

@@ -646,3 +646,61 @@ def test_novel_index_rows_plan_gate(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
     assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_ann_artifact_reload_guards(spark, sf_dir, tmp_path):
+    """Review fixes: a ragged centroid relation (missing cluster_id row
+    shifts every later assignment index) and an EMPTY codebook relation
+    both raise named errors instead of reloading corrupt artifacts."""
+    from blockchair_etl_spark.llmdata.ivf import (
+        centroids_to_frame,
+        frame_to_centroids,
+        seed_centroids,
+    )
+    from blockchair_etl_spark.llmdata.pq import frame_to_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, n_centroids=4)
+    cf = centroids_to_frame(spark, cents)
+    with pytest.raises(ValueError, match="ragged"):
+        frame_to_centroids(cf.filter(F.col("cluster_id") != 2))
+    with pytest.raises(ValueError, match="empty centroid"):
+        frame_to_centroids(cf.filter(F.col("cluster_id") < 0))
+    with pytest.raises(ValueError, match="empty codebook"):
+        frame_to_codebooks(
+            spark.createDataFrame(
+                [], "subspace bigint, code bigint, centroid array<double>"
+            )
+        )
+
+
+def test_streaming_ivfpq_in_batch_duplicate_ids(spark, sf_dir, tmp_path):
+    """A micro-batch carrying the same vec_id twice (duplicated source
+    file) must land ONE deterministic row in the store — the min-struct
+    collapse before the probe, not both rows through the anti-join."""
+    from blockchair_etl_spark.llmdata.ivf import seed_centroids
+    from blockchair_etl_spark.llmdata.pq import (
+        ivfpq_encode,
+        residual_frame,
+        seed_pq_codebooks,
+    )
+    from blockchair_etl_spark.streaming.ann_stream import (
+        make_ivfpq_batch_processor,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(40)
+    cents = seed_centroids(emb, n_centroids=4)
+    res = residual_frame(emb, cents)
+    books = seed_pq_codebooks(res, dim=64, m=4, ksub=8, vec_col="residual")
+
+    store = str(tmp_path / "dup_store")
+    proc = make_ivfpq_batch_processor(store, cents, books)
+    proc(emb.unionByName(emb), 0)  # every id arrives twice in one trigger
+    got = spark.read.parquet(store)
+    assert got.count() == 40
+    assert got.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+    want = {
+        (r.vec_id, r.ivf_cluster, tuple(r.codes))
+        for r in ivfpq_encode(emb, cents, books).collect()
+    }
+    assert {(r.vec_id, r.ivf_cluster, tuple(r.codes)) for r in got.collect()} == want

@@ -363,3 +363,15 @@ def test_sample_apply_contract(spark, tiny_docs):
         assert "".join(a[r.doc_id]) == "".join(
             re.findall("[a-z0-9]+", r.text.lower())
         )
+
+
+def test_train_guards_and_null_word_scoring(spark, tiny_docs):
+    """Review fixes: em_iters < 1 raises (the final round is what lands
+    on vocab_size); a NULL word scores NULL q_logp instead of crashing
+    the Arrow stage (mirrors the encode paths)."""
+    with pytest.raises(ValueError, match="em_iters"):
+        ug.unigram_train(tiny_docs, vocab_size=8, em_iters=0)
+    pieces = ug.unigram_train(tiny_docs, vocab_size=8, max_piece_len=3)
+    words = spark.createDataFrame([("banana",), (None,)], "word string")
+    got = {r.word: r.q_logp for r in ug.unigram_word_logprobs(words, pieces).collect()}
+    assert got[None] is None and got["banana"] is not None
