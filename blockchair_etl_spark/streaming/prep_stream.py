@@ -74,6 +74,8 @@ def make_prep_batch_processor(
     ngram_n: int = 3,
     merges: list[tuple[str, str]] | None = None,
     encoder: str = "fold",
+    pieces: list[tuple[str, float]] | None = None,
+    ppl_max: float | None = None,
 ):
     """The foreachBatch body, exposed so tests can drive it directly
     (including replaying a (batch_df, batch_id) to exercise the
@@ -110,11 +112,29 @@ def make_prep_batch_processor(
     mapInPandas stage — executors need pandas/pyarrow — because the
     fold path past that depth checkpoints inside every micro-batch
     (the per-batch leak + sibling-release hazard in the body comment).
+
+    ``pieces`` + ``ppl_max``: the CCNet-shaped LM gate — the frozen
+    unigram-LM artifact (load once per stream lifetime with
+    unigram.frame_to_pieces, the same contract as ``merges``) scores
+    each document's perplexity over the normalized text, and only rows
+    with ppl <= ppl_max survive. Perplexity, like the classifier
+    verdict, is PER-ROW given the frozen model, so it streams without
+    state; survivors keep their ``ppl`` DOUBLE in the store row (CCNet
+    buckets the crawl by this number) alongside logit_q. Both
+    arguments are required together — a model without a threshold (or
+    vice versa) raises rather than silently gating nothing.
     """
     from ..llmdata.classify import linear_classifier_scores
     from ..llmdata.dedup import decontaminate
     from ..llmdata.text import gopher_quality_gate, normalize_text
     from ..llmdata.tokenizer import DEFAULT_ENCODE_CHUNK, bpe_apply
+    from ..llmdata.unigram import unigram_doc_perplexity
+
+    if (pieces is None) != (ppl_max is None):
+        raise ValueError(
+            "pieces and ppl_max come together: the LM gate needs both "
+            "the frozen model and its threshold"
+        )
 
     # a merge list past the fold path's checkpoint trigger
     # (DEFAULT_ENCODE_CHUNK — the same constant that decides it inside
@@ -173,6 +193,19 @@ def make_prep_batch_processor(
                 .join(gated.filter("keep").select(id_col), id_col)
                 .select(id_col, "norm_text", "logit_q")
             )
+            if pieces is not None:
+                # the LM gate joins like the classifier/Gopher gates:
+                # per-row perplexity over the normalized text, survivors
+                # keep the score (CCNet's bucketing column). NULL ppl
+                # (empty text) fails ppl <= max, matching the batch
+                # operator's gate-friendly convention
+                lm = unigram_doc_perplexity(
+                    normed, pieces, text_col="norm_text", id_col=id_col
+                )
+                kept = kept.join(
+                    lm.filter(F.col("ppl") <= float(ppl_max)).select(id_col, "ppl"),
+                    id_col,
+                )
             if merges is not None:
                 # tokenize SURVIVORS only (the gates already paid for
                 # themselves); n_tokens join-back keeps token arrays
@@ -248,6 +281,8 @@ def corpus_prep_stream(
     ngram_n: int = 3,
     merges: list[tuple[str, str]] | None = None,
     encoder: str = "fold",
+    pieces: list[tuple[str, float]] | None = None,
+    ppl_max: float | None = None,
 ):
     """docs stream (id, text) -> foreachBatch writer appending each
     micro-batch's surviving (id, norm_text, logit_q) rows — plus the
@@ -256,6 +291,8 @@ def corpus_prep_stream(
     ``merges``/``encoder`` as in make_prep_batch_processor, including
     its long-vocabulary override: past DEFAULT_ENCODE_CHUNK merges the
     vectorized (mapInPandas) encoder runs even under encoder="fold".
+    ``pieces``/``ppl_max`` as there too: the frozen unigram-LM
+    perplexity gate — survivors carry their ppl DOUBLE in the store.
 
     Decontamination, two ways to enable it:
 
@@ -293,6 +330,8 @@ def corpus_prep_stream(
         ngram_n=ngram_n,
         merges=merges,
         encoder=encoder,
+        pieces=pieces,
+        ppl_max=ppl_max,
     )
     return docs_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

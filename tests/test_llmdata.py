@@ -3432,3 +3432,122 @@ def test_streaming_corpus_prep_engine_path(spark, docs, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert again == want
+
+
+def test_streaming_prep_lm_perplexity_gate(spark, docs, tmp_path):
+    """The CCNet-shaped LM gate in the streaming prep loop (r13): a
+    FROZEN unigram-LM artifact (persisted relation, loaded once per
+    stream lifetime) filters each micro-batch by perplexity and
+    survivors carry their ppl in the store row. Matrix: (a) two
+    checkpointed drains union to the batch composition of the same
+    per-row stages with the gate binding (it drops real rows);
+    (b) a replayed batch rewrites its partition byte-identically;
+    (c) a model without a threshold raises."""
+    import pytest
+
+    from blockchair_etl_spark.llmdata.classify import (
+        hashed_weights,
+        linear_classifier_scores,
+    )
+    from blockchair_etl_spark.llmdata.text import (
+        gopher_quality_gate,
+        normalize_text,
+    )
+    from blockchair_etl_spark.llmdata.unigram import (
+        frame_to_pieces,
+        pieces_to_frame,
+        unigram_doc_perplexity,
+        unigram_train,
+    )
+    from blockchair_etl_spark.streaming.prep_stream import (
+        corpus_prep_stream,
+        make_prep_batch_processor,
+    )
+
+    sample = docs.limit(150).select("doc_id", "text")
+    weights = hashed_weights(spark, n_features=4096, scale=1024, seed="wp")
+
+    vocab_path = str(tmp_path / "lm_vocab")
+    pieces_to_frame(
+        spark, unigram_train(sample, vocab_size=40, max_piece_len=3, em_iters=1)
+    ).write.parquet(vocab_path)
+    pieces = frame_to_pieces(spark.read.parquet(vocab_path))
+
+    # batch composition of the same per-row stages — also picks a
+    # BINDING threshold (the 40th percentile of gate-survivor ppl)
+    normed = normalize_text(sample)
+    clf = linear_classifier_scores(normed, weights, text_col="norm_text")
+    gated = gopher_quality_gate(normed, text_col="norm_text")
+    kept = (
+        normed.join(
+            clf.filter(F.col("logit_q") >= 0).select("doc_id", "logit_q"),
+            "doc_id",
+        )
+        .join(gated.filter("keep").select("doc_id"), "doc_id")
+        .select("doc_id", "norm_text", "logit_q")
+    )
+    lm = unigram_doc_perplexity(normed, pieces, text_col="norm_text")
+    ppls = sorted(
+        r.ppl for r in kept.join(lm, "doc_id").select("ppl").collect()
+    )
+    t = ppls[int(len(ppls) * 0.4)]
+    want_df = kept.join(
+        lm.filter(F.col("ppl") <= t).select("doc_id", "ppl"), "doc_id"
+    )
+    want = {
+        (r.doc_id, r.norm_text, r.logit_q, r.ppl) for r in want_df.collect()
+    }
+    assert 0 < len(want) < kept.count()  # the gate binds
+
+    src = str(tmp_path / "lmsrc")
+    ckpt = str(tmp_path / "lmckpt")
+    out = str(tmp_path / "lmstore")
+
+    def drain():
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            corpus_prep_stream(
+                stream, weights, out, ckpt, pieces=pieces, ppl_max=t
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    for i in range(2):
+        sample.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    drain()
+    sample.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    store = spark.read.parquet(out)
+    got = {(r.doc_id, r.norm_text, r.logit_q, r.ppl) for r in store.collect()}
+    assert got == want
+
+    # (b) replay: same (batch_df, batch_id) twice → byte-identical
+    proc = make_prep_batch_processor(
+        weights, str(tmp_path / "xo_lm"), pieces=pieces, ppl_max=t
+    )
+    b0 = sample.filter(F.col("doc_id") % 2 == 0)
+    proc(b0, 0)
+    once = {
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "xo_lm")).collect()
+    }
+    proc(b0, 0)
+    again = {
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "xo_lm")).collect()
+    }
+    assert once == again and once
+
+    # (c) half-specified gate raises
+    with pytest.raises(ValueError, match="come together"):
+        make_prep_batch_processor(weights, str(tmp_path / "bad"), pieces=pieces)
