@@ -311,3 +311,46 @@ def connected_clusters(
             )
         )
     return labels.select(F.col("vertex").alias("doc"), F.col("label").alias("cluster_id"))
+
+
+def incremental_connected_clusters(
+    assignments: DataFrame | None,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    **cc_kwargs,
+) -> DataFrame:
+    """Daily-ingest maintenance of the duplicate-cluster assignment:
+    fold TODAY'S near-dup pairs into YESTERDAY'S converged (doc,
+    cluster_id) relation and return the updated assignment — without
+    ever revisiting the historical pair set.
+
+    Why it is exact: a converged assignment is its own STAR-EDGE
+    certificate. Every doc—cluster_id row is an edge to the component's
+    minimum member, so components over (star(clusters(E_hist)) ∪ E_new)
+    equal components over (E_hist ∪ E_new) — same partition of vertices,
+    same minimum per component, hence bit-identical min-id labels. The
+    daily loop therefore carries O(|docs in any cluster|) star edges
+    instead of the unbounded pair history: the scale difference between
+    "all docs ever deduped" and "all pairs ever emitted" (quadratic in
+    dup-group size). New edges that bridge two existing clusters merge
+    them correctly — both stars re-label to the joint minimum.
+
+    Fixed point on replay: if ``new_pairs`` is already inside the
+    assignment's transitive closure (an at-least-once re-delivery), the
+    output equals ``assignments`` row-for-row — the replay-idempotence
+    the streaming updater leans on (dedup_stream.
+    make_cluster_assignment_updater), belt on top of its batch-id skip.
+
+    ``assignments`` None (or empty) bootstraps: plain
+    connected_clusters over the batch. Unlike the append-only signature
+    stores, the assignment relation is REWRITTEN per cycle (cluster ids
+    can change when clusters merge) — it is O(docs), the same size
+    class the store-flatten maintenance already handles."""
+    edges = new_pairs.select(F.col(id_a), F.col(id_b))
+    if assignments is not None:
+        star = assignments.select(
+            F.col("doc").alias(id_a), F.col("cluster_id").alias(id_b)
+        )
+        edges = edges.unionByName(star)
+    return connected_clusters(edges, id_a=id_a, id_b=id_b, **cc_kwargs)

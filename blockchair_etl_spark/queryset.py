@@ -1469,13 +1469,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_EST_MATCHES = " + ".join(f"(a.m{i} = b.m{i})::INT" for i in range(16))
 
 
-@register(
-    "dedup_connected_clusters",
-    survey="LLM-dedup,J5",
-    desc="transitive closure of MinHash near-dup pairs via iterative "
-    "min-label propagation (driver loop like the trace executor); "
-    "cluster_id = min member id; oracle is a recursive CTE",
-    oracle=f"""
+# shared by dedup_connected_clusters (one-shot) and
+# dedup_incremental_clusters (two-day star-edge fold): the oracle is the
+# one-shot transitive closure either way — for the incremental entry the
+# hash match IS the incremental == one-shot theorem
+_SQL_CC_CLUSTERS = f"""
 WITH RECURSIVE sig AS ({_sql_minhash_sig(16)}),
 bands AS (
   SELECT doc, 0 AS band_idx, md5(concat_ws('|', m0, m1, m2, m3)) AS band_key FROM sig
@@ -1503,7 +1501,16 @@ reach(v, r) AS (
   SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
 )
 SELECT v AS doc, MIN(r) AS cluster_id FROM reach GROUP BY v
-""",
+"""
+
+
+@register(
+    "dedup_connected_clusters",
+    survey="LLM-dedup,J5",
+    desc="transitive closure of MinHash near-dup pairs via iterative "
+    "min-label propagation (driver loop like the trace executor); "
+    "cluster_id = min member id; oracle is a recursive CTE",
+    oracle=_SQL_CC_CLUSTERS,
 )
 def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmdata.clusters import connected_clusters
@@ -1512,6 +1519,39 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, num_hashes=16, band_size=4, threshold=0.5)
     return connected_clusters(pairs)
+
+
+@register(
+    "dedup_incremental_clusters",
+    survey="LLM-dedup (incremental cluster-assignment maintenance)",
+    desc="two-day arrival of the SAME near-dup pair set: day-1 pairs "
+    "(even id_a+id_b) converge to a (doc, cluster_id) assignment; "
+    "day-2 pairs fold in through the star-edge certificate "
+    "(incremental_connected_clusters — the assignment is its own edge "
+    "set, the pair history is never revisited), including day-2 edges "
+    "that MERGE day-1 clusters. The oracle recomputes the ONE-SHOT "
+    "transitive closure over all pairs, so the hash match is exactly "
+    "the incremental == one-shot claim",
+    oracle=_SQL_CC_CLUSTERS,
+)
+def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .caching import tracked_persist
+    from .llmdata.clusters import (
+        connected_clusters,
+        incremental_connected_clusters,
+    )
+    from .llmdata.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the pair relation feeds both day filters; persist so the
+    # shingle->signature->band pipeline runs once
+    pairs = tracked_persist(
+        minhash_lsh_pairs(docs, num_hashes=16, band_size=4, threshold=0.5)
+    )
+    day1 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 0)
+    day2 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 != 0)
+    store = connected_clusters(day1)
+    return incremental_connected_clusters(store, day2)
 
 
 # ---------------------------------------------------------------------------

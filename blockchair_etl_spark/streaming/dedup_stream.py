@@ -501,3 +501,84 @@ def incremental_joint_stream(
     return docs_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def make_cluster_assignment_updater(
+    store_dir: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    **cc_kwargs,
+):
+    """foreachBatch body maintaining the duplicate-cluster ASSIGNMENT
+    store over a stream of near-dup pairs — the natural downstream of
+    the pair-emitting dedup loops in this module (point a pairs stream
+    at their ``pairs_dir``): per trigger, fold the batch's edges into
+    the persisted (doc, cluster_id) relation via
+    clusters.incremental_connected_clusters (star-edge certificate —
+    the pair history is never revisited) and atomically swap the store
+    (temp-dir rename, the stream_cms_maintain pattern: assignments are
+    a full-rewrite relation, cluster ids can change on merges, so
+    batch_id partition overwrite does not fit).
+
+    Replay safety, two layers: the store carries ``__last_batch`` and a
+    replayed exact-last batch is SKIPPED (one cheap driver read); and
+    even without the skip the update is a FIXED POINT — replayed edges
+    are already inside the assignment's closure, so recomputing writes
+    the identical relation. A batch_id BELOW the watermark means the
+    checkpoint was reset while the store was kept; that raises, as in
+    the CMS updater."""
+    import os
+    import shutil
+
+    from ..llmdata.clusters import incremental_connected_clusters
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        prior = None
+        if os.path.exists(store_dir):
+            prior = spark.read.parquet(store_dir)
+            last = prior.agg(F.max("__last_batch")).first()[0]
+            if last is not None and int(last) == int(batch_id):
+                return  # replayed batch: already folded in
+            if last is not None and int(last) > int(batch_id):
+                raise RuntimeError(
+                    f"cluster assignment store at {store_dir} has "
+                    f"__last_batch={last} but the stream delivered "
+                    f"batch_id={batch_id}: checkpoint/store mismatch "
+                    "(checkpoint reset while the store was kept?). "
+                    "Reset the store with the checkpoint or use a "
+                    "fresh store_dir."
+                )
+            prior = prior.drop("__last_batch")
+        updated = incremental_connected_clusters(
+            prior, batch_df.select(id_a, id_b), id_a, id_b, **cc_kwargs
+        ).withColumn("__last_batch", F.lit(int(batch_id)).cast("bigint"))
+        tmp = store_dir + f".tmp{batch_id}"
+        updated.write.mode("overwrite").parquet(tmp)
+        # atomic swap so a crash mid-write never leaves a torn store
+        if os.path.exists(store_dir):
+            shutil.rmtree(store_dir)
+        os.rename(tmp, store_dir)
+
+    return _update
+
+
+def cluster_assignment_stream(
+    pairs_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    **cc_kwargs,
+):
+    """near-dup pairs stream → continuously maintained (doc, cluster_id)
+    assignment store; caller picks the trigger and starts it. Composes
+    the streaming dedup story end-to-end: signature loops emit pairs,
+    this loop resolves survivors' transitive closure — neither ever
+    rescans history."""
+    _update = make_cluster_assignment_updater(store_dir, id_a, id_b, **cc_kwargs)
+    return pairs_stream.writeStream.foreachBatch(_update).option(
+        "checkpointLocation", checkpoint_dir
+    )

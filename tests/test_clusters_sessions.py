@@ -943,3 +943,97 @@ def test_stream_cms_checkpoint_reset_mismatch_raises(spark, tmp_path):
     upd(ev.filter(F.col("event_id") % 2 == 1), 1)
     with pytest.raises(RuntimeError, match="checkpoint/store mismatch"):
         upd(ev.filter(F.col("event_id") % 2 == 0), 0)
+
+
+def test_incremental_cc_matches_one_shot_and_replays(spark):
+    """incremental_connected_clusters over 3 daily batches — including
+    an edge that MERGES two already-converged clusters — must equal the
+    one-shot CC over the union of all pairs, bit-exactly, on BOTH
+    execution paths; and re-folding an already-absorbed batch is a
+    fixed point (row-identical assignment)."""
+    from blockchair_etl_spark.llmdata.clusters import (
+        incremental_connected_clusters,
+    )
+
+    b1 = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    b2 = [(12, 11), (30, 31), (3, 4)]
+    b3 = [(4, 10), (21, 30)]  # merges {1..4}+{10..12} and {20,21}+{30,31}
+    batches = [b1, b2, b3]
+    want = _union_find(b1 + b2 + b3)
+
+    for gate in (2_000_000, None):
+        store = None
+        for pairs in batches:
+            df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+            store = incremental_connected_clusters(
+                store, df, local_finish_edges=gate
+            )
+        got = {r.doc: r.cluster_id for r in store.collect()}
+        assert got == want
+
+        # fixed point: replaying the last batch over the converged
+        # assignment changes nothing
+        replay = incremental_connected_clusters(
+            store,
+            spark.createDataFrame(b3, ["id_a", "id_b"]),
+            local_finish_edges=gate,
+        )
+        assert {r.doc: r.cluster_id for r in replay.collect()} == want
+
+
+def test_cluster_assignment_stream_matches_one_shot(spark, tmp_path):
+    """The streaming assignment maintainer: a pairs stream drained in 3
+    micro-batches leaves the store equal to one-shot CC over all pairs;
+    a replayed exact-last batch is skipped (store untouched, same
+    __last_batch); a batch_id below the watermark raises the
+    checkpoint-mismatch error."""
+    import pytest as _pytest
+
+    from blockchair_etl_spark.streaming.dedup_stream import (
+        cluster_assignment_stream,
+        make_cluster_assignment_updater,
+    )
+
+    b1 = [(1, 2), (2, 3), (10, 11)]
+    b2 = [(12, 11), (20, 21)]
+    b3 = [(3, 10), (21, 1)]  # everything merges into cluster 1 except none
+    all_pairs = b1 + b2 + b3
+    want = _union_find(all_pairs)
+
+    src = str(tmp_path / "pairs_src")
+    for pairs in (b1, b2, b3):
+        spark.createDataFrame(pairs, ["id_a", "id_b"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    store_dir = str(tmp_path / "assign_store")
+    stream = (
+        spark.readStream.schema("id_a bigint, id_b bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        cluster_assignment_stream(
+            stream, store_dir, str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    def read_store():
+        df = spark.read.parquet(store_dir)
+        last = df.agg(F.max("__last_batch")).first()[0]
+        return {r.doc: r.cluster_id for r in df.collect()}, last
+
+    got, last = read_store()
+    assert got == want
+
+    # replayed exact-last batch: skipped, store untouched
+    upd = make_cluster_assignment_updater(store_dir)
+    upd(spark.createDataFrame(b3, ["id_a", "id_b"]), int(last))
+    again, last2 = read_store()
+    assert again == want and last2 == last
+
+    # batch_id below the watermark: checkpoint/store mismatch
+    with _pytest.raises(RuntimeError, match="checkpoint/store mismatch"):
+        upd(spark.createDataFrame(b1, ["id_a", "id_b"]), int(last) - 1)

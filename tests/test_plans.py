@@ -102,6 +102,7 @@ _ARROW_BATCH_OK = {
     # locally") instead of ~7 shuffle rounds — a size-gated batch
     # strategy, never row-level; the >2M path is pure DataFrame ops
     "dedup_connected_clusters",
+    "dedup_incremental_clusters",  # same CC local finish, two-day fold
     "dedup_corpus_survivors",
     "dedup_best_quality_survivors",
     "media_dedup_survivors",
