@@ -101,6 +101,10 @@ FAMILY = [
     # daily-ingest contract; embeddings is a synthesized table so the
     # alpha is meaningful
     "ann_ivfpq_incremental",
+    # round-13: incremental CC — the star-edge fold's scale story is
+    # the day-2 pair set + O(docs) star edges, never the pair history;
+    # pair-generating upstream (minhash), so it takes the tight gate
+    "dedup_incremental_clusters",
     # media_pixel_dedup_survivors (the 8x4=32-bit oracle twin) is
     # deliberately ABSENT: at fixed 32-bit width the pigeonhole block
     # join's RANDOM collisions alone grow quadratically (4*2^-8 ~ 1.6%
@@ -135,6 +139,7 @@ PAIR_QUERIES = {
     "media_pixel_dedup_adaptive",
     "multimodal_joint_dedup_adaptive",
     "dedup_incremental_media_bigstore",
+    "dedup_incremental_clusters",
 }
 
 COPIES = 10

@@ -327,3 +327,41 @@ def write_range_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def recover_swapped_store(store_dir: str) -> bool:
+    """Crash recovery for :func:`atomic_swap_store`: if the store is
+    missing but its ``.old`` copy exists, the process died between the
+    two renames — restore the previous generation. Returns True if a
+    recovery happened. Callers run this BEFORE reading the store, so a
+    replayed micro-batch folds into the restored relation instead of
+    silently re-bootstrapping from the batch alone."""
+    old_dir = store_dir + ".old"
+    if not os.path.exists(store_dir) and os.path.exists(old_dir):
+        os.rename(old_dir, store_dir)
+        return True
+    return False
+
+
+def atomic_swap_store(df: DataFrame, store_dir: str, partitions: int = 8) -> None:
+    """Full-rewrite store maintenance with NO unrecoverable window:
+    write the new generation to ``.tmp``, move the current store aside
+    to ``.old``, rename ``.tmp`` in, then delete ``.old``. A crash at
+    any point leaves either the new store, or the old store (possibly
+    under ``.old`` — :func:`recover_swapped_store` restores it). The
+    previous rmtree-then-rename order had a window where NEITHER
+    existed and a replayed batch would re-bootstrap from itself,
+    silently discarding the relation's history (r13 review).
+
+    ``partitions``: coalesce width for the rewrite — full-rewrite
+    stores are read back whole next cycle, so a handful of files beats
+    the shuffle default's ~200 tiny ones; raise it when the relation
+    outgrows a few GB per file."""
+    old_dir = store_dir + ".old"
+    tmp = store_dir + ".tmp"
+    df.coalesce(max(1, int(partitions))).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old_dir, ignore_errors=True)  # stale from a prior crash
+    if os.path.exists(store_dir):
+        os.rename(store_dir, old_dir)
+    os.rename(tmp, store_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)

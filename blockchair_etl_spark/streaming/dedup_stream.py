@@ -520,47 +520,61 @@ def make_cluster_assignment_updater(
     a full-rewrite relation, cluster ids can change on merges, so
     batch_id partition overwrite does not fit).
 
-    Replay safety, two layers: the store carries ``__last_batch`` and a
-    replayed exact-last batch is SKIPPED (one cheap driver read); and
-    even without the skip the update is a FIXED POINT — replayed edges
-    are already inside the assignment's closure, so recomputing writes
-    the identical relation. A batch_id BELOW the watermark means the
-    checkpoint was reset while the store was kept; that raises, as in
-    the CMS updater."""
-    import os
-    import shutil
+    Replay safety, three layers: a crash between the swap's renames is
+    recovered on the next trigger (io.sinks.recover_swapped_store — the
+    previous generation is restored before anything reads); the store
+    carries ``__last_batch`` and a replayed exact-last batch is SKIPPED
+    (one cheap driver read); and even without the skip the update is a
+    FIXED POINT — replayed edges are already inside the assignment's
+    closure, so recomputing writes the identical relation. A store
+    seeded by a BATCH job (plain (doc, cluster_id), no watermark
+    column) is accepted as watermark-less. A batch_id BELOW the
+    watermark means the checkpoint was reset while the store was kept;
+    that raises, as in the CMS updater.
 
+    Cache hygiene: connected_clusters registers its edge/mapping
+    persists in the global tracked registry for the batch harness to
+    release; this loop releases them per trigger in a finally — the
+    same convention as every pair-emitting processor in this module.
+    (Co-running loops may release each other's IN-FLIGHT persists:
+    recompute cost only, never correctness — the destructive-release
+    hazard is confined to checkpoint-backed encode entries, which
+    nothing here registers.)"""
+    from ..caching import release_tracked
+    from ..io.sinks import atomic_swap_store, recover_swapped_store
     from ..llmdata.clusters import incremental_connected_clusters
 
     def _update(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
+        recover_swapped_store(store_dir)
         prior = None
         if os.path.exists(store_dir):
             prior = spark.read.parquet(store_dir)
-            last = prior.agg(F.max("__last_batch")).first()[0]
-            if last is not None and int(last) == int(batch_id):
-                return  # replayed batch: already folded in
-            if last is not None and int(last) > int(batch_id):
-                raise RuntimeError(
-                    f"cluster assignment store at {store_dir} has "
-                    f"__last_batch={last} but the stream delivered "
-                    f"batch_id={batch_id}: checkpoint/store mismatch "
-                    "(checkpoint reset while the store was kept?). "
-                    "Reset the store with the checkpoint or use a "
-                    "fresh store_dir."
-                )
-            prior = prior.drop("__last_batch")
-        updated = incremental_connected_clusters(
-            prior, batch_df.select(id_a, id_b), id_a, id_b, **cc_kwargs
-        ).withColumn("__last_batch", F.lit(int(batch_id)).cast("bigint"))
-        tmp = store_dir + f".tmp{batch_id}"
-        updated.write.mode("overwrite").parquet(tmp)
-        # atomic swap so a crash mid-write never leaves a torn store
-        if os.path.exists(store_dir):
-            shutil.rmtree(store_dir)
-        os.rename(tmp, store_dir)
+            if "__last_batch" in prior.columns:
+                last = prior.agg(F.max("__last_batch")).first()[0]
+                if last is not None and int(last) == int(batch_id):
+                    return  # replayed batch: already folded in
+                if last is not None and int(last) > int(batch_id):
+                    raise RuntimeError(
+                        f"cluster assignment store at {store_dir} has "
+                        f"__last_batch={last} but the stream delivered "
+                        f"batch_id={batch_id}: checkpoint/store mismatch "
+                        "(checkpoint reset while the store was kept?). "
+                        "Reset the store with the checkpoint or use a "
+                        "fresh store_dir."
+                    )
+                prior = prior.drop("__last_batch")
+        try:
+            updated = incremental_connected_clusters(
+                prior, batch_df.select(id_a, id_b), id_a, id_b, **cc_kwargs
+            ).withColumn("__last_batch", F.lit(int(batch_id)).cast("bigint"))
+            atomic_swap_store(updated, store_dir)
+        finally:
+            release_tracked()
 
     return _update
 

@@ -308,11 +308,12 @@ def make_cms_updater(store_dir: str, key_col: str = "user_id", width: int = 256)
     replay a (batch_df, batch_id) directly to exercise the idempotence
     contract."""
     import os
-    import shutil
 
+    from ..io.sinks import atomic_swap_store, recover_swapped_store
     from ..operators.approx import cms_build, cms_merge
 
     def _update(batch_df: DataFrame, batch_id: int) -> None:
+        recover_swapped_store(store_dir)
         batch_sketch = cms_build(
             batch_df.select(F.col(key_col).cast("bigint").alias("k")), "k", width
         )
@@ -345,12 +346,10 @@ def make_cms_updater(store_dir: str, key_col: str = "user_id", width: int = 256)
         merged = merged.withColumn(
             "__last_batch", F.lit(int(batch_id)).cast("bigint")
         )
-        tmp = store_dir + f".tmp{batch_id}"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        # atomic swap so a crash mid-write never leaves a torn store
-        if os.path.exists(store_dir):
-            shutil.rmtree(store_dir)
-        os.rename(tmp, store_dir)
+        # swap with no unrecoverable window (r13 review: the old
+        # rmtree-then-rename order could crash with NEITHER store
+        # present, and the replay would rebuild from one batch alone)
+        atomic_swap_store(merged, store_dir, partitions=1)
 
     return _update
 

@@ -193,14 +193,24 @@ def make_prep_batch_processor(
                 .join(gated.filter("keep").select(id_col), id_col)
                 .select(id_col, "norm_text", "logit_q")
             )
+            if pieces is not None or merges is not None:
+                # LM scoring / tokenizing touch kept through several
+                # plan branches, and its subtree carries the classifier
+                # featurization join — scoped persist like the
+                # decontamination branch above, NOT tracked_persist
+                # (same sibling-loop release hazard)
+                kept = scoped_kept = kept.persist()
             if pieces is not None:
-                # the LM gate joins like the classifier/Gopher gates:
-                # per-row perplexity over the normalized text, survivors
-                # keep the score (CCNet's bucketing column). NULL ppl
-                # (empty text) fails ppl <= max, matching the batch
-                # operator's gate-friendly convention
+                # the LM gate joins like the classifier/Gopher gates,
+                # and like the tokenize stage it scores SURVIVORS only
+                # (r13 review: scoring `normed` paid the forward pass
+                # for rows the cheaper gates had already rejected; the
+                # join is an intersection, so the output is identical).
+                # Survivors keep the score (CCNet's bucketing column);
+                # NULL ppl (empty text) fails ppl <= max, matching the
+                # batch operator's gate-friendly convention
                 lm = unigram_doc_perplexity(
-                    normed, pieces, text_col="norm_text", id_col=id_col
+                    kept, pieces, text_col="norm_text", id_col=id_col
                 )
                 kept = kept.join(
                     lm.filter(F.col("ppl") <= float(ppl_max)).select(id_col, "ppl"),
@@ -209,14 +219,7 @@ def make_prep_batch_processor(
             if merges is not None:
                 # tokenize SURVIVORS only (the gates already paid for
                 # themselves); n_tokens join-back keeps token arrays
-                # out of the store. kept feeds FOUR branches of the
-                # tokenized plan (outer join-back left side, the id
-                # frame inside bpe_apply, and the token stream's two
-                # consumers), and its subtree carries the classifier
-                # featurization join — scoped persist like the
-                # decontamination branch above, NOT tracked_persist
-                # (same sibling-loop release hazard)
-                kept = scoped_kept = kept.persist()
+                # out of the store
                 kept = kept.join(
                     bpe_apply(
                         kept,

@@ -1037,3 +1037,41 @@ def test_cluster_assignment_stream_matches_one_shot(spark, tmp_path):
     # batch_id below the watermark: checkpoint/store mismatch
     with _pytest.raises(RuntimeError, match="checkpoint/store mismatch"):
         upd(spark.createDataFrame(b1, ["id_a", "id_b"]), int(last) - 1)
+
+
+def test_cluster_store_swap_crash_recovery(spark, tmp_path):
+    """r13 review: the swap must have NO unrecoverable window. Simulate
+    a crash between the two renames (store moved aside to .old, new
+    generation never landed): the next trigger restores the previous
+    generation and folds into IT — history survives. Also: a store
+    seeded by a BATCH job (no __last_batch column) is accepted."""
+    import os
+
+    from blockchair_etl_spark.llmdata.clusters import connected_clusters
+    from blockchair_etl_spark.streaming.dedup_stream import (
+        make_cluster_assignment_updater,
+    )
+
+    store_dir = str(tmp_path / "assign")
+    # batch-seeded store: plain (doc, cluster_id), no watermark column
+    seed_pairs = [(1, 2), (10, 11)]
+    connected_clusters(
+        spark.createDataFrame(seed_pairs, ["id_a", "id_b"])
+    ).write.parquet(store_dir)
+
+    upd = make_cluster_assignment_updater(store_dir)
+    upd(spark.createDataFrame([(2, 3)], ["id_a", "id_b"]), 0)
+    want_after_0 = _union_find(seed_pairs + [(2, 3)])
+    got = {
+        r.doc: r.cluster_id for r in spark.read.parquet(store_dir).collect()
+    }
+    assert got == want_after_0
+
+    # crash window: previous generation parked at .old, store missing
+    os.rename(store_dir, store_dir + ".old")
+    upd(spark.createDataFrame([(3, 10)], ["id_a", "id_b"]), 1)
+    got = {
+        r.doc: r.cluster_id for r in spark.read.parquet(store_dir).collect()
+    }
+    assert got == _union_find(seed_pairs + [(2, 3), (3, 10)])
+    assert not os.path.exists(store_dir + ".old")

@@ -815,3 +815,65 @@ def test_embedding_store_flatten_retention_roundtrip(spark, tmp_path):
     keep_ids = {r.id for r in full.filter(F.col("batch_id") >= 1).collect()}
     assert batch_store_retention(store_dir, keep_last=2) == ["batch_id=0"]
     assert {r.id for r in spark.read.parquet(store_dir).collect()} == keep_ids
+
+
+def test_ann_index_store_flatten_retention_roundtrip(spark, tmp_path):
+    """Store maintenance over the exactly-once IVF-PQ index store
+    (r13): a batch_id-partitioned index built by the real streaming
+    processor survives flatten + retention, and the flattened relation
+    is PROBE-equivalent — ivfpq_adc_topk_from_index over the flattened
+    copy returns bit-identical top-k to the partitioned store."""
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.io.sinks import (
+        batch_store_retention,
+        flatten_batch_store,
+    )
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.ivf import seed_centroids
+    from blockchair_etl_spark.llmdata.pq import (
+        ivfpq_adc_topk_from_index,
+        residual_frame,
+        seed_pq_codebooks,
+    )
+    from blockchair_etl_spark.streaming.ann_stream import (
+        make_ivfpq_batch_processor,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = seed_centroids(emb, n_centroids=4)
+    res = residual_frame(emb, cents)
+    books = seed_pq_codebooks(res, dim=64, m=4, ksub=8, vec_col="residual")
+
+    store = str(tmp_path / "ann_store")
+    proc = make_ivfpq_batch_processor(store, cents, books, exactly_once=True)
+    for i in range(3):
+        proc(emb.filter(F.col("vec_id") % 3 == i), i)
+
+    full = spark.read.parquet(store)
+    assert set(full.columns) == {"vec_id", "ivf_cluster", "codes", "batch_id"}
+
+    flat_dir = str(tmp_path / "ann_flat")
+    n = flatten_batch_store(spark, store, flat_dir, n_files=2)
+    flat = spark.read.parquet(flat_dir)
+    assert n == full.count() and "batch_id" not in flat.columns
+
+    qv = [float(v) for v in cents[0]]
+    got = [
+        (r.vec_id, r.adc)
+        for r in ivfpq_adc_topk_from_index(flat, cents, books, qv, k=10).collect()
+    ]
+    want = [
+        (r.vec_id, r.adc)
+        for r in ivfpq_adc_topk_from_index(
+            full.drop("batch_id"), cents, books, qv, k=10
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
+
+    # retention drops the oldest batch; the flattened copy still holds
+    # the full index (the "flatten first" contract)
+    keep_ids = {r.vec_id for r in full.filter(F.col("batch_id") >= 1).collect()}
+    assert batch_store_retention(store, keep_last=2) == ["batch_id=0"]
+    assert {r.vec_id for r in spark.read.parquet(store).collect()} == keep_ids
+    assert spark.read.parquet(flat_dir).count() == n
