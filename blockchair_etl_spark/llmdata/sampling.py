@@ -618,3 +618,53 @@ def leakage_safe_split(
         default_split=default_split,
         salt=salt,
     ).select(id_col, "canonical_id", "split")
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Greedy k-center coreset selection (Gonzalez '85; the classic
+    2-approximation of the k-center cover): seed with the minimum-id
+    vector, then k-1 times pick the point FURTHEST from the selected
+    set — the diversity-maximizing subset the cluster-balanced sampler
+    approximates by buckets, here computed exactly. The coreset is the
+    standard diversity-selection primitive for training-data curation
+    (pick prototypes to label/keep, cap redundancy after dedup).
+
+    Scale/determinism shape — the Lloyd-loop contract (ivf.py): k
+    driver rounds, each ONE corpus scan computing min-distance-to-
+    selected as a pure Column expression (F.least over exact-DECIMAL
+    squared distances to the selected vectors inlined as literals —
+    the _sq_dist arithmetic the SQL oracle replays bit-for-bit) and
+    collecting exactly ONE (id, vector) row via a total order
+    (distance DESC, id ASC). Driver traffic is O(k * dim) floats;
+    round i's expression carries i distance terms, so total work is
+    O(k^2) distance evals per row — right for coreset-sized k (tens);
+    for k in the thousands use cluster_balanced_sample, which is the
+    bucketed approximation of exactly this objective."""
+    from .ivf import _sq_dist
+
+    if k < 1:
+        raise ValueError(f"k={k}: need at least one center")
+    first = emb.select(id_col, vec_col).orderBy(id_col).limit(1).collect()
+    if not first:
+        raise ValueError("kcenter_select over an empty relation")
+    selected = [(first[0][0], [float(x) for x in first[0][1]])]
+    import numpy as np
+
+    vec = F.col(vec_col)
+    while len(selected) < k:
+        dists = [_sq_dist(vec, np.asarray(v)) for _, v in selected]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        rows = (
+            emb.select(id_col, vec_col, mind.alias("__d"))
+            .orderBy(F.desc("__d"), F.asc(id_col))
+            .limit(1)
+            .collect()
+        )
+        row = rows[0]
+        selected.append((row[0], [float(x) for x in row[1]]))
+    return [i for i, _ in selected]

@@ -6507,6 +6507,61 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_balanced_sample(emb, per_bucket=20, n_planes=4, seed=7, dim=64)
 
 
+def _sql_kcenter_oracle(k: int) -> str:
+    """Greedy k-center unrolled into k chained CTEs: s0 = min-id seed;
+    round i computes every vector's exact-decimal min squared distance
+    to the selected set (least() folds round-over-round, exactly the
+    F.least accumulation Spark runs) and picks (dist DESC, vec_id ASC)
+    LIMIT 1 — the iterative algorithm as static SQL, the same
+    unrolling trick as the recursive-CC oracles."""
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings)",
+        ", s0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1)",
+        ", d1 AS (SELECT e.vec_id, e.embedding, "
+        f"{_sql_sq_dist('e.embedding', 's0.embedding')} AS dist FROM e, s0)",
+    ]
+    for i in range(1, k):
+        parts.append(
+            f", s{i} AS (SELECT vec_id, embedding FROM d{i} "
+            "ORDER BY dist DESC, vec_id ASC LIMIT 1)"
+        )
+        if i < k - 1:
+            parts.append(
+                f", d{i + 1} AS (SELECT d{i}.vec_id, d{i}.embedding, "
+                f"least(d{i}.dist, "
+                f"{_sql_sq_dist(f'd{i}.embedding', f's{i}.embedding')}) "
+                f"AS dist FROM d{i}, s{i})"
+            )
+    sels = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS sel_rank, vec_id FROM s{i}"
+        for i in range(k)
+    )
+    return "\n".join(parts) + "\n" + sels
+
+
+@register(
+    "sample_kcenter_coreset",
+    survey="LLM-sampling (diversity coreset: greedy k-center)",
+    desc="Gonzalez greedy k-center over the embedding table (k=8): "
+    "seed at the min id, then repeatedly select the vector FURTHEST "
+    "from the selected set — exact-decimal squared distances, total "
+    "(dist DESC, id ASC) tie order, k driver rounds of one scan + one "
+    "1-row collect each (the Lloyd-loop contract). The oracle unrolls "
+    "the k rounds into chained CTEs with the same least() fold, so "
+    "the hash match pins every round's argmax",
+    oracle=_sql_kcenter_oracle(8),
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.sampling import kcenter_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = kcenter_select(emb, k=8)
+    return spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(ids)],
+        "sel_rank bigint, vec_id bigint",
+    )
+
+
 @register(
     "sample_dsir_scores",
     survey="LLM-sampling (DSIR-shaped hashed-feature importance scores)",

@@ -3551,3 +3551,56 @@ def test_streaming_prep_lm_perplexity_gate(spark, docs, tmp_path):
     # (c) half-specified gate raises
     with pytest.raises(ValueError, match="come together"):
         make_prep_batch_processor(weights, str(tmp_path / "bad"), pieces=pieces)
+
+
+def test_kcenter_select_matches_python_greedy(spark, sf_dir):
+    """Greedy k-center parity vs an independent python reference using
+    the oracle's own exact-decimal distance arithmetic (per-dim IEEE
+    (a-b)^2 quantized to 18 decimals, exact sums), including the
+    (dist DESC, id ASC) argmax tie order; plus the coverage-radius
+    monotonicity greedy guarantees, the exact-k contract, and the
+    empty/k<1 guards."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pytest
+
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.sampling import kcenter_select
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(120)
+    got = kcenter_select(emb, k=6)
+    assert len(got) == 6 and len(set(got)) == 6
+
+    quantum = Decimal("0.000000000000000001")
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def sq(a, b):
+        total = Decimal(0)
+        for x, y in zip(a, b):
+            d = x - y
+            total += Decimal(d * d).quantize(quantum, rounding=ROUND_HALF_UP)
+        return total
+
+    sel = [min(vecs)]
+    mind = {v: sq(vecs[v], vecs[sel[0]]) for v in vecs}
+    radii = [max(mind.values())]
+    while len(sel) < 6:
+        nxt = max(((d, -v) for v, d in mind.items()), key=lambda t: t)
+        pick = -nxt[1]
+        sel.append(pick)
+        for v in vecs:
+            d = sq(vecs[v], vecs[pick])
+            if d < mind[v]:
+                mind[v] = d
+        radii.append(max(mind.values()))
+    assert got == sel
+    # greedy guarantee: the coverage radius never increases per round
+    assert all(radii[i + 1] <= radii[i] for i in range(len(radii) - 1))
+
+    with pytest.raises(ValueError, match="k="):
+        kcenter_select(emb, k=0)
+    with pytest.raises(ValueError, match="empty"):
+        kcenter_select(emb.filter("vec_id < 0"), k=2)
