@@ -314,6 +314,24 @@ small jobs), the same JVM/sched sensitivity class as the joint-dedup
 note below. CLOSED as record-to-record variance, no code change in
 any pagerank path this round (git-verified).
 
+r13 MID-ROUND SWEEP-TO-SWEEP COMPARISON (two same-day session records
+on near-identical code, 96.183 s vs 106.970 s over the same 82
+queries): canary_ratio 1.048, sched_ratio 0.926, normalized
+common-cohort median 1.035 — flat. Two movers survived normalization
+(dedup_incremental_embedding 2.45x sched-norm, +2.0 s;
+dedup_best_quality_survivors 2.41x, +2.9 s) and earned the isolated
+canary-bracketed 5-run A/B: medians 2.45 s (samples 6.19 warmup then
+2.92/2.45/2.20/2.35) and 3.86 s (12.79 warmup then 3.98/3.76/3.86/
+3.71) — each BETWEEN its two sweep readings (1.58/3.58 and 2.37/5.28)
+and at the r12 driver values (2.55 / 3.00 envelope), with NEITHER
+module changed this session (git-verified: the r13 session diff
+touches unigram/ann_stream/clusters-additive/prep_stream, not
+dedup.py or connected_clusters). Both are the documented
+persist+CC-heavy JVM/sched-sensitive class (first isolated run 2.5-3x
+the median — the same warmup signature as the joint-dedup note): the
+early sweep caught their fast tail, the late sweep their slow tail.
+CLOSED as sweep-position variance; watch in the r13 driver record.
+
 r12 FULL-SWEEP finding (SPARK_GRAFT_BENCH_ALL=1, runs=2, final r12
 code, 169 timed queries, 340.9 s total, canary 0.734/0.605 — a slower
 box than the r11 sweep's day): no new outlier class. The slowest

@@ -1075,3 +1075,32 @@ def test_cluster_store_swap_crash_recovery(spark, tmp_path):
     }
     assert got == _union_find(seed_pairs + [(2, 3), (3, 10)])
     assert not os.path.exists(store_dir + ".old")
+
+
+def test_cms_store_swap_crash_recovery(spark, tmp_path):
+    """The CMS maintainer shares atomic_swap_store's no-unrecoverable-
+    window contract: with the store parked at .old (crash between the
+    two renames), the next trigger restores it and cell-merges into the
+    FULL history instead of silently rebootstrapping from one batch."""
+    import os
+
+    from blockchair_etl_spark.operators.approx import cms_build
+    from blockchair_etl_spark.streaming.incremental import make_cms_updater
+
+    store = str(tmp_path / "cms_store")
+    upd = make_cms_updater(store, key_col="k", width=16)
+    b0 = spark.createDataFrame([(i % 5,) for i in range(40)], "k bigint")
+    b1 = spark.createDataFrame([(i % 3,) for i in range(30)], "k bigint")
+    upd(b0, 0)
+    os.rename(store, store + ".old")  # the crash window
+    upd(b1, 1)
+    got = {
+        (r.row_id, r.col_id): r.cnt
+        for r in spark.read.parquet(store).drop("__last_batch").collect()
+    }
+    want = {
+        (r.row_id, r.col_id): r.cnt
+        for r in cms_build(b0.unionByName(b1), "k", width=16).collect()
+    }
+    assert got == want
+    assert not os.path.exists(store + ".old")
