@@ -495,9 +495,16 @@ HEADLINE = [
     # round-12 addition: tokenize -> budget-select -> pack with BPE
     # counts as the currency
     "corpus_prep_v5_pipeline",
-    # round-13 addition: the daily-ingest ANN maintenance path (frozen
-    # artifacts, store anti-join append, probe over the appended index)
+    # round-13 additions: the daily-ingest ANN maintenance path (frozen
+    # artifacts, store anti-join append, probe over the appended index),
+    # the unigram seed stage (the second tokenizer family's oracle'd
+    # Spark-side stage), the two-day star-edge CC fold, and the k-center
+    # coreset (k driver rounds — the scheduler-sensitive class worth a
+    # per-round series)
     "ann_ivfpq_incremental",
+    "tokenizer_unigram_seed",
+    "dedup_incremental_clusters",
+    "sample_kcenter_coreset",
 ]
 
 

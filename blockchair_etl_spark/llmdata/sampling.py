@@ -644,7 +644,13 @@ def kcenter_select(
     round i's expression carries i distance terms, so total work is
     O(k^2) distance evals per row — right for coreset-sized k (tens);
     for k in the thousands use cluster_balanced_sample, which is the
-    bucketed approximation of exactly this objective."""
+    bucketed approximation of exactly this objective.
+
+    Degenerate k: if the relation has fewer than k DISTINCT vectors,
+    selection stops when the coverage radius reaches 0 and returns the
+    distinct centers found (the unrolled SQL oracle instead replays
+    full rounds, so the oracle'd entry keeps k well under the
+    fixture's distinct count)."""
     from .ivf import _sq_dist
 
     if k < 1:
@@ -666,5 +672,11 @@ def kcenter_select(
             .collect()
         )
         row = rows[0]
+        if row["__d"] == 0:
+            # every vector coincides with a selected center: coverage
+            # radius is 0 and further rounds would re-pick the min-id
+            # seed forever (r13 review) — return the < k DISTINCT
+            # centers that already cover the set exactly
+            break
         selected.append((row[0], [float(x) for x in row[1]]))
     return [i for i, _ in selected]

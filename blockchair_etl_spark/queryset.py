@@ -6513,7 +6513,9 @@ def _sql_kcenter_oracle(k: int) -> str:
     to the selected set (least() folds round-over-round, exactly the
     F.least accumulation Spark runs) and picks (dist DESC, vec_id ASC)
     LIMIT 1 — the iterative algorithm as static SQL, the same
-    unrolling trick as the recursive-CC oracles."""
+    unrolling trick as the recursive-CC oracles. Assumes k is well
+    under the table's distinct-vector count (the operator early-stops
+    at coverage radius 0; the unrolled SQL has no break)."""
     parts = [
         "WITH e AS (SELECT vec_id, embedding FROM embeddings)",
         ", s0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1)",

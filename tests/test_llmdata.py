@@ -3578,10 +3578,16 @@ def test_kcenter_select_matches_python_greedy(spark, sf_dir):
     }
 
     def sq(a, b):
+        # Decimal(repr(x)) — the SHORTEST-REPR rounding Spark's
+        # double->decimal(38,18) cast applies (r13 review:
+        # Decimal(d*d) quantizes the exact binary double instead,
+        # diverging at the 18th digit for most doubles)
         total = Decimal(0)
         for x, y in zip(a, b):
             d = x - y
-            total += Decimal(d * d).quantize(quantum, rounding=ROUND_HALF_UP)
+            total += Decimal(repr(d * d)).quantize(
+                quantum, rounding=ROUND_HALF_UP
+            )
         return total
 
     sel = [min(vecs)]
@@ -3604,3 +3610,12 @@ def test_kcenter_select_matches_python_greedy(spark, sf_dir):
         kcenter_select(emb, k=0)
     with pytest.raises(ValueError, match="empty"):
         kcenter_select(emb.filter("vec_id < 0"), k=2)
+
+    # degenerate k > distinct vectors: early-stop at coverage radius 0
+    # returns the distinct centers instead of re-picking the seed
+    # forever (r13 review)
+    tiny = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [1.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    assert kcenter_select(tiny, k=5) == [1, 2, 3]
