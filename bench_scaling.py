@@ -105,6 +105,13 @@ FAMILY = [
     # the day-2 pair set + O(docs) star edges, never the pair history;
     # pair-generating upstream (minhash), so it takes the tight gate
     "dedup_incremental_clusters",
+    # round-13: the k-center coreset is k driver rounds of one
+    # TakeOrdered scan each (no shuffle) — alpha ~1 expected (scan-
+    # bound); the unigram seed stage is one substring explode + agg,
+    # the text-family shape. Both read documents/embeddings, which
+    # synthesize() copies, so the alphas are meaningful.
+    "sample_kcenter_coreset",
+    "tokenizer_unigram_seed",
     # media_pixel_dedup_survivors (the 8x4=32-bit oracle twin) is
     # deliberately ABSENT: at fixed 32-bit width the pigeonhole block
     # join's RANDOM collisions alone grow quadratically (4*2^-8 ~ 1.6%

@@ -1104,3 +1104,68 @@ def test_cms_store_swap_crash_recovery(spark, tmp_path):
     }
     assert got == want
     assert not os.path.exists(store + ".old")
+
+
+def test_streaming_pairs_to_assignment_composition(spark, tmp_path):
+    """The documented end-to-end streaming dedup story: the MinHash
+    dedup loop emits pairs per trigger; a pairs stream pointed at its
+    pairs_dir maintains the (doc, cluster_id) assignment store. After
+    both drains, the assignment equals one-shot CC over the one-shot
+    pair set — neither loop ever rescanned history."""
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.clusters import connected_clusters
+    from blockchair_etl_spark.llmdata.dedup import minhash_lsh_pairs
+    from blockchair_etl_spark.streaming.dedup_stream import (
+        cluster_assignment_stream,
+        incremental_minhash_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    pairs_dir = str(tmp_path / "pairs")
+    schema = spark.read.parquet(src).schema
+    q = (
+        incremental_minhash_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            store_dir=str(tmp_path / "sig_store"),
+            pairs_dir=pairs_dir,
+            checkpoint_dir=str(tmp_path / "ckpt_mh"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    pairs_schema = spark.read.parquet(pairs_dir).schema
+    q2 = (
+        cluster_assignment_stream(
+            spark.readStream.schema(pairs_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(pairs_dir),
+            store_dir=str(tmp_path / "assign"),
+            checkpoint_dir=str(tmp_path / "ckpt_cc"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(300)
+
+    got = {
+        r.doc: r.cluster_id
+        for r in spark.read.parquet(str(tmp_path / "assign"))
+        .drop("__last_batch")
+        .collect()
+    }
+    want = {
+        r.doc: r.cluster_id
+        for r in connected_clusters(minhash_lsh_pairs(docs)).collect()
+    }
+    assert got == want and want
