@@ -368,3 +368,80 @@ def stream_enrich_with_dim(
     right shape for enriching a 100 TB/day feed with dimension tables —
     state cost zero, dim freshness = trigger interval."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def make_kmv_updater(store_dir: str, key_col: str = "user_id", k: int = 64):
+    """foreachBatch body maintaining a KMV distinct-count sketch store —
+    the KMV sibling of make_cms_updater, completing the continuously-
+    maintained sketch-store family: per micro-batch, the batch's k
+    smallest distinct 60-bit hashes (operators.approx.kmv_mins) merge
+    into the persisted `mins` relation (union, re-take the k smallest —
+    the lossless KMV merge), and the store swaps atomically. The store
+    after any stream prefix equals kmv_mins over exactly the rows seen,
+    so kmv_union-style estimation over it matches the batch sketch —
+    state is O(k) rows forever, the 100 TB always-on cardinality shape.
+
+    Same replay contract as the CMS updater: __last_batch watermark
+    (exact-last replay skipped, below-watermark raises), crash-window
+    recovery via recover_swapped_store. Unlike CMS cell merges, a
+    re-merged batch is ALSO a semantic no-op (min-k union is
+    idempotent), so even a lost watermark cannot corrupt the sketch —
+    the skip only saves work."""
+    import os
+
+    from ..io.sinks import atomic_swap_store, recover_swapped_store
+    from ..operators.approx import kmv_mins
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        recover_swapped_store(store_dir)
+        batch_mins = kmv_mins(batch_df, key_col, k=k)
+        if os.path.exists(store_dir):
+            prior = batch_df.sparkSession.read.parquet(store_dir)
+            last = prior.agg(F.max("__last_batch")).first()[0]
+            if last is not None and int(last) == int(batch_id):
+                return
+            if last is not None and int(last) > int(batch_id):
+                raise RuntimeError(
+                    f"KMV store at {store_dir} has __last_batch={last} "
+                    f"but the stream delivered batch_id={batch_id}: "
+                    "checkpoint/store mismatch (checkpoint reset while "
+                    "the store was kept?). Reset the store with the "
+                    "checkpoint or use a fresh store_dir."
+                )
+            merged = (
+                prior.drop("__last_batch")
+                .unionByName(batch_mins)
+                .distinct()
+                .orderBy("hv")
+                .limit(k)
+            )
+        else:
+            merged = batch_mins
+        merged = merged.withColumn(
+            "__last_batch", F.lit(int(batch_id)).cast("bigint")
+        )
+        atomic_swap_store(merged, store_dir, partitions=1)
+
+    return _update
+
+
+def stream_kmv_maintain(
+    spark: SparkSession,
+    events_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    store_dir: str,
+    key_col: str = "user_id",
+    k: int = 64,
+) -> "StreamingQuery":
+    """Continuously maintained KMV sketch — always-on distinct-count
+    tracking with O(k) state; the streaming form of
+    operators.approx.kmv_distinct via the mergeability contract."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    _update = make_kmv_updater(store_dir, key_col, k)
+    return (
+        stream.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

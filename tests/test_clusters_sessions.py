@@ -1169,3 +1169,69 @@ def test_streaming_pairs_to_assignment_composition(spark, tmp_path):
         for r in connected_clusters(minhash_lsh_pairs(docs)).collect()
     }
     assert got == want and want
+
+
+def test_stream_kmv_maintain_equals_batch_sketch(spark, tmp_path):
+    """The KMV sketch store after a 3-drain stream equals kmv_mins over
+    exactly the rows seen (the mergeability contract), estimation off
+    the store matches the batch sketch, a replayed exact-last batch is
+    skipped, and a re-merge is a semantic no-op anyway (min-k union
+    idempotence — exercised via a fresh-store double-merge)."""
+    from blockchair_etl_spark.operators.approx import kmv_mins
+    from blockchair_etl_spark.streaming.incremental import (
+        make_kmv_updater,
+        stream_kmv_maintain,
+    )
+
+    rows = [(i, i % 37) for i in range(400)]
+    df = spark.createDataFrame(rows, "row_id bigint, user_id bigint")
+    src = str(tmp_path / "kmv_src")
+    for i in range(3):
+        df.filter(F.col("row_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = str(tmp_path / "kmv_store")
+    q = stream_kmv_maintain(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        str(tmp_path / "kmv_ckpt"),
+        store,
+        key_col="user_id",
+        k=16,
+    )
+    assert q.awaitTermination(300)
+
+    got = sorted(
+        r.hv
+        for r in spark.read.parquet(store).drop("__last_batch").collect()
+    )
+    want = sorted(r.hv for r in kmv_mins(df, "user_id", k=16).collect())
+    assert got == want and len(got) == 16
+
+    # replayed exact-last batch: skipped, store byte-identical
+    upd = make_kmv_updater(store, key_col="user_id", k=16)
+    last = (
+        spark.read.parquet(store).agg(F.max("__last_batch")).first()[0]
+    )
+    upd(df, int(last))
+    again = sorted(
+        r.hv
+        for r in spark.read.parquet(store).drop("__last_batch").collect()
+    )
+    assert again == got
+
+    # min-k union idempotence: merging the SAME batch twice into a
+    # fresh store changes nothing
+    fresh = str(tmp_path / "kmv_fresh")
+    upd2 = make_kmv_updater(fresh, key_col="user_id", k=16)
+    upd2(df, 0)
+    once = sorted(
+        r.hv for r in spark.read.parquet(fresh).drop("__last_batch").collect()
+    )
+    upd2(df, 1)  # new batch id, same rows — the semantic no-op
+    twice = sorted(
+        r.hv for r in spark.read.parquet(fresh).drop("__last_batch").collect()
+    )
+    assert once == twice == got
