@@ -332,6 +332,21 @@ the median — the same warmup signature as the joint-dedup note): the
 early sweep caught their fast tail, the late sweep their slow tail.
 CLOSED as sweep-position variance; watch in the r13 driver record.
 
+r13 FULL-SWEEP finding (SPARK_GRAFT_BENCH_ALL=1, runs=2, final r13
+code, 173 timed queries, 274.0 s total, canary 0.810/0.591 — a faster
+box than the r12 sweep's day, and 67 s LESS total for 4 MORE queries):
+no new outlier class. The slowest entries are the same documented set
+— dedup_bow_cosine 93.6 s (the adversarial exact-form fixture;
+deployed shape dedup_bow_cosine_zipf 2.5 s in the same sweep), the
+recall/accuracy instrumentation rows carrying brute-force ground
+truth by design, the composed pipelines, and the honest in-query
+index builds (ann_ivfpq_incremental 9.8 s in-sweep: trains + encodes
++ appends + probes; the deployed query shape is the store-backed twin
+at ~0.4 s). The four r13 entries land mid-pack (unigram seed 1.99 s
+in-sweep vs 0.43 headline — neighbor variance; incremental clusters
+5.6 s; k-center 5.6 s — eight serial TakeOrdered scans, the
+documented scan-bound shape). No regression candidates.
+
 r12 FULL-SWEEP finding (SPARK_GRAFT_BENCH_ALL=1, runs=2, final r12
 code, 169 timed queries, 340.9 s total, canary 0.734/0.605 — a slower
 box than the r11 sweep's day): no new outlier class. The slowest

@@ -93,6 +93,19 @@ def fee_quantiles(
     )
 
 
+def kmv_merge_mins(sketches: list[DataFrame], k: int = 64) -> DataFrame:
+    """The lossless KMV merge on `mins` relations: union the min-hash
+    sets, dedup, re-take the k smallest. The ONE definition of the
+    merge — kmv_union's estimation and the streaming store maintainer
+    (streaming.incremental.make_kmv_updater) both call it, so the
+    streaming sketch can never drift from the batch semantics (r13
+    review)."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.distinct().orderBy(F.asc("hv")).limit(k)
+
+
 def kmv_union(
     sketches: list[DataFrame], k: int = 64, hash_bits: int = 60
 ) -> DataFrame:
@@ -104,10 +117,7 @@ def kmv_union(
     Inputs are `mins` relations of kmv_mins(); returns the same 1-row
     estimate frame as kmv_distinct."""
     space = float(1 << hash_bits)
-    merged = sketches[0]
-    for s in sketches[1:]:
-        merged = merged.unionByName(s)
-    mins = merged.distinct().orderBy(F.asc("hv")).limit(k)
+    mins = kmv_merge_mins(sketches, k)
     n_taken = F.count(F.lit(1))
     kth = F.max("hv")
     return mins.agg(

@@ -390,14 +390,20 @@ def make_kmv_updater(store_dir: str, key_col: str = "user_id", k: int = 64):
     import os
 
     from ..io.sinks import atomic_swap_store, recover_swapped_store
-    from ..operators.approx import kmv_mins
+    from ..operators.approx import kmv_merge_mins, kmv_mins
 
     def _update(batch_df: DataFrame, batch_id: int) -> None:
         recover_swapped_store(store_dir)
         batch_mins = kmv_mins(batch_df, key_col, k=k)
         if os.path.exists(store_dir):
             prior = batch_df.sparkSession.read.parquet(store_dir)
-            last = prior.agg(F.max("__last_batch")).first()[0]
+            # a store seeded by a BATCH job (plain kmv_mins relation,
+            # no watermark column) is accepted as watermark-less —
+            # the CMS sibling's legacy-store contract
+            last = None
+            if "__last_batch" in prior.columns:
+                last = prior.agg(F.max("__last_batch")).first()[0]
+                prior = prior.drop("__last_batch")
             if last is not None and int(last) == int(batch_id):
                 return
             if last is not None and int(last) > int(batch_id):
@@ -408,13 +414,7 @@ def make_kmv_updater(store_dir: str, key_col: str = "user_id", k: int = 64):
                     "the store was kept?). Reset the store with the "
                     "checkpoint or use a fresh store_dir."
                 )
-            merged = (
-                prior.drop("__last_batch")
-                .unionByName(batch_mins)
-                .distinct()
-                .orderBy("hv")
-                .limit(k)
-            )
+            merged = kmv_merge_mins([prior, batch_mins], k=k)
         else:
             merged = batch_mins
         merged = merged.withColumn(

@@ -1235,3 +1235,20 @@ def test_stream_kmv_maintain_equals_batch_sketch(spark, tmp_path):
         r.hv for r in spark.read.parquet(fresh).drop("__last_batch").collect()
     )
     assert once == twice == got
+
+    # a BATCH-seeded store (plain kmv_mins relation, no watermark
+    # column) is accepted as watermark-less (r13 review — the CMS
+    # sibling's legacy-store contract)
+    seeded = str(tmp_path / "kmv_seeded")
+    kmv_mins(df.filter(F.col("row_id") < 200), "user_id", k=16).write.parquet(
+        seeded
+    )
+    upd3 = make_kmv_updater(seeded, key_col="user_id", k=16)
+    upd3(df.filter(F.col("row_id") >= 200), 0)
+    assert (
+        sorted(
+            r.hv
+            for r in spark.read.parquet(seeded).drop("__last_batch").collect()
+        )
+        == got
+    )
