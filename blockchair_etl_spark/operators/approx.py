@@ -302,13 +302,53 @@ def histogram_quantiles(
     no float rounding at the decision boundary.
 
     Output: (group, n, p<pct> DOUBLE per requested percentile)."""
-    from pyspark.sql import Window
+    bins = histogram_bins(df, value_col, group_col, bin_scale)
+    return histogram_quantiles_from_bins(
+        bins, group_col, quantile_pcts, bin_scale
+    )
 
+
+def histogram_bins(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    bin_scale: int = 8,
+) -> DataFrame:
+    """The sketch half of histogram_quantiles: the (g, bin, cnt) cell
+    relation. Exposed separately because this is the MERGEABLE state —
+    two sketches merge by summing cnt per (g, bin), which is what the
+    streaming maintainer (streaming.incremental.make_histogram_updater)
+    persists and cell-merges per trigger."""
     g = F.col(group_col)
     b = F.floor(F.col(value_col).cast("double") * bin_scale).cast("bigint")
-    bins = df.select(g.alias("g"), b.alias("bin")).groupBy("g", "bin").agg(
-        F.count(F.lit(1)).alias("cnt")
+    return (
+        df.select(g.alias("g"), b.alias("bin"))
+        .groupBy("g", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def histogram_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge fixed-bin histogram sketches: cell-wise cnt sum — the ONE
+    definition of the merge, shared by batch rollups and the streaming
+    store maintainer."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("g", "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles_from_bins(
+    bins: DataFrame,
+    group_col: str,
+    quantile_pcts: tuple[int, ...] = (50, 90, 99),
+    bin_scale: int = 8,
+) -> DataFrame:
+    """The read half of histogram_quantiles: quantile estimates off a
+    (g, bin, cnt) cell relation — run it over the live streaming store
+    at any time without touching the raw events."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("g").orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -445,3 +445,82 @@ def stream_kmv_maintain(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def make_histogram_updater(
+    store_dir: str,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    bin_scale: int = 8,
+):
+    """foreachBatch body maintaining a fixed-bin histogram-quantile
+    sketch store — the third continuously-maintained sketch beside CMS
+    and KMV: per micro-batch, the batch's (g, bin, cnt) cells
+    (operators.approx.histogram_bins) cell-merge into the persisted
+    relation through the shared histogram_merge definition, and the
+    store swaps atomically. Quantiles read off the live store at any
+    time via histogram_quantiles_from_bins — state is O(groups × value
+    range × scale) regardless of stream length.
+
+    Same replay contract as the CMS/KMV updaters: __last_batch
+    watermark (exact-last replay skipped, below-watermark raises,
+    batch-seeded watermark-less stores accepted), crash-window recovery
+    via recover_swapped_store. Like CMS (and unlike KMV), a re-merge
+    DOUBLE-COUNTS, so the watermark is load-bearing here."""
+    import os
+
+    from ..io.sinks import atomic_swap_store, recover_swapped_store
+    from ..operators.approx import histogram_bins, histogram_merge
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        recover_swapped_store(store_dir)
+        batch_bins = histogram_bins(batch_df, value_col, group_col, bin_scale)
+        if os.path.exists(store_dir):
+            prior = batch_df.sparkSession.read.parquet(store_dir)
+            last = None
+            if "__last_batch" in prior.columns:
+                last = prior.agg(F.max("__last_batch")).first()[0]
+                prior = prior.drop("__last_batch")
+            if last is not None and int(last) == int(batch_id):
+                return
+            if last is not None and int(last) > int(batch_id):
+                raise RuntimeError(
+                    f"histogram store at {store_dir} has __last_batch="
+                    f"{last} but the stream delivered batch_id="
+                    f"{batch_id}: checkpoint/store mismatch (checkpoint "
+                    "reset while the store was kept?). Reset the store "
+                    "with the checkpoint or use a fresh store_dir."
+                )
+            merged = histogram_merge(prior, batch_bins)
+        else:
+            merged = batch_bins
+        merged = merged.withColumn(
+            "__last_batch", F.lit(int(batch_id)).cast("bigint")
+        )
+        atomic_swap_store(merged, store_dir, partitions=1)
+
+    return _update
+
+
+def stream_histogram_maintain(
+    spark: SparkSession,
+    events_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    store_dir: str,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    bin_scale: int = 8,
+) -> "StreamingQuery":
+    """Continuously maintained histogram-quantile sketch — always-on
+    per-group quantile tracking with bounded state; the streaming form
+    of operators.approx.histogram_quantiles via the cell-merge
+    contract."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    _update = make_histogram_updater(store_dir, value_col, group_col, bin_scale)
+    return (
+        stream.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1252,3 +1252,60 @@ def test_stream_kmv_maintain_equals_batch_sketch(spark, tmp_path):
         )
         == got
     )
+
+
+def test_stream_histogram_maintain_equals_batch_sketch(spark, tmp_path):
+    """The histogram sketch store after a 3-drain stream equals
+    histogram_bins over exactly the rows seen (cell-for-cell), quantiles
+    read off the live store match the one-shot operator for every
+    requested percentile, and a replayed exact-last batch is skipped
+    (cell sums DOUBLE-COUNT on re-merge, so the watermark is
+    load-bearing here, unlike KMV)."""
+    from blockchair_etl_spark.operators.approx import (
+        histogram_bins,
+        histogram_quantiles,
+        histogram_quantiles_from_bins,
+    )
+    from blockchair_etl_spark.streaming.incremental import (
+        make_histogram_updater,
+        stream_histogram_maintain,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3], (i * 7 % 100) / 4.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "row_id bigint, event_type string, value double")
+    src = str(tmp_path / "hist_src")
+    for i in range(3):
+        df.filter(F.col("row_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = str(tmp_path / "hist_store")
+    q = stream_histogram_maintain(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        str(tmp_path / "hist_ckpt"),
+        store,
+    )
+    assert q.awaitTermination(300)
+
+    def cells(frame):
+        return {(r.g, r.bin): r.cnt for r in frame.collect()}
+
+    got = cells(spark.read.parquet(store).drop("__last_batch"))
+    want = cells(histogram_bins(df, "value", "event_type"))
+    assert got == want and want
+
+    store_q = histogram_quantiles_from_bins(
+        spark.read.parquet(store).drop("__last_batch"), "event_type", (50, 90, 99)
+    )
+    batch_q = histogram_quantiles(df, "value", "event_type", (50, 90, 99))
+    assert sorted(map(tuple, store_q.collect())) == sorted(
+        map(tuple, batch_q.collect())
+    )
+
+    # replayed exact-last batch: skipped (a re-merge would double-count)
+    upd = make_histogram_updater(store)
+    last = spark.read.parquet(store).agg(F.max("__last_batch")).first()[0]
+    upd(df, int(last))
+    assert cells(spark.read.parquet(store).drop("__last_batch")) == want
