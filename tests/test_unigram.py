@@ -375,3 +375,58 @@ def test_train_guards_and_null_word_scoring(spark, tiny_docs):
     words = spark.createDataFrame([("banana",), (None,)], "word string")
     got = {r.word: r.q_logp for r in ug.unigram_word_logprobs(words, pieces).collect()}
     assert got[None] is None and got["banana"] is not None
+
+
+def test_unigram_counts_drive_budget_and_packing(spark, sf_dir):
+    """The second tokenizer family is a drop-in budget/packing currency:
+    unigram_apply's learned n_tokens feeds quality_budget_select and
+    assign_packs through n_tokens_col= exactly as the BPE counts do in
+    the v5 pipeline — selection honors the unigram-token budget, packs
+    respect the bin budget in unigram tokens, and every count traces to
+    the per-doc Viterbi length (never the whitespace heuristic)."""
+    from blockchair_etl_spark.llmdata.packing import assign_packs
+    from blockchair_etl_spark.llmdata.sampling import quality_budget_select
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    pieces = ug.unigram_train(docs, vocab_size=80, max_piece_len=3, em_iters=1)
+    toks = ug.unigram_apply(docs, pieces)
+    scored = docs.join(toks.select("doc_id", "n_tokens"), "doc_id").withColumn(
+        "score", (F.col("doc_id") % 17).cast("double")
+    )
+    n_total = scored.agg(F.sum("n_tokens")).first()[0]
+
+    kept = quality_budget_select(
+        scored, "score", budget_den=5, n_tokens_col="n_tokens"
+    )
+    n_kept = kept.agg(F.sum("n_tokens")).first()[0]
+    # the selection fills the budget in LEARNED tokens: include iff
+    # cum_before < budget, so the straddler may overhang by < one doc
+    max_doc = scored.agg(F.max("n_tokens")).first()[0]
+    assert n_total // 5 <= n_kept < n_total // 5 + max_doc
+
+    packs = assign_packs(kept, budget=64, n_shards=4, n_tokens_col="n_tokens")
+    rows = packs.collect()
+    # packing arithmetic runs in the LEARNED currency: every offset is
+    # a valid in-bin position, and each shard's packs tile its total
+    # unigram-token span contiguously (cum = pack_id*64 + offset)
+    assert all(0 <= r.pack_offset < 64 for r in rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.pack_id * 64 + r.pack_offset)
+        cum = 0
+        for r in shard_rows:
+            assert r.pack_id * 64 + r.pack_offset == cum
+            cum += r.n_tokens
+
+    # counts are the Viterbi lengths, not the whitespace heuristic
+    model = dict(pieces)
+    max_len = max(len(p) for p in model)
+    unk = min(model.values()) - 10.0
+    import re
+
+    for r in toks.join(docs, "doc_id").limit(20).collect():
+        words = re.findall("[a-z0-9]+", (r.text or "").lower())
+        want = sum(len(ug._py_viterbi(w, model, max_len, unk)) for w in words)
+        assert r.n_tokens == want
