@@ -335,7 +335,16 @@ def recover_swapped_store(store_dir: str) -> bool:
     two renames — restore the previous generation. Returns True if a
     recovery happened. Callers run this BEFORE reading the store, so a
     replayed micro-batch folds into the restored relation instead of
-    silently re-bootstrapping from the batch alone."""
+    silently re-bootstrapping from the batch alone.
+
+    WRITER-ONLY. A live writer inside :func:`atomic_swap_store` also
+    has the store transiently missing (between its two renames) with
+    ``.old`` present — a concurrent reader that "recovered" then would
+    race the writer's rename of ``.tmp`` into an existing directory.
+    The foreachBatch updaters may call this because Structured
+    Streaming serializes micro-batches per query, so no writer is ever
+    concurrently mid-swap. External readers use
+    :func:`read_live_store` (tolerate/retry) instead."""
     old_dir = store_dir + ".old"
     if not os.path.exists(store_dir) and os.path.exists(old_dir):
         os.rename(old_dir, store_dir)
@@ -356,7 +365,14 @@ def atomic_swap_store(df: DataFrame, store_dir: str, partitions: int = 8) -> Non
     ``partitions``: coalesce width for the rewrite — full-rewrite
     stores are read back whole next cycle, so a handful of files beats
     the shuffle default's ~200 tiny ones; raise it when the relation
-    outgrows a few GB per file."""
+    outgrows a few GB per file.
+
+    Reader contract (r13 review): between the two renames the store
+    path itself transiently does not exist. The WRITER (the next
+    micro-batch) self-heals via :func:`recover_swapped_store`; an
+    EXTERNAL concurrent reader must NOT run recovery (it would race
+    the writer's in-flight rename) — it tolerates the window by
+    retrying, via :func:`read_live_store`."""
     old_dir = store_dir + ".old"
     tmp = store_dir + ".tmp"
     df.coalesce(max(1, int(partitions))).write.mode("overwrite").parquet(tmp)
@@ -365,3 +381,34 @@ def atomic_swap_store(df: DataFrame, store_dir: str, partitions: int = 8) -> Non
         os.rename(store_dir, old_dir)
     os.rename(tmp, store_dir)
     shutil.rmtree(old_dir, ignore_errors=True)
+
+
+def read_live_store(
+    spark, store_dir: str, retries: int = 20, delay: float = 0.05
+) -> DataFrame:
+    """Reader-safe load of an :func:`atomic_swap_store`-maintained
+    relation for EXTERNAL concurrent readers (dashboards serving
+    quantiles off the live histogram store, etc.). The swap has a
+    sub-millisecond window where the store path does not exist; this
+    tolerates it by retrying — it never renames anything, so it cannot
+    race the writer the way a reader-side recover_swapped_store would
+    (r13 review). Raises FileNotFoundError only if the store stays
+    missing past the retry budget (a real crash window — let the
+    WRITER recover it)."""
+    import time
+
+    for attempt in range(max(1, int(retries))):
+        if os.path.exists(store_dir):
+            try:
+                return spark.read.parquet(store_dir)
+            except Exception:
+                # swapped away between the exists() probe and the read
+                if attempt == retries - 1:
+                    raise
+        time.sleep(delay)
+    raise FileNotFoundError(
+        f"store at {store_dir} missing after {retries} retries: if "
+        f"{store_dir}.old exists the maintaining stream crashed "
+        "mid-swap — its next batch (or writer-side "
+        "recover_swapped_store) restores it"
+    )

@@ -293,15 +293,27 @@ def centroids_to_frame(spark, centroids: np.ndarray) -> DataFrame:
     )
 
 
-def frame_to_centroids(df: DataFrame) -> np.ndarray:
+def frame_to_centroids(
+    df: DataFrame, expected_k: int | None = None
+) -> np.ndarray:
     """Inverse of :func:`centroids_to_frame` (a driver-side artifact
     read — centroid matrices are bounded by MAX_CENTROID_CELLS, never
     data-scale). Raises if the relation is ragged — a partial write
     must not reload as a matrix whose row indices (== assignment ids)
-    have silently shifted."""
+    have silently shifted.
+
+    Pass ``expected_k`` (the configured cluster count — known to every
+    caller that trained the index) to also catch partial writes that
+    drop TRAILING clusters, which keep cluster_id contiguous from 0 and
+    so cannot be detected from the relation alone."""
     rows = df.select("cluster_id", "centroid").orderBy("cluster_id").collect()
     if not rows:
         raise ValueError("empty centroid relation")
+    if expected_k is not None and len(rows) != expected_k:
+        raise ValueError(
+            f"centroid relation is truncated: {len(rows)} clusters "
+            f"present, expected {expected_k}"
+        )
     if len(rows) != int(rows[-1].cluster_id) + 1:
         raise ValueError(
             f"centroid relation is ragged: {len(rows)} rows but "

@@ -410,10 +410,20 @@ def codebooks_to_frame(spark, codebooks: np.ndarray) -> DataFrame:
     )
 
 
-def frame_to_codebooks(df: DataFrame) -> np.ndarray:
+def frame_to_codebooks(
+    df: DataFrame,
+    expected_m: int | None = None,
+    expected_ksub: int | None = None,
+) -> np.ndarray:
     """Inverse of :func:`codebooks_to_frame` (driver-side artifact read,
     O(m*ksub) rows). Raises if the relation is ragged — a partial write
-    must not reload as a silently-smaller codebook."""
+    must not reload as a silently-smaller codebook.
+
+    Pass ``expected_m``/``expected_ksub`` (known to every caller that
+    trained or configured the index) to also catch partial writes that
+    drop entire TRAILING subspaces or codes — those keep the relation
+    internally rectangular, so inferring the extent from the max id
+    alone cannot see them."""
     rows = df.select("subspace", "code", "centroid").orderBy(
         "subspace", "code"
     ).collect()
@@ -421,6 +431,16 @@ def frame_to_codebooks(df: DataFrame) -> np.ndarray:
         raise ValueError("empty codebook relation")
     m = int(rows[-1].subspace) + 1
     ksub = int(rows[-1].code) + 1
+    if expected_m is not None and m != expected_m:
+        raise ValueError(
+            f"codebook relation is truncated: {m} subspaces present, "
+            f"expected {expected_m}"
+        )
+    if expected_ksub is not None and ksub != expected_ksub:
+        raise ValueError(
+            f"codebook relation is truncated: {ksub} codes present, "
+            f"expected {expected_ksub}"
+        )
     if len(rows) != m * ksub:
         raise ValueError(
             f"codebook relation is ragged: {len(rows)} rows != "

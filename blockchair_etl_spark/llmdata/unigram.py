@@ -57,11 +57,28 @@ byte-fallback convention, so apply never drops a row.
 from __future__ import annotations
 
 import math
+import sys
 
 from pyspark.sql import DataFrame, functions as F
 
 from .text import tokens_col
 from .tokenizer import apply_word_encoder, word_frequency_table
+
+# This module's Arrow-batched workers (forward-backward E-step/scorer,
+# Viterbi/sampling encoders) call the module-level DP helpers — which
+# cloudpickle would normally serialize BY REFERENCE, requiring the
+# package importable on every Python worker. The rest of the codebase
+# meets that bar with self-contained closures (multimodal.py note);
+# here the DP bodies are the pytest-pinned reference implementations
+# and duplicating them into each closure would fork the pinned logic.
+# Registering the module for BY-VALUE pickling ships the code objects
+# with the task instead (pure stdlib + pandas inside), so an external
+# driver (the verification harness runs from /tmp) needs nothing on
+# worker sys.path. Registration is idempotent; the vendored
+# pyspark.cloudpickle always has the API on Spark 4.x.
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 # expected-count quantum: counts are exact multiples of 2^-20 before
 # the cross-word sum (same fixed-point idiom as FIXED_SCALE in pq.py)
@@ -292,11 +309,13 @@ def unigram_train(
     try:
         seeds = seed_pieces(words, max_piece_len, seed_size)
         singles = {p for p, _ in seeds if len(p) == 1}
-        if vocab_size <= len(singles):
+        if vocab_size < len(singles):
             raise ValueError(
                 f"vocab_size={vocab_size} cannot cover the corpus: "
                 f"{len(singles)} single-char pieces are mandatory"
             )
+        # vocab_size == len(singles) is a valid chars-only model:
+        # target_multi = 0 and EM prunes every multi-char piece
         if len(seeds) > MAX_MODEL_PIECES:
             raise ValueError(
                 f"seed inventory {len(seeds)} exceeds MAX_MODEL_PIECES="
@@ -330,6 +349,19 @@ def unigram_train(
                     counts[p] = 1
     finally:
         words.unpersist()
+    if len(counts) < vocab_size:
+        # fewer multi-char pieces had positive expected counts than
+        # target_multi: the corpus genuinely cannot support vocab_size
+        # pieces. Return the smaller (still covering) inventory loudly
+        # rather than padding with zero-evidence pieces (r13 advice).
+        import warnings
+
+        warnings.warn(
+            f"unigram_train: only {len(counts)} pieces had positive "
+            f"expected counts; returning a vocabulary smaller than "
+            f"vocab_size={vocab_size}",
+            stacklevel=2,
+        )
     ordered = sorted(counts.items(), key=lambda pc: (-pc[1], pc[0]))
     model = _model_from_counts(dict(ordered))
     return [(p, model[p]) for p, _ in ordered]

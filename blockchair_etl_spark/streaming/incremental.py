@@ -460,7 +460,10 @@ def make_histogram_updater(
     relation through the shared histogram_merge definition, and the
     store swaps atomically. Quantiles read off the live store at any
     time via histogram_quantiles_from_bins — state is O(groups × value
-    range × scale) regardless of stream length.
+    range × scale) regardless of stream length. External concurrent
+    readers load the store through io.sinks.read_live_store (the swap
+    has a transient not-exists window; readers retry, they never run
+    recover_swapped_store — that recovery is writer-only, r13 review).
 
     Same replay contract as the CMS/KMV updaters: __last_batch
     watermark (exact-last replay skipped, below-watermark raises,

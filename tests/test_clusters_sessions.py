@@ -1106,6 +1106,33 @@ def test_cms_store_swap_crash_recovery(spark, tmp_path):
     assert not os.path.exists(store + ".old")
 
 
+def test_read_live_store_reader_contract(spark, tmp_path):
+    """Advice fix: external concurrent readers of a swap-maintained
+    store never run recover_swapped_store (writer-only — a reader-side
+    recovery would race the writer's in-flight rename); read_live_store
+    tolerates the transient not-exists window by retrying, and raises
+    a diagnosable FileNotFoundError past the budget without touching
+    .old (so the writer's recovery still sees it)."""
+    import os
+
+    from blockchair_etl_spark.io.sinks import (
+        atomic_swap_store,
+        read_live_store,
+    )
+
+    store = str(tmp_path / "live_store")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    atomic_swap_store(df, store)
+    assert read_live_store(spark, store).count() == 2
+
+    # simulate the mid-swap window: store parked at .old
+    os.rename(store, store + ".old")
+    with pytest.raises(FileNotFoundError, match="mid-swap"):
+        read_live_store(spark, store, retries=3, delay=0.01)
+    # reader must NOT have "recovered" — .old is untouched for the writer
+    assert os.path.exists(store + ".old") and not os.path.exists(store)
+
+
 def test_streaming_pairs_to_assignment_composition(spark, tmp_path):
     """The documented end-to-end streaming dedup story: the MinHash
     dedup loop emits pairs per trigger; a pairs stream pointed at its

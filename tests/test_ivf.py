@@ -674,6 +674,48 @@ def test_ann_artifact_reload_guards(spark, sf_dir, tmp_path):
         )
 
 
+def test_ann_artifact_trailing_drop_guards(spark, sf_dir):
+    """Advice fix: a partial write that drops entire TRAILING clusters /
+    subspaces keeps the relation internally rectangular, so the ragged
+    guard alone cannot see it — passing the expected dims (which every
+    trainer/configurer knows) must catch it, and correct dims must
+    still reload bit-exactly."""
+    import numpy as np
+
+    from blockchair_etl_spark.llmdata.ivf import (
+        centroids_to_frame,
+        frame_to_centroids,
+        seed_centroids,
+    )
+    from blockchair_etl_spark.llmdata.pq import (
+        codebooks_to_frame,
+        frame_to_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, n_centroids=4)
+    cf = centroids_to_frame(spark, cents)
+
+    # trailing cluster dropped: contiguous ids 0..2, ragged guard blind
+    truncated = cf.filter(F.col("cluster_id") < 3)
+    assert np.allclose(frame_to_centroids(truncated), cents[:3])  # blind
+    with pytest.raises(ValueError, match="truncated"):
+        frame_to_centroids(truncated, expected_k=4)
+    assert np.allclose(frame_to_centroids(cf, expected_k=4), cents)
+
+    books = np.arange(2 * 4 * 3, dtype=float).reshape(2, 4, 3)
+    bf = codebooks_to_frame(spark, books)
+    # trailing subspace dropped: still m*ksub-rectangular for m=1
+    with pytest.raises(ValueError, match="truncated"):
+        frame_to_codebooks(bf.filter(F.col("subspace") < 1), expected_m=2)
+    # trailing code dropped in every subspace: rectangular for ksub=3
+    with pytest.raises(ValueError, match="truncated"):
+        frame_to_codebooks(bf.filter(F.col("code") < 3), expected_ksub=4)
+    assert np.allclose(
+        frame_to_codebooks(bf, expected_m=2, expected_ksub=4), books
+    )
+
+
 def test_streaming_ivfpq_in_batch_duplicate_ids(spark, sf_dir, tmp_path):
     """A micro-batch carrying the same vec_id twice (duplicated source
     file) must land ONE deterministic row in the store — the min-struct

@@ -167,8 +167,10 @@ def test_unigram_train_apply_end_to_end(spark, tiny_docs):
         assert "".join(toks) == "".join(re.findall("[a-z0-9]+", r.text.lower()))
         assert n == len(toks) > 0
 
+    # advice fix: vocab_size == len(singles) (4 here) is now the valid
+    # chars-only model; only BELOW the mandatory singles raises
     with pytest.raises(ValueError, match="cannot cover"):
-        ug.unigram_train(tiny_docs, vocab_size=4, max_piece_len=3)
+        ug.unigram_train(tiny_docs, vocab_size=3, max_piece_len=3)
 
 
 def test_em_likelihood_nondecreasing(spark, tiny_docs):
@@ -375,6 +377,64 @@ def test_train_guards_and_null_word_scoring(spark, tiny_docs):
     words = spark.createDataFrame([("banana",), (None,)], "word string")
     got = {r.word: r.q_logp for r in ug.unigram_word_logprobs(words, pieces).collect()}
     assert got[None] is None and got["banana"] is not None
+
+
+def test_train_chars_only_and_under_target(spark, tiny_docs):
+    """Advice fixes: vocab_size == len(singles) is a VALID chars-only
+    model (covers the corpus exactly, zero multi-char pieces), only
+    vocab_size < len(singles) raises; and when fewer multi-char pieces
+    survive EM than target_multi the smaller inventory comes back with
+    a warning instead of silently."""
+    singles = {
+        r.word
+        for r in tiny_docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+        .select(F.explode(F.split("w", "")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+        .collect()
+    }
+    # corpus alphabet is {a, b, d, n} → 4 mandatory singles
+    pieces = ug.unigram_train(
+        tiny_docs, vocab_size=len(singles), max_piece_len=3
+    )
+    assert {p for p, _ in pieces} == singles  # chars-only, full coverage
+    enc = {r.word: r.toks for r in ug.unigram_encode_words(
+        spark.createDataFrame([("banana",)], "word string"), pieces
+    ).collect()}
+    assert enc["banana"] == list("banana")
+    with pytest.raises(ValueError, match="cannot cover"):
+        ug.unigram_train(tiny_docs, vocab_size=len(singles) - 1)
+    # a huge vocab_size target cannot be met by this tiny corpus: the
+    # returned inventory is smaller, and loudly so
+    with pytest.warns(UserWarning, match="smaller than"):
+        small = ug.unigram_train(
+            tiny_docs, vocab_size=5000, max_piece_len=3, seed_size=50
+        )
+    assert len(small) < 5000
+
+
+def test_gate_entry_constants_match_dp():
+    """The quality_unigram_ppl_gate oracle's (word, q_logp) constant
+    relation must equal what the pytest-pinned forward pass computes
+    from the frozen pieces artifact — regenerate and compare, so any
+    edit to either constant block without the other fails loudly."""
+    from blockchair_etl_spark.queryset import (
+        _UNIGRAM_GATE_PIECES,
+        _UNIGRAM_GATE_QLOGP,
+    )
+
+    model, max_len, unk = ug._model_geometry(_UNIGRAM_GATE_PIECES)
+    regen = {
+        w: ug._quantize(
+            ug._py_forward_backward(w, model, max_len, unk_logp=unk)[1]
+        )
+        for w, _ in _UNIGRAM_GATE_QLOGP
+    }
+    assert dict(_UNIGRAM_GATE_QLOGP) == regen
+    # the pasted vocabulary is the corpus vocabulary, closed across SFs
+    assert len(_UNIGRAM_GATE_QLOGP) == 31
 
 
 def test_unigram_counts_drive_budget_and_packing(spark, sf_dir):
