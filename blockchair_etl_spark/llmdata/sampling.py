@@ -635,8 +635,10 @@ def kcenter_select(
     (pick prototypes to label/keep, cap redundancy after dedup).
 
     Scale/determinism shape — the Lloyd-loop contract (ivf.py): k
-    driver rounds, each ONE corpus scan computing min-distance-to-
-    selected as a pure Column expression (F.least over exact-DECIMAL
+    driver rounds over a loop-scope-persisted (id, vec) projection
+    (ONE parquet read + k-1 cache hits; released before return), each
+    round computing min-distance-to-selected as a pure Column
+    expression (F.least over exact-DECIMAL
     squared distances to the selected vectors inlined as literals —
     the _sq_dist arithmetic the SQL oracle replays bit-for-bit) and
     collecting exactly ONE (id, vector) row via a total order
@@ -655,28 +657,37 @@ def kcenter_select(
 
     if k < 1:
         raise ValueError(f"k={k}: need at least one center")
-    first = emb.select(id_col, vec_col).orderBy(id_col).limit(1).collect()
-    if not first:
-        raise ValueError("kcenter_select over an empty relation")
-    selected = [(first[0][0], [float(x) for x in first[0][1]])]
-    import numpy as np
+    # loop-scope persist (r13 review): the k rounds otherwise re-read
+    # parquet and re-project k times — at sf0.1 that made this almost
+    # pure scan/scheduler tax. Scoped persist/unpersist, NOT the global
+    # tracked registry, for the unigram_train reason: callers may hold
+    # tracked frames a global release would free mid-plan.
+    base = emb.select(id_col, vec_col).persist()
+    try:
+        first = base.orderBy(id_col).limit(1).collect()
+        if not first:
+            raise ValueError("kcenter_select over an empty relation")
+        selected = [(first[0][0], [float(x) for x in first[0][1]])]
+        import numpy as np
 
-    vec = F.col(vec_col)
-    while len(selected) < k:
-        dists = [_sq_dist(vec, np.asarray(v)) for _, v in selected]
-        mind = dists[0] if len(dists) == 1 else F.least(*dists)
-        rows = (
-            emb.select(id_col, vec_col, mind.alias("__d"))
-            .orderBy(F.desc("__d"), F.asc(id_col))
-            .limit(1)
-            .collect()
-        )
-        row = rows[0]
-        if row["__d"] == 0:
-            # every vector coincides with a selected center: coverage
-            # radius is 0 and further rounds would re-pick the min-id
-            # seed forever (r13 review) — return the < k DISTINCT
-            # centers that already cover the set exactly
-            break
-        selected.append((row[0], [float(x) for x in row[1]]))
+        vec = F.col(vec_col)
+        while len(selected) < k:
+            dists = [_sq_dist(vec, np.asarray(v)) for _, v in selected]
+            mind = dists[0] if len(dists) == 1 else F.least(*dists)
+            rows = (
+                base.select(id_col, vec_col, mind.alias("__d"))
+                .orderBy(F.desc("__d"), F.asc(id_col))
+                .limit(1)
+                .collect()
+            )
+            row = rows[0]
+            if row["__d"] == 0:
+                # every vector coincides with a selected center:
+                # coverage radius is 0 and further rounds would re-pick
+                # the min-id seed forever (r13 review) — return the < k
+                # DISTINCT centers that already cover the set exactly
+                break
+            selected.append((row[0], [float(x) for x in row[1]]))
+    finally:
+        base.unpersist()
     return [i for i, _ in selected]
