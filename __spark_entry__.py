@@ -30,13 +30,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Entries registered with driver=False (the pytest-only
+    instrumentation twins — window-budget decision note in queryset.py)
+    are excluded: they are still hash-checked against their oracles by
+    tests/test_oracle_parity.py, just not through the driver window."""
+    return {name: spec.fn for name, spec in QUERIES.items() if spec.driver}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query (omitted for
     non-SQL-expressible ops → driver records a rows-only check)."""
     return {
-        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in QUERIES.items()
+        if spec.oracle is not None and spec.driver
     }

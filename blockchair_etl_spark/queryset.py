@@ -42,12 +42,24 @@ class QuerySpec:
     oracle: str | None
     survey: str  # SURVEY.md §2 operator ids this entry exercises
     desc: str
+    # False = pytest-only: stays in QUERIES (test_oracle_parity still
+    # hash-checks it against its oracle every pytest run) but is
+    # excluded from the driver surface (__spark_entry__.queries()), so
+    # it consumes no slot in the driver's 50-entry rotation window.
+    # See the window-budget decision note near the bottom of this file.
+    driver: bool = True
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def register(name: str, survey: str, desc: str, oracle: str | None = None):
+def register(
+    name: str,
+    survey: str,
+    desc: str,
+    oracle: str | None = None,
+    driver: bool = True,
+):
     def deco(fn: SparkQuery) -> SparkQuery:
         import functools
 
@@ -63,7 +75,9 @@ def register(name: str, survey: str, desc: str, oracle: str | None = None):
             release_tracked()
             return fn(spark, sf_dir)
 
-        QUERIES[name] = QuerySpec(fn=wrapped, oracle=oracle, survey=survey, desc=desc)
+        QUERIES[name] = QuerySpec(
+            fn=wrapped, oracle=oracle, survey=survey, desc=desc, driver=driver
+        )
         return fn
 
     return deco
@@ -944,6 +958,125 @@ def tokenizer_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = word_frequency_table(docs).select("word", "freq")
     return seed_piece_counts(words, max_piece_len=3, seed_size=100)
+
+
+# Frozen unigram-LM artifact for the perplexity-gate entry — the
+# tokenizer_bpe_apply _BPE_DEMO_MERGES precedent: a FIXED vocabulary so
+# the oracle can be static SQL. Derived once from _model_from_counts
+# over a hand-fixed count table (singles at 3 + common-English/corpus
+# multi-char pieces); float reprs round-trip exactly.
+_UNIGRAM_GATE_PIECES: list[tuple[str, float]] = [
+    ("data", -2.5649493574615367), ("the", -2.747270914255491),
+    ("row", -2.8526314299133175), ("th", -2.9704144655697013),
+    ("er", -3.258096538021482), ("ta", -3.258096538021482),
+    ("ar", -3.4404180948154366), ("que", -3.4404180948154366),
+    ("st", -3.4404180948154366), ("an", -3.6635616461296463),
+    ("in", -3.6635616461296463), ("or", -3.6635616461296463),
+    ("a", -3.951243718581427), ("al", -3.951243718581427),
+    ("b", -3.951243718581427), ("c", -3.951243718581427),
+    ("d", -3.951243718581427), ("e", -3.951243718581427),
+    ("f", -3.951243718581427), ("g", -3.951243718581427),
+    ("h", -3.951243718581427), ("i", -3.951243718581427),
+    ("j", -3.951243718581427), ("k", -3.951243718581427),
+    ("l", -3.951243718581427), ("m", -3.951243718581427),
+    ("n", -3.951243718581427), ("o", -3.951243718581427),
+    ("p", -3.951243718581427), ("q", -3.951243718581427),
+    ("r", -3.951243718581427), ("s", -3.951243718581427),
+    ("t", -3.951243718581427), ("u", -3.951243718581427),
+    ("ue", -3.951243718581427), ("v", -3.951243718581427),
+    ("w", -3.951243718581427), ("y", -3.951243718581427),
+]
+
+# (word, q_logp) for the documents corpus vocabulary under the frozen
+# pieces — computed by the pytest-pinned forward pass (_py_forward_
+# backward, marginalizing over ALL segmentations, 2^-20 quantized) and
+# pasted as the oracle's constant relation; the corpus vocabulary is
+# closed (31 words at every driver SF), so the table is total.
+# tests/test_unigram.py::test_gate_entry_constants_match_dp regenerates
+# it from _UNIGRAM_GATE_PIECES and fails on any drift.
+_UNIGRAM_GATE_QLOGP: list[tuple[str, int]] = [
+    ("a", -4143179), ("agg", -12429538), ("batch", -20715897),
+    ("big", -12429538), ("column", -24859076), ("customer", -23574555),
+    ("data", -2689349), ("dup", -12429538), ("fast", -11881869),
+    ("filter", -19979045), ("group", -20715897), ("hash", -16572717),
+    ("join", -12112866), ("key", -12429538), ("line", -12112866),
+    ("merge", -15835866), ("order", -11376014), ("part", -11881869),
+    ("query", -11857991), ("row", -2991072), ("scan", -12112866),
+    ("slow", -16572717), ("small", -16552744), ("sort", -12112866),
+    ("spark", -16025048), ("stream", -20168227), ("table", -15835866),
+    ("the", -2864599), ("value", -12389591), ("vector", -20399224),
+    ("window", -20399224),
+]
+
+# gate threshold in quantized mean-log space: mean word logp >= -14.
+# ppl = exp(-mean logp), so this is exactly "ppl <= e^14" — the
+# threshold lives in log space so the GATE COMPARISON is pure integer
+# arithmetic (q_total >= T*n), bit-identical across engines; keeps
+# ~70% of docs at the driver SFs (selective, non-trivial both ways).
+_UNIGRAM_GATE_MIN_QLOGP = -14 * 1048576
+
+
+@register(
+    "quality_unigram_ppl_gate",
+    survey="LLM-text (CCNet-shaped LM perplexity gate, integer-portable half)",
+    desc="the SQL-expressible half of the unigram-LM perplexity gate "
+    "(CCNet: filter/bucket a crawl by LM score): per-word forward-pass "
+    "scores under a FROZEN pieces artifact join the token stream, "
+    "per-doc totals sum as exact BIGINTs, and the threshold compares "
+    "in quantized mean-log space (q_total >= T*n_words <=> ppl <= "
+    "e^14) — integer arithmetic end-to-end, one final IEEE division "
+    "for the reported mean_logp, no engine-variant exp()/log() in the "
+    "compared output (the bigram_fluency idiom). The forward-pass DP "
+    "itself is pytest-pinned vs brute-force enumeration; its (word, "
+    "q_logp) outputs over the closed 31-word corpus vocabulary ride "
+    "the oracle as a fixture-derived constant relation (the BPE "
+    "merge-list-constant precedent), drift-gated by "
+    "test_gate_entry_constants_match_dp",
+    oracle=f"""
+WITH lm(word, q_logp) AS (VALUES {", ".join(f"('{w}', {q})" for w, q in _UNIGRAM_GATE_QLOGP)}),
+tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(q_logp) AS BIGINT) AS q_total
+  FROM tok JOIN lm USING (word)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_words, q_total,
+       CAST(q_total AS DOUBLE) / CAST(n_words * 1048576 AS DOUBLE)
+         AS mean_logp
+FROM per_doc
+WHERE q_total >= {_UNIGRAM_GATE_MIN_QLOGP} * n_words
+""",
+)
+def quality_unigram_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.text import tokens_col
+    from .llmdata.unigram import unigram_word_logprobs
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("word")
+    )
+    scored = unigram_word_logprobs(
+        toks.select("word").distinct(), _UNIGRAM_GATE_PIECES
+    )
+    per_doc = toks.join(scored, "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("q_logp").alias("q_total"),
+    )
+    return per_doc.filter(
+        F.col("q_total") >= F.lit(_UNIGRAM_GATE_MIN_QLOGP) * F.col("n_words")
+    ).select(
+        "doc_id",
+        "n_words",
+        "q_total",
+        (
+            F.col("q_total").cast("double")
+            / (F.col("n_words") * F.lit(1048576)).cast("double")
+        ).alias("mean_logp"),
+    )
 
 
 def _sql_minhash_sig(num_hashes: int = 16) -> str:
@@ -6891,6 +7024,7 @@ top4 AS (
 
 @register(
     "ann_ivfpq_recall",
+    driver=False,  # r14 window-budget retirement — see decision note
     survey="LLM-similarity (ANN quality instrumentation: recall@10 vs exact)",
     desc="the quality axis of the ANN family: recall@10 of the IVF-PQ "
     "search (same coarse routing + fixed-point ADC as ann_ivfpq_topk "
@@ -7136,6 +7270,7 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_accuracy",
+    driver=False,  # r14 window-budget retirement — see decision note
     survey="LLM-dedup (estimation-quality instrumentation: est vs true Jaccard)",
     desc="the quality axis of the MinHash family (sibling of "
     "ann_ivfpq_recall): every LSH candidate pair's 16-hash estimated "
@@ -7215,6 +7350,7 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_accuracy",
+    driver=False,  # r14 window-budget retirement — see decision note
     survey="LLM-dedup (fingerprint-quality instrumentation: hamming vs true Jaccard)",
     desc="the quality axis of the SimHash family (third instrumentation "
     "row beside ann_ivfpq_recall and dedup_minhash_accuracy): every "
@@ -7907,6 +8043,7 @@ top{p} AS (
 
 @register(
     "ann_lsh_recall",
+    driver=False,  # r14 window-budget retirement — see decision note
     survey="LLM-similarity (ANN quality instrumentation: recall@10 vs exact)",
     desc="the quality axis of the hyperplane-LSH ANN path (r8 stretch "
     "#8, same harness as ann_ivfpq_recall): recall@10 of lsh_ann_topk "
@@ -7974,20 +8111,22 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # permanently rotated out. `_DRIVER_VERIFIED_FALLBACK` (the r1-r4 keys) is
 # used only if the JSON files are unreadable.
 #
-# Window-budget decision (r12 verdict stretch #8): at 166 entries and a
-# 50-slot window, steady-state staleness is ~3.3 rounds — inside the
-# "no entry >4 rounds stale" bar the rotation was built for. The
-# candidates for retiring to pytest-only (freeing slots) are the
-# instrumentation rows whose oracles restate another entry's CTE stack
+# Window-budget decision (r12 verdict stretch #8, EXECUTED r14): at
+# 166 entries and a 50-slot window, steady-state staleness was ~3.3
+# rounds; r13 grew the registry to 170 and the r14 verdict called the
+# documented trigger (~180 entries or any cohort >4 rounds stale) one
+# normal round away. ACTION TAKEN (r14): the four instrumentation
+# twins whose oracles restate another entry's CTE stack
 # (dedup_minhash_accuracy / dedup_simhash_accuracy / ann_ivfpq_recall /
-# ann_lsh_recall share their pair/top-k stacks with the corresponding
-# operator entries). DECISION: keep them oracle'd for now — each adds a
-# distinct FAILURE MODE the base entry can't catch (a recall/accuracy
-# number moving means the approximation knobs drifted even when the
-# operator row still hashes green), and 4 slots buys only ~0.3 rounds
-# of staleness. Revisit if the registry passes ~180 entries or any
-# cohort's staleness exceeds 4 rounds; retire the accuracy twins first,
-# their operator rows keep the machinery driver-verified.
+# ann_lsh_recall) are retired to pytest-only via `driver=False` —
+# they stay in QUERIES, so tests/test_oracle_parity.py still
+# hash-checks each against its full DuckDB oracle every pytest run
+# (the distinct approximation-drift failure mode they monitor is NOT
+# lost, it moves from the driver gate to the pytest gate), but they no
+# longer consume driver-window slots. Their operator rows
+# (dedup_minhash_lsh, dedup_simhash*, ann_ivfpq_topk, ann_lsh_topk)
+# keep the machinery driver-verified. Net: driver surface back to
+# ~166 + r14 additions; revisit again at ~180 DRIVER-VISIBLE entries.
 # ---------------------------------------------------------------------------
 
 _DRIVER_VERIFIED_FALLBACK = frozenset({

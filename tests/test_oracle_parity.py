@@ -13,6 +13,28 @@ def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
     assert r.ok, f"{name}: rows={r.spark_rows}/{r.oracle_rows} {r.mismatches}"
 
 
+def test_pytest_only_twins_off_driver_surface():
+    """r14 window-budget retirement: the four instrumentation twins are
+    pytest-only — absent from the driver surface (queries()/oracle_sql())
+    but still in QUERIES WITH their oracles, so the parametrized parity
+    test above keeps hash-checking them every pytest run."""
+    import __spark_entry__ as mod
+
+    twins = {
+        "dedup_minhash_accuracy",
+        "dedup_simhash_accuracy",
+        "ann_ivfpq_recall",
+        "ann_lsh_recall",
+    }
+    q, o = mod.queries(), mod.oracle_sql()
+    for name in twins:
+        assert name not in q and name not in o
+        assert name in QUERIES and QUERIES[name].oracle  # pytest gate stays
+    # every driver-visible entry still round-trips
+    assert set(o) <= set(q)
+    assert all(QUERIES[n].driver for n in q)
+
+
 def test_registry_has_oracles():
     # Non-SQL-expressible ops may omit the oracle, but the bulk of the
     # inventory must carry one (the driver's strong check).

@@ -112,6 +112,10 @@ _ARROW_BATCH_OK = {
     # cross-modal composition: carries the pixel pipeline's decode stub
     # (same boundary as media_pixel_dedup_survivors) plus CC local finish
     "multimodal_joint_dedup_survivors",
+    # forward-pass DP over DISTINCT words only (Arrow-batched; the DP
+    # is not SQL) — everything downstream of the (word, q_logp) join
+    # is JVM integer arithmetic
+    "quality_unigram_ppl_gate",
 }
 
 
