@@ -76,6 +76,7 @@ def make_prep_batch_processor(
     encoder: str = "fold",
     pieces: list[tuple[str, float]] | None = None,
     ppl_max: float | None = None,
+    token_pieces: list[tuple[str, float]] | None = None,
 ):
     """The foreachBatch body, exposed so tests can drive it directly
     (including replaying a (batch_df, batch_id) to exercise the
@@ -123,17 +124,35 @@ def make_prep_batch_processor(
     buckets the crawl by this number) alongside logit_q. Both
     arguments are required together — a model without a threshold (or
     vice versa) raises rather than silently gating nothing.
+
+    ``token_pieces``: the unigram-LM vocabulary as the learned token
+    CURRENCY (r13 pinned unigram counts as a drop-in budget/packing
+    currency batch-side; this is the streaming half): when given, each
+    surviving row's ``n_tokens`` comes from unigram_apply (Viterbi over
+    the frozen pieces) instead of BPE — same load-once-per-stream-
+    lifetime artifact contract as ``merges`` (unigram.frame_to_pieces),
+    same survivors-only join-back, same store schema. Mutually
+    exclusive with ``merges`` (one currency per store — mixing
+    vocabularies would make the budget column incomparable across
+    batches); independent of the ``pieces`` GATE artifact, which may be
+    the same list (score with it AND count with it) or absent.
     """
     from ..llmdata.classify import linear_classifier_scores
     from ..llmdata.dedup import decontaminate
     from ..llmdata.text import gopher_quality_gate, normalize_text
     from ..llmdata.tokenizer import DEFAULT_ENCODE_CHUNK, bpe_apply
-    from ..llmdata.unigram import unigram_doc_perplexity
+    from ..llmdata.unigram import unigram_apply, unigram_doc_perplexity
 
     if (pieces is None) != (ppl_max is None):
         raise ValueError(
             "pieces and ppl_max come together: the LM gate needs both "
             "the frozen model and its threshold"
+        )
+    if merges is not None and token_pieces is not None:
+        raise ValueError(
+            "merges and token_pieces are mutually exclusive: one token "
+            "currency per store — n_tokens counted under two "
+            "vocabularies would be incomparable across batches"
         )
 
     # a merge list past the fold path's checkpoint trigger
@@ -193,7 +212,7 @@ def make_prep_batch_processor(
                 .join(gated.filter("keep").select(id_col), id_col)
                 .select(id_col, "norm_text", "logit_q")
             )
-            if pieces is not None or merges is not None:
+            if pieces is not None or merges is not None or token_pieces is not None:
                 # LM scoring / tokenizing touch kept through several
                 # plan branches, and its subtree carries the classifier
                 # featurization join — scoped persist like the
@@ -216,20 +235,26 @@ def make_prep_batch_processor(
                     lm.filter(F.col("ppl") <= float(ppl_max)).select(id_col, "ppl"),
                     id_col,
                 )
-            if merges is not None:
+            if merges is not None or token_pieces is not None:
                 # tokenize SURVIVORS only (the gates already paid for
                 # themselves); n_tokens join-back keeps token arrays
-                # out of the store
-                kept = kept.join(
+                # out of the store. Both currencies land the identical
+                # apply_word_encoder frame, so the store schema does
+                # not depend on which vocabulary counts the tokens.
+                toked = (
                     bpe_apply(
                         kept,
                         merges,
                         text_col="norm_text",
                         id_col=id_col,
                         encoder=encoder,
-                    ).select(id_col, "n_tokens"),
-                    id_col,
+                    )
+                    if merges is not None
+                    else unigram_apply(
+                        kept, token_pieces, text_col="norm_text", id_col=id_col
+                    )
                 )
+                kept = kept.join(toked.select(id_col, "n_tokens"), id_col)
             _overwrite_batch_partition(kept, batch_id, out_dir)
         finally:
             if scoped_kept is not None:
@@ -286,16 +311,20 @@ def corpus_prep_stream(
     encoder: str = "fold",
     pieces: list[tuple[str, float]] | None = None,
     ppl_max: float | None = None,
+    token_pieces: list[tuple[str, float]] | None = None,
 ):
     """docs stream (id, text) -> foreachBatch writer appending each
     micro-batch's surviving (id, norm_text, logit_q) rows — plus the
-    learned n_tokens when ``merges`` is given (the v5 currency, module
-    docstring) — to a batch_id-partitioned store (replay-idempotent).
+    learned n_tokens when ``merges`` or ``token_pieces`` is given (the
+    v5 currency, module docstring) — to a batch_id-partitioned store
+    (replay-idempotent).
     ``merges``/``encoder`` as in make_prep_batch_processor, including
     its long-vocabulary override: past DEFAULT_ENCODE_CHUNK merges the
     vectorized (mapInPandas) encoder runs even under encoder="fold".
     ``pieces``/``ppl_max`` as there too: the frozen unigram-LM
     perplexity gate — survivors carry their ppl DOUBLE in the store.
+    ``token_pieces`` as there: the unigram vocabulary as the n_tokens
+    currency instead of BPE (mutually exclusive with ``merges``).
 
     Decontamination, two ways to enable it:
 
@@ -335,6 +364,7 @@ def corpus_prep_stream(
         encoder=encoder,
         pieces=pieces,
         ppl_max=ppl_max,
+        token_pieces=token_pieces,
     )
     return docs_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -1685,6 +1685,136 @@ def test_streaming_prep_v5_learned_token_currency(spark, docs, tmp_path):
     assert again == want
 
 
+def test_streaming_prep_unigram_token_currency(spark, docs, tmp_path):
+    """r13 verdict #5: the batch side pinned unigram counts as a
+    drop-in budget/packing currency; the streaming prep loop must
+    accept the unigram piece artifact the same way the BPE merge list
+    rides (load once per stream lifetime, survivors-only n_tokens
+    join-back). Two checkpointed drains must equal the batch
+    composition normalize -> classify -> gate -> unigram_apply,
+    n_tokens included; a replayed batch rewrites its partition
+    byte-identically; merges+token_pieces together raise (one currency
+    per store)."""
+    from blockchair_etl_spark.llmdata.classify import (
+        hashed_weights,
+        linear_classifier_scores,
+    )
+    from blockchair_etl_spark.llmdata.text import (
+        gopher_quality_gate,
+        normalize_text,
+    )
+    from blockchair_etl_spark.llmdata.unigram import (
+        frame_to_pieces,
+        pieces_to_frame,
+        unigram_apply,
+        unigram_train,
+    )
+    from blockchair_etl_spark.streaming.prep_stream import (
+        corpus_prep_stream,
+        make_prep_batch_processor,
+    )
+
+    sample = docs.limit(120).select("doc_id", "text")
+    weights = hashed_weights(spark, n_features=4096, scale=1024, seed="w5u")
+
+    # artifact contract: train once, persist, load ONCE per stream
+    vocab_path = str(tmp_path / "uvocab")
+    pieces_to_frame(
+        spark, unigram_train(sample, vocab_size=48, max_piece_len=3)
+    ).write.parquet(vocab_path)
+    pieces = frame_to_pieces(spark.read.parquet(vocab_path))
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_prep_batch_processor(
+            weights, str(tmp_path / "x"), merges=[("a", "b")], token_pieces=pieces
+        )
+
+    src = str(tmp_path / "usrc")
+    ckpt = str(tmp_path / "uckpt")
+    out = str(tmp_path / "ustore")
+
+    def drain():
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            corpus_prep_stream(stream, weights, out, ckpt, token_pieces=pieces)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    for i in range(2):
+        sample.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    drain()
+    sample.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    store = spark.read.parquet(out)
+    got = {
+        (r.doc_id, r.norm_text, r.logit_q, r.n_tokens) for r in store.collect()
+    }
+
+    normed = normalize_text(sample)
+    clf = linear_classifier_scores(normed, weights, text_col="norm_text")
+    gated = gopher_quality_gate(normed, text_col="norm_text")
+    kept = (
+        normed.join(
+            clf.filter(F.col("logit_q") >= 0).select("doc_id", "logit_q"),
+            "doc_id",
+        )
+        .join(gated.filter("keep").select("doc_id"), "doc_id")
+        .select("doc_id", "norm_text", "logit_q")
+    )
+    want_df = kept.join(
+        unigram_apply(kept, pieces, text_col="norm_text").select(
+            "doc_id", "n_tokens"
+        ),
+        "doc_id",
+    )
+    want = {
+        (r.doc_id, r.norm_text, r.logit_q, r.n_tokens) for r in want_df.collect()
+    }
+    assert got == want and want
+    # the learned currency is real: at least one multi-char piece fired
+    # (n_tokens under the alphanumeric char total for some doc)
+    import re as _re
+
+    assert any(
+        r.n_tokens
+        < sum(
+            len(w)
+            for w in _re.split(r"[^a-z0-9]+", r.norm_text.lower())
+            if w
+        )
+        for r in store.collect()
+        if r.norm_text
+    )
+
+    # replay byte-identity: reprocess batch 0's rows under its batch_id
+    b0 = {
+        r.doc_id
+        for r in store.filter(F.col("batch_id") == 0).select("doc_id").collect()
+    }
+    proc = make_prep_batch_processor(weights, out, token_pieces=pieces)
+    proc(
+        sample.filter(F.col("doc_id").isin(*b0) if b0 else F.lit(False)),
+        0,
+    )
+    again = {
+        (r.doc_id, r.norm_text, r.logit_q, r.n_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == want
+
+
 def test_streaming_prep_long_vocab_routes_off_the_checkpoint_path(
     spark, docs, tmp_path
 ):
