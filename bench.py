@@ -293,6 +293,38 @@ small fixture); what it buys is determinism at scale — a conservative
 store-side size stat can no longer flip the probe into shuffling the
 corpus-sized band store. KEPT.
 
+r14 CLOSURE of the r13 driver-record movers (r13 verdict "What's
+wrong" #1): sched-normalized --compare of the committed r12 driver
+record (canary 0.682, sched 1.909) vs the committed r13 driver record
+(canary 0.679→0.563, sched 2.079→1.159): canary_ratio 1.045,
+sched_ratio 0.995 pre-to-pre, normalized common-cohort median 1.071
+over 81 queries with 29 nominal movers — the broad shallow lift of a
+slower-sched box, not a code signature (all three git-verified-
+unchanged modules). Three survivors crossed the 0.5 s absolute bar
+and earned the isolated canary-bracketed 5-run A/B (canary 0.641/
+0.581, sched 1.713/1.538 — a faster box than either record):
+multimodal_joint_dedup_survivors median 4.429 s (10.34 warmup then
+4.64/4.43/4.21/4.36) — BETWEEN the r12 record's 3.14 and the r13
+record's 5.00, the same first-run-2.3x JVM/CC warmup signature as
+every prior joint-dedup A/B; corpus_prep_v3_pipeline 3.101 s
+(4.44 warmup then 3.25/3.10/3.06/2.95) vs r12 2.52 / r13 3.74 —
+again mid-envelope; media_pixel_dedup_survivors 1.946 s vs r12 1.98 /
+r13 2.59 — AT its r12 value. All three are the documented
+persist+CC/multi-stage sched-sensitive class; none reproduces its
+r13-record reading on a neutral box. CLOSED as record-box variance;
+corpus_prep_v3 also re-verifies in the r14 driver window by rotation.
+
+r14 kcenter_select RESHAPE (r13 verdict #3 asked for a loop-scope
+persist; measurement pushed further): naive per-round re-derivation
+5.357 s median at sf0.1/k=8 (8 parquet re-reads, round i re-codegens
+i 64-dim DECIMAL distance terms); + loop persist 4.39 s (the scan was
+only ~18% — the growing expression dominates); INCREMENTAL fold
+(persisted (id, vec, __d) chain, __d = least(prev __d, dist to newest
+center) — one constant-size expression per round, O(n*k) total evals,
+DECIMAL least() associativity keeps it bit-equal to the oracle's flat
+F.least) 1.847 s median (1.67-1.89 tail rounds), identical selected
+ids. 2.9x, and the shape now survives k and dim growth.
+
 r13 SCHED-NORMALIZED COMPARISON (r12 verdict #4 — the five r12 raw
 movers): driver r12 record (canary 0.682/0.507, sched 1.909/1.346) vs
 the r13 session record (canary 0.680/0.581, sched 2.090/1.538):
