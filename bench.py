@@ -552,6 +552,10 @@ HEADLINE = [
     "tokenizer_unigram_seed",
     "dedup_incremental_clusters",
     "sample_kcenter_coreset",
+    # round-14: the LM perplexity gate's SQL-expressible half — the
+    # distinct-word Arrow DP + token-stream join + integer-sum filter
+    # is the CCNet-gate query shape the prep loop runs per batch
+    "quality_unigram_ppl_gate",
 ]
 
 

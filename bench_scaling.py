@@ -112,6 +112,12 @@ FAMILY = [
     # synthesize() copies, so the alphas are meaningful.
     "sample_kcenter_coreset",
     "tokenizer_unigram_seed",
+    # round-14: the perplexity gate scores DISTINCT words (Heaps-
+    # sublinear under copy-scaling: the copied corpus adds occurrences,
+    # not words) and joins back to the token stream — the
+    # quality_classifier_scores scale story with a DP instead of a
+    # featurization join
+    "quality_unigram_ppl_gate",
     # media_pixel_dedup_survivors (the 8x4=32-bit oracle twin) is
     # deliberately ABSENT: at fixed 32-bit width the pigeonhole block
     # join's RANDOM collisions alone grow quadratically (4*2^-8 ~ 1.6%

@@ -40,14 +40,18 @@ identical across runs, partitionings, and engines. Pytest pins the
 E-step against brute-force segmentation enumeration and the Viterbi
 encode against exhaustive best-path search.
 
-Simplification vs SentencePiece, documented not silent: pruning keeps
-the TOP pieces by expected count (single-character pieces are never
-pruned, guaranteeing coverage) instead of Kudo's loss-based pruning
-(re-estimating the likelihood drop of removing each piece); and the
-final EM round is not followed by the dual-EM refinement. Both affect
-which marginal pieces survive, not the model's semantics; the
-count-ranked variant is the one whose M-step totals the engine can
-aggregate exactly.
+Simplification vs SentencePiece, documented not silent: the DEFAULT
+pruning keeps the TOP pieces by expected count (single-character
+pieces are never pruned, guaranteeing coverage); Kudo's loss-based
+pruning is available as the measured variant prune="loss"
+(_piece_removal_losses: per-piece likelihood drop computed on the
+driver from the same E-step totals — pytest pins a fixture where the
+two rankings keep different pieces). The artifacts this repo pins and
+oracle-checks use the count-ranked default: its ranking key is the
+exact integer total the engine aggregates, where the loss ranking
+multiplies in driver-side float log-probs. The final EM round is not
+followed by Kudo's dual-EM refinement in either variant — that
+affects which marginal pieces survive, not the model's semantics.
 
 Applying to UNSEEN text: a character absent from the model is emitted
 as its own token with a fixed penalty (min model logp - 10) — the
@@ -270,6 +274,37 @@ def _expected_count_rows(words: DataFrame, model: dict[str, float]) -> DataFrame
     )
 
 
+def _piece_removal_losses(
+    totals: dict[str, int], model: dict[str, float]
+) -> dict[str, float]:
+    """Kudo-style pruning signal (SentencePiece unigram trainer's
+    likelihood-drop), computable on the driver from the SAME E-step
+    outputs the count-ranked default uses: the corpus log-likelihood
+    drop of removing multi-char piece p is approximated as
+
+        loss_p = E[count_p] * (logp_p - alt_p)
+
+    where alt_p is the Viterbi score of segmenting p's OWN string with
+    p removed from the inventory (each of p's expected occurrences
+    re-segments that way, losing logp_p and gaining alt_p). A piece
+    whose subpieces are themselves probable has cheap alternatives and
+    a small (possibly negative) loss even at high count — exactly the
+    case where count ranking and loss ranking diverge (pytest pins a
+    crafted fixture). O(|pieces| * len * max_len) pure-python driver
+    work, no extra corpus pass."""
+    max_len = max(len(p) for p in model)
+    losses: dict[str, float] = {}
+    for p, c in totals.items():
+        if len(p) <= 1 or c <= 0 or p not in model:
+            continue
+        rest = {q: lp for q, lp in model.items() if q != p}
+        unk = min(rest.values()) - 10.0
+        toks = _py_viterbi(p, rest, max_len, unk)
+        alt = sum(rest.get(t, unk) for t in toks)
+        losses[p] = c * (model[p] - alt)
+    return losses
+
+
 def unigram_train(
     docs: DataFrame,
     vocab_size: int = 64,
@@ -278,14 +313,23 @@ def unigram_train(
     prune_shrink: float = 0.75,
     seed_size: int = 4000,
     text_col: str = "text",
+    prune: str = "count",
 ) -> list[tuple[str, float]]:
     """Learn a unigram-LM vocabulary → ordered list of (piece, logp),
     the persistable artifact (pieces_to_frame). ``vocab_size`` counts
     ALL pieces including the mandatory single characters; each EM round
     re-estimates piece probabilities from exact integer expected-count
     totals, then prunes multi-char pieces toward the target by
-    ``prune_shrink`` (module docstring: count-ranked pruning, the
-    documented variant). The artifact orders by (count desc, piece asc)
+    ``prune_shrink``. ``prune`` selects the ranking that decides WHICH
+    multi-char pieces survive each shrink: "count" (default — expected-
+    count ranking, the variant whose M-step totals the engine
+    aggregates exactly; module docstring) or "loss" (Kudo's
+    likelihood-drop ranking via _piece_removal_losses — driver-side
+    floats over the same E-step totals, ranked (loss desc, count desc,
+    piece asc)). Both keep every single char; probabilities always come
+    from the SAME exact integer totals, so the two variants differ
+    only in which marginal pieces survive (pytest pins a fixture where
+    they diverge). The artifact orders by (count desc, piece asc)
     — deterministic across runs and partitionings.
 
     Production-vocabulary cost, MEASURED (r13, local[16]): one E-step
@@ -299,6 +343,11 @@ def unigram_train(
         raise ValueError(
             f"em_iters={em_iters}: at least one EM round is required — "
             "the final round is what lands the vocabulary on vocab_size"
+        )
+    if prune not in ("count", "loss"):
+        raise ValueError(
+            f"prune={prune!r}: 'count' (expected-count ranking, default)"
+            " or 'loss' (Kudo likelihood-drop ranking)"
         )
     # scoped persist/unpersist, NOT the global release_tracked():
     # training may run while a caller holds tracked frames (or a
@@ -329,10 +378,17 @@ def unigram_train(
                 r.piece: int(r.qtotal)
                 for r in _expected_count_rows(words, model).collect()
             }
-            multi = sorted(
-                ((p, c) for p, c in totals.items() if len(p) > 1 and c > 0),
-                key=lambda pc: (-pc[1], pc[0]),
-            )
+            surviving = [
+                (p, c) for p, c in totals.items() if len(p) > 1 and c > 0
+            ]
+            if prune == "loss":
+                losses = _piece_removal_losses(dict(surviving), model)
+                multi = sorted(
+                    surviving,
+                    key=lambda pc: (-losses[pc[0]], -pc[1], pc[0]),
+                )
+            else:
+                multi = sorted(surviving, key=lambda pc: (-pc[1], pc[0]))
             # shrink toward the target; the LAST round lands exactly on it
             keep = (
                 target_multi

@@ -1336,3 +1336,82 @@ def test_stream_histogram_maintain_equals_batch_sketch(spark, tmp_path):
     last = spark.read.parquet(store).agg(F.max("__last_batch")).first()[0]
     upd(df, int(last))
     assert cells(spark.read.parquet(store).drop("__last_batch")) == want
+
+
+def test_dashboard_metrics_served_from_live_sketch_stores(spark, tmp_path):
+    """r13 verdict stretch #8 — the dashboard-at-scale serving story:
+    the A2-shaped distinct count and the A3-shaped value quantiles,
+    served from the continuously maintained KMV / histogram stores
+    (O(k) and O(groups x bins) state, read through the reader-safe
+    read_live_store path) equal the batch sketch operators run over
+    the full corpus — the dashboard never scans raw events. Composes
+    the real `events` table, a two-drain stream per store, kmv_union
+    as the store's estimation read-half, and the state-size bound."""
+    from blockchair_etl_spark.io.sinks import read_live_store
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.operators.approx import (
+        histogram_quantiles,
+        histogram_quantiles_from_bins,
+        kmv_distinct,
+        kmv_union,
+    )
+    from blockchair_etl_spark.streaming.incremental import (
+        stream_histogram_maintain,
+        stream_kmv_maintain,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "ev_src")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    kmv_store = str(tmp_path / "kmv_store")
+    hist_store = str(tmp_path / "hist_store")
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        q1 = stream_kmv_maintain(
+            spark, src, schema, str(tmp_path / "kmv_ckpt"), kmv_store,
+            key_col="user_id", k=64,
+        )
+        assert q1.awaitTermination(300)
+        q2 = stream_histogram_maintain(
+            spark, src, schema, str(tmp_path / "hist_ckpt"), hist_store,
+        )
+        assert q2.awaitTermination(300)
+
+    drain()
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    # A2 served from O(k) state: estimate off the live store's mins
+    # relation (kmv_union IS the read half) == the batch sketch over
+    # the whole corpus — same n_taken, kth hash, and estimate
+    store_mins = read_live_store(spark, kmv_store).drop("__last_batch")
+    assert store_mins.count() <= 64  # O(k) forever
+    served = kmv_union([store_mins], k=64).first()
+    batch = kmv_distinct(ev, "user_id", k=64).first()
+    assert (served.n_taken, served.kth_min_hash) == (
+        batch.n_taken, batch.kth_min_hash,
+    )
+    assert served.distinct_estimate == batch.distinct_estimate
+
+    # A3 served from O(groups x bins) state: quantiles off the live
+    # store == the one-shot operator over the whole corpus
+    bins = read_live_store(spark, hist_store).drop("__last_batch")
+    from blockchair_etl_spark.operators.approx import histogram_bins
+
+    # state is the CELL relation (groups x occupied bins), not rows:
+    # identical cardinality to the one-shot batch sketch's cell set
+    assert bins.count() == histogram_bins(ev, "value", "event_type").count()
+    assert bins.count() < ev.count()
+    served_q = histogram_quantiles_from_bins(bins, "event_type", (50, 90, 99))
+    batch_q = histogram_quantiles(ev, "value", "event_type", (50, 90, 99))
+    assert sorted(map(tuple, served_q.collect())) == sorted(
+        map(tuple, batch_q.collect())
+    )

@@ -415,6 +415,47 @@ def test_train_chars_only_and_under_target(spark, tiny_docs):
     assert len(small) < 5000
 
 
+def test_loss_based_pruning_variant_diverges(spark):
+    """r13 verdict stretch #7 — Kudo's likelihood-drop pruning as a
+    measured variant: on a corpus where piece 'ab' has the HIGHER
+    expected count but a cheap alternative segmentation (a and b are
+    frequent singles) while 'qz' has a lower count but an expensive
+    alternative (q/z occur nowhere alone), count ranking keeps 'ab'
+    and loss ranking keeps 'qz'. Both variants stay valid models
+    (normalized, full coverage); the documented artifact default is
+    count. Unknown prune values raise before any corpus work."""
+    rows = (
+        [(i, "a b a b a b a b") for i in range(12)]
+        + [(200 + i, "ab ab") for i in range(16)]
+        + [(300 + i, "qz") for i in range(3)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    with pytest.raises(ValueError, match="prune="):
+        ug.unigram_train(docs, vocab_size=5, prune="typo")
+
+    kept = {}
+    for mode in ("count", "loss"):
+        pieces = ug.unigram_train(
+            docs, vocab_size=5, max_piece_len=2, prune=mode
+        )
+        assert sum(math.exp(lp) for _, lp in pieces) == pytest.approx(1.0)
+        assert {p for p, _ in pieces if len(p) == 1} == {"a", "b", "q", "z"}
+        kept[mode] = [p for p, _ in pieces if len(p) > 1]
+    assert kept["count"] == ["ab"] and kept["loss"] == ["qz"]
+
+    # the signal itself, directly: with a/b probable and q/z penal,
+    # removing 'qz' costs far more per occurrence than removing 'ab'
+    model = {
+        "a": -0.7, "b": -0.7, "q": -12.0, "z": -12.0,
+        "ab": -3.0, "qz": -3.6,
+    }
+    losses = ug._piece_removal_losses({"ab": 10, "qz": 3}, model)
+    assert losses["qz"] > losses["ab"]
+    assert losses["ab"] == pytest.approx(10 * (-3.0 - (-1.4)))
+    assert losses["qz"] == pytest.approx(3 * (-3.6 - (-24.0)))
+
+
 def test_gate_entry_constants_match_dp():
     """The quality_unigram_ppl_gate oracle's (word, q_logp) constant
     relation must equal what the pytest-pinned forward pass computes
