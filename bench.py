@@ -554,8 +554,11 @@ HEADLINE = [
     "sample_kcenter_coreset",
     # round-14: the LM perplexity gate's SQL-expressible half — the
     # distinct-word Arrow DP + token-stream join + integer-sum filter
-    # is the CCNet-gate query shape the prep loop runs per batch
+    # is the CCNet-gate query shape the prep loop runs per batch —
+    # and the v6 pipeline composing it as the third gate beside the
+    # classifier and Gopher (the full CCNet/FineWeb prep shape)
     "quality_unigram_ppl_gate",
+    "corpus_prep_v6_pipeline",
 ]
 
 

@@ -116,8 +116,10 @@ FAMILY = [
     # sublinear under copy-scaling: the copied corpus adds occurrences,
     # not words) and joins back to the token stream — the
     # quality_classifier_scores scale story with a DP instead of a
-    # featurization join
+    # featurization join; v6 composes it as the third gate inside the
+    # v4 chain, so the composition is the thing to watch (the v5 rule)
     "quality_unigram_ppl_gate",
+    "corpus_prep_v6_pipeline",
     # media_pixel_dedup_survivors (the 8x4=32-bit oracle twin) is
     # deliberately ABSENT: at fixed 32-bit width the pigeonhole block
     # join's RANDOM collisions alone grow quadratically (4*2^-8 ~ 1.6%

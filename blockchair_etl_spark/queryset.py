@@ -8018,6 +8018,188 @@ def corpus_prep_v5_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_prep_v6_oracle() -> str:
+    """v6 oracle: the v4 CTE chain (normalize -> classifier + Gopher
+    gates -> exact dedup -> budget) with the CCNet LM gate as a third
+    per-row predicate — the quality_unigram_ppl_gate constant (word,
+    q_logp) relation joined against the SAME occ token stream the
+    classifier featurizes, integer per-doc sums, quantized mean-log
+    threshold, and the survivors' mean_logp exposed by one final IEEE
+    division (no engine-variant exp, the bigram_fluency idiom)."""
+    from .llmdata.text import ACCENT_DST, ACCENT_SRC
+
+    norm = (
+        "trim(regexp_replace(translate(lower(regexp_replace("
+        "text, '[\\x00-\\x1f\\x7f-\\x9f]', ' ', 'g')), "
+        f"'{ACCENT_SRC}', '{ACCENT_DST}'), "
+        "'\\s+', ' ', 'g'))"
+    )
+    toks_norm = _SQL_TOKS.replace("lower(text)", "lower(norm_text)")
+    feat16 = _sql_md5_16bits("md5(token)")
+    w16 = _sql_md5_16bits("md5(concat('w1|', CAST(id AS STRING)))")
+    lm_vals = ", ".join(f"('{w}', {q})" for w, q in _UNIGRAM_GATE_QLOGP)
+    return f"""
+WITH norm AS (
+  SELECT doc_id, n_chars, {norm} AS norm_text FROM documents
+),
+tk AS (SELECT doc_id, {toks_norm} AS toks FROM norm),
+occ AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+featid AS (
+  SELECT token, CAST(({feat16} % 4096) AS BIGINT) AS feature
+  FROM (SELECT DISTINCT token FROM occ)
+),
+wts AS (
+  SELECT CAST(id AS BIGINT) AS feature,
+         CAST(({w16} % 2049) - 1024 AS BIGINT) AS w_q
+  FROM range(4096) t(id)
+),
+clf AS (
+  SELECT o.doc_id,
+         CAST(COALESCE(SUM(w.w_q), 0) AS BIGINT) AS logit_q
+  FROM (SELECT occ.doc_id, f.feature FROM occ JOIN featid f USING (token)) o
+  LEFT JOIN wts w ON o.feature = w.feature
+  GROUP BY o.doc_id
+),
+mkept AS (SELECT doc_id, logit_q FROM clf WHERE logit_q >= 0),
+lmtab(word, q_logp) AS (VALUES {lm_vals}),
+lmk AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(l.q_logp) AS BIGINT) AS q_total
+  FROM occ JOIN lmtab l ON occ.token = l.word
+  GROUP BY doc_id
+  HAVING CAST(SUM(l.q_logp) AS BIGINT) >= {_UNIGRAM_GATE_MIN_QLOGP} * CAST(COUNT(*) AS BIGINT)
+),
+st AS (
+  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+         list_max(list_transform(list_distinct(toks),
+                  w -> len(list_filter(toks, x -> x = w)))) AS topc,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS grams,
+         len(list_filter(toks,
+             x -> list_contains(['the','and','of','to','in','is','a'], x))) AS n_stop
+  FROM tk
+),
+gate AS (
+  SELECT doc_id
+  FROM st
+  WHERE NOT (n < 25)
+    AND NOT ((CASE WHEN n > 0 THEN CAST(n_stop AS DOUBLE) / n ELSE 0.0 END) < 0.02)
+    AND NOT ((CASE WHEN n > 0 THEN CAST(n - nd AS DOUBLE) / n ELSE 0.0 END) > 0.6)
+    AND NOT ((CASE WHEN n > 0 THEN CAST(topc AS DOUBLE) / n ELSE 0.0 END) > 0.15)
+    AND NOT ((CASE WHEN len(grams) > 0
+              THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+              ELSE 0.0 END) > 0.08)
+),
+kept AS (
+  SELECT n.*, mk.logit_q, lk.q_total, lk.n_words
+  FROM norm n JOIN gate USING (doc_id) JOIN mkept mk USING (doc_id)
+       JOIN lmk lk USING (doc_id)
+),
+grp AS (
+  SELECT md5(regexp_replace(lower(norm_text), '\\s+', ' ', 'g')) AS h,
+         MIN(doc_id) AS canonical
+  FROM kept GROUP BY 1
+),
+surv AS (
+  SELECT k.doc_id, k.n_chars, k.logit_q, k.q_total, k.n_words
+  FROM kept k JOIN grp ON k.doc_id = grp.canonical
+),
+t AS (
+  SELECT s.doc_id, s.n_chars AS score, s.logit_q, s.q_total, s.n_words,
+         CAST(len(tk.toks) AS BIGINT) AS n_tokens
+  FROM surv s JOIN tk USING (doc_id)
+),
+b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM t),
+c AS (
+  SELECT doc_id, score, n_tokens, logit_q, q_total, n_words,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY score DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT c.doc_id, c.score, c.n_tokens, c.cum_before, c.logit_q,
+       CAST(c.q_total AS DOUBLE) / CAST(c.n_words * 1048576 AS DOUBLE)
+         AS mean_logp
+FROM c, b WHERE c.cum_before < b.budget
+"""
+
+
+@register(
+    "corpus_prep_v6_pipeline",
+    survey="LLM end-to-end (CCNet LM gate composed into the model-filtered prep pipeline)",
+    desc="training-corpus prep v6 — v4 with the unigram-LM perplexity "
+    "gate as a THIRD per-row predicate (the CCNet composition: keep a "
+    "doc iff classifier logit_q >= 0 AND Gopher composite gate AND "
+    "quantized mean word log-prob >= -14, all evaluated independently "
+    "over the normalized text and intersected in ONE join round — the "
+    "v4 plan discipline) -> exact dedup (min-id survivor) -> quality-"
+    "ranked token-budget selection; survivors carry logit_q and "
+    "mean_logp (one final IEEE division — the LM scores ride the same "
+    "frozen quality_unigram_ppl_gate pieces artifact and fixture-"
+    "derived oracle constants, drift-gated by "
+    "test_gate_entry_constants_match_dp)",
+    oracle=_corpus_prep_v6_oracle(),
+)
+def corpus_prep_v6_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .caching import tracked_persist
+    from .llmdata.dedup import exact_duplicate_groups
+    from .llmdata.sampling import quality_budget_select
+    from .llmdata.text import gopher_quality_gate, normalize_text, tokens_col
+    from .llmdata.unigram import unigram_word_logprobs
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    normed = normalize_text(docs).join(docs.select("doc_id", "n_chars"), "doc_id")
+    weights = _classify.hashed_weights(spark, n_features=4096, scale=1024, seed="w1")
+    clf = _classify.linear_classifier_scores(
+        normed, weights, n_features=4096, bias_q=0, text_col="norm_text"
+    )
+    gated = tracked_persist(gopher_quality_gate(normed, text_col="norm_text"))
+    # the LM gate: distinct-word DP against the frozen pieces artifact,
+    # integer per-doc sums, threshold in quantized mean-log space —
+    # per-row like the classifier/Gopher branches, intersects with them
+    toks = normed.select("doc_id", F.explode(tokens_col("norm_text")).alias("word"))
+    scored = unigram_word_logprobs(
+        toks.select("word").distinct(), _UNIGRAM_GATE_PIECES
+    )
+    lm = toks.join(scored, "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("q_logp").alias("q_total"),
+    )
+    lm_kept = lm.filter(
+        F.col("q_total") >= F.lit(_UNIGRAM_GATE_MIN_QLOGP) * F.col("n_words")
+    )
+    kept = tracked_persist(
+        normed.join(
+            clf.filter(F.col("logit_q") >= 0).select("doc_id", "logit_q"), "doc_id"
+        )
+        .join(gated.filter("keep").select("doc_id"), "doc_id")
+        .join(lm_kept.select("doc_id", "q_total", "n_words"), "doc_id")
+    )
+    groups = exact_duplicate_groups(kept, text_col="norm_text")
+    survivors = tracked_persist(
+        kept.join(groups.select(F.col("canonical_id").alias("doc_id")), "doc_id")
+    )
+    selected = quality_budget_select(
+        survivors, score_col="n_chars", budget_den=2, text_col="norm_text"
+    )
+    return selected.join(
+        survivors.select("doc_id", "logit_q", "q_total", "n_words"), "doc_id"
+    ).select(
+        "doc_id",
+        "score",
+        "n_tokens",
+        "cum_before",
+        "logit_q",
+        (
+            F.col("q_total").cast("double")
+            / (F.col("n_words") * F.lit(1048576)).cast("double")
+        ).alias("mean_logp"),
+    )
+
+
 def _lsh_recall_topk_cte(p: int) -> str:
     """One fixed-plane-count (top-10 in the query's LSH bucket) CTE
     pair for the recall sweep — planes inlined via _sql_lsh_bucket, so

@@ -116,6 +116,8 @@ _ARROW_BATCH_OK = {
     # is not SQL) — everything downstream of the (word, q_logp) join
     # is JVM integer arithmetic
     "quality_unigram_ppl_gate",
+    # v6 composes that same DP branch as its third gate
+    "corpus_prep_v6_pipeline",
 }
 
 
