@@ -364,6 +364,20 @@ the median — the same warmup signature as the joint-dedup note): the
 early sweep caught their fast tail, the late sweep their slow tail.
 CLOSED as sweep-position variance; watch in the r13 driver record.
 
+r14 FULL-SWEEP finding (SPARK_GRAFT_BENCH_ALL=1, runs=2, final r14
+code, 175 timed queries, 276.2 s total, canary 0.630/0.484, sched
+1.957/1.230 — 2.2 s more than the r13 sweep for 2 more queries on a
+comparable box): no new outlier class. The slowest set is unchanged —
+dedup_bow_cosine 98.6 s (the adversarial exact-form fixture; deployed
+shape dedup_bow_cosine_zipf in the same sweep), the honest in-query
+index build ann_ivfpq_incremental 7.1 s, the composed pipelines (the
+new corpus_prep_v6_pipeline reads 6.45 s in-sweep vs 4.13 headline —
+the documented in-sweep inflation class its v3/v4 siblings show), and
+the pytest-only instrumentation rows still timed by ALL mode.
+sample_kcenter_coreset reads 1.35 s in-sweep (5.6 s in the r13 sweep)
+— the incremental-fold reshape holding under sweep conditions. No
+regression candidates.
+
 r13 FULL-SWEEP finding (SPARK_GRAFT_BENCH_ALL=1, runs=2, final r13
 code, 173 timed queries, 274.0 s total, canary 0.810/0.591 — a faster
 box than the r12 sweep's day, and 67 s LESS total for 4 MORE queries):
