@@ -394,20 +394,34 @@ def read_live_store(
     race the writer the way a reader-side recover_swapped_store would
     (r13 review). Raises FileNotFoundError only if the store stays
     missing past the retry budget (a real crash window — let the
-    WRITER recover it)."""
+    WRITER recover it).
+
+    The returned frame is MATERIALIZED inside the retry loop (the
+    store's rows are collected and rebuilt as a local relation) — a
+    lazy spark.read would still list the pre-swap part files and crash
+    at ACTION time when the next swap deletes them (r14 review). Swap
+    stores are O(k)/O(cells) by contract (the sketch maintainers), so
+    the driver copy is bounded; this function is NOT for data-scale
+    relations."""
     import time
 
-    for attempt in range(max(1, int(retries))):
+    n = max(1, int(retries))
+    for attempt in range(n):
         if os.path.exists(store_dir):
             try:
-                return spark.read.parquet(store_dir)
+                df = spark.read.parquet(store_dir)
+                # action INSIDE the retry: a swap between listing and
+                # collect surfaces here and retries instead of crashing
+                # the serving query later
+                rows = df.collect()
+                return spark.createDataFrame(rows, df.schema)
             except Exception:
                 # swapped away between the exists() probe and the read
-                if attempt == retries - 1:
+                if attempt == n - 1:
                     raise
         time.sleep(delay)
     raise FileNotFoundError(
-        f"store at {store_dir} missing after {retries} retries: if "
+        f"store at {store_dir} missing after {n} retries: if "
         f"{store_dir}.old exists the maintaining stream crashed "
         "mid-swap — its next batch (or writer-side "
         "recover_swapped_store) restores it"

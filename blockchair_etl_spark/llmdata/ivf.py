@@ -310,8 +310,9 @@ def frame_to_centroids(
     if not rows:
         raise ValueError("empty centroid relation")
     if expected_k is not None and len(rows) != expected_k:
+        kind = "truncated" if len(rows) < expected_k else "over-full (duplicated write?)"
         raise ValueError(
-            f"centroid relation is truncated: {len(rows)} clusters "
+            f"centroid relation is {kind}: {len(rows)} clusters "
             f"present, expected {expected_k}"
         )
     if len(rows) != int(rows[-1].cluster_id) + 1:

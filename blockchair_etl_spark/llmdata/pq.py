@@ -432,13 +432,15 @@ def frame_to_codebooks(
     m = int(rows[-1].subspace) + 1
     ksub = int(rows[-1].code) + 1
     if expected_m is not None and m != expected_m:
+        kind = "truncated" if m < expected_m else "over-full (duplicated write?)"
         raise ValueError(
-            f"codebook relation is truncated: {m} subspaces present, "
+            f"codebook relation is {kind}: {m} subspaces present, "
             f"expected {expected_m}"
         )
     if expected_ksub is not None and ksub != expected_ksub:
+        kind = "truncated" if ksub < expected_ksub else "over-full (duplicated write?)"
         raise ValueError(
-            f"codebook relation is truncated: {ksub} codes present, "
+            f"codebook relation is {kind}: {ksub} codes present, "
             f"expected {expected_ksub}"
         )
     if len(rows) != m * ksub:

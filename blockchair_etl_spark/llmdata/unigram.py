@@ -291,17 +291,30 @@ def _piece_removal_losses(
     a small (possibly negative) loss even at high count — exactly the
     case where count ranking and loss ranking diverge (pytest pins a
     crafted fixture). O(|pieces| * len * max_len) pure-python driver
-    work, no extra corpus pass."""
+    work, no extra corpus pass: p is popped from the model and
+    re-inserted per iteration (never a dict copy), and the unk penalty
+    derives from the precomputed two smallest logps instead of a
+    per-piece min scan (r14 review — the copy+scan form was
+    O(|pieces|^2), hours at MAX_MODEL_PIECES)."""
     max_len = max(len(p) for p in model)
+    # unk for "model without p": the global min unless p IS the unique
+    # minimum, in which case the second-smallest logp takes over
+    lo1 = min(model.values())
+    lo1_n = sum(1 for lp in model.values() if lp == lo1)
+    lo2 = min((lp for lp in model.values() if lp != lo1), default=lo1)
     losses: dict[str, float] = {}
     for p, c in totals.items():
         if len(p) <= 1 or c <= 0 or p not in model:
             continue
-        rest = {q: lp for q, lp in model.items() if q != p}
-        unk = min(rest.values()) - 10.0
-        toks = _py_viterbi(p, rest, max_len, unk)
-        alt = sum(rest.get(t, unk) for t in toks)
-        losses[p] = c * (model[p] - alt)
+        logp_p = model.pop(p)
+        try:
+            floor = lo2 if (logp_p == lo1 and lo1_n == 1) else lo1
+            unk = floor - 10.0
+            toks = _py_viterbi(p, model, max_len, unk)
+            alt = sum(model.get(t, unk) for t in toks)
+            losses[p] = c * (logp_p - alt)
+        finally:
+            model[p] = logp_p
     return losses
 
 
@@ -514,6 +527,38 @@ def unigram_word_logprobs(
     )
 
 
+def unigram_doc_qtotals(
+    docs: DataFrame,
+    pieces: list[tuple[str, float]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The shared LM-aggregation core: → (id, n_words BIGINT, q_total
+    BIGINT) — exact quantized per-document log-prob totals under the
+    frozen unigram model. The DP scores DISTINCT words only (Arrow-
+    batched forward pass), joins back to the token stream, and sums the
+    2^-20-quantized integer scores — exact and order-independent. ONE
+    definition (r14 review: the perplexity operator, the
+    quality_unigram_ppl_gate registry entry, and the v6 pipeline's LM
+    branch all aggregate through here, so NULL-word/empty-doc/quantum
+    semantics cannot drift between them). Documents with no tokens
+    have no row — callers wanting the gate-friendly keep-empty
+    convention left-join back (unigram_doc_perplexity does)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("word")
+    )
+    scored = unigram_word_logprobs(toks.select("word").distinct(), pieces)
+    return (
+        toks.join(scored, "word")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("q_logp").alias("q_total"),
+        )
+        .select(F.col("doc").alias(id_col), "n_words", "q_total")
+    )
+
+
 def unigram_doc_perplexity(
     docs: DataFrame,
     pieces: list[tuple[str, float]],
@@ -530,20 +575,12 @@ def unigram_doc_perplexity(
     Scale/portability shape: the LM scores DISTINCT words only
     (Arrow-batched forward pass) and joins back to the token stream;
     per-document totals sum the QUANTIZED integer scores (exact,
-    order-independent — the bigram_fluency idiom), and the only float
-    op is one final exp per document. Empty/NULL-text rows are kept
-    with n_words = 0 and NULL ppl, the gate-friendly convention."""
-    toks = docs.select(
-        F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("word")
-    )
-    scored = unigram_word_logprobs(toks.select("word").distinct(), pieces)
-    per_doc = (
-        toks.join(scored, "word")
-        .groupBy("doc")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
-            F.sum("q_logp").alias("q_total"),
-        )
+    order-independent — the bigram_fluency idiom; the shared
+    unigram_doc_qtotals core), and the only float op is one final exp
+    per document. Empty/NULL-text rows are kept with n_words = 0 and
+    NULL ppl, the gate-friendly convention."""
+    per_doc = unigram_doc_qtotals(docs, pieces, text_col, id_col).select(
+        F.col(id_col).alias("doc"), "n_words", "q_total"
     )
     ppl = F.exp(-(F.col("q_total").cast("double") / F.lit(float(_Q))) / F.col("n_words"))
     return (

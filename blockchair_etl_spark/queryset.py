@@ -1052,20 +1052,10 @@ WHERE q_total >= {_UNIGRAM_GATE_MIN_QLOGP} * n_words
 """,
 )
 def quality_unigram_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .llmdata.text import tokens_col
-    from .llmdata.unigram import unigram_word_logprobs
+    from .llmdata.unigram import unigram_doc_qtotals
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(tokens_col("text")).alias("word")
-    )
-    scored = unigram_word_logprobs(
-        toks.select("word").distinct(), _UNIGRAM_GATE_PIECES
-    )
-    per_doc = toks.join(scored, "word").groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        F.sum("q_logp").alias("q_total"),
-    )
+    per_doc = unigram_doc_qtotals(docs, _UNIGRAM_GATE_PIECES)
     return per_doc.filter(
         F.col("q_total") >= F.lit(_UNIGRAM_GATE_MIN_QLOGP) * F.col("n_words")
     ).select(
@@ -8146,8 +8136,8 @@ def corpus_prep_v6_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .caching import tracked_persist
     from .llmdata.dedup import exact_duplicate_groups
     from .llmdata.sampling import quality_budget_select
-    from .llmdata.text import gopher_quality_gate, normalize_text, tokens_col
-    from .llmdata.unigram import unigram_word_logprobs
+    from .llmdata.text import gopher_quality_gate, normalize_text
+    from .llmdata.unigram import unigram_doc_qtotals
 
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par)
@@ -8157,16 +8147,12 @@ def corpus_prep_v6_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         normed, weights, n_features=4096, bias_q=0, text_col="norm_text"
     )
     gated = tracked_persist(gopher_quality_gate(normed, text_col="norm_text"))
-    # the LM gate: distinct-word DP against the frozen pieces artifact,
-    # integer per-doc sums, threshold in quantized mean-log space —
-    # per-row like the classifier/Gopher branches, intersects with them
-    toks = normed.select("doc_id", F.explode(tokens_col("norm_text")).alias("word"))
-    scored = unigram_word_logprobs(
-        toks.select("word").distinct(), _UNIGRAM_GATE_PIECES
-    )
-    lm = toks.join(scored, "word").groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        F.sum("q_logp").alias("q_total"),
+    # the LM gate: the shared unigram_doc_qtotals core (distinct-word
+    # DP against the frozen pieces artifact, integer per-doc sums),
+    # threshold in quantized mean-log space — per-row like the
+    # classifier/Gopher branches, intersects with them
+    lm = unigram_doc_qtotals(
+        normed, _UNIGRAM_GATE_PIECES, text_col="norm_text"
     )
     lm_kept = lm.filter(
         F.col("q_total") >= F.lit(_UNIGRAM_GATE_MIN_QLOGP) * F.col("n_words")

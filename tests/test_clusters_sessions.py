@@ -1123,7 +1123,18 @@ def test_read_live_store_reader_contract(spark, tmp_path):
     store = str(tmp_path / "live_store")
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
     atomic_swap_store(df, store)
-    assert read_live_store(spark, store).count() == 2
+    held = read_live_store(spark, store)
+    assert held.count() == 2
+
+    # action-time safety (r14 review): the returned frame must survive
+    # the NEXT swap deleting the part files it was listed from — the
+    # load materializes inside the retry, so a dashboard holding the
+    # frame across swaps cannot hit FileNotFound at collect time
+    atomic_swap_store(
+        spark.createDataFrame([(3, "c")], "id bigint, v string"), store
+    )
+    assert {r.id for r in held.collect()} == {1, 2}  # pre-swap snapshot
+    assert {r.id for r in read_live_store(spark, store).collect()} == {3}
 
     # simulate the mid-swap window: store parked at .old
     os.rename(store, store + ".old")
