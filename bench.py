@@ -573,6 +573,9 @@ HEADLINE = [
     # classifier and Gopher (the full CCNet/FineWeb prep shape)
     "quality_unigram_ppl_gate",
     "corpus_prep_v6_pipeline",
+    # round-14: per-group KMV — the per-dimension A2 dashboard shape
+    # (one distinct shuffle + streaming per-group row_number cut)
+    "sketch_kmv_grouped",
 ]
 
 

@@ -120,6 +120,10 @@ FAMILY = [
     # v4 chain, so the composition is the thing to watch (the v5 rule)
     "quality_unigram_ppl_gate",
     "corpus_prep_v6_pipeline",
+    # round-14: grouped KMV — distinct-hash saturation under copy
+    # scaling (copies add occurrences, not distinct users), so the
+    # sketch shuffle is the scale story
+    "sketch_kmv_grouped",
     # media_pixel_dedup_survivors (the 8x4=32-bit oracle twin) is
     # deliberately ABSENT: at fixed 32-bit width the pigeonhole block
     # join's RANDOM collisions alone grow quadratically (4*2^-8 ~ 1.6%

@@ -147,6 +147,100 @@ def kmv_mins(
     )
 
 
+def kmv_mins_grouped(
+    df: DataFrame,
+    group_col: str,
+    c: Column | str,
+    k: int = 64,
+    hash_bits: int = 60,
+) -> DataFrame:
+    """Per-GROUP KMV sketch state: the k smallest distinct 60-bit md5
+    hashes of ``c`` within each group, as a (g, hv) relation — the
+    grouped sibling of kmv_mins and the dashboard's per-dimension
+    cardinality primitive (distinct users per event type, per day, per
+    source) at O(groups x k) state instead of an exact per-group
+    distinct.
+
+    Scale shape: one (g, hv) hash-distinct shuffle, then a per-group
+    row_number window that STREAMS each group's sorted hashes and cuts
+    at k — never a per-group collect_set (which would buffer every
+    distinct hash of a hot group in one task's memory). Groups are the
+    window partitions, so skew is bounded by the distinct count of the
+    hottest group, not by row count."""
+    col = F.col(c) if isinstance(c, str) else c
+    hv = F.conv(
+        F.substring(F.md5(col.cast("string")), 1, hash_bits // 4), 16, 10
+    ).cast("bigint")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.asc("hv"))
+    return (
+        df.filter(col.isNotNull())
+        .select(F.col(group_col).alias("g"), hv.alias("hv"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .drop("rn")
+    )
+
+
+def kmv_distinct_grouped(
+    df: DataFrame,
+    group_col: str,
+    c: Column | str,
+    k: int = 64,
+    hash_bits: int = 60,
+) -> DataFrame:
+    """Per-group distinct-count estimates off the grouped KMV sketch:
+    → (group, n_taken, kth_min_hash, distinct_estimate) — one row per
+    group, same estimator and exact-below-k degeneration as
+    kmv_distinct. The read half is :func:`kmv_estimate_grouped`, so a
+    maintained (g, hv) store serves the same relation without
+    rescanning the corpus."""
+    return kmv_estimate_grouped(
+        kmv_mins_grouped(df, group_col, c, k, hash_bits), group_col, k, hash_bits
+    )
+
+
+def kmv_estimate_grouped(
+    mins: DataFrame, group_col: str, k: int = 64, hash_bits: int = 60
+) -> DataFrame:
+    """Estimation read-half over a grouped mins relation (g, hv):
+    D_g ≈ (k-1) · 2^60 / h_(k) per group, exact count below k."""
+    space = float(1 << hash_bits)
+    n_taken = F.count(F.lit(1))
+    kth = F.max("hv")
+    return mins.groupBy(F.col("g").alias(group_col)).agg(
+        n_taken.cast("bigint").alias("n_taken"),
+        kth.alias("kth_min_hash"),
+        F.when(n_taken < k, n_taken.cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(space) / kth.cast("double"))
+        .alias("distinct_estimate"),
+    )
+
+
+def kmv_merge_mins_grouped(
+    sketches: list[DataFrame], k: int = 64
+) -> DataFrame:
+    """The lossless grouped merge: union (g, hv) relations, dedup,
+    re-take each group's k smallest — the per-group form of
+    kmv_merge_mins, and like it the ONE merge definition shared by any
+    batch or streaming maintainer (idempotent: re-merging the same
+    sketch changes nothing)."""
+    from pyspark.sql import Window
+
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    w = Window.partitionBy("g").orderBy(F.asc("hv"))
+    return (
+        merged.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .drop("rn")
+    )
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,

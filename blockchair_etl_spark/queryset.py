@@ -2849,6 +2849,48 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_kmv_grouped",
+    survey="A2 (scale path, per-dimension)",
+    desc="per-GROUP k-minimum-values cardinality sketch: distinct "
+    "users per event type at O(groups x k) state — the dashboard's "
+    "per-dimension A2 shape without an exact per-group distinct. One "
+    "(g, hash)-distinct shuffle, then a streaming per-group "
+    "row_number cut at k (never a per-group collect_set, so a hot "
+    "group's distinct count bounds skew, not its row count); same "
+    "deterministic md5-derived 60-bit estimator and exact-below-k "
+    "degeneration as sketch_kmv_distinct, and the same lossless "
+    "min-k union merge property via kmv_merge_mins_grouped",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT event_type AS g,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+  WHERE user_id IS NOT NULL
+),
+mins AS (
+  SELECT g, hv
+  FROM (SELECT g, hv,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv ASC) AS rn
+        FROM h)
+  WHERE rn <= 32
+)
+SELECT g AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_taken,
+       MAX(hv) AS kth_min_hash,
+       CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE 31.0 * 1152921504606846976.0 / CAST(MAX(hv) AS DOUBLE)
+       END AS distinct_estimate
+FROM mins GROUP BY g
+""",
+)
+def sketch_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.approx import kmv_distinct_grouped
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct_grouped(ev, "event_type", "user_id", k=32)
+
+
+@register(
     "json_extract_props",
     survey="P11 (semi-structured)",
     desc="JSON path extraction from the events property bag + grouped "

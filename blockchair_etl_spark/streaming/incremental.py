@@ -447,6 +447,80 @@ def stream_kmv_maintain(
     )
 
 
+def make_kmv_grouped_updater(
+    store_dir: str,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    k: int = 64,
+):
+    """foreachBatch body maintaining the per-GROUP KMV store — the
+    grouped sibling of make_kmv_updater: per micro-batch, the batch's
+    per-group k smallest distinct hashes (approx.kmv_mins_grouped)
+    merge through the ONE grouped merge definition
+    (kmv_merge_mins_grouped), and the store swaps atomically. State is
+    O(groups x k) rows forever; per-group estimation off the live
+    store (approx.kmv_estimate_grouped) equals the batch sketch over
+    exactly the rows seen. Same watermark/recovery/idempotence
+    contract as the flat updater (min-k union per group is idempotent,
+    so the skip only saves work)."""
+    import os
+
+    from ..io.sinks import atomic_swap_store, recover_swapped_store
+    from ..operators.approx import kmv_merge_mins_grouped, kmv_mins_grouped
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        recover_swapped_store(store_dir)
+        batch_mins = kmv_mins_grouped(batch_df, group_col, key_col, k=k)
+        if os.path.exists(store_dir):
+            prior = batch_df.sparkSession.read.parquet(store_dir)
+            last = None
+            if "__last_batch" in prior.columns:
+                last = prior.agg(F.max("__last_batch")).first()[0]
+                prior = prior.drop("__last_batch")
+            if last is not None and int(last) == int(batch_id):
+                return
+            if last is not None and int(last) > int(batch_id):
+                raise RuntimeError(
+                    f"grouped KMV store at {store_dir} has "
+                    f"__last_batch={last} but the stream delivered "
+                    f"batch_id={batch_id}: checkpoint/store mismatch "
+                    "(checkpoint reset while the store was kept?). "
+                    "Reset the store with the checkpoint or use a "
+                    "fresh store_dir."
+                )
+            merged = kmv_merge_mins_grouped([prior, batch_mins], k=k)
+        else:
+            merged = batch_mins
+        merged = merged.withColumn(
+            "__last_batch", F.lit(int(batch_id)).cast("bigint")
+        )
+        atomic_swap_store(merged, store_dir, partitions=1)
+
+    return _update
+
+
+def stream_kmv_grouped_maintain(
+    spark: SparkSession,
+    events_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    store_dir: str,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    k: int = 64,
+) -> "StreamingQuery":
+    """Continuously maintained per-group KMV sketches — always-on
+    per-dimension distinct-count tracking with O(groups x k) state."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    _update = make_kmv_grouped_updater(store_dir, group_col, key_col, k)
+    return (
+        stream.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def make_histogram_updater(
     store_dir: str,
     value_col: str = "value",

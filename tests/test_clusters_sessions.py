@@ -1349,6 +1349,79 @@ def test_stream_histogram_maintain_equals_batch_sketch(spark, tmp_path):
     assert cells(spark.read.parquet(store).drop("__last_batch")) == want
 
 
+def test_stream_kmv_grouped_maintain_equals_batch_sketch(spark, tmp_path):
+    """Grouped KMV (per-dimension distinct counts at O(groups x k)
+    state): the store after a 3-drain stream equals kmv_mins_grouped
+    over exactly the rows seen, per-group estimation off the live
+    store equals the one-shot batch sketch (exact below k, estimator
+    above), replayed exact-last batch is skipped, and the grouped
+    min-k union is idempotent."""
+    from blockchair_etl_spark.io.sinks import read_live_store
+    from blockchair_etl_spark.operators.approx import (
+        kmv_distinct_grouped,
+        kmv_estimate_grouped,
+        kmv_mins_grouped,
+    )
+    from blockchair_etl_spark.streaming.incremental import (
+        make_kmv_grouped_updater,
+        stream_kmv_grouped_maintain,
+    )
+
+    # group 'a' has 200 distinct keys (> k=16, estimator path); group
+    # 'b' has 7 (< k, exact-degeneration path)
+    rows = [(i, "a", i % 200) for i in range(600)] + [
+        (1000 + i, "b", i % 7) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "row_id bigint, g string, user_id bigint")
+    src = str(tmp_path / "gkmv_src")
+    for i in range(3):
+        df.filter(F.col("row_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = str(tmp_path / "gkmv_store")
+    q = stream_kmv_grouped_maintain(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        str(tmp_path / "gkmv_ckpt"),
+        store,
+        group_col="g",
+        key_col="user_id",
+        k=16,
+    )
+    assert q.awaitTermination(300)
+
+    def mins_set(frame):
+        return {(r.g, r.hv) for r in frame.collect()}
+
+    got = mins_set(spark.read.parquet(store).drop("__last_batch"))
+    want = mins_set(kmv_mins_grouped(df, "g", "user_id", k=16))
+    assert got == want and len(got) == 16 + 7  # k for 'a', exact 7 for 'b'
+
+    served = {
+        r.g: (r.n_taken, r.kth_min_hash, r.distinct_estimate)
+        for r in kmv_estimate_grouped(
+            read_live_store(spark, store).drop("__last_batch"), "g", k=16
+        ).collect()
+    }
+    batch = {
+        r.g: (r.n_taken, r.kth_min_hash, r.distinct_estimate)
+        for r in kmv_distinct_grouped(df, "g", "user_id", k=16).collect()
+    }
+    assert served == batch
+    assert batch["b"][0] == 7 and batch["b"][2] == 7.0  # exact below k
+    assert batch["a"][0] == 16 and 100 < batch["a"][2] < 400  # estimator
+
+    # replayed exact-last batch: skipped; re-merge is a no-op anyway
+    upd = make_kmv_grouped_updater(store, group_col="g", key_col="user_id", k=16)
+    last = spark.read.parquet(store).agg(F.max("__last_batch")).first()[0]
+    upd(df, int(last))
+    assert mins_set(spark.read.parquet(store).drop("__last_batch")) == want
+    upd(df, int(last) + 1)  # new batch id, same rows — semantic no-op
+    assert mins_set(spark.read.parquet(store).drop("__last_batch")) == want
+
+
 def test_dashboard_metrics_served_from_live_sketch_stores(spark, tmp_path):
     """r13 verdict stretch #8 — the dashboard-at-scale serving story:
     the A2-shaped distinct count and the A3-shaped value quantiles,
