@@ -389,3 +389,68 @@ def test_simhash_core_matches_python_reference(spark, docs_tokens):
                 acc[j] += freq if (nib >> (j % 4)) & 1 else -freq
         exp[i] = sum(1 << j for j in range(32) if acc[j] >= 0)
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 40)),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(1, 3),
+)
+def test_grouped_kmv_merge_lossless(spark, rows, n_parts):
+    """For random (group, key) multisets split arbitrarily into parts:
+    merging the parts' per-group min-k sketches equals the per-group
+    min-k sketch of the whole — the lossless-union property that makes
+    grouped KMV a proper distributed sketch — and per-group estimates
+    off the merge equal the one-shot operator (exact below k)."""
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.operators.approx import (
+        kmv_distinct_grouped,
+        kmv_estimate_grouped,
+        kmv_merge_mins_grouped,
+        kmv_mins_grouped,
+    )
+
+    k = 4
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        "row_id bigint, g string, user_id bigint",
+    )
+    whole = {(r.g, r.hv) for r in kmv_mins_grouped(df, "g", "user_id", k=k).collect()}
+    parts = [
+        kmv_mins_grouped(
+            df.filter((F.col("row_id") % n_parts) == i), "g", "user_id", k=k
+        )
+        for i in range(n_parts)
+    ]
+    merged_df = kmv_merge_mins_grouped(parts, k=k)
+    merged = {(r.g, r.hv) for r in merged_df.collect()}
+    assert merged == whole
+    # python model: per group, the k smallest distinct hashes
+    import hashlib
+
+    model: dict[str, set[int]] = {}
+    for g, v in rows:
+        model.setdefault(g, set()).add(
+            int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        )
+    want = {
+        (g, hv) for g, hvs in model.items() for hv in sorted(hvs)[:k]
+    }
+    assert whole == want
+    est = {
+        r.g: (r.n_taken, r.distinct_estimate)
+        for r in kmv_estimate_grouped(merged_df, "g", k=k).collect()
+    }
+    one_shot = {
+        r.g: (r.n_taken, r.distinct_estimate)
+        for r in kmv_distinct_grouped(df, "g", "user_id", k=k).collect()
+    }
+    assert est == one_shot
+    for g, hvs in model.items():
+        if len(hvs) < k:
+            assert est[g] == (len(hvs), float(len(hvs)))  # exact below k
