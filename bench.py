@@ -364,6 +364,15 @@ the median — the same warmup signature as the joint-dedup note): the
 early sweep caught their fast tail, the late sweep their slow tail.
 CLOSED as sweep-position variance; watch in the r13 driver record.
 
+r14 v6 SHAPE A/B (does a 4th branch over `normed` flip the v4
+persist decision?): corpus_prep_v6_pipeline as shipped vs a
+tracked_persist(normed) variant, 5-run medians, BOTH orders. Order 1:
+current 5.235 / persist 4.588; order 2 REVERSED: persist 5.767 /
+current 4.797 (canary 0.62-0.65 both) — whichever runs second wins by
+the same ~0.6 s, i.e. pure JVM warmup, no shape signal. The v4 rule
+(per-row gate branches re-scan normalization; persisting the full
+text costs what it saves) holds at four branches — current shape KEPT.
+
 r14 FULL-SWEEP finding (SPARK_GRAFT_BENCH_ALL=1, runs=2, final r14
 code, 175 timed queries, 276.2 s total, canary 0.630/0.484, sched
 1.957/1.230 — 2.2 s more than the r13 sweep for 2 more queries on a

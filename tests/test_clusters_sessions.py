@@ -1422,6 +1422,46 @@ def test_stream_kmv_grouped_maintain_equals_batch_sketch(spark, tmp_path):
     assert mins_set(spark.read.parquet(store).drop("__last_batch")) == want
 
 
+def test_grouped_kmv_null_group_and_crash_recovery(spark, tmp_path):
+    """Edge pins for the grouped KMV family: (a) a NULL group value is
+    a group of its own (distinct + window both treat NULL as one
+    partition — rows with an unknown dimension still get a
+    cardinality, they don't vanish); (b) the grouped updater shares
+    atomic_swap_store's no-unrecoverable-window contract — with the
+    store parked at .old the next trigger restores it and merges into
+    the FULL history."""
+    import os
+
+    from blockchair_etl_spark.operators.approx import (
+        kmv_distinct_grouped,
+        kmv_mins_grouped,
+    )
+    from blockchair_etl_spark.streaming.incremental import (
+        make_kmv_grouped_updater,
+    )
+
+    rows = [(i, None if i % 5 == 0 else "g%d" % (i % 2), i % 30) for i in range(120)]
+    df = spark.createDataFrame(rows, "row_id bigint, g string, user_id bigint")
+    mins = kmv_mins_grouped(df, "g", "user_id", k=8)
+    groups = {r.g for r in mins.select("g").distinct().collect()}
+    assert groups == {None, "g0", "g1"}
+    est = {r.g: r.n_taken for r in kmv_distinct_grouped(df, "g", "user_id", k=8).collect()}
+    # NULL group: 6 distinct keys (multiples of 5 mod 30) — exact below k
+    assert None in est and est[None] == 6
+
+    store = str(tmp_path / "gkmv_crash")
+    upd = make_kmv_grouped_updater(store, group_col="g", key_col="user_id", k=8)
+    b0 = df.filter(F.col("row_id") < 60)
+    b1 = df.filter(F.col("row_id") >= 60)
+    upd(b0, 0)
+    os.rename(store, store + ".old")  # the crash window
+    upd(b1, 1)
+    got = {(r.g, r.hv) for r in spark.read.parquet(store).drop("__last_batch").collect()}
+    want = {(r.g, r.hv) for r in kmv_mins_grouped(df, "g", "user_id", k=8).collect()}
+    assert got == want
+    assert not os.path.exists(store + ".old")
+
+
 def test_dashboard_metrics_served_from_live_sketch_stores(spark, tmp_path):
     """r13 verdict stretch #8 — the dashboard-at-scale serving story:
     the A2-shaped distinct count and the A3-shaped value quantiles,
