@@ -153,6 +153,7 @@ def kmv_mins_grouped(
     c: Column | str,
     k: int = 64,
     hash_bits: int = 60,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Per-GROUP KMV sketch state: the k smallest distinct 60-bit md5
     hashes of ``c`` within each group, as a (g, hv) relation — the
@@ -161,24 +162,39 @@ def kmv_mins_grouped(
     source) at O(groups x k) state instead of an exact per-group
     distinct.
 
-    Scale shape: one (g, hv) hash-distinct shuffle, then a per-group
-    row_number window that STREAMS each group's sorted hashes and cuts
-    at k — never a per-group collect_set (which would buffer every
-    distinct hash of a hot group in one task's memory). Groups are the
-    window partitions, so skew is bounded by the distinct count of the
-    hottest group, not by row count."""
+    Scale shape: one (g, hv) hash-distinct shuffle, then a TWO-LEVEL
+    min-k cut. A single per-group window would pull every distinct
+    hash of a hot group through one task's sort (a 1B-distinct-user
+    group = a 1B-row single-task sort at corpus scale), so level 1
+    cuts min-k within (g, hv % n_salts) — n_salts parallel windows per
+    group, each bounded by its salt share — and level 2 takes the
+    per-group min-k of the surviving n_salts*k rows. Min-k union is
+    lossless (the kmv_merge_mins theorem), so the two-level result is
+    IDENTICAL to the direct cut — the oracle computes the direct form
+    and hash-matches. Never a per-group collect_set. The salt derives
+    from hv itself (already uniform), purely internal."""
     col = F.col(c) if isinstance(c, str) else c
     hv = F.conv(
         F.substring(F.md5(col.cast("string")), 1, hash_bits // 4), 16, 10
     ).cast("bigint")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("g").orderBy(F.asc("hv"))
-    return (
+    distinct = (
         df.filter(col.isNotNull())
         .select(F.col(group_col).alias("g"), hv.alias("hv"))
         .distinct()
-        .withColumn("rn", F.row_number().over(w))
+    )
+    w1 = Window.partitionBy("g", F.pmod(F.col("hv"), F.lit(int(n_salts)))).orderBy(
+        F.asc("hv")
+    )
+    pruned = (
+        distinct.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= int(k))
+        .drop("rn")
+    )
+    w2 = Window.partitionBy("g").orderBy(F.asc("hv"))
+    return (
+        pruned.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= int(k))
         .drop("rn")
     )

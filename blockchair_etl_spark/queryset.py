@@ -2854,12 +2854,15 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     desc="per-GROUP k-minimum-values cardinality sketch: distinct "
     "users per event type at O(groups x k) state — the dashboard's "
     "per-dimension A2 shape without an exact per-group distinct. One "
-    "(g, hash)-distinct shuffle, then a streaming per-group "
-    "row_number cut at k (never a per-group collect_set, so a hot "
-    "group's distinct count bounds skew, not its row count); same "
-    "deterministic md5-derived 60-bit estimator and exact-below-k "
-    "degeneration as sketch_kmv_distinct, and the same lossless "
-    "min-k union merge property via kmv_merge_mins_grouped",
+    "(g, hash)-distinct shuffle, then a TWO-LEVEL min-k cut: level 1 "
+    "prunes within (g, hv % 16) across 16 parallel windows per group, "
+    "level 2 cuts the surviving 16k rows per group — identical to the "
+    "direct cut by min-k-union losslessness (the oracle computes the "
+    "direct form), but a hot group's sort is bounded by its salt "
+    "share instead of its full distinct count; same deterministic "
+    "md5-derived 60-bit estimator and exact-below-k degeneration as "
+    "sketch_kmv_distinct, same lossless merge via "
+    "kmv_merge_mins_grouped",
     oracle="""
 WITH h AS (
   SELECT DISTINCT event_type AS g,
