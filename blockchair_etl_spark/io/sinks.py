@@ -383,8 +383,34 @@ def atomic_swap_store(df: DataFrame, store_dir: str, partitions: int = 8) -> Non
     shutil.rmtree(old_dir, ignore_errors=True)
 
 
+def _is_swap_window_error(exc: BaseException) -> bool:
+    """True iff ``exc`` is the store-path-vanished shape a concurrent
+    atomic_swap_store rename produces — the ONLY failure read_live_store
+    may retry. Matched on the exception text because the listing race
+    surfaces as AnalysisException(PATH_NOT_FOUND) at plan time but as a
+    JVM SparkException wrapping java.io.FileNotFoundException at
+    collect time, and both carry the marker strings below. Anything
+    else (schema mismatch, corrupt footer, permission) is a real error
+    and must surface immediately, not after the retry budget (r14
+    review)."""
+    text = str(exc)
+    return any(
+        marker in text
+        for marker in (
+            "PATH_NOT_FOUND",
+            "FileNotFoundException",
+            "does not exist",
+            "No such file",
+        )
+    )
+
+
 def read_live_store(
-    spark, store_dir: str, retries: int = 20, delay: float = 0.05
+    spark,
+    store_dir: str,
+    retries: int = 20,
+    delay: float = 0.05,
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Reader-safe load of an :func:`atomic_swap_store`-maintained
     relation for EXTERNAL concurrent readers (dashboards serving
@@ -402,7 +428,9 @@ def read_live_store(
     at ACTION time when the next swap deletes them (r14 review). Swap
     stores are O(k)/O(cells) by contract (the sketch maintainers), so
     the driver copy is bounded; this function is NOT for data-scale
-    relations."""
+    relations — ``max_rows`` enforces that contract (the collect is
+    capped at max_rows+1 rows, so pointing it at a data-scale relation
+    raises a pointed ValueError instead of collecting the corpus)."""
     import time
 
     n = max(1, int(retries))
@@ -412,11 +440,26 @@ def read_live_store(
                 df = spark.read.parquet(store_dir)
                 # action INSIDE the retry: a swap between listing and
                 # collect surfaces here and retries instead of crashing
-                # the serving query later
-                rows = df.collect()
+                # the serving query later. limit(max_rows+1) bounds the
+                # driver copy BEFORE collecting — one extra row is
+                # enough to prove the contract violation.
+                rows = df.limit(int(max_rows) + 1).collect()
+                if len(rows) > int(max_rows):
+                    raise ValueError(
+                        f"store at {store_dir} exceeds max_rows="
+                        f"{max_rows}: read_live_store is for O(k) "
+                        "sketch stores, not data-scale relations — "
+                        "read the path with spark.read.parquet directly"
+                    )
                 return spark.createDataFrame(rows, df.schema)
-            except Exception:
-                # swapped away between the exists() probe and the read
+            except ValueError:
+                raise
+            except Exception as exc:
+                # retry ONLY the swapped-away-between-probe-and-read
+                # shape (r14 review); corrupt stores / schema errors
+                # surface immediately instead of after ~1s of sleeps
+                if not _is_swap_window_error(exc):
+                    raise
                 if attempt == n - 1:
                     raise
         time.sleep(delay)

@@ -80,9 +80,25 @@ from .tokenizer import apply_word_encoder, word_frequency_table
 # driver (the verification harness runs from /tmp) needs nothing on
 # worker sys.path. Registration is idempotent; the vendored
 # pyspark.cloudpickle always has the API on Spark 4.x.
-from pyspark import cloudpickle as _cloudpickle
+#
+# The registration mutates process-global cloudpickle state (every UDF
+# that references this module serializes by value afterwards), so it is
+# NOT an import side effect (r14 review): the Arrow-batched entry
+# points call _ensure_by_value() lazily on first use — importing the
+# module for its pure-Python DP helpers (pytest, the oracle harness)
+# changes nothing globally.
+_BY_VALUE_REGISTERED = False
 
-_cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+def _ensure_by_value() -> None:
+    """Register this module for by-value cloudpickle serialization —
+    called by every closure-building entry point, never at import."""
+    global _BY_VALUE_REGISTERED
+    if not _BY_VALUE_REGISTERED:
+        from pyspark import cloudpickle as _cloudpickle
+
+        _cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        _BY_VALUE_REGISTERED = True
 
 # expected-count quantum: counts are exact multiples of 2^-20 before
 # the cross-word sum (same fixed-point idiom as FIXED_SCALE in pq.py)
@@ -249,6 +265,7 @@ def _model_from_counts(counts: dict[str, int]) -> dict[str, float]:
 def _expected_count_rows(words: DataFrame, model: dict[str, float]) -> DataFrame:
     """E-step: per-(word, piece) quantized expected counts, Arrow-
     batched; the exact cross-word piece totals as ONE decimal hash-agg."""
+    _ensure_by_value()
     max_len = max(len(p) for p in model)
 
     def _estep(batches):
@@ -453,6 +470,7 @@ def _map_word_encoder(words: DataFrame, enc) -> DataFrame:
     Arrow-batched loop over the distinct-word table: the shared
     mapInPandas scaffolding for every unigram encode path (``enc`` is
     word → list[str]; NULL words pass through as NULL toks)."""
+    _ensure_by_value()
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
     schema = StructType(
@@ -505,6 +523,7 @@ def unigram_word_logprobs(
     2^-20 so downstream per-document sums are exact integers. Unknown
     characters participate as penalized single-char pieces (min logp -
     10), so unseen corpora always score finitely."""
+    _ensure_by_value()
     model, max_len, unk_logp = _model_geometry(pieces)
 
     def _score(batches):

@@ -219,14 +219,31 @@ def kmv_distinct_grouped(
 
 
 def kmv_estimate_grouped(
-    mins: DataFrame, group_col: str, k: int = 64, hash_bits: int = 60
+    mins: DataFrame,
+    group_col: str,
+    k: int = 64,
+    hash_bits: int = 60,
+    in_col: str = "g",
 ) -> DataFrame:
-    """Estimation read-half over a grouped mins relation (g, hv):
-    D_g ≈ (k-1) · 2^60 / h_(k) per group, exact count below k."""
+    """Estimation read-half over a grouped mins relation (``in_col``,
+    hv): D_g ≈ (k-1) · 2^60 / h_(k) per group, exact count below k.
+    ``group_col`` names the OUTPUT group column; ``in_col`` names the
+    input relation's group column (default 'g', the kmv_mins_grouped /
+    kmv_merge_mins_grouped contract) — a store built with a different
+    column name passes it explicitly, and a wrong name fails loudly
+    here instead of grouping a coincidental 'g' column (r14 review)."""
+    missing = [c for c in (in_col, "hv") if c not in mins.columns]
+    if missing:
+        raise ValueError(
+            f"kmv_estimate_grouped expects a grouped mins relation with "
+            f"columns ({in_col!r}, 'hv'); missing {missing} in "
+            f"{mins.columns} — pass in_col= for a store whose group "
+            "column is named differently"
+        )
     space = float(1 << hash_bits)
     n_taken = F.count(F.lit(1))
     kth = F.max("hv")
-    return mins.groupBy(F.col("g").alias(group_col)).agg(
+    return mins.groupBy(F.col(in_col).alias(group_col)).agg(
         n_taken.cast("bigint").alias("n_taken"),
         kth.alias("kth_min_hash"),
         F.when(n_taken < k, n_taken.cast("double"))

@@ -1144,6 +1144,71 @@ def test_read_live_store_reader_contract(spark, tmp_path):
     assert os.path.exists(store + ".old") and not os.path.exists(store)
 
 
+def test_read_live_store_real_errors_surface_immediately(spark, tmp_path):
+    """r14 advice: only the swapped-away-mid-read shape retries. A
+    genuinely corrupt store (not-parquet bytes at the path) raises the
+    real error on the FIRST attempt — no ~1s of retry sleeps masking
+    it — and an over-max_rows store raises a pointed ValueError instead
+    of collecting a data-scale relation to the driver."""
+    import time
+
+    from blockchair_etl_spark.io.sinks import (
+        atomic_swap_store,
+        read_live_store,
+    )
+
+    corrupt = tmp_path / "corrupt_store"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"this is not parquet")
+    t0 = time.monotonic()
+    with pytest.raises(Exception) as ei:
+        read_live_store(spark, str(corrupt), retries=20, delay=0.25)
+    # 20 retries x 0.25s = 5s of sleeps if the bare-except behavior
+    # regressed; immediate surfacing finishes well under that
+    assert time.monotonic() - t0 < 4.0
+    assert not isinstance(ei.value, FileNotFoundError)
+
+    big = str(tmp_path / "big_store")
+    atomic_swap_store(
+        spark.range(50).select(F.col("id")), big
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        read_live_store(spark, big, max_rows=10)
+    # at-the-cap stores load fine and completely
+    assert read_live_store(spark, big, max_rows=50).count() == 50
+
+
+def test_kmv_estimate_grouped_input_contract(spark):
+    """r14 advice: kmv_estimate_grouped names its INPUT group column
+    (in_col, default 'g' per the kmv_mins_grouped contract) instead of
+    silently requiring a literal 'g' — a renamed store column works via
+    in_col= and a wrong relation fails with a pointed error, never by
+    grouping a coincidental column."""
+    from blockchair_etl_spark.operators.approx import (
+        kmv_estimate_grouped,
+        kmv_mins_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, f"u{i}") for i in range(60)], "seg int, user string"
+    )
+    mins = kmv_mins_grouped(df, "seg", "user", k=8)
+    base = {
+        (r.segment, r.n_taken, r.kth_min_hash)
+        for r in kmv_estimate_grouped(mins, "segment", k=8).collect()
+    }
+    renamed = mins.withColumnRenamed("g", "seg_key")
+    via_in_col = {
+        (r.segment, r.n_taken, r.kth_min_hash)
+        for r in kmv_estimate_grouped(
+            renamed, "segment", k=8, in_col="seg_key"
+        ).collect()
+    }
+    assert base == via_in_col
+    with pytest.raises(ValueError, match="grouped mins relation"):
+        kmv_estimate_grouped(renamed, "segment", k=8)
+
+
 def test_streaming_pairs_to_assignment_composition(spark, tmp_path):
     """The documented end-to-end streaming dedup story: the MinHash
     dedup loop emits pairs per trigger; a pairs stream pointed at its

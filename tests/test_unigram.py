@@ -478,6 +478,42 @@ def test_gate_entry_constants_match_dp():
     assert len(_UNIGRAM_GATE_QLOGP) == 31
 
 
+def test_gate_vocab_covers_corpus(spark):
+    """quality_unigram_ppl_gate / corpus_prep_v6 parity rests on the
+    documents fixture's vocabulary being CLOSED over the oracle's
+    31-word constant table: the oracle counts n_words via an inner join
+    against it while the Spark side scores every token (byte-fallback),
+    so an out-of-table word would surface only as an opaque hash
+    mismatch. Assert corpus-vocab ⊆ constant-table directly, at every
+    SF the driver or pytest exercises, so vocabulary drift fails HERE
+    with a pointed message instead (r14 advice)."""
+    import os
+
+    from blockchair_etl_spark.llmdata.text import tokens_col
+    from blockchair_etl_spark.queryset import _UNIGRAM_GATE_QLOGP
+
+    lm_words = {w for w, _ in _UNIGRAM_GATE_QLOGP}
+    for sf in ("sf0.001", "sf0.01"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):
+            continue
+        corpus_vocab = {
+            r[0]
+            for r in load_table(spark, d, "documents")
+            .select(F.explode(tokens_col("text")).alias("w"))
+            .distinct()
+            .collect()
+        }
+        extra = corpus_vocab - lm_words
+        assert not extra, (
+            f"documents vocabulary at {sf} drifted outside the "
+            f"_UNIGRAM_GATE_QLOGP constant table: {sorted(extra)} — "
+            "regenerate the (word, q_logp) block in queryset.py (see "
+            "test_gate_entry_constants_match_dp) or the gate oracle's "
+            "inner join silently undercounts n_words"
+        )
+
+
 def test_unigram_counts_drive_budget_and_packing(spark, sf_dir):
     """The second tokenizer family is a drop-in budget/packing currency:
     unigram_apply's learned n_tokens feeds quality_budget_select and
