@@ -124,6 +124,12 @@ FAMILY = [
     # scaling (copies add occurrences, not distinct users), so the
     # sketch shuffle is the scale story
     "sketch_kmv_grouped",
+    # round-15: the hot-bucket-capped LSH twin — the scale story is the
+    # collapse itself: per-bucket counts are one map-combined agg, only
+    # oversized keys broadcast back, and a degenerate bucket's
+    # candidates drop from h^2 to (#signatures)^2 + h. max_bucket=2
+    # binds on the fixture, so the measured path IS the collapse path.
+    "dedup_minhash_lsh_capped",
     # media_pixel_dedup_survivors (the 8x4=32-bit oracle twin) is
     # deliberately ABSENT: at fixed 32-bit width the pigeonhole block
     # join's RANDOM collisions alone grow quadratically (4*2^-8 ~ 1.6%
@@ -159,6 +165,7 @@ PAIR_QUERIES = {
     "multimodal_joint_dedup_adaptive",
     "dedup_incremental_media_bigstore",
     "dedup_incremental_clusters",
+    "dedup_minhash_lsh_capped",
 }
 
 COPIES = 10

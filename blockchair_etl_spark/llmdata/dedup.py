@@ -245,19 +245,34 @@ def ngram_containment_pairs(
     ).join(
         sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b"
     )
-    fwd = wsz.select(
-        F.col("id_a").alias("id_src"),
-        F.col("id_b").alias("id_dst"),
-        "n_common",
-        (F.col("n_common") / F.col("n_a")).alias("containment"),
-    )
-    rev = wsz.select(
-        F.col("id_b").alias("id_src"),
-        F.col("id_a").alias("id_dst"),
-        "n_common",
-        (F.col("n_common") / F.col("n_b")).alias("containment"),
-    )
-    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+    # BOTH directions from ONE pass over the intersection relation: a
+    # fwd/rev unionByName would make `wsz` feed two plan branches, and
+    # since `inter` (the shared-shingle self-join + pair aggregation —
+    # the expensive part) is not persisted, the whole intersection
+    # pipeline would execute twice (the r14 100x scaling flag traced
+    # here: the containment family read alpha 1.12 while its
+    # jaccard sibling — same core, one branch — read 0.96). The
+    # 2-element explode emits the same rows in one scan, no persist,
+    # no re-join.
+    both = wsz.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_src"),
+                    F.col("id_b").alias("id_dst"),
+                    F.col("n_common").alias("n_common"),
+                    (F.col("n_common") / F.col("n_a")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_src"),
+                    F.col("id_a").alias("id_dst"),
+                    F.col("n_common").alias("n_common"),
+                    (F.col("n_common") / F.col("n_b")).alias("containment"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    return both.filter(F.col("containment") >= threshold)
 
 
 def minhash_signatures(
@@ -303,11 +318,14 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     salt: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band signatures into num_hashes/band_size
     buckets, candidate pairs share ≥1 bucket, estimated Jaccard =
     fraction of matching minhashes ≥ threshold. Returns (id_a, id_b,
-    est_jaccard) with id_a < id_b.
+    est_jaccard) with id_a < id_b. ``max_bucket`` bounds degenerate
+    band buckets via per-signature representative collapse — contract
+    and parity guarantees in minhash_pairs_from_store.
 
     ``salt``: spread the band-bucket self-join over this many salt
     buckets (operators/skew.salted_join; same lever as
@@ -331,7 +349,11 @@ def minhash_lsh_pairs(
         minhash_band_store(df, num_hashes, band_size, text_col, id_col, shingle_n)
     )
     return minhash_pairs_from_store(
-        store, num_hashes=num_hashes, threshold=threshold, salt=salt
+        store,
+        num_hashes=num_hashes,
+        threshold=threshold,
+        salt=salt,
+        max_bucket=max_bucket,
     )
 
 
@@ -340,6 +362,7 @@ def minhash_pairs_from_store(
     num_hashes: int = 16,
     threshold: float = 0.5,
     salt: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pair detection over a PREBUILT signature/band store
     (minhash_band_store output: doc, m0..m{k-1}, bands array) — the
@@ -354,22 +377,99 @@ def minhash_pairs_from_store(
     read, each branch is a column-pruned scan (bands for banding, the
     m-columns for scoring) — no cache needed. Same (id_a, id_b,
     est_jaccard) output, bit-identical to minhash_lsh_pairs on the
-    same corpus; ``salt`` spreads the band self-join as there."""
-    banded = store.select("doc", F.posexplode("bands").alias("band_idx", "band_key"))
-    a = banded.select(F.col("doc").alias("id_a"), "band_idx", "band_key")
-    b = banded.select(F.col("doc").alias("id_b"), "band_idx", "band_key")
+    same corpus; ``salt`` spreads the band self-join as there.
+
+    ``max_bucket`` caps DEGENERATE band buckets (r14 review: salt
+    spreads the shuffle and AQE splits the sort-merge, but an
+    h-doc bucket still materializes h² candidates — 1M identical
+    boilerplate docs at corpus scale is ~5·10¹¹ pairs before the
+    distinct). Buckets over the cap are collapsed to ONE pair-
+    generating representative per full signature (identical docs have
+    identical signatures — the degenerate case IS the identical-
+    signature case), and each collapsed identical-signature group
+    additionally emits linear rep→member STAR pairs (est_jaccard 1.0
+    by construction, scored through the same join). Contract:
+
+    - buckets at or under the cap are untouched, so on corpora with no
+      oversized bucket the output is bit-identical to the uncapped
+      form (pair-set parity pytest);
+    - in oversized buckets the all-pairs clique among same-signature
+      docs is replaced by its star and cross-signature pairs are
+      emitted between representatives only — the PAIR SET shrinks, but
+      est_jaccard of every emitted pair is unchanged and the connected
+      components / survivor sets are EXACTLY those of the uncapped
+      form (same-sig members reach their rep at 1.0 ≥ any threshold,
+      and a member's cross-sig pair has the same est_jaccard as its
+      rep's, so an edge survives thresholding iff the rep's does);
+    - candidate volume per oversized bucket drops from h² to
+      (#distinct signatures)² + h star edges.
+
+    The per-bucket counts are ONE map-side-combined aggregation over
+    the banded projection (a column-pruned scan when the store is
+    parquet — cheaper than a window sort over the full banded stream),
+    and only the OVERSIZED keys join back, broadcast: there are at
+    most banded_rows/max_bucket of them by construction. IO note for
+    the capped path: the collapse branches need each doc's full-
+    signature key; if the store already carries a ``sig_key`` column
+    (write it once:  store.withColumn("sig_key",
+    md5(concat_ws("|", m0..m{k-1})))  — the plan-audited way to keep
+    every pair-generation branch a NARROW (doc, sig_key, bands) scan
+    at corpus scale) it is used as-is, otherwise it is derived inline,
+    which re-reads the m-columns in the generation branches too."""
+    if max_bucket is not None:
+        if "sig_key" in store.columns:
+            sig_key = F.col("sig_key")
+        else:
+            sig_key = F.md5(
+                F.concat_ws("|", *[F.col(f"m{i}") for i in range(num_hashes)])
+            ).alias("sig_key")
+        banded = store.select(
+            "doc", sig_key, F.posexplode("bands").alias("band_idx", "band_key")
+        )
+        big_keys = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bucket_n"))
+            .filter(F.col("__bucket_n") > int(max_bucket))
+            .select("band_idx", "band_key", F.lit(True).alias("__big"))
+        )
+        marked = banded.join(
+            F.broadcast(big_keys), ["band_idx", "band_key"], "left"
+        )
+        small = marked.filter(F.col("__big").isNull())
+        big = marked.filter(F.col("__big").isNotNull())
+        reps = big.groupBy("band_idx", "band_key", "sig_key").agg(
+            F.min("doc").alias("doc")
+        )
+        gen = small.select("doc", "band_idx", "band_key").unionByName(
+            reps.select("doc", "band_idx", "band_key")
+        )
+        # identical-signature groups touching any oversized bucket emit
+        # rep→member stars (linear) in place of their all-pairs clique;
+        # min-doc rep keeps the id_a < id_b output convention
+        star_members = big.select("sig_key", "doc").distinct()
+        grp_rep = star_members.groupBy("sig_key").agg(F.min("doc").alias("rep"))
+        stars = (
+            star_members.join(grp_rep, "sig_key")
+            .filter(F.col("doc") != F.col("rep"))
+            .select(F.col("rep").alias("id_a"), F.col("doc").alias("id_b"))
+        )
+    else:
+        gen = store.select(
+            "doc", F.posexplode("bands").alias("band_idx", "band_key")
+        )
+        stars = None
+    a = gen.select(F.col("doc").alias("id_a"), "band_idx", "band_key")
+    b = gen.select(F.col("doc").alias("id_b"), "band_idx", "band_key")
     if salt:
         from ..operators.skew import salted_join
 
         joined = salted_join(a, b, on=["band_idx", "band_key"], salt=salt)
     else:
         joined = a.join(b, ["band_idx", "band_key"])
-    cand = (
-        joined
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = joined.filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    if stars is not None:
+        cand = cand.unionByName(stars)
+    cand = cand.distinct()
     sig_a = store.select(F.col("doc").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)])
     sig_b = store.select(F.col("doc").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)])
     matches = sum(
@@ -730,6 +830,7 @@ def incremental_minhash_dedup(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     broadcast_new: bool = True,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup an arriving batch against the existing corpus index.
 
@@ -773,7 +874,12 @@ def incremental_minhash_dedup(
         return empty, new_store
 
     pairs = minhash_cross_pairs(
-        new_store, store, num_hashes, threshold, broadcast_new=broadcast_new
+        new_store,
+        store,
+        num_hashes,
+        threshold,
+        broadcast_new=broadcast_new,
+        max_bucket=max_bucket,
     )
     # one row per doc across replays/re-ingests, no store shuffle
     # (_dedup_store_union) — same contract as the media/embedding twins
@@ -786,6 +892,7 @@ def minhash_cross_pairs(
     num_hashes: int = 16,
     threshold: float = 0.5,
     broadcast_new: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band-bucket pairs BETWEEN two signature stores (new batch vs
     existing index): id_a from ``new_store``, id_b from ``store``,
@@ -797,7 +904,22 @@ def minhash_cross_pairs(
     band scan (the same knob and rationale as simhash_cross_pairs;
     before r12 this relied on AQE size estimation, which a conservative
     store-side stat can defeat at scale). Disable for batch sizes near
-    the store size."""
+    the store size.
+
+    ``max_bucket`` is the cross-join sibling of the
+    minhash_pairs_from_store cap: a degenerate STORE-side band bucket
+    (h identical-boilerplate docs) scores h rows per matching batch
+    doc; over the cap the store side collapses to one representative
+    per full signature, so the probe scores (#signatures) rows
+    instead. Pair-set contract: emitted est_jaccard values are
+    unchanged (a collapsed member's signature equals its rep's), and
+    the batch doc still reaches every affected CLUSTER — same-signature
+    store members were pairwise connected when they were themselves
+    ingested through this loop (within-batch star / earlier cross
+    pairs), so connecting to the rep connects to the cluster. The
+    equivalence assumes the store's history went through the dedup
+    loop; a store seeded with never-connected identical docs would
+    need one bootstrap pass of minhash_pairs_from_store over it."""
 
     def banded(s: DataFrame, prefix: str) -> DataFrame:
         return s.select(
@@ -810,6 +932,32 @@ def minhash_cross_pairs(
     if broadcast_new:
         a = F.broadcast(a)
     b = banded(store, "b")
+    if max_bucket is not None:
+        big_keys = (
+            b.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bucket_n"))
+            .filter(F.col("__bucket_n") > int(max_bucket))
+            .select("band_idx", "band_key", F.lit(True).alias("__big"))
+        )
+        sig_key = F.md5(
+            F.concat_ws("|", *[F.col(f"b{i}") for i in range(num_hashes)])
+        ).alias("__sig_key")
+        marked = b.select("*", sig_key).join(
+            F.broadcast(big_keys), ["band_idx", "band_key"], "left"
+        )
+        small = marked.filter(F.col("__big").isNull()).drop("__big", "__sig_key")
+        # min() per column is deterministic here: every column is
+        # constant within a (band, signature) group except b_doc
+        reps = (
+            marked.filter(F.col("__big").isNotNull())
+            .groupBy("band_idx", "band_key", "__sig_key")
+            .agg(
+                F.min("b_doc").alias("b_doc"),
+                *[F.min(f"b{i}").alias(f"b{i}") for i in range(num_hashes)],
+            )
+            .drop("__sig_key")
+        )
+        b = small.unionByName(reps.select(*small.columns))
     matches = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(num_hashes)
@@ -1740,6 +1888,7 @@ def joint_edge_set(
     max_hamming: int = 3,
     bits: int = 32,
     broadcast_new: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """THE joint duplicate-edge rule over prebuilt modality relations:
     (id_a, id_b), distinct, the union across both modalities of
@@ -1752,7 +1901,10 @@ def joint_edge_set(
     half. ``distinct`` because a duplicate found by both modalities
     must not ride the CC propagation joins twice."""
     edges = minhash_pairs_from_store(
-        new_text_store, num_hashes=num_hashes, threshold=threshold
+        new_text_store,
+        num_hashes=num_hashes,
+        threshold=threshold,
+        max_bucket=max_bucket,
     ).select("id_a", "id_b")
     if old_text_store is not None:
         edges = edges.unionByName(
@@ -1762,6 +1914,7 @@ def joint_edge_set(
                 num_hashes,
                 threshold,
                 broadcast_new=broadcast_new,
+                max_bucket=max_bucket,
             ).select("id_a", "id_b")
         )
     edges = edges.unionByName(

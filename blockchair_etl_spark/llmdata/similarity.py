@@ -307,6 +307,90 @@ def knn_join_lsh(
     )
 
 
+def crossmodal_knn_join(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int | None = None,
+    seed: int = 7,
+    target_bucket_rows: int = 128,
+) -> DataFrame:
+    """Cross-modal retrieval kNN join: each QUERY-side vector's top-k
+    cosine neighbors among INDEX-side vectors sharing its hyperplane-
+    LSH bucket — the text→image / image→text retrieval primitive over
+    a CLIP-style shared embedding space (caption vectors probe a
+    pixel-feature index, or vice versa). The asymmetric sibling of
+    knn_join_lsh: both modalities hash with the SAME seeded planes
+    (one shared space ⇒ one bucket geometry), the probe never matches
+    probe-side vectors, and ranking reuses the two-phase
+    double-then-exact-decimal scheme, so the selected top-k SET is
+    deterministic and engine-independent.
+
+    Per-modality stats: the plane count adapts to the INDEX size (the
+    side whose per-bucket occupancy drives candidate work); the probe
+    side can be any size without changing bucket geometry — a 1B-doc
+    caption probe against a 10M-image index keeps index buckets at
+    target occupancy, and each probe row touches one bucket's worth of
+    candidates. Scale shape: both sides exchange once on blk; within-
+    bucket probe×index pairs only, never all-pairs. A query vector
+    whose bucket holds no index vectors is absent from the output
+    (same contract as knn_join_lsh's singleton rule)."""
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(index.select(vec_col).head()[0])
+    if n_planes is None:
+        n_planes = adaptive_n_planes(index.count(), target_bucket_rows)
+    blk = lsh_bucket_col(F.col(vec_col), dim, n_planes=n_planes, seed=seed)
+
+    def _fdot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    def _pre(emb: DataFrame, suffix: str) -> DataFrame:
+        vec = F.col(vec_col)
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        return emb.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            vec.alias(f"v{suffix}"),
+            blk.alias("blk"),
+            F.sqrt(_fdot(vec, vec)).alias(f"norm_{suffix}"),
+        ).repartition(par, "blk")
+
+    a, b = _pre(queries, "a"), _pre(index, "b")
+    fast = a.join(b, "blk").select(
+        "id_a", "id_b", "va", "vb",
+        (_fdot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias("__fc"),
+    )
+    w_fast = Window.partitionBy("id_a").orderBy(F.desc("__fc"), F.asc("id_b"))
+    w_part = Window.partitionBy("id_a")
+    cand = (
+        fast.withColumn("__rn", F.row_number().over(w_fast))
+        .withColumn(
+            "__kth",
+            F.min(F.when(F.col("__rn") <= k, F.col("__fc"))).over(
+                w_part.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .filter(F.col("__fc") >= F.col("__kth") - F.lit(1e-9))
+    )
+    w_exact = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        cand.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .withColumn("rank", F.row_number().over(w_exact).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("id_a", "rank", "id_b", "cosine")
+    )
+
+
 def quantize_embeddings_int8(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -1126,6 +1126,76 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, threshold=0.5)
 
 
+_MH_MATCH_SUM = " + ".join(f"(a.m{i} = b.m{i})::INT" for i in range(16))
+
+
+@register(
+    "dedup_minhash_lsh_capped",
+    survey="LLM-dedup (hot-bucket-capped LSH pair generation, r14 verdict)",
+    desc="MinHash+LSH pairs with max_bucket=2: band buckets over the "
+    "cap collapse to one pair-generating representative per full "
+    "signature plus linear rep->member star pairs, bounding a "
+    "degenerate bucket's candidates at (#signatures)^2 + h instead of "
+    "h^2 (1M identical boilerplate docs at 100 TB is ~5e11 pairs "
+    "uncapped). max_bucket=2 BINDS on the fixture (buckets of 3-4 "
+    "exist at every SF), so the oracle checks the collapse semantics "
+    "themselves, not just the untouched path; CC/survivor equivalence "
+    "to the uncapped form is pinned by "
+    "test_minhash_max_bucket_bounds_megabucket",
+    oracle=f"""
+WITH sig AS ({_sql_minhash_sig(16)}),
+sigk AS (
+  SELECT doc, md5(concat_ws('|', {", ".join(f"m{i}" for i in range(16))})) AS sig_key,
+         {", ".join(f"m{i}" for i in range(16))}
+  FROM sig
+),
+bands AS (
+  SELECT doc, sig_key, 0 AS band_idx, md5(concat_ws('|', m0, m1, m2, m3)) AS band_key FROM sigk
+  UNION ALL
+  SELECT doc, sig_key, 1, md5(concat_ws('|', m4, m5, m6, m7)) FROM sigk
+  UNION ALL
+  SELECT doc, sig_key, 2, md5(concat_ws('|', m8, m9, m10, m11)) FROM sigk
+  UNION ALL
+  SELECT doc, sig_key, 3, md5(concat_ws('|', m12, m13, m14, m15)) FROM sigk
+),
+counts AS (
+  SELECT band_idx, band_key, COUNT(*) AS n FROM bands GROUP BY 1, 2
+),
+marked AS (
+  SELECT b.doc, b.sig_key, b.band_idx, b.band_key, (c.n > 2) AS big
+  FROM bands b JOIN counts c USING (band_idx, band_key)
+),
+gen AS (
+  SELECT doc, band_idx, band_key FROM marked WHERE NOT big
+  UNION ALL
+  SELECT MIN(doc) AS doc, band_idx, band_key
+  FROM marked WHERE big GROUP BY band_idx, band_key, sig_key
+),
+members AS (SELECT DISTINCT sig_key, doc FROM marked WHERE big),
+grp AS (SELECT sig_key, MIN(doc) AS rep FROM members GROUP BY sig_key),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT ga.doc AS id_a, gb.doc AS id_b
+    FROM gen ga JOIN gen gb
+      ON ga.band_idx = gb.band_idx AND ga.band_key = gb.band_key
+     AND ga.doc < gb.doc
+    UNION ALL
+    SELECT g.rep, m.doc FROM members m JOIN grp g USING (sig_key)
+    WHERE m.doc <> g.rep
+  )
+)
+SELECT c.id_a, c.id_b, ({_MH_MATCH_SUM}) / 16.0 AS est_jaccard
+FROM cand c JOIN sig a ON c.id_a = a.doc JOIN sig b ON c.id_b = b.doc
+WHERE ({_MH_MATCH_SUM}) / 16.0 >= 0.5
+""",
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, band_size=4, threshold=0.5, max_bucket=2
+    )
+
+
 @register(
     "dedup_simhash",
     survey="LLM-dedup",
@@ -2216,6 +2286,58 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_join_lsh(emb, k=3, dim=64)
+
+
+@register(
+    "multimodal_crossmodal_knn",
+    survey="LLM-multimodal,LLM-similarity (cross-modal retrieval: "
+    "text→image kNN over a shared embedding space)",
+    desc="each caption vector's top-3 cosine neighbors among IMAGE "
+    "vectors sharing its LSH bucket (CLIP-style retrieval over one "
+    "shared space: even vec_ids model the caption/text modality, odd "
+    "the pixel-feature modality — the deterministic modality split of "
+    "the shared-space fixture). Asymmetric probe-vs-index join: plane "
+    "count adapts to the INDEX size, the probe side never matches "
+    "itself, exact-decimal re-ranking with id tiebreak keeps the "
+    "selected top-k set engine-independent — completes the multimodal "
+    "family's query side next to its dedup side (r14 verdict stretch "
+    "#7)",
+    oracle=f"""
+WITH img AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+cap AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+np AS ({_sql_lsh_nplanes_cte('img')}),
+bi AS (
+  SELECT vec_id, embedding,
+         {_sql_lsh_bucket_adaptive('embedding', dim=64)} AS blk
+  FROM img, np
+),
+bc AS (
+  SELECT vec_id, embedding,
+         {_sql_lsh_bucket_adaptive('embedding', dim=64)} AS blk
+  FROM cap, np
+),
+scored AS (
+  SELECT c.vec_id AS id_a, i.vec_id AS id_b,
+         {_sql_cosine('c.embedding', 'i.embedding')} AS cosine
+  FROM bc c JOIN bi i ON c.blk = i.blk
+),
+ranked AS (
+  SELECT id_a, id_b, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY id_a
+                                 ORDER BY cosine DESC, id_b ASC) AS BIGINT)
+           AS rank
+  FROM scored
+)
+SELECT id_a, rank, id_b, cosine FROM ranked WHERE rank <= 3
+""",
+)
+def multimodal_crossmodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.similarity import crossmodal_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    captions = emb.filter(F.col("vec_id") % 2 == 0)
+    images = emb.filter(F.col("vec_id") % 2 == 1)
+    return crossmodal_knn_join(captions, images, k=3, dim=64)
 
 
 @register(
@@ -8340,6 +8462,32 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (dedup_minhash_lsh, dedup_simhash*, ann_ivfpq_topk, ann_lsh_topk)
 # keep the machinery driver-verified. Net: driver surface back to
 # ~166 + r14 additions; revisit again at ~180 DRIVER-VISIBLE entries.
+#
+# r15 PLAN (r14 verdict #5 — name the next cohort BEFORE the trigger
+# binds): 170 driver-visible after r15's one addition
+# (dedup_minhash_lsh_capped); steady-state staleness ceil(170/50) ≈
+# 3.4 rounds, still inside the ≤4 bound, so NO retirement executes
+# this round. When the ~180 trigger binds (or any cohort ages past 4
+# rounds), retire in this order, same driver=False mechanism (entries
+# stay in QUERIES; test_oracle_parity keeps hash-checking them):
+#   1. corpus_prep_pipeline (v1) and corpus_prep_v2_pipeline — their
+#      stage coverage is a strict subset of v3+v6 (normalize → gates →
+#      exact-dedup → budget chain); keep corpus_prep_v3_pipeline as
+#      the early-version regression anchor (it is also the
+#      long-standing scaling-family member) and v4/v5/v6 for their
+#      distinct compositions (classifier join / BPE budget-packing /
+#      LM gate).
+#   2. embedding_quantize_int8's companion ERROR-AUDIT columns are
+#      instrumentation riding an operator row — if a slot is still
+#      needed, split mentality applies: the operator (quantize) is
+#      covered by ann_pq_topk's fixed-point path, so the row can go
+#      pytest-only whole.
+#   3. dedup_embedding_multiprobe — the recall-lever twin of
+#      dedup_embedding_lsh_blocked (same blocking machinery, rotated
+#      seeds); the machinery keeps a driver row via the blocked form.
+# Rationale for order: restated-CTE redundancy first (the r14
+# precedent), instrumentation second, recall-lever twins last — each
+# step keeps at least one driver-green row per operator family.
 # ---------------------------------------------------------------------------
 
 _DRIVER_VERIFIED_FALLBACK = frozenset({

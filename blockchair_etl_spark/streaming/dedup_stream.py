@@ -83,6 +83,7 @@ def make_batch_processor(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     exactly_once: bool = False,
+    max_bucket: int | None = None,
 ):
     """The foreachBatch body, exposed so tests can drive it directly
     (including replaying a (batch_df, batch_id) to simulate a retry
@@ -108,7 +109,10 @@ def make_batch_processor(
         )
         try:
             pairs = minhash_pairs_from_store(
-                new_store, num_hashes=num_hashes, threshold=threshold
+                new_store,
+                num_hashes=num_hashes,
+                threshold=threshold,
+                max_bucket=max_bucket,
             )
             old = _check_mode_and_prune(
                 _read_store(spark, store_dir), exactly_once, batch_id, store_dir
@@ -116,7 +120,13 @@ def make_batch_processor(
             if old is not None:
                 old = old.drop("batch_id")
                 pairs = pairs.unionByName(
-                    minhash_cross_pairs(new_store, old, num_hashes, threshold)
+                    minhash_cross_pairs(
+                        new_store,
+                        old,
+                        num_hashes,
+                        threshold,
+                        max_bucket=max_bucket,
+                    )
                 )
             if exactly_once:
                 _overwrite_batch_partition(pairs, batch_id, pairs_dir)

@@ -163,6 +163,65 @@ def test_knn_join_is_exact_within_buckets(spark, emb):
         assert [r.id_b for r in neigh] == [i for _, i in want]
 
 
+def test_crossmodal_knn_is_exact_and_asymmetric(spark, emb):
+    """crossmodal_knn_join (r14 verdict stretch #7): each probe
+    vector's result must BE the exact cosine top-k among INDEX vectors
+    in its bucket — never probe-side vectors — with plane count
+    adapted to the INDEX size (per-modality stats: a huge probe side
+    must not change bucket geometry)."""
+    from blockchair_etl_spark.llmdata.similarity import (
+        adaptive_n_planes,
+        crossmodal_knn_join,
+        lsh_bucket_col,
+    )
+
+    dim = len(emb.head()["embedding"])
+    cap = emb.filter(F.col("vec_id") % 2 == 0)
+    img = emb.filter(F.col("vec_id") % 2 == 1)
+    p = adaptive_n_planes(img.count())
+    rows = emb.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket_col(F.col("embedding"), dim, n_planes=p).alias("blk"),
+    ).collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=float) for r in rows}
+    blks = {r.vec_id: r.blk for r in rows}
+
+    got = crossmodal_knn_join(cap, img, k=3, dim=dim).collect()
+    assert got, "fixture should co-bucket some cross-modal vectors"
+    by_a = {}
+    for r in got:
+        assert r.id_a % 2 == 0 and r.id_b % 2 == 1  # probe→index only
+        by_a.setdefault(r.id_a, []).append(r)
+    for id_a, neigh in list(by_a.items())[:40]:
+        neigh.sort(key=lambda r: r.rank)
+        assert [r.rank for r in neigh] == list(range(1, len(neigh) + 1))
+        va = vecs[id_a]
+        cand = [
+            (
+                float(
+                    np.dot(va, vecs[i])
+                    / (np.linalg.norm(va) * np.linalg.norm(vecs[i]))
+                ),
+                i,
+            )
+            for i in vecs
+            if i % 2 == 1 and blks[i] == blks[id_a]
+        ]
+        want = sorted(cand, key=lambda t: (-t[0], t[1]))[: len(neigh)]
+        assert [r.id_b for r in neigh] == [i for _, i in want]
+    # a probe co-bucketed ONLY with probe-side vectors is absent
+    probe_only = {
+        r.vec_id
+        for r in rows
+        if r.vec_id % 2 == 0
+        and not any(
+            i % 2 == 1 and blks[i] == blks[r.vec_id] for i in vecs
+        )
+    }
+    assert probe_only.isdisjoint(by_a.keys())
+
+
 def test_quantize_embeddings_int8_error_bound(spark):
     from blockchair_etl_spark.llmdata.similarity import quantize_embeddings_int8
 
@@ -240,6 +299,135 @@ def test_minhash_pairs_from_parquet_store_match_direct(spark, docs, tmp_path):
         for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
     }
     assert from_store == direct and from_store
+
+
+def _uf_clusters(pairs, nodes):
+    """Test-oracle union-find: partition of ``nodes`` under ``pairs``."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return frozenset(
+        frozenset(n for n in nodes if find(n) == r)
+        for r in {find(n) for n in nodes}
+    )
+
+
+def test_minhash_max_bucket_parity_under_cap(spark, docs, tmp_path):
+    """r14 verdict: with max_bucket set ABOVE every observed bucket
+    size, minhash_pairs_from_store's capped path (counts + broadcast
+    marker join + rep/star branches, all live in the plan) must be
+    bit-identical to the uncapped form — the cap only changes behavior
+    when a bucket actually exceeds it."""
+    from blockchair_etl_spark.llmdata.dedup import (
+        minhash_band_store,
+        minhash_pairs_from_store,
+    )
+
+    path = str(tmp_path / "mh_store_cap")
+    minhash_band_store(docs).write.mode("overwrite").parquet(path)
+    store = spark.read.parquet(path)
+    biggest = (
+        store.select(F.posexplode("bands").alias("band_idx", "band_key"))
+        .groupBy("band_idx", "band_key")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    capped = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_pairs_from_store(
+            store, threshold=0.5, max_bucket=int(biggest)
+        ).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_pairs_from_store(store, threshold=0.5).collect()
+    }
+    assert capped == uncapped and capped
+    # production IO shape: a store carrying a precomputed sig_key
+    # column (one narrow write-time md5) is used as-is by the collapse
+    # branches — and must change nothing about the output
+    keyed = store.withColumn(
+        "sig_key",
+        F.md5(F.concat_ws("|", *[F.col(f"m{i}") for i in range(16)])),
+    )
+    with_key = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_pairs_from_store(
+            keyed, threshold=0.5, max_bucket=2
+        ).collect()
+    }
+    low_cap = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_pairs_from_store(
+            store, threshold=0.5, max_bucket=2
+        ).collect()
+    }
+    assert with_key == low_cap
+
+
+def test_minhash_max_bucket_bounds_megabucket(spark):
+    """The planted-megabucket fixture (r14 verdict / What's wrong #1):
+    a 40-doc identical-boilerplate clique whose band buckets all blow
+    past max_bucket=10. The capped path must (a) replace the clique's
+    780 all-pairs with its 39-edge star at est_jaccard 1.0, (b) keep
+    every emitted pair's est_jaccard equal to the uncapped value, and
+    (c) leave the connected components / near-dup clusters EXACTLY
+    equal to the uncapped form — including near-dup variants that share
+    the oversized buckets but not the clique signature (they pair via
+    representatives)."""
+    from blockchair_etl_spark.llmdata.dedup import minhash_lsh_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(40)]
+    # near-dup variants: same boilerplate with one token appended —
+    # high Jaccard on 3-shingles, but a distinct signature
+    rows += [(100 + j, boiler + " extra") for j in range(3)]
+    # unrelated background docs
+    rows += [
+        (200 + j, f"completely different text number {j} about topic {j * 7}")
+        for j in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    uncapped = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.5, max_bucket=10).collect()
+    }
+    clique = set(range(40))
+    # uncapped: the full 40-choose-2 clique materializes
+    assert {p for p in uncapped if p[0] in clique and p[1] in clique} == {
+        (a, b) for a in clique for b in clique if a < b
+    }
+    # capped: exactly the min-doc star, every edge at est_jaccard 1.0
+    clique_pairs = {p for p in capped if p[0] in clique and p[1] in clique}
+    assert clique_pairs == {(0, b) for b in range(1, 40)}
+    assert all(capped[p] == 1.0 for p in clique_pairs)
+    # every emitted pair keeps its uncapped score (subset, same values)
+    assert all(uncapped[p] == est for p, est in capped.items())
+    # cluster equivalence over the whole corpus: the variants must stay
+    # attached to the clique through representative pairs
+    nodes = {r[0] for r in rows}
+    assert _uf_clusters(capped.keys(), nodes) == _uf_clusters(
+        uncapped.keys(), nodes
+    )
+    var_cluster = next(
+        c for c in _uf_clusters(capped.keys(), nodes) if 0 in c
+    )
+    assert {100, 101, 102} <= var_cluster
 
 
 def test_streaming_incremental_minhash_matches_batch(spark, docs, tmp_path):
@@ -358,6 +546,55 @@ def test_cross_pairs_never_emit_self_pairs(spark, docs):
     store = minhash_band_store(docs.limit(60))
     mp = minhash_cross_pairs(store, store)
     assert mp.filter(F.col("id_a") == F.col("id_b")).count() == 0
+
+
+def test_minhash_cross_pairs_max_bucket(spark):
+    """The cross-probe sibling of the hot-bucket cap: a degenerate
+    STORE-side band bucket (30 identical boilerplate docs) collapses to
+    one representative per signature, so a probing batch doc scores
+    ONE row for the clique instead of 30 — but every emitted pair keeps
+    its uncapped est_jaccard, pairs are a subset of the uncapped form,
+    and the batch doc still reaches the clique's cluster (via its min
+    doc, the same representative the within-batch star elects)."""
+    from blockchair_etl_spark.llmdata.dedup import (
+        minhash_band_store,
+        minhash_cross_pairs,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    store_rows = [(i, boiler) for i in range(30)] + [
+        (200 + j, f"unrelated store text number {j} about {j * 3}")
+        for j in range(8)
+    ]
+    batch_rows = [(500, boiler + " extra"), (501, "nothing shared at all here")]
+    store = minhash_band_store(
+        spark.createDataFrame(store_rows, "doc_id bigint, text string")
+    )
+    batch = minhash_band_store(
+        spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+    )
+
+    uncapped = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_cross_pairs(batch, store, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_cross_pairs(
+            batch, store, threshold=0.5, max_bucket=10
+        ).collect()
+    }
+    # uncapped: the near-dup batch doc pairs with the whole clique
+    assert {b for (a, b) in uncapped if a == 500} >= set(range(30))
+    # capped: exactly the min-doc representative stands in for it
+    assert {b for (a, b) in capped if a == 500 and b < 200} == {0}
+    # subset with unchanged scores
+    assert all(uncapped[p] == est for p, est in capped.items())
+    # non-degenerate store buckets are untouched: pairs not involving
+    # the clique agree exactly between the two forms
+    assert {p for p in uncapped if p[1] >= 200} == {
+        p for p in capped if p[1] >= 200
+    }
 
 
 def test_ahash_guards(spark):
