@@ -364,6 +364,48 @@ the median — the same warmup signature as the joint-dedup note): the
 early sweep caught their fast tail, the late sweep their slow tail.
 CLOSED as sweep-position variance; watch in the r13 driver record.
 
+r15 CLOSURE of the seven r14 driver-record movers (r14 verdict #3):
+sched-normalized --compare of the committed r13 driver record (canary
+0.679/0.563, sched 2.079/1.159) vs the committed r14 driver record
+(canary 0.708/0.569, sched 2.110/1.257): canary_ratio 1.028,
+sched_ratio 1.04, normalized common-cohort median 0.904 over 85
+queries. dedup_best_quality_survivors and dedup_bow_cosine_zipf fall
+INSIDE the normalized band (closed by normalization alone); five
+survivors crossed 0.5 s absolute and earned the isolated
+canary-bracketed 5-run A/B (canary 0.673/0.565, sched 1.801/1.509 —
+a box matching the r13 record's): ann_pq_topk median 1.829 s (3.32
+warmup then 1.87/1.79/1.83/1.74) vs r13 1.535 / r14 2.784;
+ann_ivfpq_topk 3.388 vs 3.389 / 4.571 — EXACTLY its r13 reading;
+dedup_semantic_semdedup 2.594 vs 2.618 / 3.648; dedup_incremental_
+embedding 1.573 vs 1.567 / 2.456; ann_knn_join 1.534 vs 1.914 /
+2.476 — BELOW its r13 reading. All five revert to at-or-below their
+r13-record values on a neutral box; the only r14 diffs in their
+modules are O(1) driver-side artifact-read validations
+(frame_to_codebooks/frame_to_centroids expected-dims checks on
+already-collected rows — git-verified, not in the distributed path).
+CLOSED as record-box variance: the r14 record's slower sched canary
+(2.110/1.257) produced the broad shallow lift its own verdict
+predicted, the same persist+CC/ANN sched-sensitive class as every
+prior round's movers.
+
+r15 CLOSURE of the dedup_ngram_containment 100x alpha=1.12 flag (r14
+verdict #6): code inspection found the containment-specific cost the
+verdict hypothesized — the fwd/rev directional branches both read
+`wsz`, and since `inter` (the shared-shingle self-join + pair
+aggregation, the expensive core) was never persisted, the WHOLE
+intersection pipeline executed twice; its jaccard sibling (alpha
+0.96) runs the same core once. Fixed by emitting both directions from
+ONE pass (a 2-element explode of (fwd, rev) structs over wsz — no
+persist, no union, same output rows; oracle hash unchanged,
+driver-green at sf0.01). Re-measured at 100 copies: alpha 1.12 ->
+1.01 (t100x 424.2 -> 380.2 s, n=2) — the superlinear list is now
+EMPTY at both decades. Honest wall-clock note: the gain reads ~10%,
+not ~2x, because the duplicated union branches ran as concurrent
+jobs and local[32] had idle cores to absorb the second copy — the
+fix halves the CORE'S CPU WORK (what a saturated 1000-executor
+cluster pays), and removes the duplicated-branch term whose
+scheduling sensitivity produced the 1.12 reading.
+
 r14 v6 SHAPE A/B (does a 4th branch over `normed` flip the v4
 persist decision?): corpus_prep_v6_pipeline as shipped vs a
 tracked_persist(normed) variant, 5-run medians, BOTH orders. Order 1:
@@ -585,6 +627,12 @@ HEADLINE = [
     # round-14: per-group KMV — the per-dimension A2 dashboard shape
     # (one distinct shuffle + streaming per-group row_number cut)
     "sketch_kmv_grouped",
+    # round-15: the hot-bucket-capped LSH twin (per-band-key counts +
+    # representative collapse — the degenerate-bucket bound; its cost
+    # vs the uncapped form IS the number to track) and cross-modal
+    # retrieval (asymmetric probe-vs-index kNN over the shared space)
+    "dedup_minhash_lsh_capped",
+    "multimodal_crossmodal_knn",
 ]
 
 
