@@ -633,6 +633,9 @@ HEADLINE = [
     # retrieval (asymmetric probe-vs-index kNN over the shared space)
     "dedup_minhash_lsh_capped",
     "multimodal_crossmodal_knn",
+    # round-15: per-group CMS heavy hitters — the frequency half of the
+    # per-dimension dashboard pair beside sketch_kmv_grouped
+    "sketch_cms_grouped_topk",
 ]
 
 

@@ -130,6 +130,11 @@ FAMILY = [
     # candidates drop from h^2 to (#signatures)^2 + h. max_bucket=2
     # binds on the fixture, so the measured path IS the collapse path.
     "dedup_minhash_lsh_capped",
+    # round-15: grouped CMS — cell-bounded state per group; the scale
+    # story is the (g, row, col) hash-agg's partial aggregation keeping
+    # the exchange at O(groups x depth x width) regardless of stream
+    # length, plus the never-broadcast (g, col) estimate joins
+    "sketch_cms_grouped_topk",
     # media_pixel_dedup_survivors (the 8x4=32-bit oracle twin) is
     # deliberately ABSENT: at fixed 32-bit width the pigeonhole block
     # join's RANDOM collisions alone grow quadratically (4*2^-8 ~ 1.6%

@@ -939,10 +939,26 @@ def minhash_cross_pairs(
             .filter(F.col("__bucket_n") > int(max_bucket))
             .select("band_idx", "band_key", F.lit(True).alias("__big"))
         )
-        sig_key = F.md5(
-            F.concat_ws("|", *[F.col(f"b{i}") for i in range(num_hashes)])
-        ).alias("__sig_key")
-        marked = b.select("*", sig_key).join(
+        # a store-borne sig_key column (the write-once narrow-scan
+        # optimization — see minhash_pairs_from_store's IO note) rides
+        # the banded explode; derive inline from the m-columns otherwise
+        if "sig_key" in store.columns:
+            keyed = store.select(
+                F.col("doc").alias("b_doc"),
+                F.col("sig_key").alias("__sig_key"),
+                F.posexplode("bands").alias("band_idx", "band_key"),
+                *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)],
+            )
+        else:
+            keyed = b.select(
+                "*",
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"b{i}") for i in range(num_hashes)]
+                    )
+                ).alias("__sig_key"),
+            )
+        marked = keyed.join(
             F.broadcast(big_keys), ["band_idx", "band_key"], "left"
         )
         small = marked.filter(F.col("__big").isNull()).drop("__big", "__sig_key")

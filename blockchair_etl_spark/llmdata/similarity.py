@@ -212,6 +212,53 @@ def lsh_ann_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def _fast_dot(x: Column, y: Column) -> Column:
+    """Primitive-double dot product — the codegen'd FAST-phase score
+    (cheap, ~1e-13 of exact for unit-ish vectors); the exact-decimal
+    dot_expr is the rescore phase's."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def _two_phase_rank(fast: DataFrame, k: int) -> DataFrame:
+    """Shared ranking tail of the bucketed kNN joins (knn_join_lsh /
+    crossmodal_knn_join): ``fast`` is (id_a, id_b, va, vb, __fc) with
+    __fc the primitive-double cosine of every in-bucket candidate.
+    Every pair within 1e-9 of its vector's kth-best double score is
+    exact-decimal re-scored and re-ranked (cosine desc, id_b asc) —
+    double is within ~1e-13 of exact for unit-ish vectors, so no true
+    top-k member can fall outside the margin and the OUTPUT is
+    bit-identical to ranking everything exactly. One body so the
+    self-join and cross-modal forms cannot drift."""
+    from pyspark.sql import Window
+
+    w_fast = Window.partitionBy("id_a").orderBy(F.desc("__fc"), F.asc("id_b"))
+    w_part = Window.partitionBy("id_a")
+    cand = (
+        fast.withColumn("__rn", F.row_number().over(w_fast))
+        .withColumn(
+            # the kth-best double score = MIN over the top-k rows
+            "__kth",
+            F.min(F.when(F.col("__rn") <= k, F.col("__fc"))).over(
+                w_part.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .filter(F.col("__fc") >= F.col("__kth") - F.lit(1e-9))
+    )
+    w_exact = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        cand.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .withColumn("rank", F.row_number().over(w_exact).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("id_a", "rank", "id_b", "cosine")
+    )
+
+
 def knn_join_lsh(
     emb: DataFrame,
     k: int = 3,
@@ -243,8 +290,6 @@ def knn_join_lsh(
     within ~1e-13 of exact for unit-ish vectors, so no true top-k
     member can fall outside the margin and the OUTPUT is bit-identical
     to ranking everything exactly. Output: (id_a, rank, id_b, cosine)."""
-    from pyspark.sql import Window
-
     if dim is None and stats is not None:
         dim = stats.dim
     if dim is None:
@@ -254,20 +299,13 @@ def knn_join_lsh(
         n_planes = adaptive_n_planes(n, target_bucket_rows)
     blk = lsh_bucket_col(F.col(vec_col), dim, n_planes=n_planes, seed=seed)
 
-    def _fdot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        )
-
     par = emb.sparkSession.sparkContext.defaultParallelism
     vec = F.col(vec_col)
     pre = emb.select(
         F.col(id_col).alias("id"),
         vec.alias("v"),
         blk.alias("blk"),
-        F.sqrt(_fdot(vec, vec)).alias("norm"),  # once per ROW, not per pair
+        F.sqrt(_fast_dot(vec, vec)).alias("norm"),  # once per ROW, not per pair
     ).repartition(par, "blk")
     a = pre.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
@@ -282,29 +320,10 @@ def knn_join_lsh(
         .filter(F.col("id_a") != F.col("id_b"))
         .select(
             "id_a", "id_b", "va", "vb",
-            (_fdot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias("__fc"),
+            (_fast_dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias("__fc"),
         )
     )
-    w_fast = Window.partitionBy("id_a").orderBy(F.desc("__fc"), F.asc("id_b"))
-    w_part = Window.partitionBy("id_a")
-    cand = (
-        fast.withColumn("__rn", F.row_number().over(w_fast))
-        .withColumn(
-            # the kth-best double score = MIN over the top-k rows
-            "__kth",
-            F.min(F.when(F.col("__rn") <= k, F.col("__fc"))).over(w_part.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )),
-        )
-        .filter(F.col("__fc") >= F.col("__kth") - F.lit(1e-9))
-    )
-    w_exact = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
-    return (
-        cand.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
-        .withColumn("rank", F.row_number().over(w_exact).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("id_a", "rank", "id_b", "cosine")
-    )
+    return _two_phase_rank(fast, k)
 
 
 def crossmodal_knn_join(
@@ -338,20 +357,11 @@ def crossmodal_knn_join(
     bucket probe×index pairs only, never all-pairs. A query vector
     whose bucket holds no index vectors is absent from the output
     (same contract as knn_join_lsh's singleton rule)."""
-    from pyspark.sql import Window
-
     if dim is None:
         dim = len(index.select(vec_col).head()[0])
     if n_planes is None:
         n_planes = adaptive_n_planes(index.count(), target_bucket_rows)
     blk = lsh_bucket_col(F.col(vec_col), dim, n_planes=n_planes, seed=seed)
-
-    def _fdot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        )
 
     def _pre(emb: DataFrame, suffix: str) -> DataFrame:
         vec = F.col(vec_col)
@@ -360,35 +370,15 @@ def crossmodal_knn_join(
             F.col(id_col).alias(f"id_{suffix}"),
             vec.alias(f"v{suffix}"),
             blk.alias("blk"),
-            F.sqrt(_fdot(vec, vec)).alias(f"norm_{suffix}"),
+            F.sqrt(_fast_dot(vec, vec)).alias(f"norm_{suffix}"),
         ).repartition(par, "blk")
 
     a, b = _pre(queries, "a"), _pre(index, "b")
     fast = a.join(b, "blk").select(
         "id_a", "id_b", "va", "vb",
-        (_fdot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias("__fc"),
+        (_fast_dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias("__fc"),
     )
-    w_fast = Window.partitionBy("id_a").orderBy(F.desc("__fc"), F.asc("id_b"))
-    w_part = Window.partitionBy("id_a")
-    cand = (
-        fast.withColumn("__rn", F.row_number().over(w_fast))
-        .withColumn(
-            "__kth",
-            F.min(F.when(F.col("__rn") <= k, F.col("__fc"))).over(
-                w_part.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ),
-        )
-        .filter(F.col("__fc") >= F.col("__kth") - F.lit(1e-9))
-    )
-    w_exact = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
-    return (
-        cand.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
-        .withColumn("rank", F.row_number().over(w_exact).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("id_a", "rank", "id_b", "cosine")
-    )
+    return _two_phase_rank(fast, k)
 
 
 def quantize_embeddings_int8(

@@ -371,6 +371,107 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("row_id", "col_id").agg(F.sum("cnt").alias("cnt"))
 
 
+def cms_build_grouped(
+    df: DataFrame, group_col: str, key_col: str, width: int = 256
+) -> DataFrame:
+    """Per-GROUP count-min sketch as a (g, row_id, col_id, cnt)
+    relation — the grouped sibling of cms_build and the heavy-hitters
+    half of the per-dimension dashboard pair (kmv_mins_grouped is the
+    cardinality half): top users per event type / per day / per source
+    at O(groups × depth × width) state instead of an exact per-group
+    key count.
+
+    Scale shape: one map-side explode (depth cells per row) and ONE
+    hash-aggregation on (g, row, col) — partial aggregation bounds the
+    exchange at O(groups × depth × width) rows regardless of stream
+    length, and unlike a per-group top-k window there is no sort and
+    no hot-group single-task hazard: a group receiving ~all events
+    still occupies exactly depth × width cells."""
+    key = F.col(key_col)
+    cells = df.filter(key.isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_id"),
+                        _cms_col(key, a, b, width).alias("col_id"),
+                    )
+                    for i, (a, b) in enumerate(CMS_PARAMS)
+                ]
+            )
+        ).alias("cell"),
+    )
+    return cells.groupBy(
+        "g",
+        F.col("cell.row_id").alias("row_id"),
+        F.col("cell.col_id").alias("col_id"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge_grouped(*sketches: DataFrame) -> DataFrame:
+    """Merge grouped sketches built with the same params: cell-wise sum
+    within each group — the one merge definition any batch or streaming
+    maintainer shares (same algebra as cms_merge, keyed by g)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("g", "row_id", "col_id").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate_grouped(
+    sketch: DataFrame,
+    keys: DataFrame,
+    group_col: str,
+    key_col: str,
+    width: int = 256,
+    in_col: str = "g",
+) -> DataFrame:
+    """Per-group point estimates for (group, key) probe rows: min over
+    the depth rows of the group's addressed counters. ``in_col`` names
+    the sketch relation's group column (default 'g', the
+    cms_build_grouped contract — same convention and loud-failure rule
+    as kmv_estimate_grouped). The probe joins on (g, col) per depth
+    row — never broadcast: the grouped sketch is O(groups × depth ×
+    width) and groups can be many."""
+    missing = [c for c in (in_col, "row_id", "col_id", "cnt") if c not in sketch.columns]
+    if missing:
+        raise ValueError(
+            f"cms_estimate_grouped expects a grouped sketch relation "
+            f"with columns ({in_col!r}, 'row_id', 'col_id', 'cnt'); "
+            f"missing {missing} in {sketch.columns}"
+        )
+    key = F.col(key_col)
+    addressed = keys.select(
+        F.col(group_col).alias("__g"),
+        key.alias("__k"),
+        *[
+            _cms_col(key, a, b, width).alias(f"__c{i}")
+            for i, (a, b) in enumerate(CMS_PARAMS)
+        ],
+    )
+    # left join + coalesce 0, as in cms_estimate: an untouched cell is
+    # a sparse zero, not a missing probe row
+    for i in range(len(CMS_PARAMS)):
+        s = sketch.filter(F.col("row_id") == i).select(
+            F.col(in_col).alias("__g"),
+            F.col("col_id").alias(f"__c{i}"),
+            F.col("cnt").alias(f"__cnt{i}"),
+        )
+        addressed = addressed.join(s, ["__g", f"__c{i}"], "left")
+    est = F.least(
+        *[
+            F.coalesce(F.col(f"__cnt{i}"), F.lit(0))
+            for i in range(len(CMS_PARAMS))
+        ]
+    )
+    return addressed.select(
+        F.col("__g").alias(group_col),
+        F.col("__k").alias(key_col),
+        est.cast("bigint").alias("est_count"),
+    )
+
+
 def cms_estimate(
     sketch: DataFrame, keys: DataFrame, key_col: str, width: int = 256
 ) -> DataFrame:

@@ -3016,6 +3016,74 @@ def sketch_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_cms_grouped_topk",
+    survey="LLM-sketch (per-dimension count-min heavy hitters)",
+    desc="per-GROUP count-min heavy hitters: top-5 user_ids per event "
+    "type by min-over-depth point estimate from a (g, row, col, cnt) "
+    "grouped sketch — the frequency half of the per-dimension "
+    "dashboard pair (sketch_kmv_grouped is the cardinality half). "
+    "O(groups x 4 x 256) state from ONE map-combined hash-agg (no "
+    "sort, no hot-group single-task hazard: a group with ~all events "
+    "still occupies exactly depth x width cells); estimation joins on "
+    "(g, col) per depth row, never broadcast; pure int64 arithmetic, "
+    "bit-exact across engines, never under-counts",
+    oracle="""
+WITH ev AS (
+  SELECT event_type AS g, CAST(user_id AS BIGINT) AS k FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+params(i, a, b) AS (VALUES (0, 3, 17), (1, 1299709, 104729),
+                           (2, 15485863, 32452843), (3, 49979687, 86028121)),
+cells AS (
+  SELECT e.g, p.i AS row_id,
+         ((p.a * (((e.k % 1000000007) + 1000000007) % 1000000007) + p.b)
+          % 1000000007) % 256 AS col_id,
+         COUNT(*) AS cnt
+  FROM ev e CROSS JOIN params p
+  GROUP BY 1, 2, 3
+),
+keys AS (SELECT DISTINCT g, k FROM ev),
+est AS (
+  SELECT keys.g, keys.k AS user_id, MIN(c.cnt) AS est_count
+  FROM keys CROSS JOIN params p
+  JOIN cells c
+    ON c.g = keys.g AND c.row_id = p.i
+   AND c.col_id = ((p.a * (((keys.k % 1000000007) + 1000000007)
+                           % 1000000007) + p.b) % 1000000007) % 256
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT g AS event_type, user_id, est_count,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g
+              ORDER BY est_count DESC, user_id ASC) AS BIGINT) AS rank
+  FROM est
+)
+SELECT event_type, rank, user_id, est_count FROM ranked WHERE rank <= 5
+""",
+)
+def sketch_cms_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.approx import cms_build_grouped, cms_estimate_grouped
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    )
+    sketch = cms_build_grouped(ev, "event_type", "user_id", width=256)
+    est = cms_estimate_grouped(
+        sketch, ev.distinct(), "event_type", "user_id", width=256
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("est_count"), F.asc("user_id")
+    )
+    return (
+        est.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("event_type", "rank", "user_id", "est_count")
+    )
+
+
+@register(
     "json_extract_props",
     survey="P11 (semi-structured)",
     desc="JSON path extraction from the events property bag + grouped "

@@ -354,6 +354,90 @@ def make_cms_updater(store_dir: str, key_col: str = "user_id", width: int = 256)
     return _update
 
 
+def make_cms_grouped_updater(
+    store_dir: str,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    width: int = 256,
+):
+    """foreachBatch body maintaining the per-GROUP CMS store — the
+    grouped sibling of make_cms_updater and the frequency half of the
+    per-dimension dashboard pair (make_kmv_grouped_updater is the
+    cardinality half): per micro-batch, the batch's grouped sketch
+    (approx.cms_build_grouped) cell-wise merges through the ONE grouped
+    merge definition (cms_merge_grouped) and the store swaps
+    atomically. State is O(groups × depth × width) rows forever; the
+    merged-store prefix equals cms_build_grouped over exactly the rows
+    seen (cell-wise sum is associative and commutative per (g, row,
+    col)). Same watermark/recovery/idempotence contract as the flat
+    updater — the exact-last-batch skip plus the loud
+    checkpoint-mismatch failure."""
+    import os
+
+    from ..io.sinks import atomic_swap_store, recover_swapped_store
+    from ..operators.approx import cms_build_grouped, cms_merge_grouped
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        recover_swapped_store(store_dir)
+        batch_sketch = cms_build_grouped(
+            batch_df.select(
+                F.col(group_col).alias("g"),
+                F.col(key_col).cast("bigint").alias("k"),
+            ).filter(F.col("g").isNotNull()),
+            "g",
+            "k",
+            width,
+        )
+        if os.path.exists(store_dir):
+            prior = batch_df.sparkSession.read.parquet(store_dir)
+            if "__last_batch" in prior.columns:
+                last = prior.agg(F.max("__last_batch")).first()[0]
+                if last is not None and int(last) == int(batch_id):
+                    return  # replayed batch: already folded in
+                if last is not None and int(last) > int(batch_id):
+                    raise RuntimeError(
+                        f"grouped CMS store at {store_dir} has "
+                        f"__last_batch={last} but the stream delivered "
+                        f"batch_id={batch_id}: checkpoint/store mismatch "
+                        "(checkpoint reset while the store was kept?). "
+                        "Reset the store with the checkpoint or use a "
+                        "fresh store_dir."
+                    )
+                prior = prior.drop("__last_batch")
+            merged = cms_merge_grouped(prior, batch_sketch)
+        else:
+            merged = batch_sketch
+        merged = merged.withColumn(
+            "__last_batch", F.lit(int(batch_id)).cast("bigint")
+        )
+        atomic_swap_store(merged, store_dir, partitions=1)
+
+    return _update
+
+
+def stream_cms_grouped_maintain(
+    spark: SparkSession,
+    events_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    store_dir: str,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    width: int = 256,
+) -> "StreamingQuery":
+    """Continuously maintained per-group CMS sketches — always-on
+    per-dimension heavy-hitter tracking with O(groups × depth × width)
+    state."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    _update = make_cms_grouped_updater(store_dir, group_col, key_col, width)
+    return (
+        stream.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_enrich_with_dim(
     stream: DataFrame,
     dim: DataFrame,

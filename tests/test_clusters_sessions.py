@@ -1106,6 +1106,99 @@ def test_cms_store_swap_crash_recovery(spark, tmp_path):
     assert not os.path.exists(store + ".old")
 
 
+def test_stream_cms_grouped_maintain_equals_batch_sketch(spark, tmp_path):
+    """Grouped CMS (per-dimension heavy hitters at O(groups × depth ×
+    width) state): the store after a 3-drain stream equals
+    cms_build_grouped over exactly the rows seen (cell-wise merge
+    algebra), per-group top-k off the live store equals the one-shot
+    batch ranking, state cardinality stays bounded per drain even when
+    ONE group receives ~all events (the kmv hot-group fixture's
+    frequency twin), and a replayed exact-last batch is skipped."""
+    from blockchair_etl_spark.io.sinks import read_live_store
+    from blockchair_etl_spark.operators.approx import (
+        cms_build_grouped,
+        cms_estimate_grouped,
+    )
+    from blockchair_etl_spark.streaming.incremental import (
+        make_cms_grouped_updater,
+        stream_cms_grouped_maintain,
+    )
+
+    # hot: 1500 events over 300 users; cold: 30 events over 3 users,
+    # user 7 heavily repeated in both groups
+    rows = [(i, "hot", (i % 300) if i % 5 else 7) for i in range(1500)] + [
+        (90000 + i, "cold", 7 if i % 3 else i % 3) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "row_id bigint, g string, user_id bigint")
+    src = str(tmp_path / "gcms_src")
+    for i in range(3):
+        df.filter(F.col("row_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = str(tmp_path / "gcms_store")
+    q = stream_cms_grouped_maintain(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        str(tmp_path / "gcms_ckpt"),
+        store,
+        group_col="g",
+        key_col="user_id",
+        width=64,
+    )
+    assert q.awaitTermination(300)
+
+    def cells(frame):
+        return {(r.g, r.row_id, r.col_id): r.cnt for r in frame.collect()}
+
+    batch_input = df.select("g", F.col("user_id").cast("bigint").alias("k"))
+    got = cells(spark.read.parquet(store).drop("__last_batch"))
+    want = cells(cms_build_grouped(batch_input, "g", "k", width=64))
+    assert got == want
+    # state bound: exactly depth x width cells max per group, however
+    # hot the group — the sketch never grows with stream length
+    per_group = {}
+    for (g, _, _), _c in got.items():
+        per_group[g] = per_group.get(g, 0) + 1
+    assert per_group["hot"] <= 4 * 64 and per_group["cold"] <= 4 * 64
+
+    # serving: per-group estimates off the live store match the
+    # one-shot batch sketch's, and the hot repeated user dominates
+    keys = batch_input.distinct()
+    served = {
+        (r.g, r.k): r.est_count
+        for r in cms_estimate_grouped(
+            read_live_store(spark, store).drop("__last_batch"),
+            keys,
+            "g",
+            "k",
+            width=64,
+        ).collect()
+    }
+    batch = {
+        (r.g, r.k): r.est_count
+        for r in cms_estimate_grouped(
+            cms_build_grouped(batch_input, "g", "k", width=64),
+            keys,
+            "g",
+            "k",
+            width=64,
+        ).collect()
+    }
+    assert served == batch
+    assert served[("hot", 7)] >= 300  # true count 300, CMS never under
+    assert max(v for (g, k), v in served.items() if g == "hot") == served[
+        ("hot", 7)
+    ]
+
+    # replayed exact-last batch: skipped, store unchanged
+    upd = make_cms_grouped_updater(store, group_col="g", key_col="user_id", width=64)
+    last = spark.read.parquet(store).agg(F.max("__last_batch")).first()[0]
+    upd(df, int(last))
+    assert cells(spark.read.parquet(store).drop("__last_batch")) == want
+
+
 def test_read_live_store_reader_contract(spark, tmp_path):
     """Advice fix: external concurrent readers of a swap-maintained
     store never run recover_swapped_store (writer-only — a reader-side

@@ -595,6 +595,19 @@ def test_minhash_cross_pairs_max_bucket(spark):
     assert {p for p in uncapped if p[1] >= 200} == {
         p for p in capped if p[1] >= 200
     }
+    # a store carrying the write-once sig_key column takes the
+    # narrow-scan branch and must change nothing about the output
+    keyed_store = store.withColumn(
+        "sig_key",
+        F.md5(F.concat_ws("|", *[F.col(f"m{i}") for i in range(16)])),
+    )
+    keyed = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_cross_pairs(
+            batch, keyed_store, threshold=0.5, max_bucket=10
+        ).collect()
+    }
+    assert keyed == capped
 
 
 def test_ahash_guards(spark):
