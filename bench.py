@@ -634,8 +634,12 @@ HEADLINE = [
     "dedup_minhash_lsh_capped",
     "multimodal_crossmodal_knn",
     # round-15: per-group CMS heavy hitters — the frequency half of the
-    # per-dimension dashboard pair beside sketch_kmv_grouped
+    # per-dimension dashboard pair beside sketch_kmv_grouped — and MOSS
+    # winnowing (the rolling-hash fingerprint selection: char-gram
+    # explode + ROWS-window struct-min, the text family's densest
+    # per-char fan-out)
     "sketch_cms_grouped_topk",
+    "text_winnowing_fingerprints",
 ]
 
 

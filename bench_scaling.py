@@ -135,6 +135,12 @@ FAMILY = [
     # the exchange at O(groups x depth x width) regardless of stream
     # length, plus the never-broadcast (g, col) estimate joins
     "sketch_cms_grouped_topk",
+    # round-15: winnowing — one position-explode (chars - k + 1 rows
+    # per doc) + one ROWS-window min per doc partition; linear in
+    # corpus chars with no join, the steepest honest fan-out in the
+    # text family (documents is copied by synthesize, so alpha is
+    # meaningful)
+    "text_winnowing_fingerprints",
     # media_pixel_dedup_survivors (the 8x4=32-bit oracle twin) is
     # deliberately ABSENT: at fixed 32-bit width the pigeonhole block
     # join's RANDOM collisions alone grow quadratically (4*2^-8 ~ 1.6%

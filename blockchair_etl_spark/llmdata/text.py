@@ -200,6 +200,103 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): the
+    position-robust document fingerprint SET — from the hashes of all
+    character k-grams of the normalized text, select each sliding
+    window-of-``window``'s minimum (rightmost on ties), dedup. The
+    winnowing guarantee: any match of length ≥ window + k - 1 between
+    two documents shares at least one selected fingerprint, with
+    expected density 2/(window+1) — the local-selection property the
+    global-min sketch (fingerprints' min_token_hash) and MinHash lack,
+    and the standard primitive for plagiarism / code-clone / quoted-
+    passage detection.
+
+    Distributed shape: per-k-gram hashes are INDEPENDENT md5-prefix
+    hashes, not a sequential Karp-Rabin chain — the rolling recurrence
+    is a single-pass cpu optimization, not a semantic requirement, and
+    independent hashing is what parallelizes (any engine computes the
+    identical values, which Karp-Rabin mod-arithmetic would also give
+    but at per-row sequential cost). Selection runs ENTIRELY in
+    array-space inside the document's row — hash array, per-window
+    array_min over O(w) slices, array_distinct, then one explode of
+    the selected set — so the whole operator is a narrow map with ZERO
+    shuffles. The explode-then-window-min formulation was measured
+    FASTER locally (4.0 s vs 5.0 s at sf0.1: window-min is codegen'd,
+    higher-order functions are interpreted) but shuffles + sorts the
+    exploded gram stream — ~(doc chars × 25 bytes) through the wire,
+    several times the corpus size at 100 TB — for what is row-local
+    work; the zero-shuffle form is the one that survives cluster
+    scale, and winnowing dedup is per-document by definition so no
+    global distinct is needed either. Documents with fewer than
+    ``window`` k-grams get one window covering all positions, so every
+    non-empty document has ≥1 fingerprint. Output: (doc, pos, fp),
+    distinct per doc."""
+
+    # normalization MUST be materialized as its own attribute before
+    # the per-position lambda references it: an inlined regexp_replace
+    # inside the transform body re-evaluates over the WHOLE text once
+    # per character position — O(len²) per document (measured: 22.2 s
+    # at sf0.1 inlined vs ~2 s materialized). The multiple non-cheap
+    # references ALSO keep CollapseProject from re-inlining it.
+    normed = df.select(
+        F.col(id_col).alias("doc"),
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", "").alias(
+            "__s"
+        ),
+    )
+    s = F.col("__s")
+    # sequence(1, 0) DESCENDS to [1, 0] (the exploded_shingles gotcha):
+    # documents with fewer than k normalized chars guard with an
+    # explicit empty array. Column.substr takes COLUMN start/len (the
+    # lambda position var); F.substring's python signature is int-only.
+    positions = F.when(
+        F.length(s) >= k,
+        F.sequence(F.lit(1), F.length(s) - (k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    # one 25-char STRING key per position: 15 lowercase-hex md5 chars
+    # (lexicographic == numeric for a fixed-width hex prefix) ++
+    # zero-padded (1e9 - pos), so a plain string array_min IS the
+    # winnowing selection (min hash, rightmost position on ties).
+    # Measured at sf0.1 against the alternatives: packed-string 5.0 s
+    # vs (h, -pos) struct array 6.6 s (array_min's interpreted struct
+    # compare + per-slice struct allocs) vs decimal128 packing 5.9 s —
+    # and the decimal decode needs a floor-div Spark's decimal '/'
+    # (HALF_UP) gets wrong silently.
+    hashed = normed.select(
+        "doc",
+        F.transform(
+            positions,
+            lambda i: F.concat(
+                F.substring(F.md5(s.substr(i, F.lit(k))), 1, 15),
+                F.lpad((F.lit(1_000_000_000) - i).cast("string"), 10, "0"),
+            ),
+        ).alias("__hs"),
+    )
+    hs = F.col("__hs")
+    starts = F.when(
+        F.size(hs) >= 1,
+        F.sequence(F.lit(1), F.greatest(F.size(hs) - (window - 1), F.lit(1))),
+    ).otherwise(F.array().cast("array<int>"))
+    selected = F.array_distinct(
+        F.transform(starts, lambda j: F.array_min(F.slice(hs, j, window)))
+    )
+    key = F.col("g")
+    return hashed.select("doc", F.explode(selected).alias("g")).select(
+        "doc",
+        (F.lit(1_000_000_000) - F.substring(key, 16, 10).cast("bigint"))
+        .cast("bigint")
+        .alias("pos"),
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint").alias("fp"),
+    )
+
+
 def tfidf_topk(
     docs: DataFrame,
     id_col: str = "doc_id",

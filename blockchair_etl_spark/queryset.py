@@ -1391,6 +1391,52 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_winnowing_fingerprints",
+    survey="LLM-text (rolling-hash document fingerprinting: MOSS winnowing)",
+    desc="winnowing fingerprint sets (Schleimer et al. SIGMOD'03): "
+    "hash every 5-char k-gram of the normalized text, select each "
+    "sliding window-of-4's minimum (rightmost on ties), dedup — any "
+    "match >= w+k-1 = 8 chars between two documents shares a selected "
+    "fingerprint at expected density 2/(w+1), the local-selection "
+    "guarantee the global-min sketch and MinHash lack. One explode + "
+    "one ROWS-window struct-min + distinct, no self-join, no UDF; "
+    "k-gram hashes are independent md5-prefix values (engine-portable; "
+    "the Karp-Rabin rolling recurrence is a sequential cpu trick, not "
+    "a semantic requirement); pinned against a pure-python reference "
+    "in tests/test_llmdata.py",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS s
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(s) - 4, 0) + 1),
+                i -> struct_pack(i := i,
+                     h := ('0x' || substr(md5(substr(s, i, 5)), 1, 15))::BIGINT)))
+           AS g
+  FROM norm
+),
+pos AS (SELECT doc_id, g.i AS i, g.h AS h FROM grams),
+n AS (SELECT doc_id, COUNT(*) AS n_pos FROM pos GROUP BY 1),
+sel AS (
+  SELECT w.doc_id, q.i AS pos, q.h AS fp,
+         ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.i
+                            ORDER BY q.h ASC, q.i DESC) AS rn
+  FROM (SELECT p.doc_id, p.i FROM pos p JOIN n USING (doc_id)
+        WHERE p.i <= greatest(n.n_pos - 3, 1)) w
+  JOIN pos q ON q.doc_id = w.doc_id AND q.i BETWEEN w.i AND w.i + 3
+)
+SELECT DISTINCT doc_id AS doc, CAST(pos AS BIGINT) AS pos, fp
+FROM sel WHERE rn = 1
+""",
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.winnowing_fingerprints(docs, k=5, window=4)
+
+
+@register(
     "multimodal_features",
     survey="LLM-multimodal",
     desc="binary media column -> Arrow-batched mapInPandas feature "

@@ -222,6 +222,65 @@ def test_crossmodal_knn_is_exact_and_asymmetric(spark, emb):
     assert probe_only.isdisjoint(by_a.keys())
 
 
+def test_winnowing_matches_reference_and_guarantee(spark, docs):
+    """winnowing_fingerprints == the pure-python MOSS reference
+    (per-window argmin over k-gram hashes, rightmost tiebreak, full
+    windows plus the short-doc single window) on the fixture corpus,
+    and the winnowing GUARANTEE holds: two documents sharing a
+    substring of length >= window + k - 1 share at least one selected
+    fingerprint."""
+    import hashlib
+    import re
+
+    from blockchair_etl_spark.llmdata.text import winnowing_fingerprints
+
+    K, W = 5, 4
+
+    def ref(text):
+        norm = re.sub(r"[^a-z0-9]+", "", (text or "").lower())
+        n = len(norm) - K + 1
+        if n <= 0:
+            return set()
+        hs = [
+            int(hashlib.md5(norm[i : i + K].encode()).hexdigest()[:15], 16)
+            for i in range(n)
+        ]
+        out = set()
+        for j in range(max(n - W + 1, 1)):
+            win = range(j, min(j + W, n))
+            best = min(win, key=lambda i: (hs[i], -i))
+            out.add((best + 1, hs[best]))
+        return out
+
+    sample = docs.limit(40).collect()
+    got_rows = winnowing_fingerprints(
+        spark.createDataFrame(sample), k=K, window=W
+    ).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r.doc, set()).add((r.pos, r.fp))
+    for row in sample:
+        assert got.get(row.doc_id, set()) == ref(row.text), row.doc_id
+
+    # the guarantee, adversarially: a long shared substring planted at
+    # DIFFERENT offsets inside otherwise-different documents must
+    # produce overlapping fingerprint HASH sets (positions differ)
+    shared = "thequickbrownfoxjumpsover"
+    a = "xxxxy" + shared + "zzzzw"
+    b = "completely other prefix material " + shared
+    fps = winnowing_fingerprints(
+        spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id bigint, text string"
+        ),
+        k=K,
+        window=W,
+    ).collect()
+    hs = {}
+    for r in fps:
+        hs.setdefault(r.doc, set()).add(r.fp)
+    assert hs[1] & hs[2], "shared >= w+k-1 substring must share a fingerprint"
+
+
 def test_quantize_embeddings_int8_error_bound(spark):
     from blockchair_etl_spark.llmdata.similarity import quantize_embeddings_int8
 
