@@ -640,6 +640,9 @@ HEADLINE = [
     # per-char fan-out)
     "sketch_cms_grouped_topk",
     "text_winnowing_fingerprints",
+    # round-15: the MOSS composition — pairs by Jaccard over winnowing
+    # fingerprint sets (the passage-level dedup query)
+    "dedup_winnowing_pairs",
 ]
 
 

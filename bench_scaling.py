@@ -141,6 +141,10 @@ FAMILY = [
     # text family (documents is copied by synthesize, so alpha is
     # meaningful)
     "text_winnowing_fingerprints",
+    # round-15: the MOSS pair composition — a shared-fingerprint
+    # self-join, the dedup family's pair-generating shape over the
+    # winnowed (density ~2/(w+1)) stream; takes the tight gate
+    "dedup_winnowing_pairs",
     # media_pixel_dedup_survivors (the 8x4=32-bit oracle twin) is
     # deliberately ABSENT: at fixed 32-bit width the pigeonhole block
     # join's RANDOM collisions alone grow quadratically (4*2^-8 ~ 1.6%
@@ -177,6 +181,7 @@ PAIR_QUERIES = {
     "dedup_incremental_media_bigstore",
     "dedup_incremental_clusters",
     "dedup_minhash_lsh_capped",
+    "dedup_winnowing_pairs",
 }
 
 COPIES = 10

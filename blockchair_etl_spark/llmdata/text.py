@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..caching import tracked_persist
+
 # Tokenization shared by every text operator (and by dedup.py): lowercase,
 # split on non-alphanumeric runs, drop empties. Simple enough to behave
 # identically under Java regex (Spark) and RE2 (DuckDB).
@@ -294,6 +296,90 @@ def winnowing_fingerprints(
         .cast("bigint")
         .alias("pos"),
         F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint").alias("fp"),
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup / quoted-passage pairs from winnowing fingerprint
+    overlap — the MOSS composition: candidates share ≥ ``min_shared``
+    selected fingerprints, scored by Jaccard over the documents'
+    fingerprint-HASH sets (position-independent, so a passage quoted at
+    a different offset still matches). The winnowing guarantee makes
+    this the passage-level complement of shingle Jaccard: any shared
+    run ≥ window + k - 1 chars contributes at least one shared
+    fingerprint, while the fingerprint stream is only ~2/(window+1) of
+    the gram stream the shingle self-join would carry.
+
+    Same scale shape as ngram_jaccard_pairs: candidates from a shared-
+    fingerprint self-join (disjoint docs never meet); ``max_df`` is the
+    scale lever against boilerplate fingerprints (candidates from
+    fingerprints in at most max_df docs — Σ df² over rare fps only —
+    with n_shared then re-counted EXACTLY over all fps per candidate,
+    the ngram_containment_pairs contract: reported scores exact, only
+    recall traded). Output: (id_a, id_b, n_shared, jaccard ≥
+    threshold), id_a < id_b."""
+    fp_sets = tracked_persist(
+        winnowing_fingerprints(df, k, window, text_col, id_col)
+        .select("doc", "fp")
+        .distinct()
+    )
+    sizes = fp_sets.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fp_sets.select(F.col("doc").alias("id_a"), "fp")
+    b = fp_sets.select(F.col("doc").alias("id_b"), "fp")
+    if max_df is None:
+        inter = (
+            a.join(b, "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= int(min_shared))
+        )
+    else:
+        rare = (
+            fp_sets.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= int(max_df))
+            .select("fp")
+        )
+        cand = (
+            a.join(rare, "fp")
+            .join(b.join(rare, "fp"), "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        inter = (
+            cand.join(a, "id_a")
+            .join(b, ["id_b", "fp"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= int(min_shared))
+        )
+    return (
+        inter.join(
+            sizes.select(F.col("doc").alias("id_a"), F.col("n_fp").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("id_b"), F.col("n_fp").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_shared", "jaccard")
     )
 
 

@@ -1390,21 +1390,10 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.fingerprints(docs)
 
 
-@register(
-    "text_winnowing_fingerprints",
-    survey="LLM-text (rolling-hash document fingerprinting: MOSS winnowing)",
-    desc="winnowing fingerprint sets (Schleimer et al. SIGMOD'03): "
-    "hash every 5-char k-gram of the normalized text, select each "
-    "sliding window-of-4's minimum (rightmost on ties), dedup — any "
-    "match >= w+k-1 = 8 chars between two documents shares a selected "
-    "fingerprint at expected density 2/(w+1), the local-selection "
-    "guarantee the global-min sketch and MinHash lack. One explode + "
-    "one ROWS-window struct-min + distinct, no self-join, no UDF; "
-    "k-gram hashes are independent md5-prefix values (engine-portable; "
-    "the Karp-Rabin rolling recurrence is a sequential cpu trick, not "
-    "a semantic requirement); pinned against a pure-python reference "
-    "in tests/test_llmdata.py",
-    oracle="""
+# winnowing fingerprint selection as a reusable oracle CTE body →
+# (doc, pos, fp); shared by text_winnowing_fingerprints and
+# dedup_winnowing_pairs so the two oracles cannot drift
+_SQL_WINNOW_FP = """
 WITH norm AS (
   SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS s
   FROM documents
@@ -1426,14 +1415,84 @@ sel AS (
   FROM (SELECT p.doc_id, p.i FROM pos p JOIN n USING (doc_id)
         WHERE p.i <= greatest(n.n_pos - 3, 1)) w
   JOIN pos q ON q.doc_id = w.doc_id AND q.i BETWEEN w.i AND w.i + 3
-)
-SELECT DISTINCT doc_id AS doc, CAST(pos AS BIGINT) AS pos, fp
-FROM sel WHERE rn = 1
+),
+winnow AS (
+  SELECT DISTINCT doc_id AS doc, CAST(pos AS BIGINT) AS pos, fp
+  FROM sel WHERE rn = 1
+)"""
+
+
+@register(
+    "text_winnowing_fingerprints",
+    survey="LLM-text (rolling-hash document fingerprinting: MOSS winnowing)",
+    desc="winnowing fingerprint sets (Schleimer et al. SIGMOD'03): "
+    "hash every 5-char k-gram of the normalized text, select each "
+    "sliding window-of-4's minimum (rightmost on ties), dedup — any "
+    "match >= w+k-1 = 8 chars between two documents shares a selected "
+    "fingerprint at expected density 2/(w+1), the local-selection "
+    "guarantee the global-min sketch and MinHash lack. Selection runs "
+    "entirely in array-space inside the document's row (packed-string "
+    "keys, per-window array_min): a narrow map with ZERO shuffles — "
+    "the explode+window-min form measured faster locally but shuffles "
+    "the gram stream, several times the corpus size at scale; "
+    "k-gram hashes are independent md5-prefix values (engine-portable; "
+    "the Karp-Rabin rolling recurrence is a sequential cpu trick, not "
+    "a semantic requirement); pinned against a pure-python reference "
+    "in tests/test_llmdata.py",
+    oracle=f"""{_SQL_WINNOW_FP}
+SELECT doc, pos, fp FROM winnow
 """,
 )
 def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _text.winnowing_fingerprints(docs, k=5, window=4)
+
+
+@register(
+    "dedup_winnowing_pairs",
+    survey="LLM-dedup (passage-level near-dup via winnowing overlap — MOSS)",
+    desc="near-dup / quoted-passage pairs by Jaccard over winnowing "
+    "fingerprint-hash sets: candidates share >= 2 RARE (df <= 50) "
+    "fingerprints with n_shared then re-counted EXACTLY over all "
+    "fingerprints per candidate — the deployed df-bounded shape (the "
+    "dedup_bow_cosine_zipf rule: the EXACT all-fp self-join is "
+    "quadratic on ubiquitous boilerplate fingerprints and timed out "
+    "the 10x scaling gate; bounding candidates to rare fps trades "
+    "only boilerplate-only recall, reported scores stay exact). "
+    "Scored position-independently so a passage quoted at a different "
+    "offset still matches — the passage-level complement of shingle "
+    "Jaccard, off a fingerprint stream only ~2/(w+1) the gram stream",
+    oracle=f"""{_SQL_WINNOW_FP},
+fp_sets AS (SELECT DISTINCT doc, fp FROM winnow),
+sizes AS (SELECT doc, COUNT(*) AS n_fp FROM fp_sets GROUP BY doc),
+rare AS (SELECT fp FROM fp_sets GROUP BY fp HAVING COUNT(*) <= 50),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM (SELECT s.doc, s.fp FROM fp_sets s JOIN rare USING (fp)) a
+  JOIN fp_sets b ON a.fp = b.fp AND a.doc < b.doc
+),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN fp_sets fa ON fa.doc = c.id_a
+  JOIN fp_sets fb ON fb.doc = c.id_b AND fb.fp = fa.fp
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT i.id_a, i.id_b, i.n_shared,
+       CAST(i.n_shared AS DOUBLE)
+         / (sa.n_fp + sb.n_fp - i.n_shared) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc = i.id_a
+JOIN sizes sb ON sb.doc = i.id_b
+WHERE CAST(i.n_shared AS DOUBLE) / (sa.n_fp + sb.n_fp - i.n_shared) >= 0.2
+""",
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.winnowing_pairs(
+        docs, k=5, window=4, min_shared=2, threshold=0.2, max_df=50
+    )
 
 
 @register(

@@ -281,6 +281,50 @@ def test_winnowing_matches_reference_and_guarantee(spark, docs):
     assert hs[1] & hs[2], "shared >= w+k-1 substring must share a fingerprint"
 
 
+def test_winnowing_pairs_offset_quotes_and_max_df(spark, docs):
+    """winnowing_pairs semantics: (a) catches the fixture's strong
+    shingle-level near-dups; (b) catches a passage QUOTED AT A
+    DIFFERENT OFFSET (position-independent hash-set Jaccard — the
+    claim that distinguishes it from positional diffing); (c) the
+    max_df rare-fingerprint lever keeps reported scores EXACT for the
+    pairs it emits (the ngram_containment contract: recall traded,
+    never precision)."""
+    from blockchair_etl_spark.llmdata.text import winnowing_pairs
+
+    strong = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.jaccard)
+        for r in winnowing_pairs(docs, threshold=0.2).collect()
+    }
+    missed = strong - set(got)
+    assert not missed, f"winnowing missed strong near-dups: {missed}"
+
+    passage = "a very distinctive passage about winnowing fingerprints"
+    quoted = spark.createDataFrame(
+        [
+            (1, passage + " padded with trailing filler words here"),
+            (2, "an entirely different long preamble comes first " + passage),
+            (3, "nothing in common with either of those documents at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    qp = {
+        (r.id_a, r.id_b)
+        for r in winnowing_pairs(quoted, threshold=0.2).collect()
+    }
+    assert (1, 2) in qp and not any(3 in p for p in qp)
+
+    capped = {
+        (r.id_a, r.id_b): (r.n_shared, r.jaccard)
+        for r in winnowing_pairs(docs, threshold=0.2, max_df=50).collect()
+    }
+    assert set(capped) <= set(got)
+    assert all(got[p] == v for p, v in capped.items())
+
+
 def test_quantize_embeddings_int8_error_bound(spark):
     from blockchair_etl_spark.llmdata.similarity import quantize_embeddings_int8
 
