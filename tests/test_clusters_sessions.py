@@ -1758,3 +1758,45 @@ def test_dashboard_metrics_served_from_live_sketch_stores(spark, tmp_path):
     assert sorted(map(tuple, served_q.collect())) == sorted(
         map(tuple, batch_q.collect())
     )
+
+    # per-dimension heavy hitters (r15): top users per event type
+    # served from the maintained grouped-CMS store == the one-shot
+    # grouped sketch over the whole corpus — the third dashboard
+    # metric family off O(groups x depth x width) state
+    from blockchair_etl_spark.operators.approx import (
+        cms_build_grouped,
+        cms_estimate_grouped,
+    )
+    from blockchair_etl_spark.streaming.incremental import (
+        stream_cms_grouped_maintain,
+    )
+
+    gcms_store = str(tmp_path / "gcms_store")
+    q3 = stream_cms_grouped_maintain(
+        spark, src, schema, str(tmp_path / "gcms_ckpt"), gcms_store,
+        group_col="event_type", key_col="user_id", width=64,
+    )
+    assert q3.awaitTermination(300)
+    gsketch = read_live_store(spark, gcms_store).drop("__last_batch")
+    assert gsketch.count() <= ev.select("event_type").distinct().count() * 4 * 64
+    keys = (
+        ev.select(F.col("event_type").alias("g"),
+                  F.col("user_id").cast("bigint").alias("k"))
+        .filter(F.col("g").isNotNull() & F.col("k").isNotNull())
+        .distinct()
+    )
+    served_hh = {
+        (r.g, r.k): r.est_count
+        for r in cms_estimate_grouped(gsketch, keys, "g", "k", width=64).collect()
+    }
+    batch_input = ev.select(
+        F.col("event_type").alias("g"), F.col("user_id").cast("bigint").alias("k")
+    ).filter(F.col("g").isNotNull())
+    batch_hh = {
+        (r.g, r.k): r.est_count
+        for r in cms_estimate_grouped(
+            cms_build_grouped(batch_input, "g", "k", width=64),
+            keys, "g", "k", width=64,
+        ).collect()
+    }
+    assert served_hh == batch_hh and served_hh
