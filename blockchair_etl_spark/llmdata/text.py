@@ -332,6 +332,26 @@ def winnowing_pairs(
         .select("doc", "fp")
         .distinct()
     )
+    return winnowing_pairs_from_store(
+        fp_sets, min_shared=min_shared, threshold=threshold, max_df=max_df
+    )
+
+
+def winnowing_pairs_from_store(
+    fp_sets: DataFrame,
+    min_shared: int = 2,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pair detection over a PREBUILT (doc, fp) fingerprint relation —
+    the production reuse shape (the minhash_pairs_from_store
+    precedent): fingerprints are extracted once, written to parquet,
+    and every passage-dedup query reads the store instead of
+    re-normalizing + re-hashing the corpus per run; md5-derived
+    fingerprints make today's store comparable with tomorrow's. Rows
+    must be distinct per (doc, fp) — winnowing_fingerprints' dedup
+    already guarantees it; a raw store write preserves it. Same
+    output and semantics as winnowing_pairs on the same corpus."""
     sizes = fp_sets.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
     a = fp_sets.select(F.col("doc").alias("id_a"), "fp")
     b = fp_sets.select(F.col("doc").alias("id_b"), "fp")

@@ -325,6 +325,34 @@ def test_winnowing_pairs_offset_quotes_and_max_df(spark, docs):
     assert all(got[p] == v for p, v in capped.items())
 
 
+def test_winnowing_pairs_from_parquet_store_match_direct(spark, docs, tmp_path):
+    """The production reuse path: fingerprints written ONCE to parquet,
+    pair detection reading the store must be bit-identical to the
+    compute-from-text form — including after the parquet round trip."""
+    from blockchair_etl_spark.llmdata.text import (
+        winnowing_fingerprints,
+        winnowing_pairs,
+        winnowing_pairs_from_store,
+    )
+
+    path = str(tmp_path / "winnow_store")
+    winnowing_fingerprints(docs).select("doc", "fp").distinct().write.mode(
+        "overwrite"
+    ).parquet(path)
+    store = spark.read.parquet(path)
+    from_store = {
+        (r.id_a, r.id_b, r.n_shared, r.jaccard)
+        for r in winnowing_pairs_from_store(
+            store, threshold=0.2, max_df=50
+        ).collect()
+    }
+    direct = {
+        (r.id_a, r.id_b, r.n_shared, r.jaccard)
+        for r in winnowing_pairs(docs, threshold=0.2, max_df=50).collect()
+    }
+    assert from_store == direct and from_store
+
+
 def test_quantize_embeddings_int8_error_bound(spark):
     from blockchair_etl_spark.llmdata.similarity import quantize_embeddings_int8
 
