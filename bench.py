@@ -635,9 +635,10 @@ HEADLINE = [
     "multimodal_crossmodal_knn",
     # round-15: per-group CMS heavy hitters — the frequency half of the
     # per-dimension dashboard pair beside sketch_kmv_grouped — and MOSS
-    # winnowing (the rolling-hash fingerprint selection: char-gram
-    # explode + ROWS-window struct-min, the text family's densest
-    # per-char fan-out)
+    # winnowing (the fingerprint selection runs entirely in array-space
+    # inside each document's row: per-position packed-string keys,
+    # per-window array_min over O(w) slices — a zero-shuffle narrow
+    # map, the text family's densest per-char fan-out)
     "sketch_cms_grouped_topk",
     "text_winnowing_fingerprints",
     # round-15: the MOSS composition — pairs by Jaccard over winnowing

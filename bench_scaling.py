@@ -135,10 +135,12 @@ FAMILY = [
     # the exchange at O(groups x depth x width) regardless of stream
     # length, plus the never-broadcast (g, col) estimate joins
     "sketch_cms_grouped_topk",
-    # round-15: winnowing — one position-explode (chars - k + 1 rows
-    # per doc) + one ROWS-window min per doc partition; linear in
-    # corpus chars with no join, the steepest honest fan-out in the
-    # text family (documents is copied by synthesize, so alpha is
+    # round-15: winnowing — the per-row array-space selection (one
+    # packed-string key per char position, one array_min per window
+    # slice, all inside the document's row; zero shuffles, only the
+    # final selected-set explode leaves the row); linear in corpus
+    # chars with no join, the steepest honest fan-out in the text
+    # family (documents is copied by synthesize, so alpha is
     # meaningful)
     "text_winnowing_fingerprints",
     # round-15: the MOSS pair composition — a shared-fingerprint

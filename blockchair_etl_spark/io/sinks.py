@@ -386,23 +386,56 @@ def atomic_swap_store(df: DataFrame, store_dir: str, partitions: int = 8) -> Non
 def _is_swap_window_error(exc: BaseException) -> bool:
     """True iff ``exc`` is the store-path-vanished shape a concurrent
     atomic_swap_store rename produces — the ONLY failure read_live_store
-    may retry. Matched on the exception text because the listing race
-    surfaces as AnalysisException(PATH_NOT_FOUND) at plan time but as a
-    JVM SparkException wrapping java.io.FileNotFoundException at
-    collect time, and both carry the marker strings below. Anything
-    else (schema mismatch, corrupt footer, permission) is a real error
-    and must surface immediately, not after the retry budget (r14
-    review)."""
+    may retry. The listing race surfaces as AnalysisException with
+    error condition PATH_NOT_FOUND at plan time, but as a JVM
+    SparkException wrapping java.io.FileNotFoundException at collect
+    time. Matching is TYPED FIRST (r15 advice — the r14 text markers
+    'does not exist' / 'No such file' also appear in unrelated catalog
+    and path errors, which then burned the retry budget before
+    surfacing): the AnalysisException error condition and the
+    Py4J-wrapped Java cause chain are inspected directly; only when
+    neither typed channel is available does a NARROW class-qualified
+    text scan run. Anything else (schema mismatch, corrupt footer,
+    permission) is a real error and must surface immediately, not
+    after the retry budget (r14 review)."""
+    if isinstance(exc, FileNotFoundError):
+        return True
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # pragma: no cover - pyspark < 3.4 layout
+        from pyspark.sql.utils import AnalysisException  # type: ignore
+    if isinstance(exc, AnalysisException):
+        cond = None
+        for getter in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, getter, None)
+            if callable(fn):
+                try:
+                    cond = fn()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        if cond:
+            return "PATH_NOT_FOUND" in str(cond)
+        # conditionless analysis error: fall through to the text scan
+    # Py4J-captured JVM exception: walk the Java cause chain for the
+    # collect-time FileNotFoundException instead of string-scanning
+    java_exc = getattr(exc, "java_exception", None)
+    if java_exc is not None:
+        try:
+            seen = 0
+            cause = java_exc
+            while cause is not None and seen < 20:
+                if cause.getClass().getName() == "java.io.FileNotFoundException":
+                    return True
+                cause = cause.getCause()
+                seen += 1
+        except Exception:
+            pass  # py4j gateway hiccup: fall back to the text scan
+    # fallback ONLY: class-qualified markers, never bare
+    # 'does not exist' / 'No such file'
     text = str(exc)
-    return any(
-        marker in text
-        for marker in (
-            "PATH_NOT_FOUND",
-            "FileNotFoundException",
-            "does not exist",
-            "No such file",
-        )
-    )
+    return "PATH_NOT_FOUND" in text or "java.io.FileNotFoundException" in text
 
 
 def read_live_store(

@@ -356,9 +356,20 @@ def crossmodal_knn_join(
     candidates. Scale shape: both sides exchange once on blk; within-
     bucket probe×index pairs only, never all-pairs. A query vector
     whose bucket holds no index vectors is absent from the output
-    (same contract as knn_join_lsh's singleton rule)."""
+    (same contract as knn_join_lsh's singleton rule).
+
+    Passing BOTH ``dim`` and ``n_planes`` (the production call for a
+    known embedding space + sized index) skips the two plan-build-time
+    driver actions entirely — no head(), no count() (r15 advice)."""
     if dim is None:
-        dim = len(index.select(vec_col).head()[0])
+        first = index.select(vec_col).head()
+        if first is None:
+            raise ValueError(
+                "crossmodal_knn_join: index is empty — cannot infer "
+                "dim/n_planes from it; pass dim= and n_planes= "
+                "explicitly (an empty index yields no neighbors)"
+            )
+        dim = len(first[0])
     if n_planes is None:
         n_planes = adaptive_n_planes(index.count(), target_bucket_rows)
     blk = lsh_bucket_col(F.col(vec_col), dim, n_planes=n_planes, seed=seed)

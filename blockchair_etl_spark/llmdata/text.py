@@ -239,7 +239,19 @@ def winnowing_fingerprints(
     global distinct is needed either. Documents with fewer than
     ``window`` k-grams get one window covering all positions, so every
     non-empty document has ≥1 fingerprint. Output: (doc, pos, fp),
-    distinct per doc."""
+    distinct per doc.
+
+    Bounds (r15 advice): the packed key encodes position as the
+    10-digit zero-padded (1e9 − pos), so a document with ≥ 1e9
+    NORMALIZED chars would produce negative pack values whose string
+    ordering (and pos decode) silently corrupt the selection — the
+    plan raises in-row (one length check per document, evaluated once
+    in the positions guard, never per element) instead. Memory shape:
+    the whole ~25-bytes-per-char hash array materializes INSIDE one
+    row, so a single huge document concentrates ~25× its normalized
+    length on one task — at the 1e9 bound that is ~25 GB for one row;
+    corpora with multi-GB single documents should chunk upstream
+    (chunk_documents) before fingerprinting."""
 
     # normalization MUST be materialized as its own attribute before
     # the per-position lambda references it: an inlined regexp_replace
@@ -258,10 +270,28 @@ def winnowing_fingerprints(
     # documents with fewer than k normalized chars guard with an
     # explicit empty array. Column.substr takes COLUMN start/len (the
     # lambda position var); F.substring's python signature is int-only.
-    positions = F.when(
-        F.length(s) >= k,
-        F.sequence(F.lit(1), F.length(s) - (k - 1)),
-    ).otherwise(F.array().cast("array<int>"))
+    # the ≥1e9 guard rides the SAME when-chain as the short-doc guard:
+    # one O(1)-per-row branch on the already-computed length, never a
+    # per-element re-check (the O(len²) HOF trap documented above)
+    positions = (
+        F.when(
+            F.length(s) >= F.lit(1_000_000_000),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "winnowing_fingerprints: document has >= 1e9 "
+                        "normalized chars; the packed-key position "
+                        "encoding supports < 1e9 — chunk upstream"
+                    )
+                )
+            ).cast("array<int>"),
+        )
+        .when(
+            F.length(s) >= k,
+            F.sequence(F.lit(1), F.length(s) - (k - 1)),
+        )
+        .otherwise(F.array().cast("array<int>"))
+    )
     # one 25-char STRING key per position: 15 lowercase-hex md5 chars
     # (lexicographic == numeric for a fixed-width hex prefix) ++
     # zero-padded (1e9 - pos), so a plain string array_min IS the

@@ -2634,6 +2634,91 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(fp, max_hamming=3, bits=32)
 
 
+@register(
+    "dedup_simhash_pairs_capped",
+    survey="LLM-dedup (hot-bucket-capped SimHash pigeonhole, r15 verdict)",
+    desc="SimHash near-dup pairs with max_bucket=8: pigeonhole buckets "
+    "over the cap collapse to one pair-generating representative per "
+    "FULL fingerprint plus linear rep->member star pairs at exact "
+    "hamming 0 (identical fingerprints ARE hamming 0 — the collapse "
+    "is lossless by identity, unlike the minhash sibling's "
+    "threshold-clearing 1.0). Bounds a degenerate bucket's candidates "
+    "at (#fingerprints)^2 + h instead of h^2 — 1M re-encodes of one "
+    "image at 100 TB is the case pigeonhole WIDTH cannot split. "
+    "max_bucket=8 BINDS on the fixture (buckets up to 97 and "
+    "identical-fingerprint groups of 2-3 exist at sf0.01), so the "
+    "oracle checks the rep/star collapse semantics themselves; "
+    "CC/survivor equivalence to the uncapped form is pinned by "
+    "test_simhash_max_bucket_bounds_megacluster",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id AS doc, token, COUNT(*) AS w, substr(md5(token), 1, 8) AS h
+  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+               '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents)
+  GROUP BY 1, 2
+),
+bits AS (
+  SELECT doc, w, h, j,
+         instr('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1 AS nibble,
+         CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS pow2
+  FROM tf, unnest(range(0, 32)) AS u(j)
+),
+per_bit AS (
+  SELECT doc, j,
+         SUM(CASE WHEN (nibble // pow2) % 2 = 1 THEN w ELSE -w END) AS s
+  FROM bits GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc,
+         CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM per_bit GROUP BY doc
+),
+blocks AS (
+  SELECT doc, simhash, bi, (simhash >> (bi * 8)) & 255 AS bv
+  FROM fp, unnest(range(0, 4)) AS u(bi)
+),
+counts AS (
+  SELECT bi, bv, COUNT(*) AS n FROM blocks GROUP BY 1, 2
+),
+marked AS (
+  SELECT b.doc, b.simhash, b.bi, b.bv, (c.n > 8) AS big
+  FROM blocks b JOIN counts c USING (bi, bv)
+),
+gen AS (
+  SELECT doc, simhash, bi, bv FROM marked WHERE NOT big
+  UNION ALL
+  SELECT MIN(doc) AS doc, simhash, bi, bv
+  FROM marked WHERE big GROUP BY simhash, bi, bv
+),
+members AS (SELECT DISTINCT simhash, doc FROM marked WHERE big),
+grp AS (SELECT simhash, MIN(doc) AS rep FROM members GROUP BY simhash),
+cand AS (
+  SELECT DISTINCT id_a, id_b, fp_a, fp_b FROM (
+    SELECT a.doc AS id_a, b.doc AS id_b,
+           a.simhash AS fp_a, b.simhash AS fp_b
+    FROM gen a JOIN gen b
+      ON a.bi = b.bi AND a.bv = b.bv AND a.doc < b.doc
+    UNION ALL
+    SELECT g.rep, m.doc, m.simhash, m.simhash
+    FROM members m JOIN grp g USING (simhash)
+    WHERE m.doc <> g.rep
+  )
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= 3
+""",
+)
+def dedup_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmdata.dedup import simhash_fingerprints, simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs, bits=32)
+    return simhash_near_pairs(fp, max_hamming=3, bits=32, max_bucket=8)
+
+
 # ---------------------------------------------------------------------------
 # OLAP pattern coverage: as-of join, top-k per group, pivot, cube
 # ---------------------------------------------------------------------------
@@ -5777,6 +5862,7 @@ def corpus_prep_v3_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_prep_v2_pipeline",
+    driver=False,  # r16 window-budget retirement step 1 — see decision note
     survey="LLM end-to-end (round-5 operator composition)",
     desc="training-corpus prep v2, the round-5 ops composed END-TO-END "
     "in one plan: canonical normalization -> Gopher composite gate on "
@@ -5999,6 +6085,7 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_prep_pipeline",
+    driver=False,  # r16 window-budget retirement step 1 — see decision note
     survey="LLM end-to-end (line dedup → quality gate → exact dedup → packing)",
     desc="the full pretraining corpus-prep chain as ONE plan: C4-style "
     "repeated-line removal (relative cutoff: a line is boilerplate in "
@@ -8637,12 +8724,14 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~166 + r14 additions; revisit again at ~180 DRIVER-VISIBLE entries.
 #
 # r15 PLAN (r14 verdict #5 — name the next cohort BEFORE the trigger
-# binds): 170 driver-visible after r15's one addition
-# (dedup_minhash_lsh_capped); steady-state staleness ceil(170/50) ≈
-# 3.4 rounds, still inside the ≤4 bound, so NO retirement executes
-# this round. When the ~180 trigger binds (or any cohort ages past 4
-# rounds), retire in this order, same driver=False mechanism (entries
-# stay in QUERIES; test_oracle_parity keeps hash-checking them):
+# binds; COUNT CORRECTED r16: r15 added FIVE driver-visible entries —
+# dedup_minhash_lsh_capped, text_winnowing_fingerprints,
+# dedup_winnowing_pairs, multimodal_crossmodal_knn,
+# sketch_cms_grouped_topk — landing at 174, not the 170 this note
+# originally claimed, putting the ~180 trigger ONE round out). When
+# the ~180 trigger binds (or any cohort ages past 4 rounds), retire in
+# this order, same driver=False mechanism (entries stay in QUERIES;
+# test_oracle_parity keeps hash-checking them):
 #   1. corpus_prep_pipeline (v1) and corpus_prep_v2_pipeline — their
 #      stage coverage is a strict subset of v3+v6 (normalize → gates →
 #      exact-dedup → budget chain); keep corpus_prep_v3_pipeline as
@@ -8650,6 +8739,18 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      long-standing scaling-family member) and v4/v5/v6 for their
 #      distinct compositions (classifier join / BPE budget-packing /
 #      LM gate).
+#
+# r16 ACTION (r15 verdict #3 — executed): step 1 above is DONE —
+# corpus_prep_pipeline (v1) and corpus_prep_v2_pipeline flipped to
+# driver=False (both stay hash-checked by test_oracle_parity every
+# pytest run; every STAGE they compose keeps its own driver row:
+# text_line_dedup, text_quality/gopher gates, dedup_exact,
+# pack_sequences, text_normalize, sample_temperature_mixture — and
+# v3–v6 keep composition coverage driver-visible). Net driver-visible
+# surface: 174 − 2 retired + 1 r16 addition (dedup_simhash_pairs_
+# capped) = 173; steady-state staleness ceil(173/50) ≈ 3.5 rounds,
+# inside the ≤4 bound. Next retirement candidates when ~180 binds
+# again: steps 2-3 below, unchanged.
 #   2. embedding_quantize_int8's companion ERROR-AUDIT columns are
 #      instrumentation riding an operator row — if a slot is still
 #      needed, split mentality applies: the operator (quantize) is

@@ -187,6 +187,7 @@ def make_media_batch_processor(
     id_col: str = "media_id",
     content_col: str = "content",
     exactly_once: bool = False,
+    max_bucket: int | None = None,
 ):
     """The MEDIA twin of make_batch_processor: a media stream
     (id, binary payload) drains per trigger; each micro-batch computes
@@ -223,7 +224,9 @@ def make_media_batch_processor(
             )
         )
         try:
-            pairs = simhash_near_pairs(new_fp, max_hamming=max_hamming, bits=bits)
+            pairs = simhash_near_pairs(
+                new_fp, max_hamming=max_hamming, bits=bits, max_bucket=max_bucket
+            )
             old = _check_mode_and_prune(
                 _read_store(spark, store_dir), exactly_once, batch_id, store_dir
             )
@@ -231,7 +234,11 @@ def make_media_batch_processor(
                 old = old.drop("batch_id")
                 pairs = pairs.unionByName(
                     simhash_cross_pairs(
-                        new_fp, old, max_hamming=max_hamming, bits=bits
+                        new_fp,
+                        old,
+                        max_hamming=max_hamming,
+                        bits=bits,
+                        max_bucket=max_bucket,
                     )
                 )
             if exactly_once:
@@ -259,6 +266,7 @@ def incremental_media_stream(
     id_col: str = "media_id",
     content_col: str = "content",
     exactly_once: bool = False,
+    max_bucket: int | None = None,
 ):
     """media stream (id, content) → foreachBatch writer appending
     near-dup pairs to ``pairs_dir`` and fingerprints to ``store_dir``;
@@ -273,6 +281,7 @@ def incremental_media_stream(
         id_col,
         content_col,
         exactly_once,
+        max_bucket,
     )
     return media_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -1271,6 +1271,38 @@ def test_read_live_store_real_errors_surface_immediately(spark, tmp_path):
     assert read_live_store(spark, big, max_rows=50).count() == 50
 
 
+def test_swap_window_error_matching_is_typed_first(spark, tmp_path):
+    """r15 advice: _is_swap_window_error classifies by exception
+    class / error condition FIRST — broad text markers like 'does not
+    exist' appear in unrelated catalog errors and used to burn the
+    full retry budget before surfacing. A generic exception whose TEXT
+    merely contains the old broad markers must NOT classify as the
+    swap window; the real plan-time shape (AnalysisException with
+    PATH_NOT_FOUND on a vanished path) and a plain FileNotFoundError
+    must."""
+    from pyspark.errors import AnalysisException
+
+    from blockchair_etl_spark.io.sinks import _is_swap_window_error
+
+    # old-marker texts on a generic exception: NOT the swap window
+    assert not _is_swap_window_error(Exception("table x does not exist"))
+    assert not _is_swap_window_error(RuntimeError("No such file or thing"))
+    assert _is_swap_window_error(FileNotFoundError("gone"))
+    # the genuine plan-time shape, captured from a vanished path
+    missing = str(tmp_path / "never_written")
+    try:
+        spark.read.parquet(missing).collect()
+        raise AssertionError("read of a missing path should raise")
+    except AnalysisException as exc:
+        assert _is_swap_window_error(exc)
+    # an AnalysisException with an unrelated condition is NOT retried
+    try:
+        spark.sql("SELECT definitely_not_a_column FROM range(1)").collect()
+        raise AssertionError("unresolved column should raise")
+    except AnalysisException as exc:
+        assert not _is_swap_window_error(exc)
+
+
 def test_kmv_estimate_grouped_input_contract(spark):
     """r14 advice: kmv_estimate_grouped names its INPUT group column
     (in_col, default 'g' per the kmv_mins_grouped contract) instead of

@@ -222,6 +222,23 @@ def test_crossmodal_knn_is_exact_and_asymmetric(spark, emb):
     assert probe_only.isdisjoint(by_a.keys())
 
 
+def test_crossmodal_knn_empty_index_contract(spark, emb):
+    """r15 advice: an EMPTY index must raise a pointed ValueError when
+    dim has to be inferred from it (head() returning None used to
+    surface as an opaque TypeError) — and with BOTH dim and n_planes
+    passed explicitly (the production call) no stats are inferred, so
+    the same empty index plans fine and yields zero neighbors."""
+    from blockchair_etl_spark.llmdata.similarity import crossmodal_knn_join
+
+    dim = len(emb.head()["embedding"])
+    probe = emb.limit(5)
+    empty = emb.filter(F.lit(False))
+    with pytest.raises(ValueError, match="index is empty"):
+        crossmodal_knn_join(probe, empty, k=3)
+    got = crossmodal_knn_join(probe, empty, k=3, dim=dim, n_planes=4)
+    assert got.count() == 0
+
+
 def test_winnowing_matches_reference_and_guarantee(spark, docs):
     """winnowing_fingerprints == the pure-python MOSS reference
     (per-window argmin over k-gram hashes, rightmost tiebreak, full
@@ -854,6 +871,136 @@ def test_simhash_locality(docs):
         hd = bin(fp[r.id_a] ^ fp[r.id_b]).count("1")
         assert hd <= 6, f"near-dup pair {r.id_a},{r.id_b} hamming {hd}"
     assert np.mean(rand_hd) > 8, "random pairs should be far apart"
+
+
+def test_simhash_max_bucket_parity_under_cap(spark, docs):
+    """r15 verdict #2 (the simhash sibling of the minhash cap): with
+    max_bucket set ABOVE every observed pigeonhole-bucket size,
+    simhash_near_pairs' capped path (counts + broadcast marker join +
+    rep/star branches, all live in the plan) must be bit-identical to
+    the uncapped form — the cap only changes behavior when a bucket
+    actually exceeds it."""
+    from blockchair_etl_spark.llmdata.dedup import (
+        _simhash_blocks,
+        simhash_near_pairs,
+    )
+
+    fp = simhash_fingerprints(docs, bits=32)
+    biggest = (
+        _simhash_blocks(fp, 3, 32, "doc", "simhash")
+        .groupBy("bi", "bv")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    capped = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(
+            fp, max_hamming=3, bits=32, max_bucket=int(biggest)
+        ).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(fp, max_hamming=3, bits=32).collect()
+    }
+    assert capped == uncapped and capped
+
+
+def test_simhash_max_bucket_bounds_megacluster(spark):
+    """The planted identical-fingerprint megacluster (r15 verdict #2):
+    40 copies of ONE fingerprint (1M re-encodes of one image at 100 TB
+    — the degenerate case pigeonhole width cannot split) blow past
+    max_bucket=10 in every block. The capped path must (a) replace the
+    clique's 780 all-pairs with its 39-edge star at hamming 0 — exact,
+    not just threshold-clearing: identical fingerprints ARE hamming 0,
+    so the collapse is lossless by identity, (b) keep every emitted
+    pair's hamming equal to the uncapped value, and (c) leave the
+    connected components EXACTLY equal to the uncapped form — near-dup
+    variants sharing the oversized buckets but not the fingerprint
+    (one bit flipped) pair via representatives."""
+    from blockchair_etl_spark.llmdata.dedup import simhash_near_pairs
+
+    mega = 0x12345678
+    rows = [(i, mega) for i in range(40)]
+    # near-dup variants: bit 0 flipped — hamming 1, blocks 1-3 shared
+    rows += [(100 + j, mega ^ 1) for j in range(3)]
+    # far-apart background: every block differs from the megacluster's
+    rows += [(200 + j, (0x9E3779B9 * (j + 1)) & 0xFFFFFFFF) for j in range(10)]
+    fp = spark.createDataFrame(rows, "doc bigint, simhash bigint")
+
+    uncapped = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(fp, max_hamming=3, bits=32).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(
+            fp, max_hamming=3, bits=32, max_bucket=10
+        ).collect()
+    }
+    clique = set(range(40))
+    # uncapped: the full 40-choose-2 clique materializes at hamming 0
+    assert {p for p in uncapped if p[0] in clique and p[1] in clique} == {
+        (a, b) for a in clique for b in clique if a < b
+    }
+    # capped: exactly the min-doc star, every edge at exact hamming 0
+    clique_pairs = {p for p in capped if p[0] in clique and p[1] in clique}
+    assert clique_pairs == {(0, b) for b in range(1, 40)}
+    assert all(capped[p] == 0 for p in clique_pairs)
+    # every emitted pair keeps its uncapped hamming (subset, same values)
+    assert all(uncapped[p] == hd for p, hd in capped.items())
+    # the variants' own identical-fingerprint group also collapses to
+    # its star, and its rep pairs with the megacluster's rep at
+    # hamming 1 — clusters equal the uncapped form corpus-wide
+    assert (0, 100) in capped and capped[(0, 100)] == 1
+    nodes = {r[0] for r in rows}
+    assert _uf_clusters(capped.keys(), nodes) == _uf_clusters(
+        uncapped.keys(), nodes
+    )
+    var_cluster = next(c for c in _uf_clusters(capped.keys(), nodes) if 0 in c)
+    assert {100, 101, 102} <= var_cluster
+
+
+def test_simhash_cross_pairs_max_bucket(spark):
+    """The cross-probe sibling: a degenerate STORE-side pigeonhole
+    bucket (30 identical fingerprints) collapses to one representative
+    per FULL fingerprint, so a probing batch doc Hamming-checks ONE row
+    for the clique instead of 30 — emitted hammings exact and
+    unchanged, pairs a subset of the uncapped form, the batch doc still
+    reaching the clique's cluster via its min-doc representative (the
+    same rep the within-batch star elects, per the documented
+    store-history bootstrap precondition)."""
+    from blockchair_etl_spark.llmdata.dedup import simhash_cross_pairs
+
+    mega = 0x12345678
+    store_rows = [(i, mega) for i in range(30)] + [
+        (200 + j, (0x9E3779B9 * (j + 1)) & 0xFFFFFFFF) for j in range(8)
+    ]
+    batch_rows = [(500, mega ^ 1), (501, 0x0F0F0F0F)]
+    store = spark.createDataFrame(store_rows, "doc bigint, simhash bigint")
+    batch = spark.createDataFrame(batch_rows, "doc bigint, simhash bigint")
+
+    uncapped = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_cross_pairs(batch, store, max_hamming=3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_cross_pairs(
+            batch, store, max_hamming=3, max_bucket=10
+        ).collect()
+    }
+    # uncapped: the near-dup batch doc pairs with the whole clique
+    assert {b for (a, b) in uncapped if a == 500} >= set(range(30))
+    # capped: exactly the min-doc representative stands in for it
+    assert {b for (a, b) in capped if a == 500 and b < 200} == {0}
+    assert capped[(500, 0)] == 1
+    # subset with unchanged exact hammings
+    assert all(uncapped[p] == hd for p, hd in capped.items())
+    # non-degenerate store buckets are untouched
+    assert {p for p in uncapped if p[1] >= 200} == {
+        p for p in capped if p[1] >= 200
+    }
 
 
 def test_multimodal_features_batch_shape(spark, docs):
