@@ -644,6 +644,11 @@ HEADLINE = [
     # round-15: the MOSS composition — pairs by Jaccard over winnowing
     # fingerprint sets (the passage-level dedup query)
     "dedup_winnowing_pairs",
+    # round-16: the SimHash sibling of the hot-bucket cap — oversized
+    # pigeonhole buckets collapse per FULL fingerprint (lossless by
+    # identity: identical fingerprints ARE hamming 0); its cost vs the
+    # uncapped dedup_simhash_pairs IS the number to track
+    "dedup_simhash_pairs_capped",
 ]
 
 
@@ -908,6 +913,35 @@ def main() -> None:
         samples.append(time.perf_counter() - t0)
     timings["dedup_minhash_store_backed"] = round(statistics.median(samples), 3)
     shutil.rmtree(mh_dir, ignore_errors=True)
+
+    # Store-backed winnowing pair detection (r15 verdict stretch #7):
+    # fingerprint rows written once to parquet (untimed — the persisted
+    # MOSS index), df-bounded pair detection reads the store. Compare
+    # with dedup_winnowing_pairs above, the cold twin that re-normalizes
+    # + re-hashes + re-selects the corpus every run — the delta is what
+    # fingerprint reuse buys the production loop (the
+    # dedup_minhash_store_backed precedent for the MOSS family).
+    from blockchair_etl_spark.llmdata.text import (
+        winnowing_fingerprints,
+        winnowing_pairs_from_store,
+    )
+
+    wn_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_tmp", "winnow_fp_store"
+    )
+    winnowing_fingerprints(docs).select("doc", "fp").distinct().write.mode(
+        "overwrite"
+    ).parquet(wn_dir)
+    wn_store = spark.read.parquet(wn_dir)
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        winnowing_pairs_from_store(
+            wn_store, min_shared=2, threshold=0.2, max_df=50
+        ).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    timings["dedup_winnowing_store_backed"] = round(statistics.median(samples), 3)
+    shutil.rmtree(wn_dir, ignore_errors=True)
 
     # Index-backed IVF-PQ search: codebooks trained + vectors encoded
     # ONCE (untimed — the persisted index of a deployed ANN service),

@@ -627,6 +627,7 @@ def embedding_dup_pairs(
     max_planes: int = 16,
     seeds: tuple[int, ...] | None = None,
     stats: "CorpusStats | None" = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key.
 
@@ -655,7 +656,27 @@ def embedding_dup_pairs(
     Passing an explicit ``block_col`` (a cluster/label column) keeps the
     same join shape with caller-supplied blocking. Cosine uses
     exact-decimal accumulation so pair scores are order- and
-    engine-independent."""
+    engine-independent.
+
+    ``max_bucket`` caps DEGENERATE buckets (r15 verdict #6): the
+    adaptive plane count tunes occupancy, but hyperplanes cannot split
+    IDENTICAL vectors — a megacluster of exact-duplicate embeddings
+    (one image re-encoded 1M times) is h² in-bucket under EVERY seed.
+    Buckets over the cap collapse to one pair-generating
+    representative per EXACT VECTOR VALUE (grouped on the array
+    itself — no hash, no collision risk), plus linear rep→member star
+    pairs per collapsed identical-vector group, routed through the
+    SAME exact-decimal rescore, so every emitted cosine — including
+    the stars' — is bit-identical to the value the uncapped path
+    computes for that pair (identical vectors ⇒ identical dot/norm
+    subexpressions). Lossless for clustering: identical vectors have
+    identical neighbors and identical scores, so a member's cross
+    pair survives thresholding iff its rep's does, and the connected
+    components / survivor sets equal the uncapped form exactly.
+    Candidates per oversized bucket drop from h² to
+    (#distinct vectors)² + h star edges. Embedding dedup usually runs
+    AFTER exact dedup, but the operator contract must not rely on
+    that (the cap is the in-operator guarantee)."""
     from .similarity import adaptive_n_planes, lsh_bucket_col
 
     if dim is None and stats is not None:
@@ -724,7 +745,46 @@ def embedding_dup_pairs(
         # subexpression cosine_expr uses, so the quotient is
         # BIT-IDENTICAL to cosine_expr's value.
         F.sqrt(dot_expr(vec, vec)).alias("norm_d"),
-    ).repartition(par, "seed_idx", "blk")
+    )
+    stars = None
+    if max_bucket is not None:
+        cols = ["id", "v", "seed_idx", "blk", "norm", "norm_d"]
+        big_keys = (
+            pre.groupBy("seed_idx", "blk")
+            .agg(F.count(F.lit(1)).alias("__bucket_n"))
+            .filter(F.col("__bucket_n") > int(max_bucket))
+            .select("seed_idx", "blk", F.lit(True).alias("__big"))
+        )
+        marked = pre.join(F.broadcast(big_keys), ["seed_idx", "blk"], "left")
+        small = marked.filter(F.col("__big").isNull()).select(*cols)
+        big = marked.filter(F.col("__big").isNotNull())
+        # min() per column is deterministic: norm/norm_d are functions
+        # of the grouping vector, only id varies within a group
+        reps = big.groupBy("seed_idx", "blk", "v").agg(
+            F.min("id").alias("id"),
+            F.min("norm").alias("norm"),
+            F.min("norm_d").alias("norm_d"),
+        )
+        pre = small.unionByName(reps.select(*cols))
+        # identical-vector groups touching any oversized bucket emit
+        # rep→member stars in place of their all-pairs clique; scored
+        # through the same exact rescore below so the emitted cosine is
+        # the uncapped pair's exact value. min-id rep keeps id_a < id_b
+        star_members = big.select("v", "norm_d", "id").distinct()
+        grp_rep = star_members.groupBy("v").agg(F.min("id").alias("rep"))
+        stars = (
+            star_members.join(grp_rep, "v")
+            .filter(F.col("id") != F.col("rep"))
+            .select(
+                F.col("rep").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.col("v").alias("va"),
+                F.col("v").alias("vb"),
+                F.col("norm_d").alias("norm_da"),
+                F.col("norm_d").alias("norm_db"),
+            )
+        )
+    pre = pre.repartition(par, "seed_idx", "blk")
     a = pre.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         "seed_idx", "blk", F.col("norm").alias("norm_a"),
@@ -741,7 +801,11 @@ def embedding_dup_pairs(
         .filter(fast_cosine >= threshold - 1e-9)
         .select("id_a", "id_b", "va", "vb", "norm_da", "norm_db")
     )
-    if len(blks) > 1:
+    if stars is not None:
+        # union BEFORE the pair dedup: an identical pair reachable both
+        # through an under-cap bucket and a star must be scored once
+        cand = cand.unionByName(stars)
+    if len(blks) > 1 or stars is not None:
         # a pair co-bucketed under several seeds must be scored once
         cand = cand.dropDuplicates(["id_a", "id_b"])
     return (
@@ -1913,11 +1977,25 @@ def incremental_embedding_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_new: bool = True,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup an arriving embedding batch against the persisted bucketed
     store — the embedding-space twin of incremental_minhash_dedup (the
     cross-day production path; one-shot corpus dedup is
     embedding_dup_pairs).
+
+    ``max_bucket`` is the cross-probe sibling of embedding_dup_pairs'
+    identical-vector cap: a degenerate STORE-side bucket (h exact-
+    duplicate embeddings hyperplanes cannot split) rescores h rows per
+    matching batch vector; over the cap the store side collapses to
+    one representative per EXACT vector value, so the probe scores
+    (#distinct vectors) rows instead — emitted cosines unchanged (a
+    collapsed member's vector equals its rep's). Same bootstrap
+    precondition as minhash_cross_pairs: cluster equivalence assumes
+    the store's history went through the dedup loop (identical store
+    vectors were pairwise connected at cosine 1.0 when ingested); a
+    store seeded with never-connected duplicates needs one bootstrap
+    pass of embedding_dup_pairs over it.
 
     Returns (pairs, updated_store): pairs = (new_id, existing_id,
     cosine >= threshold), new-vs-store only (within-batch dups are the
@@ -1967,6 +2045,28 @@ def incremental_embedding_dedup(
         F.col("id").alias("existing_id"), F.col("v").alias("vb"),
         "blk", F.col("norm").alias("norm_b"), F.col("norm_d").alias("norm_db"),
     )
+    if max_bucket is not None:
+        bcols = ["existing_id", "vb", "blk", "norm_b", "norm_db"]
+        big_keys = (
+            b.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("__bucket_n"))
+            .filter(F.col("__bucket_n") > int(max_bucket))
+            .select("blk", F.lit(True).alias("__big"))
+        )
+        marked = b.join(F.broadcast(big_keys), ["blk"], "left")
+        small = marked.filter(F.col("__big").isNull()).select(*bcols)
+        # collapse per EXACT vector value (grouped on the array itself
+        # — no hash, no collision risk); norms are functions of vb
+        reps = (
+            marked.filter(F.col("__big").isNotNull())
+            .groupBy("blk", "vb")
+            .agg(
+                F.min("existing_id").alias("existing_id"),
+                F.min("norm_b").alias("norm_b"),
+                F.min("norm_db").alias("norm_db"),
+            )
+        )
+        b = small.unionByName(reps.select(*bcols))
     fast = _fdot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
     # rescore with the store-carried exact norms: one decimal dot per
     # surviving pair (cosine_expr would recompute both norms per pair);

@@ -433,6 +433,194 @@ def winnowing_pairs_from_store(
     )
 
 
+def winnowing_fingerprint_store(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The PERSISTED winnowing index relation: distinct (doc, fp) rows
+    with the document's fingerprint-set size ``n_fp`` denormalized onto
+    every row — the write-once store the incremental loop appends to
+    and probes (the minhash_band_store sibling for the MOSS family).
+    Carrying n_fp on the fingerprint rows is what lets the cross probe
+    compute each candidate pair's Jaccard denominator WITHOUT a
+    store-wide per-doc aggregation at probe time: the store is only
+    ever scanned fp-keyed. md5-derived fingerprints are seed-free, so
+    rows appended today are comparable with rows appended last month —
+    the same portability contract as the band store."""
+    fps = winnowing_fingerprints(df, k, window, text_col, id_col).select(
+        "doc", "fp"
+    ).distinct()
+    sizes = fps.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    return fps.join(sizes, "doc")
+
+
+def winnowing_cross_pairs(
+    new_fp: DataFrame,
+    store: DataFrame,
+    min_shared: int = 2,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Winnowing-overlap pairs BETWEEN two fingerprint stores (arriving
+    batch vs persisted index): id_a from ``new_fp``, id_b from
+    ``store``, exact n_shared and Jaccard over the documents' FULL
+    fingerprint sets — the asymmetric half of incremental passage-level
+    dedup (within-batch pairs come from winnowing_pairs_from_store over
+    the batch alone). Both relations are winnowing_fingerprint_store
+    rows: distinct (doc, fp) with n_fp denormalized.
+
+    Scale shape: with ``broadcast_new`` (the daily-ingest default) the
+    batch side broadcasts into one fp-keyed hash join over the store's
+    fingerprint scan — the corpus-sized store NEVER shuffles and is
+    never aggregated per-doc (Jaccard denominators ride the stored
+    n_fp column). ``max_df`` bounds candidate fan-out from boilerplate
+    fingerprints using df AS OF THIS BATCH — batch df plus store df
+    counted over the MATCHED fp subset only (one map-side-combined
+    count over the semi-joined store rows, never a store-wide rescan).
+    Because corpus df only grows, a fingerprint rare at final scale
+    was rare at every probe, so the drained pair set is a SUPERSET of
+    the one-shot df-bounded run with every score exact — recall-only
+    difference, in the conservative direction (dups found earlier,
+    never missed relative to one-shot). With max_df=None the drained
+    union across batches equals the one-shot pair set exactly (pytest
+    cumulative-parity contract)."""
+    a = new_fp.select(
+        F.col("doc").alias("id_a"), "fp", F.col("n_fp").alias("n_a")
+    )
+    if broadcast_new:
+        a = F.broadcast(a)
+    b = store.select(
+        F.col("doc").alias("id_b"), "fp", F.col("n_fp").alias("n_b")
+    )
+    if max_df is None:
+        inter = (
+            a.join(b, "fp")
+            # at-least-once replay / re-ingest guard: a doc already in
+            # the store must not emit a (X, X) self-pair
+            .filter(F.col("id_a") != F.col("id_b"))
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= int(min_shared))
+        )
+    else:
+        batch_fps = new_fp.select("fp").distinct()
+        bdf = new_fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__df_b"))
+        # only fps present in the batch can generate candidates, so df
+        # is counted over the semi-joined store subset — the probe's
+        # own fan-out, never a store-wide aggregation
+        matched = b.join(F.broadcast(batch_fps), "fp", "left_semi")
+        sdf = matched.groupBy("fp").agg(F.count(F.lit(1)).alias("__df_s"))
+        rare = (
+            sdf.join(F.broadcast(bdf), "fp")
+            .filter(F.col("__df_s") + F.col("__df_b") <= int(max_df))
+            .select("fp")
+        )
+        cand = (
+            a.select("id_a", "fp")
+            .join(F.broadcast(rare), "fp")
+            .join(matched.select("id_b", "fp").join(F.broadcast(rare), "fp"), "fp")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # exact re-count over ALL shared fps (the winnowing_pairs_from_
+        # store contract: scores exact, only recall traded): candidate×
+        # batch-fp rows broadcast against the matched store rows
+        pair_fps = cand.join(
+            new_fp.select(
+                F.col("doc").alias("id_a"), "fp", F.col("n_fp").alias("n_a")
+            ),
+            "id_a",
+        )
+        inter = (
+            F.broadcast(pair_fps)
+            .join(matched.select("id_b", "fp", "n_b"), ["id_b", "fp"])
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= int(min_shared))
+        )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
+def incremental_winnowing_dedup(
+    new_docs: DataFrame,
+    store: DataFrame | None,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_new: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an arriving document batch against the persisted winnowing
+    fingerprint index — the MOSS twin of incremental_minhash_dedup /
+    incremental_media_dedup / incremental_embedding_dedup, completing
+    the incremental family for the passage-level operator.
+
+    Returns (pairs, updated_store): pairs = (id_a from batch, id_b from
+    store, exact n_shared, jaccard ≥ threshold), new-vs-store only
+    (within-batch dups are the one-shot operator's job);
+    updated_store = store ∪ the batch's fingerprint rows (write it back
+    for tomorrow). Only the NEW batch pays normalization + k-gram
+    hashing + window selection; the store is probed fp-keyed and never
+    rescanned — per-day cost independent of corpus size."""
+    new_fp = tracked_persist(
+        winnowing_fingerprint_store(new_docs, k, window, text_col, id_col)
+    )
+    if store is None:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        id_type = new_fp.schema["doc"].dataType
+        empty = new_fp.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("id_a", id_type),
+                    StructField("id_b", id_type),
+                    StructField("n_shared", LongType()),
+                    StructField("jaccard", DoubleType()),
+                ]
+            ),
+        )
+        return empty, new_fp
+    pairs = winnowing_cross_pairs(
+        new_fp,
+        store,
+        min_shared=min_shared,
+        threshold=threshold,
+        max_df=max_df,
+        broadcast_new=broadcast_new,
+    )
+    # store ∪ batch with the batch's version winning for re-ingested
+    # docs (the _dedup_store_union contract, multi-row-per-doc form:
+    # the anti-join key set is DISTINCT docs, not fingerprint rows, so
+    # the broadcast stays O(batch docs))
+    keys = new_fp.select("doc").distinct()
+    if broadcast_new:
+        keys = F.broadcast(keys)
+    updated = store.join(keys, "doc", "left_anti").unionByName(new_fp)
+    return pairs, updated
+
+
 def tfidf_topk(
     docs: DataFrame,
     id_col: str = "doc_id",

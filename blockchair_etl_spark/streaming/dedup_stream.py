@@ -288,6 +288,128 @@ def incremental_media_stream(
     )
 
 
+def make_winnowing_batch_processor(
+    store_dir: str,
+    pairs_dir: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exactly_once: bool = False,
+):
+    """The WINNOWING (MOSS passage-level) twin of make_batch_processor:
+    a document stream drains per trigger; each micro-batch extracts its
+    winnowing fingerprint rows once (llmdata.text.winnowing_fingerprint_
+    store — distinct (doc, fp) with n_fp denormalized), emits
+    within-batch pairs (winnowing_pairs_from_store) plus batch-vs-index
+    pairs (winnowing_cross_pairs — the batch side broadcasts, the index
+    never shuffles and is never aggregated per-doc), and appends its
+    fingerprint rows to the store. Same delivery-mode contract and
+    batch_id-partition machinery as the MinHash loop; md5-derived
+    fingerprints make rows appended today comparable with rows appended
+    last month. Completes the streaming dedup surface for the MOSS
+    family alongside the batch twin (llmdata.text.incremental_
+    winnowing_dedup).
+
+    Parity: with max_df=None the union of pairs across micro-batches
+    equals winnowing_pairs over the full corpus (each pair found once,
+    in the batch where its LATER document arrives — pair orientation is
+    (new, existing) for cross pairs, so consumers normalize to the
+    unordered pair). With max_df set the drained set is a SUPERSET of
+    the one-shot df-bounded run with exact scores (df only grows —
+    see winnowing_cross_pairs)."""
+    from ..caching import release_tracked, tracked_persist
+    from ..llmdata.text import (
+        winnowing_cross_pairs,
+        winnowing_fingerprint_store,
+        winnowing_pairs_from_store,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        # the fingerprint relation feeds three branches (within-pairs,
+        # cross probe, index append); persist so normalization + k-gram
+        # hashing + window selection run once per micro-batch
+        new_fp = tracked_persist(
+            winnowing_fingerprint_store(
+                batch_df, k=k, window=window, text_col=text_col, id_col=id_col
+            )
+        )
+        try:
+            pairs = winnowing_pairs_from_store(
+                new_fp.select("doc", "fp"),
+                min_shared=min_shared,
+                threshold=threshold,
+                max_df=max_df,
+            )
+            old = _check_mode_and_prune(
+                _read_store(spark, store_dir), exactly_once, batch_id, store_dir
+            )
+            if old is not None:
+                old = old.drop("batch_id")
+                pairs = pairs.unionByName(
+                    winnowing_cross_pairs(
+                        new_fp,
+                        old,
+                        min_shared=min_shared,
+                        threshold=threshold,
+                        max_df=max_df,
+                    )
+                )
+            if exactly_once:
+                _overwrite_batch_partition(pairs, batch_id, pairs_dir)
+                _overwrite_batch_partition(new_fp, batch_id, store_dir)
+            else:
+                pairs.write.mode("append").parquet(pairs_dir)
+                # store append LAST, same ordering rationale as the
+                # MinHash processor
+                new_fp.write.mode("append").parquet(store_dir)
+        finally:
+            release_tracked()
+
+    return _process
+
+
+def incremental_winnowing_stream(
+    docs_stream: DataFrame,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exactly_once: bool = False,
+):
+    """document stream (id, text) → foreachBatch writer appending
+    passage-level near-dup pairs to ``pairs_dir`` and winnowing
+    fingerprint rows to ``store_dir``; caller picks the trigger and
+    starts it, as with incremental_minhash_stream."""
+    _process = make_winnowing_batch_processor(
+        store_dir,
+        pairs_dir,
+        k,
+        window,
+        min_shared,
+        threshold,
+        max_df,
+        text_col,
+        id_col,
+        exactly_once,
+    )
+    return docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
 def _overwrite_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
     """Idempotent per-batch write: dynamic partition overwrite replaces
     only the batch_id=<id> partition, leaving every other batch's

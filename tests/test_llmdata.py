@@ -370,6 +370,125 @@ def test_winnowing_pairs_from_parquet_store_match_direct(spark, docs, tmp_path):
     assert from_store == direct and from_store
 
 
+def test_incremental_winnowing_dedup(spark, docs):
+    """The MOSS twin of incremental_minhash_dedup (r15 verdict stretch
+    #7): cross pairs vs the persisted fingerprint store equal the
+    full-corpus winnowing pairs restricted to new-vs-old (exact
+    n_shared and jaccard — Jaccard denominators ride the stored n_fp
+    column, never a store-wide per-doc aggregation); the batch side of
+    the probe join is BROADCAST so the store never shuffles; with
+    max_df the drained set is a superset of one-shot's with exact
+    scores; an empty store yields no pairs and seeds the index."""
+    from blockchair_etl_spark.llmdata.text import (
+        incremental_winnowing_dedup,
+        winnowing_fingerprint_store,
+        winnowing_pairs,
+    )
+
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    store = winnowing_fingerprint_store(old)
+    pairs, updated = incremental_winnowing_dedup(new, store)
+    got = {(r.id_a, r.id_b, r.n_shared, r.jaccard) for r in pairs.collect()}
+
+    full = winnowing_pairs(docs)
+    want = {
+        (a, b, n, j) if a % 2 == 1 else (b, a, n, j)
+        for a, b, n, j in (
+            (r.id_a, r.id_b, r.n_shared, r.jaccard) for r in full.collect()
+        )
+        if (a % 2) != (b % 2)  # cross-split only; id_a is the NEW side
+    }
+    assert got == want and got
+
+    # updated store == fingerprint rows of the union, n_fp intact
+    up = {(r.doc, r.fp, r.n_fp) for r in updated.collect()}
+    allfp = {
+        (r.doc, r.fp, r.n_fp)
+        for r in winnowing_fingerprint_store(docs).collect()
+    }
+    assert up == allfp
+
+    # df-bounded probe: subset of the unbounded cross pairs, every
+    # score exact, and a superset of one-shot-at-same-max_df's
+    # cross-split (corpus df >= df-as-of-probe)
+    capped_pairs, _ = incremental_winnowing_dedup(new, store, max_df=20)
+    capped = {
+        (r.id_a, r.id_b, r.n_shared, r.jaccard)
+        for r in capped_pairs.collect()
+    }
+    assert capped <= got
+    oneshot_capped = {
+        (a, b, n, j) if a % 2 == 1 else (b, a, n, j)
+        for a, b, n, j in (
+            (r.id_a, r.id_b, r.n_shared, r.jaccard)
+            for r in winnowing_pairs(docs, max_df=20).collect()
+        )
+        if (a % 2) != (b % 2)
+    }
+    assert oneshot_capped <= capped
+
+    # empty-store seeding
+    p0, s0 = incremental_winnowing_dedup(new, None)
+    assert p0.count() == 0
+    assert {(r.doc, r.fp, r.n_fp) for r in s0.collect()} == {
+        (r.doc, r.fp, r.n_fp)
+        for r in winnowing_fingerprint_store(new).collect()
+    }
+
+    # plan gate: the probe join broadcasts the batch side
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_streaming_incremental_winnowing_matches_batch(spark, docs, tmp_path):
+    """The winnowing foreachBatch loop: 3 micro-batches of documents
+    against a growing fingerprint store must emit, across all batches,
+    EXACTLY the pair set the one-shot MOSS operator finds on the full
+    corpus (max_df=None — the exact-parity configuration), with every
+    fingerprint row registered in the store."""
+    from blockchair_etl_spark.llmdata.text import (
+        winnowing_fingerprint_store,
+        winnowing_pairs,
+    )
+    from blockchair_etl_spark.streaming.dedup_stream import (
+        incremental_winnowing_stream,
+    )
+
+    src = str(tmp_path / "winnow_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        incremental_winnowing_stream(
+            stream,
+            store_dir=str(tmp_path / "winnow_store2"),
+            pairs_dir=str(tmp_path / "winnow_pairs"),
+            checkpoint_dir=str(tmp_path / "winnow_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b), r.n_shared, r.jaccard)
+        for r in spark.read.parquet(str(tmp_path / "winnow_pairs")).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.n_shared, r.jaccard)
+        for r in winnowing_pairs(docs).collect()
+    }
+    assert got == want and want
+    n_fp = winnowing_fingerprint_store(docs).count()
+    assert spark.read.parquet(str(tmp_path / "winnow_store2")).count() == n_fp
+
+
 def test_quantize_embeddings_int8_error_bound(spark):
     from blockchair_etl_spark.llmdata.similarity import quantize_embeddings_int8
 
@@ -1001,6 +1120,144 @@ def test_simhash_cross_pairs_max_bucket(spark):
     assert {p for p in uncapped if p[1] >= 200} == {
         p for p in capped if p[1] >= 200
     }
+
+
+def test_embedding_max_bucket_parity_under_cap(spark, emb):
+    """r15 verdict #6: with max_bucket above every observed LSH-bucket
+    size, embedding_dup_pairs' capped path (counts + broadcast marker
+    join + exact-vector rep/star branches, all live in the plan) must
+    be bit-identical — ids AND cosines — to the uncapped form."""
+    from blockchair_etl_spark.llmdata.dedup import embedding_dup_pairs
+    from blockchair_etl_spark.llmdata.similarity import lsh_bucket_col
+
+    dim = len(emb.head()["embedding"])
+    biggest = (
+        emb.select(
+            lsh_bucket_col(F.col("embedding"), dim, n_planes=4, seed=7).alias(
+                "blk"
+            )
+        )
+        .groupBy("blk")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    capped = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_dup_pairs(
+            emb, threshold=0.3, dim=dim, lsh_planes=4, max_bucket=int(biggest)
+        ).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_dup_pairs(
+            emb, threshold=0.3, dim=dim, lsh_planes=4
+        ).collect()
+    }
+    assert capped == uncapped and capped
+
+
+def test_embedding_max_bucket_bounds_identical_megacluster(spark):
+    """The planted identical-VECTOR megacluster (r15 verdict #6): 40
+    exact copies of one embedding — the case adaptive plane count
+    cannot help, because hyperplanes cannot split identical vectors
+    under ANY seed. The capped path must (a) replace the clique's 780
+    all-pairs with its 39-edge min-id star, (b) emit every pair at the
+    cosine the uncapped path computes for it (stars ride the same
+    exact-decimal rescore), and (c) keep connected components exactly
+    equal to the uncapped form — a second identical-vector group (the
+    2x-scaled copies: same direction, distinct value) collapses to its
+    own star and its rep pairs with the clique's rep."""
+    import numpy as np
+
+    from blockchair_etl_spark.llmdata.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(3)
+    dim = 8
+    v0 = [float(x) for x in rng.standard_normal(dim)]
+    rows = [(i, v0) for i in range(40)]
+    # same direction, EXACT float scaling by 2 — identical buckets and
+    # cosine, but a distinct vector value: its own identical group
+    rows += [(100 + j, [2.0 * x for x in v0]) for j in range(3)]
+    rows += [
+        (200 + j, [float(x) for x in rng.standard_normal(dim)])
+        for j in range(10)
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    uncapped = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_dup_pairs(
+            e, threshold=0.99, dim=dim, lsh_planes=4
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_dup_pairs(
+            e, threshold=0.99, dim=dim, lsh_planes=4, max_bucket=10
+        ).collect()
+    }
+    clique = set(range(40))
+    assert {p for p in uncapped if p[0] in clique and p[1] in clique} == {
+        (a, b) for a in clique for b in clique if a < b
+    }
+    clique_pairs = {p for p in capped if p[0] in clique and p[1] in clique}
+    assert clique_pairs == {(0, b) for b in range(1, 40)}
+    # subset with bit-identical cosines (stars scored by the same path)
+    assert all(uncapped[p] == c for p, c in capped.items())
+    # the scaled group's star and its rep's bridge to the clique's rep
+    assert (100, 101) in capped and (100, 102) in capped
+    assert (0, 100) in capped
+    nodes = {r[0] for r in rows}
+    assert _uf_clusters(capped.keys(), nodes) == _uf_clusters(
+        uncapped.keys(), nodes
+    )
+    var_cluster = next(c for c in _uf_clusters(capped.keys(), nodes) if 0 in c)
+    assert {100, 101, 102} <= var_cluster
+
+
+def test_embedding_cross_max_bucket(spark):
+    """The cross-probe sibling: a degenerate STORE-side bucket (30
+    exact-duplicate embeddings) collapses to one representative per
+    exact vector value, so a probing batch vector rescores ONE row for
+    the clique instead of 30 — cosines unchanged, pairs a subset, the
+    batch vector still reaching the clique's cluster via its min-id
+    representative (per the documented store-history bootstrap
+    precondition)."""
+    import numpy as np
+
+    from blockchair_etl_spark.llmdata.dedup import (
+        build_embedding_store,
+        incremental_embedding_dedup,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 8
+    v0 = [float(x) for x in rng.standard_normal(dim)]
+    store_rows = [(i, v0) for i in range(30)] + [
+        (200 + j, [float(x) for x in rng.standard_normal(dim)])
+        for j in range(8)
+    ]
+    batch_rows = [(500, [2.0 * x for x in v0])]
+    store = build_embedding_store(
+        spark.createDataFrame(store_rows, "vec_id bigint, embedding array<float>"),
+        dim, 4, 7, "vec_id", "embedding",
+    )
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id bigint, embedding array<float>"
+    )
+
+    un_pairs, _ = incremental_embedding_dedup(
+        batch, store, dim, threshold=0.99, n_planes=4
+    )
+    uncapped = {(r.new_id, r.existing_id): r.cosine for r in un_pairs.collect()}
+    cap_pairs, _ = incremental_embedding_dedup(
+        batch, store, dim, threshold=0.99, n_planes=4, max_bucket=10
+    )
+    capped = {(r.new_id, r.existing_id): r.cosine for r in cap_pairs.collect()}
+    assert {b for (a, b) in uncapped if a == 500} >= set(range(30))
+    assert {b for (a, b) in capped if a == 500 and b < 200} == {0}
+    assert all(uncapped[p] == c for p, c in capped.items())
 
 
 def test_multimodal_features_batch_shape(spark, docs):
