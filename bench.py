@@ -429,6 +429,18 @@ sample_kcenter_coreset reads 1.35 s in-sweep (5.6 s in the r13 sweep)
 — the incremental-fold reshape holding under sweep conditions. No
 regression candidates.
 
+r16 BASELINE PIN for the two winnowing entries (r15 verdict #4 — no
+record history before this round): isolated canary-bracketed 5-run
+A/B on a neutral box (canary 0.969/0.598 — the pre reading is the
+documented first-measurement JVM warmup skew; sched 1.920/1.593):
+dedup_winnowing_pairs median 8.877 s (samples 15.47 warmup then
+8.88/8.54/8.93/8.52) vs the r15 driver record 9.064; text_winnowing_
+fingerprints median 3.526 s (4.22 warmup then 3.55/3.53/3.44/3.43)
+vs 3.788. Both isolated medians sit AT-OR-BELOW their r15 driver
+readings, so those records ARE neutral-box baselines — future mover
+triage compares against 8.9 / 3.5 s envelopes, first isolated run
+~1.7x the median (the warmup signature of the multi-job dedup class).
+
 r13 FULL-SWEEP finding (SPARK_GRAFT_BENCH_ALL=1, runs=2, final r13
 code, 173 timed queries, 274.0 s total, canary 0.810/0.591 — a faster
 box than the r12 sweep's day, and 67 s LESS total for 4 MORE queries):

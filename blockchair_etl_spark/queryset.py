@@ -3274,6 +3274,77 @@ def sketch_cms_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_cms_grouped_served",
+    survey="LLM-sketch (grouped-CMS dashboard serving probe, r15 "
+    "verdict stretch #8)",
+    desc="grouped-CMS SERVING shape: point estimates for a FIXED probe "
+    "key set (the 3 globally most-active users) across EVERY event "
+    "type — the dashboard's 'how often did user X do each action' "
+    "read against the sketch relation. Unlike sketch_cms_grouped_topk "
+    "(which probes only keys present in each group), the cross-group "
+    "probe hits (group, key) cells the group never touched, so the "
+    "sparse-zero LEFT-join path (untouched cell = COALESCE 0, "
+    "min-over-depth may floor at a collision count but never "
+    "under-counts) is driver-oracle-checked, not just pytest-pinned",
+    oracle="""
+WITH ev AS (
+  SELECT event_type AS g, CAST(user_id AS BIGINT) AS k FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+params(i, a, b) AS (VALUES (0, 3, 17), (1, 1299709, 104729),
+                           (2, 15485863, 32452843), (3, 49979687, 86028121)),
+cells AS (
+  SELECT e.g, p.i AS row_id,
+         ((p.a * (((e.k % 1000000007) + 1000000007) % 1000000007) + p.b)
+          % 1000000007) % 256 AS col_id,
+         COUNT(*) AS cnt
+  FROM ev e CROSS JOIN params p
+  GROUP BY 1, 2, 3
+),
+top_users AS (
+  SELECT k FROM (SELECT k, COUNT(*) AS c FROM ev GROUP BY k)
+  ORDER BY c DESC, k ASC LIMIT 3
+),
+probes AS (
+  SELECT grp.g, t.k FROM (SELECT DISTINCT g FROM ev) grp
+  CROSS JOIN top_users t
+),
+est AS (
+  SELECT p.g, p.k, MIN(COALESCE(c.cnt, 0)) AS est_count
+  FROM probes p CROSS JOIN params pr
+  LEFT JOIN cells c
+    ON c.g = p.g AND c.row_id = pr.i
+   AND c.col_id = ((pr.a * (((p.k % 1000000007) + 1000000007)
+                            % 1000000007) + pr.b) % 1000000007) % 256
+  GROUP BY 1, 2
+)
+SELECT g AS event_type, k AS user_id, CAST(est_count AS BIGINT) AS est_count
+FROM est
+""",
+)
+def sketch_cms_grouped_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.approx import cms_build_grouped, cms_estimate_grouped
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.col("user_id").cast("bigint").alias("user_id"))
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    )
+    sketch = cms_build_grouped(ev, "event_type", "user_id", width=256)
+    top_users = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("user_id"))
+        .limit(3)
+        .select("user_id")
+    )
+    probes = ev.select("event_type").distinct().crossJoin(top_users)
+    return cms_estimate_grouped(
+        sketch, probes, "event_type", "user_id", width=256
+    )
+
+
+@register(
     "json_extract_props",
     survey="P11 (semi-structured)",
     desc="JSON path extraction from the events property bag + grouped "
