@@ -259,6 +259,50 @@ def _two_phase_rank(fast: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _collapse_identical_candidates(
+    pre: DataFrame, k: int, max_bucket: int
+) -> DataFrame:
+    """Candidate-side (index-side) identical-vector collapse for the
+    bucketed kNN joins: rows of OVERSIZED ``blk`` buckets group per
+    EXACT vector value (the array itself — no hash, no collision risk)
+    into one scoring row carrying ``__members`` = the group's k+1
+    smallest ids; under-cap rows pass through with a singleton
+    ``__members``. EXACTNESS: ranking is (cosine desc, id asc) and an
+    identical group's members share one cosine, so any top-k can take
+    at most k of a group's members, in id order — and a self-join probe
+    may additionally exclude itself, hence k+1. Exploding ``__members``
+    after ONE fast-cosine eval per group therefore reproduces the
+    uncapped candidate ranking bit-exactly while a megacluster of h
+    identical vectors costs each probe 1 cosine + k+1 rows instead of
+    h cosines. The collect_list is bounded to ids only (never vectors);
+    array_sort makes the selection deterministic."""
+    cols = ["id", "v", "blk", "norm", "__members"]
+    big_keys = (
+        pre.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("__bucket_n"))
+        .filter(F.col("__bucket_n") > int(max_bucket))
+        .select("blk", F.lit(True).alias("__big"))
+    )
+    marked = pre.join(F.broadcast(big_keys), ["blk"], "left")
+    small = marked.filter(F.col("__big").isNull()).select(
+        "id", "v", "blk", "norm", F.array(F.col("id")).alias("__members")
+    )
+    reps = (
+        marked.filter(F.col("__big").isNotNull())
+        .groupBy("blk", "v")
+        .agg(
+            F.min("norm").alias("norm"),  # norm is a function of v
+            F.slice(F.array_sort(F.collect_list("id")), 1, k + 1).alias(
+                "__members"
+            ),
+        )
+        .select(
+            F.col("__members")[0].alias("id"), "v", "blk", "norm", "__members"
+        )
+    )
+    return small.unionByName(reps.select(*cols))
+
+
 def knn_join_lsh(
     emb: DataFrame,
     k: int = 3,
@@ -269,6 +313,7 @@ def knn_join_lsh(
     seed: int = 7,
     target_bucket_rows: int = 128,
     stats: "CorpusStats | None" = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate kNN JOIN: every vector's top-k cosine neighbors from
     within its hyperplane-LSH bucket — the all-rows twin of
@@ -289,7 +334,17 @@ def knn_join_lsh(
     double score are exact-decimal re-scored and re-ranked — double is
     within ~1e-13 of exact for unit-ish vectors, so no true top-k
     member can fall outside the margin and the OUTPUT is bit-identical
-    to ranking everything exactly. Output: (id_a, rank, id_b, cosine)."""
+    to ranking everything exactly. Output: (id_a, rank, id_b, cosine).
+
+    ``max_bucket`` is the kNN form of the identical-vector cap (r15
+    verdict #6): hyperplanes cannot split exact-duplicate vectors, so
+    a megacluster inflates a single bucket past target occupancy and
+    every probe pays one cosine per member. Over the cap the candidate
+    side collapses per EXACT vector value into one scoring row whose
+    k+1 smallest member ids are expanded AFTER the single fast-cosine
+    eval — output bit-identical to the uncapped form on every input
+    (see _collapse_identical_candidates), per-probe megacluster cost
+    1 cosine + k+1 rows instead of h cosines."""
     if dim is None and stats is not None:
         dim = stats.dim
     if dim is None:
@@ -311,6 +366,31 @@ def knn_join_lsh(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         "blk", F.col("norm").alias("norm_a"),
     )
+    if max_bucket is not None:
+        bg = _collapse_identical_candidates(pre, k, max_bucket).select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            "blk", F.col("norm").alias("norm_b"), "__members",
+        )
+        fast = (
+            a.join(bg, "blk")
+            .select(
+                "id_a", "va", "vb", "__members",
+                (
+                    _fast_dot(F.col("va"), F.col("vb"))
+                    / (F.col("norm_a") * F.col("norm_b"))
+                ).alias("__fc"),
+            )
+            # ONE fast cosine per identical group, then the bounded
+            # member expansion; the self-pair drops here (k+1 members
+            # keep the candidate count whole when the probe is one)
+            .select(
+                "id_a",
+                F.explode("__members").alias("id_b"),
+                "va", "vb", "__fc",
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+        )
+        return _two_phase_rank(fast, k)
     b = pre.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"),
         "blk", F.col("norm").alias("norm_b"),
@@ -336,6 +416,7 @@ def crossmodal_knn_join(
     n_planes: int | None = None,
     seed: int = 7,
     target_bucket_rows: int = 128,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cross-modal retrieval kNN join: each QUERY-side vector's top-k
     cosine neighbors among INDEX-side vectors sharing its hyperplane-
@@ -360,7 +441,15 @@ def crossmodal_knn_join(
 
     Passing BOTH ``dim`` and ``n_planes`` (the production call for a
     known embedding space + sized index) skips the two plan-build-time
-    driver actions entirely — no head(), no count() (r15 advice)."""
+    driver actions entirely — no head(), no count() (r15 advice).
+
+    ``max_bucket``: identical INDEX vectors (one image ingested 1M
+    times) defeat the adaptive plane count — planes cannot split them,
+    so every probe of that bucket pays one cosine per copy. Over the
+    cap the index side collapses per exact vector value, scores once
+    per group, and expands the k+1 smallest member ids afterwards —
+    output bit-identical to the uncapped form
+    (_collapse_identical_candidates)."""
     if dim is None:
         first = index.select(vec_col).head()
         if first is None:
@@ -384,7 +473,38 @@ def crossmodal_knn_join(
             F.sqrt(_fast_dot(vec, vec)).alias(f"norm_{suffix}"),
         ).repartition(par, "blk")
 
-    a, b = _pre(queries, "a"), _pre(index, "b")
+    a = _pre(queries, "a")
+    if max_bucket is not None:
+        pre_b = index.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            blk.alias("blk"),
+            F.sqrt(_fast_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+        ).repartition(index.sparkSession.sparkContext.defaultParallelism, "blk")
+        bg = _collapse_identical_candidates(pre_b, k, max_bucket).select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            "blk", F.col("norm").alias("norm_b"), "__members",
+        )
+        fast = (
+            a.join(bg, "blk")
+            .select(
+                "id_a", "va", "vb", "__members",
+                (
+                    _fast_dot(F.col("va"), F.col("vb"))
+                    / (F.col("norm_a") * F.col("norm_b"))
+                ).alias("__fc"),
+            )
+            # NO id_a != id_b filter here — the uncapped crossmodal
+            # form has none (two modalities, one id space per side), so
+            # adding one would break bit-identity for overlapping ids
+            .select(
+                "id_a",
+                F.explode("__members").alias("id_b"),
+                "va", "vb", "__fc",
+            )
+        )
+        return _two_phase_rank(fast, k)
+    b = _pre(index, "b")
     fast = a.join(b, "blk").select(
         "id_a", "id_b", "va", "vb",
         (_fast_dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))).alias("__fc"),

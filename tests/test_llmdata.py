@@ -222,6 +222,101 @@ def test_crossmodal_knn_is_exact_and_asymmetric(spark, emb):
     assert probe_only.isdisjoint(by_a.keys())
 
 
+def test_knn_join_max_bucket_exact(spark, emb):
+    """The kNN form of the identical-vector cap (r15 verdict #6): the
+    capped path must be BIT-IDENTICAL to the uncapped form on every
+    input — collapsing per exact vector value and expanding the k+1
+    smallest member ids after one fast-cosine eval per group cannot
+    change any top-k (group members share one cosine; ranking ties
+    break by id). Checked on a planted 40-copy megacluster (probes
+    inside AND outside the collapsed group, self-exclusion exercised)
+    and on the real fixture with max_bucket=1 — every bucket oversized,
+    so the collapse path carries ALL candidates and must still match."""
+    import numpy as np
+
+    from blockchair_etl_spark.llmdata.similarity import knn_join_lsh
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    v0 = [float(x) for x in rng.standard_normal(dim)]
+    rows = [(i, v0) for i in range(40)]
+    rows += [
+        (200 + j, [float(x) for x in rng.standard_normal(dim)])
+        for j in range(12)
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def out(df):
+        return {(r.id_a, r.rank, r.id_b, r.cosine) for r in df.collect()}
+
+    uncapped = out(knn_join_lsh(e, k=3, dim=dim, n_planes=4))
+    capped = out(knn_join_lsh(e, k=3, dim=dim, n_planes=4, max_bucket=10))
+    assert capped == uncapped and capped
+    # megacluster probes get exactly their 3 smallest-id same-group
+    # peers (self excluded) — the k+1 member expansion at work
+    by_a = {}
+    for a, rank, b, _ in capped:
+        by_a.setdefault(a, []).append((rank, b))
+    for probe in (0, 2, 10):
+        got = [b for _, b in sorted(by_a[probe])]
+        want = [i for i in range(4) if i != probe][:3]
+        assert got == want, (probe, got, want)
+
+    # real fixture, every bucket forced through the collapse branch
+    fix_unc = out(knn_join_lsh(emb, k=3, dim=64, n_planes=4))
+    fix_cap = out(knn_join_lsh(emb, k=3, dim=64, n_planes=4, max_bucket=1))
+    assert fix_cap == fix_unc and fix_cap
+
+
+def test_crossmodal_knn_max_bucket_exact(spark, emb):
+    """Crossmodal form of the kNN identical-vector cap: index-side
+    megacluster collapses, output bit-identical (no self-exclusion in
+    the cross form — two modalities)."""
+    import numpy as np
+
+    from blockchair_etl_spark.llmdata.similarity import crossmodal_knn_join
+
+    rng = np.random.default_rng(13)
+    dim = 8
+    v0 = [float(x) for x in rng.standard_normal(dim)]
+    idx_rows = [(i, v0) for i in range(40)] + [
+        (200 + j, [float(x) for x in rng.standard_normal(dim)])
+        for j in range(12)
+    ]
+    # probe 1000 is a scaled copy of the megacluster vector (same
+    # bucket, cosine ~1.0); the rest are random
+    probe_rows = [(1000, [2.0 * x for x in v0])] + [
+        (1100 + j, [float(x) for x in rng.standard_normal(dim)])
+        for j in range(5)
+    ]
+    idx = spark.createDataFrame(idx_rows, "vec_id bigint, embedding array<float>")
+    probes = spark.createDataFrame(
+        probe_rows, "vec_id bigint, embedding array<float>"
+    )
+
+    def out(df):
+        return {(r.id_a, r.rank, r.id_b, r.cosine) for r in df.collect()}
+
+    uncapped = out(crossmodal_knn_join(probes, idx, k=3, dim=dim, n_planes=4))
+    capped = out(
+        crossmodal_knn_join(
+            probes, idx, k=3, dim=dim, n_planes=4, max_bucket=10
+        )
+    )
+    assert capped == uncapped and capped
+    # the megacluster probe retrieves exactly the 3 smallest member ids
+    mega = sorted((rank, b) for a, rank, b, _ in capped if a == 1000)
+    assert [b for _, b in mega] == [0, 1, 2]
+    # real fixture, collapse branch carrying all candidates
+    cap_q = emb.filter(F.col("vec_id") % 2 == 0)
+    img = emb.filter(F.col("vec_id") % 2 == 1)
+    fix_unc = out(crossmodal_knn_join(cap_q, img, k=3, dim=64, n_planes=4))
+    fix_cap = out(
+        crossmodal_knn_join(cap_q, img, k=3, dim=64, n_planes=4, max_bucket=1)
+    )
+    assert fix_cap == fix_unc and fix_cap
+
+
 def test_crossmodal_knn_empty_index_contract(spark, emb):
     """r15 advice: an EMPTY index must raise a pointed ValueError when
     dim has to be inferred from it (head() returning None used to
