@@ -441,6 +441,23 @@ readings, so those records ARE neutral-box baselines — future mover
 triage compares against 8.9 / 3.5 s envelopes, first isolated run
 ~1.7x the median (the warmup signature of the multi-job dedup class).
 
+r16 SHAPE A/B for dedup_simhash_pairs_capped (does persisting the
+fingerprint relation beat recomputing it across the cap's branches?):
+the capped plan references the fingerprint subtree from the bucket
+counts, the marker join, and the star branch, so a tracked_persist(fp)
+variant was measured against the shipped recompute form — 5-run
+medians, BOTH orders, one session (canary 0.649/0.571, sched
+1.385/1.349): shipped 3.469 then 3.086; persisted 4.302 then 4.187.
+The persist LOSES ~1.1 s at every position: simhash fingerprints are
+one narrow map-side agg over the token stream, and materializing
+~500k (doc, fp) rows through the block manager costs more than
+running the agg twice — the same verdict as the v4/v6 persist-vs-
+rescan A/Bs. Shipped recompute shape KEPT; expected capped-vs-uncapped
+delta at sf0.1 is ~1.5 s (3.1-3.5 capped vs the 1.619 uncapped r15
+record) — the price of the counts agg + broadcast marker join, with
+alpha 0.54/0.47 at 10x/100x showing it buys the degenerate-bucket
+bound without a scale penalty.
+
 r13 FULL-SWEEP finding (SPARK_GRAFT_BENCH_ALL=1, runs=2, final r13
 code, 173 timed queries, 274.0 s total, canary 0.810/0.591 — a faster
 box than the r12 sweep's day, and 67 s LESS total for 4 MORE queries):
