@@ -678,6 +678,11 @@ HEADLINE = [
     # identity: identical fingerprints ARE hamming 0); its cost vs the
     # uncapped dedup_simhash_pairs IS the number to track
     "dedup_simhash_pairs_capped",
+    # round-16: HyperLogLog — the fixed-memory register-array distinct
+    # counter (one map-combined max-agg into <= 2^p rows; the integer-
+    # scaled harmonic sum keeps the oracle bit-exact where engine-native
+    # HLL++ is not); idempotent max-merge = the KMV replay class
+    "sketch_hll_distinct",
 ]
 
 

@@ -600,3 +600,191 @@ def histogram_quantiles_from_bins(
             ).alias(f"p{pct}")
         )
     return cum.groupBy(F.col("g").alias(group_col)).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: the fixed-memory register-array distinct counter
+# ---------------------------------------------------------------------------
+
+HLL_P = 10  # 2^10 = 1024 registers — the production default precision
+
+
+def _hll_hash(col: Column) -> Column:
+    """The shared 60-bit md5 hash (identical to kmv_mins' — one hash
+    definition across the sketch family, so HLL and KMV sketches built
+    from the same column are derived from the same hash stream)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def _hll_bucket_r(hv: Column, p: int) -> tuple[Column, Column, int]:
+    """(bucket, rank) registers from a 60-bit hash: bucket = top p
+    bits; rank = position of the first 1-bit in the remaining w = 60-p
+    bits (1-based), w+1 when they are all zero — Flajolet's rho. The
+    bit-length comes from the MINIMAL binary string (conv base-2 /
+    bin()), an exact integer-via-string op both Spark and DuckDB
+    produce identically — no log2, no libm variance."""
+    w = 60 - p
+    bucket = F.shiftright(hv, w)
+    rest = hv.bitwiseAND(F.lit((1 << w) - 1))
+    bitlen = F.length(F.conv(rest.cast("string"), 10, 2))
+    r = (
+        F.when(rest == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - bitlen)
+        .cast("bigint")
+    )
+    return bucket, r, w
+
+
+def hll_registers(df: DataFrame, c: Column | str, p: int = HLL_P) -> DataFrame:
+    """HyperLogLog register relation: (bucket, r) with r the MAX rho
+    over keys hashing to the bucket — at most 2^p rows regardless of
+    stream length, the fixed-memory sibling of kmv_mins. One
+    map-side-combined hash-agg (max is algebraic); untouched registers
+    are sparse (absent row = register 0). Duplicates need no distinct:
+    max over repeated keys is the key's own rho — which is also what
+    makes the merge (register-wise max) IDEMPOTENT, the KMV-class
+    replay-safety the CMS cell sums lack."""
+    col = F.col(c) if isinstance(c, str) else c
+    bucket, r, _ = _hll_bucket_r(_hll_hash(col), p)
+    return (
+        df.filter(col.isNotNull())
+        .select(bucket.alias("bucket"), r.alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Register-wise MAX across sketches built with the same p — the
+    HLL union law (sketch of the union of the streams), and a
+    semantic no-op on re-merge: per-shard / per-day registers combine
+    at O(2^p) cost on a 100 TB corpus, replay-safe."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("r").alias("r"))
+
+
+def _hll_constant(p: int) -> float:
+    """alpha_m * m^2 * 2^(w+1) — the raw-estimate numerator, computed
+    driver-side ONCE so both engines divide the SAME double literal by
+    the integer harmonic sum (one exactly-rounded IEEE division ⇒
+    bit-identical estimates)."""
+    m = 1 << p
+    w = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << (w + 1))
+
+
+def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
+    """One-row HLL readout: (m, zero_registers, s_scaled, raw_estimate).
+
+    The harmonic sum Σ 2^(-r_j) is kept EXACT as the scaled BIGINT
+    S = Σ 2^(w+1-r_j) (absent registers contribute 2^(w+1) each;
+    max S = m·2^(w+1) = 2^61 at p=10 — inside int64), so the only
+    floating-point step is the final division of a driver-computed
+    double literal by S — exactly rounded, order-independent, and
+    bit-identical across engines. raw_estimate is the uncorrected
+    alpha_m·m²/Σ2^(-r_j); the standard small-range correction
+    (m·ln(m/V) linear counting when E < 5m/2) needs libm ln, which is
+    NOT bit-portable — serving layers apply it from the emitted
+    (m, zero_registers) pair, exactly the reason those sufficient
+    statistics ride the output row."""
+    m = 1 << p
+    w = 60 - p
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("__n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - r)")).alias(
+            "__s_present"
+        ),
+    )
+    zeros = F.lit(m) - F.col("__n_present")
+    s = F.coalesce(F.col("__s_present"), F.lit(0)) + zeros * F.lit(
+        1 << (w + 1)
+    )
+    raw = F.lit(_hll_constant(p)) / s.cast("double")
+    return agg.select(
+        F.lit(m).cast("bigint").alias("m"),
+        zeros.cast("bigint").alias("zero_registers"),
+        s.cast("bigint").alias("s_scaled"),
+        raw.alias("raw_estimate"),
+        # the standard regime test (Flajolet: linear counting when
+        # E_raw <= 5m/2 and zero registers exist) — a double-vs-literal
+        # comparison, engine-exact; the correction itself is
+        # m·ln(m/zero_registers), applied serving-side from the emitted
+        # statistics because ln is not bit-portable
+        ((raw <= F.lit(2.5 * m)) & (zeros > 0)).alias("use_linear_counting"),
+    )
+
+
+def hll_distinct(df: DataFrame, c: Column | str, p: int = HLL_P) -> DataFrame:
+    """hll_registers ∘ hll_estimate — the one-shot distinct-count query
+    shape (the approx_count_distinct role, but engine-portable and
+    mergeable through the exposed register relation)."""
+    return hll_estimate(hll_registers(df, c, p), p)
+
+
+def hll_registers_grouped(
+    df: DataFrame, group_col: str, c: Column | str, p: int = HLL_P
+) -> DataFrame:
+    """Per-GROUP register relation (g, bucket, r) — O(groups × 2^p)
+    state, the per-dimension dashboard shape; same single
+    map-combined hash-agg, no sort, no hot-group hazard (a group
+    receiving ~all keys still occupies ≤ 2^p registers)."""
+    col = F.col(c) if isinstance(c, str) else c
+    bucket, r, _ = _hll_bucket_r(_hll_hash(col), p)
+    return (
+        df.filter(col.isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"), bucket.alias("bucket"), r.alias("r")
+        )
+        .groupBy("g", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_merge_grouped(sketches: list[DataFrame]) -> DataFrame:
+    """Register-wise max within each group — the grouped union law."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("g", "bucket").agg(F.max("r").alias("r"))
+
+
+def hll_estimate_grouped(
+    registers: DataFrame,
+    group_col: str,
+    p: int = HLL_P,
+    in_col: str = "g",
+) -> DataFrame:
+    """Per-group HLL readout. ``in_col`` names the register relation's
+    group column (default 'g', the hll_registers_grouped contract —
+    same loud-failure rule as kmv_estimate_grouped)."""
+    missing = [c for c in (in_col, "bucket", "r") if c not in registers.columns]
+    if missing:
+        raise ValueError(
+            f"hll_estimate_grouped expects a grouped register relation "
+            f"with columns ({in_col!r}, 'bucket', 'r'); missing "
+            f"{missing} in {registers.columns}"
+        )
+    m = 1 << p
+    w = 60 - p
+    agg = registers.groupBy(F.col(in_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("__n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - r)")).alias(
+            "__s_present"
+        ),
+    )
+    zeros = F.lit(m) - F.col("__n_present")
+    s = F.col("__s_present") + zeros * F.lit(1 << (w + 1))
+    raw = F.lit(_hll_constant(p)) / s.cast("double")
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.lit(m).cast("bigint").alias("m"),
+        zeros.cast("bigint").alias("zero_registers"),
+        s.cast("bigint").alias("s_scaled"),
+        raw.alias("raw_estimate"),
+        ((raw <= F.lit(2.5 * m)) & (zeros > 0)).alias("use_linear_counting"),
+    )

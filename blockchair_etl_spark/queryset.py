@@ -3160,6 +3160,59 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(li, "l_partkey", k=64)
 
 
+_HLL_C = 1.7013287633207432e21  # alpha_1024 * 1024^2 * 2^51 (approx._hll_constant(10))
+
+
+@register(
+    "sketch_hll_distinct",
+    survey="A2 (scale path, fixed-memory register variant)",
+    desc="HyperLogLog distinct count over lineitem part keys: 1024 "
+    "registers (bucket = top 10 bits of the shared 60-bit md5 hash, "
+    "rank = first-1-bit position of the rest via minimal-binary-string "
+    "length — integer-exact, no log2), harmonic sum kept as the EXACT "
+    "scaled BIGINT sum(2^(51-r)) so the only float step is one "
+    "division of a fixed double literal — bit-portable where "
+    "engine-native HLL++ is not. raw_estimate uncorrected; the "
+    "(m, zero_registers) sufficient statistics for the libm-variant "
+    "small-range correction ride the row. Register-wise max merge is "
+    "idempotent (the KMV replay-safety class, unlike CMS cell sums); "
+    "streaming maintainer in streaming/incremental.make_hll_updater",
+    oracle=f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL
+),
+regs AS (
+  SELECT hv >> 50 AS bucket,
+         MAX(CASE WHEN (hv & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+             ELSE 51 - length(bin(hv & ((1::BIGINT << 50) - 1))) END) AS r
+  FROM h GROUP BY 1
+),
+agg AS (
+  SELECT COUNT(*) AS n_present,
+         CAST(SUM(1::BIGINT << (51 - r)) AS BIGINT) AS s_present
+  FROM regs
+)
+SELECT CAST(1024 AS BIGINT) AS m,
+       CAST(1024 - n_present AS BIGINT) AS zero_registers,
+       CAST(s_present + (1024 - n_present) * (1::BIGINT << 51) AS BIGINT)
+         AS s_scaled,
+       {_HLL_C!r} / CAST(s_present + (1024 - n_present) * (1::BIGINT << 51)
+                         AS DOUBLE) AS raw_estimate,
+       ({_HLL_C!r} / CAST(s_present + (1024 - n_present) * (1::BIGINT << 51)
+                          AS DOUBLE) <= 2560.0
+        AND (1024 - n_present) > 0) AS use_linear_counting
+FROM agg
+""",
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.approx import hll_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return hll_distinct(li, "l_partkey", p=10)
+
+
 @register(
     "sketch_kmv_grouped",
     survey="A2 (scale path, per-dimension)",
@@ -8818,10 +8871,13 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text_line_dedup, text_quality/gopher gates, dedup_exact,
 # pack_sequences, text_normalize, sample_temperature_mixture — and
 # v3–v6 keep composition coverage driver-visible). Net driver-visible
-# surface: 174 − 2 retired + 1 r16 addition (dedup_simhash_pairs_
-# capped) = 173; steady-state staleness ceil(173/50) ≈ 3.5 rounds,
-# inside the ≤4 bound. Next retirement candidates when ~180 binds
-# again: steps 2-3 below, unchanged.
+# surface: 174 − 2 retired + 3 r16 additions (dedup_simhash_pairs_
+# capped, sketch_cms_grouped_served, sketch_hll_distinct) = 175;
+# steady-state staleness ceil(175/50) = 3.5 rounds, inside the ≤4
+# bound, but the ~180 trigger is now ≤2 normal rounds out — r17
+# should either hold additions ≤2 or execute retirement step 2
+# (embedding_quantize_int8's error-audit row to pytest-only) per the
+# documented order below.
 #   2. embedding_quantize_int8's companion ERROR-AUDIT columns are
 #      instrumentation riding an operator row — if a slot is still
 #      needed, split mentality applies: the operator (quantize) is

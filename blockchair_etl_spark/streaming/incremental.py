@@ -531,6 +531,78 @@ def stream_kmv_maintain(
     )
 
 
+def make_hll_updater(store_dir: str, key_col: str = "user_id", p: int = 10):
+    """foreachBatch body maintaining a HyperLogLog register store — the
+    fourth continuously-maintained sketch beside CMS/KMV/histograms:
+    per micro-batch, the batch's (bucket, r) registers
+    (operators.approx.hll_registers) merge into the persisted relation
+    by register-wise MAX (the HLL union law) and the store swaps
+    atomically. State is ≤ 2^p rows FOREVER — the fixed-memory
+    always-on cardinality shape; the store after any stream prefix
+    equals hll_registers over exactly the rows seen, so hll_estimate
+    over it matches the batch sketch bit-exactly.
+
+    Same replay contract as the KMV updater (__last_batch watermark,
+    crash-window recovery), and like KMV — unlike CMS cell sums — the
+    max-merge is IDEMPOTENT, so even a lost watermark cannot corrupt
+    the sketch; the skip only saves work."""
+    import os
+
+    from ..io.sinks import atomic_swap_store, recover_swapped_store
+    from ..operators.approx import hll_merge, hll_registers
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        recover_swapped_store(store_dir)
+        batch_regs = hll_registers(batch_df, key_col, p=p)
+        if os.path.exists(store_dir):
+            prior = batch_df.sparkSession.read.parquet(store_dir)
+            last = None
+            if "__last_batch" in prior.columns:
+                last = prior.agg(F.max("__last_batch")).first()[0]
+                prior = prior.drop("__last_batch")
+            if last is not None and int(last) == int(batch_id):
+                return
+            if last is not None and int(last) > int(batch_id):
+                raise RuntimeError(
+                    f"HLL store at {store_dir} has __last_batch={last} "
+                    f"but the stream delivered batch_id={batch_id}: "
+                    "checkpoint/store mismatch (checkpoint reset while "
+                    "the store was kept?). Reset the store with the "
+                    "checkpoint or use a fresh store_dir."
+                )
+            merged = hll_merge([prior, batch_regs])
+        else:
+            merged = batch_regs
+        merged = merged.withColumn(
+            "__last_batch", F.lit(int(batch_id)).cast("bigint")
+        )
+        atomic_swap_store(merged, store_dir, partitions=1)
+
+    return _update
+
+
+def stream_hll_maintain(
+    spark: SparkSession,
+    events_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    store_dir: str,
+    key_col: str = "user_id",
+    p: int = 10,
+) -> "StreamingQuery":
+    """Continuously maintained HLL register store — always-on distinct
+    counting at fixed 2^p-row state; the streaming form of
+    operators.approx.hll_distinct via the register-max union law."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    _update = make_hll_updater(store_dir, key_col, p)
+    return (
+        stream.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def make_kmv_grouped_updater(
     store_dir: str,
     group_col: str = "event_type",

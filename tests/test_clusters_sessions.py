@@ -1399,6 +1399,167 @@ def test_streaming_pairs_to_assignment_composition(spark, tmp_path):
     assert got == want and want
 
 
+def _hll_ref_registers(keys, p=10):
+    """Pure-python HLL reference: same 60-bit md5 hash, top-p bucket,
+    first-1-bit rank over the remaining bits."""
+    import hashlib
+
+    w = 60 - p
+    regs = {}
+    for k in keys:
+        hv = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        b = hv >> w
+        rest = hv & ((1 << w) - 1)
+        r = (w + 1) if rest == 0 else (w + 1 - rest.bit_length())
+        regs[b] = max(regs.get(b, 0), r)
+    return regs
+
+
+def test_hll_registers_match_python_reference(spark):
+    """hll_registers == the pure-python reference (bucket split,
+    first-1-bit rank via minimal-binary-string length, max per bucket)
+    — including duplicate keys changing nothing."""
+    from blockchair_etl_spark.operators.approx import hll_registers
+
+    rows = [(i, f"user_{i % 211}") for i in range(700)]
+    df = spark.createDataFrame(rows, "row_id bigint, user_id string")
+    got = {
+        (r.bucket, r.r) for r in hll_registers(df, "user_id", p=10).collect()
+    }
+    want = set(_hll_ref_registers({f"user_{i}" for i in range(211)}).items())
+    assert got == want and got
+
+
+def test_hll_union_law_estimate_and_accuracy(spark):
+    """Register-wise max of two half-corpus sketches equals the sketch
+    of the union (the merge law, bit-exact); re-merging a sketch into
+    itself is a no-op (idempotence); and the estimator is usable: in
+    the raw regime (50k distinct >> 2.5m) raw_estimate lands within
+    ~4 sigma of exact, while a small corpus flags use_linear_counting
+    and the serving-side m*ln(m/V) correction from the emitted
+    sufficient statistics lands within 5%."""
+    import math
+
+    from blockchair_etl_spark.operators.approx import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    big = spark.range(50_000).selectExpr("concat('k', id) AS key")
+    a = big.filter(F.col("key").substr(-1, 1).isin("0", "1", "2", "3", "4"))
+    b = big.subtract(a)
+    merged = hll_merge([hll_registers(a, "key"), hll_registers(b, "key")])
+    whole = {(r.bucket, r.r) for r in hll_registers(big, "key").collect()}
+    assert {(r.bucket, r.r) for r in merged.collect()} == whole
+    remerged = hll_merge([hll_registers(big, "key"), hll_registers(big, "key")])
+    assert {(r.bucket, r.r) for r in remerged.collect()} == whole
+
+    est = hll_estimate(hll_registers(big, "key")).first()
+    assert not est.use_linear_counting  # 50k >> 2.5 * 1024
+    sigma = 1.04 / math.sqrt(1024)
+    assert abs(est.raw_estimate - 50_000) / 50_000 < 4 * sigma
+
+    small = hll_distinct(
+        spark.range(300).selectExpr("concat('s', id) AS key"), "key"
+    ).first()
+    assert small.use_linear_counting and small.zero_registers > 0
+    corrected = 1024 * math.log(1024 / small.zero_registers)
+    assert abs(corrected - 300) / 300 < 0.05
+
+
+def test_hll_grouped_matches_flat_slices(spark):
+    """Grouped registers == per-group flat registers; grouped estimate
+    carries the same row shape; a renamed register relation fails loud
+    (the kmv_estimate_grouped in_col contract)."""
+    from blockchair_etl_spark.operators.approx import (
+        hll_estimate_grouped,
+        hll_registers,
+        hll_registers_grouped,
+    )
+
+    rows = [(i % 3, f"u{i % 97}") for i in range(500)]
+    df = spark.createDataFrame(rows, "seg int, user_id string")
+    grouped = hll_registers_grouped(df, "seg", "user_id")
+    for seg in (0, 1, 2):
+        flat = {
+            (r.bucket, r.r)
+            for r in hll_registers(
+                df.filter(F.col("seg") == seg), "user_id"
+            ).collect()
+        }
+        got = {
+            (r.bucket, r.r)
+            for r in grouped.filter(F.col("g") == seg).collect()
+        }
+        assert got == flat and got
+    est = {r.segment: r for r in hll_estimate_grouped(grouped, "segment").collect()}
+    assert set(est) == {0, 1, 2}
+    assert all(e.m == 1024 and e.s_scaled > 0 for e in est.values())
+    with pytest.raises(ValueError, match="grouped register relation"):
+        hll_estimate_grouped(grouped.withColumnRenamed("g", "seg_key"), "segment")
+
+
+def test_stream_hll_maintain_equals_batch_sketch(spark, tmp_path):
+    """The HLL register store after a 3-drain stream equals
+    hll_registers over exactly the rows seen (the union law), a
+    replayed exact-last batch is skipped, and a double-merge into a
+    fresh store is a semantic no-op anyway (register-max idempotence —
+    the KMV replay-safety class)."""
+    from blockchair_etl_spark.operators.approx import hll_registers
+    from blockchair_etl_spark.streaming.incremental import (
+        make_hll_updater,
+        stream_hll_maintain,
+    )
+
+    rows = [(i, i % 137) for i in range(600)]
+    df = spark.createDataFrame(rows, "row_id bigint, user_id bigint")
+    src = str(tmp_path / "hll_src")
+    for i in range(3):
+        df.filter(F.col("row_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = str(tmp_path / "hll_store")
+    q = stream_hll_maintain(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        str(tmp_path / "hll_ckpt"),
+        store,
+        key_col="user_id",
+        p=10,
+    )
+    assert q.awaitTermination(300)
+
+    got = {
+        (r.bucket, r.r)
+        for r in spark.read.parquet(store).drop("__last_batch").collect()
+    }
+    want = {(r.bucket, r.r) for r in hll_registers(df, "user_id").collect()}
+    assert got == want and got
+
+    upd = make_hll_updater(store, key_col="user_id", p=10)
+    last = spark.read.parquet(store).agg(F.max("__last_batch")).first()[0]
+    upd(df, int(last))  # exact-last replay: skipped
+    again = {
+        (r.bucket, r.r)
+        for r in spark.read.parquet(store).drop("__last_batch").collect()
+    }
+    assert again == got
+
+    fresh = str(tmp_path / "hll_fresh")
+    upd2 = make_hll_updater(fresh, key_col="user_id", p=10)
+    upd2(df, 0)
+    upd2(df, 1)  # same rows re-merged: register-max no-op
+    twice = {
+        (r.bucket, r.r)
+        for r in spark.read.parquet(fresh).drop("__last_batch").collect()
+    }
+    assert twice == want
+
+
 def test_stream_kmv_maintain_equals_batch_sketch(spark, tmp_path):
     """The KMV sketch store after a 3-drain stream equals kmv_mins over
     exactly the rows seen (the mergeability contract), estimation off
