@@ -757,3 +757,77 @@ def stream_histogram_maintain(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def make_hll_grouped_updater(
+    store_dir: str,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    p: int = 10,
+):
+    """foreachBatch body maintaining the per-GROUP HLL register store —
+    the grouped sibling of make_hll_updater: per micro-batch, the
+    batch's (g, bucket, r) registers (approx.hll_registers_grouped)
+    merge through the ONE grouped union law (hll_merge_grouped:
+    register-wise max within each group), and the store swaps
+    atomically. State is ≤ groups × 2^p rows forever; per-group
+    estimation off the live store (approx.hll_estimate_grouped) equals
+    the batch sketch over exactly the rows seen. Same
+    watermark/recovery contract as the flat updater, and the max-merge
+    is idempotent, so the replay skip only saves work."""
+    import os
+
+    from ..io.sinks import atomic_swap_store, recover_swapped_store
+    from ..operators.approx import hll_merge_grouped, hll_registers_grouped
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        recover_swapped_store(store_dir)
+        batch_regs = hll_registers_grouped(batch_df, group_col, key_col, p=p)
+        if os.path.exists(store_dir):
+            prior = batch_df.sparkSession.read.parquet(store_dir)
+            last = None
+            if "__last_batch" in prior.columns:
+                last = prior.agg(F.max("__last_batch")).first()[0]
+                prior = prior.drop("__last_batch")
+            if last is not None and int(last) == int(batch_id):
+                return
+            if last is not None and int(last) > int(batch_id):
+                raise RuntimeError(
+                    f"grouped HLL store at {store_dir} has "
+                    f"__last_batch={last} but the stream delivered "
+                    f"batch_id={batch_id}: checkpoint/store mismatch "
+                    "(checkpoint reset while the store was kept?). "
+                    "Reset the store with the checkpoint or use a "
+                    "fresh store_dir."
+                )
+            merged = hll_merge_grouped([prior, batch_regs])
+        else:
+            merged = batch_regs
+        merged = merged.withColumn(
+            "__last_batch", F.lit(int(batch_id)).cast("bigint")
+        )
+        atomic_swap_store(merged, store_dir, partitions=1)
+
+    return _update
+
+
+def stream_hll_grouped_maintain(
+    spark: SparkSession,
+    events_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    store_dir: str,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    p: int = 10,
+) -> "StreamingQuery":
+    """Continuously maintained per-group HLL registers — always-on
+    per-dimension distinct counting at fixed per-group state."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    _update = make_hll_grouped_updater(store_dir, group_col, key_col, p)
+    return (
+        stream.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

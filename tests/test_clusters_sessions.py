@@ -1700,6 +1700,60 @@ def test_stream_histogram_maintain_equals_batch_sketch(spark, tmp_path):
     assert cells(spark.read.parquet(store).drop("__last_batch")) == want
 
 
+def test_stream_hll_grouped_maintain_equals_batch_sketch(spark, tmp_path):
+    """The grouped HLL store after a 2-drain stream equals
+    hll_registers_grouped over exactly the rows seen, and per-group
+    estimation off the live store matches the batch sketch
+    bit-exactly."""
+    from blockchair_etl_spark.operators.approx import (
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+    from blockchair_etl_spark.streaming.incremental import (
+        stream_hll_grouped_maintain,
+    )
+
+    rows = [(i, i % 4, i % 151) for i in range(600)]
+    df = spark.createDataFrame(rows, "row_id bigint, seg int, user_id bigint")
+    src = str(tmp_path / "ghll_src")
+    for i in range(2):
+        df.filter(F.col("row_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = str(tmp_path / "ghll_store")
+    q = stream_hll_grouped_maintain(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        str(tmp_path / "ghll_ckpt"),
+        store,
+        group_col="seg",
+        key_col="user_id",
+        p=10,
+    )
+    assert q.awaitTermination(300)
+
+    live = spark.read.parquet(store).drop("__last_batch")
+    got = {(r.g, r.bucket, r.r) for r in live.collect()}
+    want = {
+        (r.g, r.bucket, r.r)
+        for r in hll_registers_grouped(df, "seg", "user_id").collect()
+    }
+    assert got == want and got
+    served = {
+        r.segment: (r.s_scaled, r.raw_estimate)
+        for r in hll_estimate_grouped(live, "segment").collect()
+    }
+    batch = {
+        r.segment: (r.s_scaled, r.raw_estimate)
+        for r in hll_estimate_grouped(
+            hll_registers_grouped(df, "seg", "user_id"), "segment"
+        ).collect()
+    }
+    assert served == batch and set(served) == {0, 1, 2, 3}
+
+
 def test_stream_kmv_grouped_maintain_equals_batch_sketch(spark, tmp_path):
     """Grouped KMV (per-dimension distinct counts at O(groups x k)
     state): the store after a 3-drain stream equals kmv_mins_grouped
@@ -1993,3 +2047,28 @@ def test_dashboard_metrics_served_from_live_sketch_stores(spark, tmp_path):
         ).collect()
     }
     assert served_hh == batch_hh and served_hh
+
+    # HLL distinct (r16): the fixed-memory register-array counter as
+    # the FOURTH served family — the estimate off the maintained
+    # register store is bit-identical to the batch sketch, at <= 2^p
+    # rows of state regardless of stream length
+    from blockchair_etl_spark.operators.approx import hll_distinct, hll_estimate
+    from blockchair_etl_spark.streaming.incremental import stream_hll_maintain
+
+    hll_store = str(tmp_path / "hll_store")
+    q4 = stream_hll_maintain(
+        spark, src, schema, str(tmp_path / "hll_ckpt"), hll_store,
+        key_col="user_id", p=10,
+    )
+    assert q4.awaitTermination(300)
+    regs = read_live_store(spark, hll_store).drop("__last_batch")
+    assert regs.count() <= 1024
+    served_hll = hll_estimate(regs).first()
+    batch_hll = hll_distinct(ev, "user_id").first()
+    assert (
+        served_hll.s_scaled, served_hll.zero_registers,
+        served_hll.raw_estimate, served_hll.use_linear_counting,
+    ) == (
+        batch_hll.s_scaled, batch_hll.zero_registers,
+        batch_hll.raw_estimate, batch_hll.use_linear_counting,
+    )

@@ -362,3 +362,58 @@ def test_r11_operators_on_empty_inputs(spark, empty_docs, docs):
         ).count()
         == n
     )
+
+
+def test_r16_operators_on_empty_inputs(spark, empty_docs, docs):
+    """Round-16 surface on degenerate inputs: capped pair paths on an
+    empty corpus are empty (the cap branches must not fail on empty
+    bucket-count relations); HLL of an empty column is the all-zero
+    sketch whose scaled sum is exactly m*2^51 with zero raw-regime
+    surprises; the incremental winnowing loop on an empty batch emits
+    nothing and leaves the store intact."""
+    from blockchair_etl_spark.llmdata.dedup import (
+        embedding_dup_pairs,
+        minhash_lsh_pairs,
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+    from blockchair_etl_spark.llmdata.similarity import knn_join_lsh
+    from blockchair_etl_spark.llmdata.text import (
+        incremental_winnowing_dedup,
+        winnowing_fingerprint_store,
+    )
+    from blockchair_etl_spark.operators.approx import (
+        hll_distinct,
+        hll_registers,
+    )
+
+    fp = simhash_fingerprints(empty_docs, bits=32)
+    assert simhash_near_pairs(fp, max_hamming=3, bits=32, max_bucket=4).count() == 0
+    assert minhash_lsh_pairs(empty_docs, threshold=0.5, max_bucket=4).count() == 0
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>"
+    )
+    assert (
+        embedding_dup_pairs(
+            empty_emb, threshold=0.99, dim=8, lsh_planes=4, max_bucket=4
+        ).count()
+        == 0
+    )
+    assert (
+        knn_join_lsh(empty_emb, k=3, dim=8, n_planes=4, max_bucket=4).count()
+        == 0
+    )
+
+    assert hll_registers(empty_docs, "text").count() == 0
+    est = hll_distinct(empty_docs, "text").first()
+    assert est.zero_registers == est.m == 1024
+    assert est.s_scaled == 1024 * (1 << 51)
+    # all-zero registers: linear counting is flagged even though V == m
+    # (the serving-side correction m*ln(m/V) then reads exactly 0)
+    assert est.use_linear_counting
+
+    store = winnowing_fingerprint_store(docs.limit(20))
+    n_store = store.count()
+    pairs, updated = incremental_winnowing_dedup(empty_docs, store)
+    assert pairs.count() == 0 and updated.count() == n_store
