@@ -604,6 +604,24 @@ def _custom_runners(spark, repo: str, scale: int):
         pairs, _updated = incremental_winnowing_dedup(batch, store, max_df=50)
         return pairs
 
+    def run_hll_grouped(spark_, sf_dir: str):
+        # round-16: per-group HyperLogLog over events — the scale story
+        # is one map-combined (g, bucket) max-agg whose exchange is
+        # bounded at O(groups x 2^p) rows regardless of stream length
+        # (copy-scaling adds occurrences, not registers: like the
+        # grouped-KMV family, alpha reads the agg's scan, far below 1
+        # for the sketch state itself).
+        from blockchair_etl_spark.operators.approx import (
+            hll_estimate_grouped,
+            hll_registers_grouped,
+        )
+
+        ev = load_table(spark_, sf_dir, "events")
+        return hll_estimate_grouped(
+            hll_registers_grouped(ev, "event_type", "user_id", p=10),
+            "event_type",
+        )
+
     _pq_index_cache: dict[str, tuple] = {}
 
     def run_ivfpq_store_backed(spark_, sf_dir: str):
@@ -781,6 +799,7 @@ def _custom_runners(spark, repo: str, scale: int):
         "ann_ivfpq_store_backed": run_ivfpq_store_backed,
         "dedup_winnowing_store_backed": run_winnowing_store_backed,
         "dedup_incremental_winnowing_bigstore": run_incr_winnowing_big_store,
+        "sketch_hll_grouped": run_hll_grouped,
     }
 
 

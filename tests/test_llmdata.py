@@ -583,6 +583,41 @@ def test_streaming_incremental_winnowing_matches_batch(spark, docs, tmp_path):
     n_fp = winnowing_fingerprint_store(docs).count()
     assert spark.read.parquet(str(tmp_path / "winnow_store2")).count() == n_fp
 
+    # exactly-once replay: re-processing the same (batch_df, batch_id)
+    # leaves both sinks byte-identical (the shared batch_id
+    # dynamic-overwrite machinery, replayed here on the winnowing path)
+    from blockchair_etl_spark.streaming.dedup_stream import (
+        make_winnowing_batch_processor,
+    )
+
+    store_dir = str(tmp_path / "xo_winnow_store")
+    pairs_dir = str(tmp_path / "xo_winnow_pairs")
+    proc = make_winnowing_batch_processor(store_dir, pairs_dir, exactly_once=True)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    proc(b0, 0)
+    proc(b1, 1)
+
+    def pair_set():
+        return {
+            (min(r.id_a, r.id_b), max(r.id_a, r.id_b), r.n_shared, r.jaccard)
+            for r in spark.read.parquet(pairs_dir).collect()
+        }
+
+    once = pair_set()
+    store_once = {
+        (r.doc, r.fp, r.n_fp)
+        for r in spark.read.parquet(store_dir).collect()
+    }
+    proc(b1, 1)  # replay the last batch
+    assert pair_set() == once
+    assert {
+        (r.doc, r.fp, r.n_fp)
+        for r in spark.read.parquet(store_dir).collect()
+    } == store_once
+    # and the replayed union still equals the one-shot operator
+    assert once == want
+
 
 def test_quantize_embeddings_int8_error_bound(spark):
     from blockchair_etl_spark.llmdata.similarity import quantize_embeddings_int8
