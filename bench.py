@@ -683,6 +683,10 @@ HEADLINE = [
     # scaled harmonic sum keeps the oracle bit-exact where engine-native
     # HLL++ is not); idempotent max-merge = the KMV replay class
     "sketch_hll_distinct",
+    # round-16: the grouped-CMS SERVING probe (fixed key set x every
+    # group — the sparse-zero LEFT-join estimate path the topk row
+    # cannot hit)
+    "sketch_cms_grouped_served",
 ]
 
 

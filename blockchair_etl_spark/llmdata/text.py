@@ -528,8 +528,12 @@ def winnowing_cross_pairs(
             .distinct()
         )
         # exact re-count over ALL shared fps (the winnowing_pairs_from_
-        # store contract: scores exact, only recall traded): candidate×
-        # batch-fp rows broadcast against the matched store rows
+        # store contract: scores exact, only recall traded). The join
+        # is deliberately NOT force-broadcast: pair_fps is |cand| ×
+        # fps-per-doc rows — beyond the broadcast budget for a large
+        # backfill batch — and the other side is `matched`, the
+        # SEMI-JOINED store subset already bounded by the probe's
+        # fan-in, so shuffling it never touches the full store.
         pair_fps = cand.join(
             new_fp.select(
                 F.col("doc").alias("id_a"), "fp", F.col("n_fp").alias("n_a")
@@ -537,8 +541,7 @@ def winnowing_cross_pairs(
             "id_a",
         )
         inter = (
-            F.broadcast(pair_fps)
-            .join(matched.select("id_b", "fp", "n_b"), ["id_b", "fp"])
+            pair_fps.join(matched.select("id_b", "fp", "n_b"), ["id_b", "fp"])
             .groupBy("id_a", "id_b", "n_a", "n_b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= int(min_shared))

@@ -1469,6 +1469,19 @@ def test_hll_union_law_estimate_and_accuracy(spark):
     assert abs(corrected - 300) / 300 < 0.05
 
 
+def test_hll_oracle_constant_drift_gate():
+    """The sketch_hll_distinct oracle inlines the raw-estimate
+    numerator as a literal (queryset._HLL_C); this gate pins it to the
+    live _hll_constant so an alpha/precision change in the operator
+    cannot silently diverge from the SQL the driver compares against
+    (the unigram gate-vocab drift-guard pattern)."""
+    from blockchair_etl_spark.operators.approx import _hll_constant
+    from blockchair_etl_spark.queryset import _HLL_C
+
+    assert _HLL_C == _hll_constant(10)
+    assert repr(_hll_constant(10)) == "1.7013287633207432e+21"
+
+
 def test_hll_grouped_matches_flat_slices(spark):
     """Grouped registers == per-group flat registers; grouped estimate
     carries the same row shape; a renamed register relation fails loud
