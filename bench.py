@@ -687,6 +687,9 @@ HEADLINE = [
     # group — the sparse-zero LEFT-join estimate path the topk row
     # cannot hit)
     "sketch_cms_grouped_served",
+    # round-16: KMV set-intersection (the Theta-sketch algebra beside
+    # sketch_kmv_union — two O(k) mins relations, one hv equi-join)
+    "sketch_kmv_intersection",
 ]
 
 

@@ -788,3 +788,66 @@ def hll_estimate_grouped(
         raw.alias("raw_estimate"),
         ((raw <= F.lit(2.5 * m)) & (zeros > 0)).alias("use_linear_counting"),
     )
+
+
+def kmv_intersect(
+    mins_a: DataFrame,
+    mins_b: DataFrame,
+    k: int = 64,
+    hash_bits: int = 60,
+) -> DataFrame:
+    """KMV set-INTERSECTION estimate — the Theta-sketch capability that
+    completes the sketch set algebra beside kmv_union: distinct keys in
+    BOTH of two segments (users who viewed AND clicked) from two O(k)
+    `mins` relations, never a raw-data join.
+
+    θ-rule: a saturated sketch (n == k) is a complete census of hashes
+    ≤ its kth min; an unsaturated one is complete everywhere (θ = hash
+    space). Below θ = min(θ_a, θ_b) BOTH sketches are complete, so the
+    common hashes ≤ θ are exactly the intersection's hashes in that
+    range, and the estimate scales by the inclusion fraction θ/space:
+    estimate = n_common·space/θ. When neither sketch is saturated the
+    estimate IS the exact intersection count (the exact-below-k
+    degeneration both kmv_distinct and kmv_union share). Determinism:
+    n_common/θ are exact BIGINTs; the estimate is one multiply and one
+    divide on doubles — exactly rounded, engine-identical (the
+    kmv_union arithmetic contract).
+
+    Inputs are kmv_mins()/kmv_merge_mins() relations built with the
+    SAME k and hash family (the module's shared 60-bit md5). Output:
+    one row (n_common, theta, intersection_estimate)."""
+    space = 1 << hash_bits
+    sat_a = F.when(
+        F.col("__n_a") >= k, F.col("__kth_a")
+    ).otherwise(F.lit(space))
+    sat_b = F.when(
+        F.col("__n_b") >= k, F.col("__kth_b")
+    ).otherwise(F.lit(space))
+    stats = (
+        mins_a.agg(
+            F.count(F.lit(1)).alias("__n_a"), F.max("hv").alias("__kth_a")
+        )
+        .crossJoin(
+            mins_b.agg(
+                F.count(F.lit(1)).alias("__n_b"), F.max("hv").alias("__kth_b")
+            )
+        )
+        .select(F.least(sat_a, sat_b).cast("bigint").alias("theta"))
+    )
+    common = mins_a.select("hv").join(mins_b.select("hv"), "hv")
+    c_agg = (
+        common.join(F.broadcast(stats), F.col("hv") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    est = F.when(
+        F.col("theta") >= F.lit(space), F.col("n_common").cast("double")
+    ).otherwise(
+        F.col("n_common").cast("double")
+        * F.lit(float(space))
+        / F.col("theta").cast("double")
+    )
+    return c_agg.crossJoin(stats).select(
+        F.col("n_common").cast("bigint").alias("n_common"),
+        "theta",
+        est.alias("intersection_estimate"),
+    )

@@ -4203,6 +4203,58 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_kmv_intersection",
+    survey="A2 (sketch set algebra, r16)",
+    desc="KMV set-INTERSECTION estimate — the Theta-sketch capability "
+    "completing the sketch algebra beside sketch_kmv_union: distinct "
+    "users who BOTH viewed and clicked, from two O(k) mins relations, "
+    "never a raw-data join. theta-rule: below theta = min over "
+    "saturated sketches' kth mins both sketches are complete censuses, "
+    "so common hashes <= theta are exact and the estimate scales by "
+    "the inclusion fraction theta/2^60; with neither sketch saturated "
+    "the estimate IS the exact intersection count (the exact-below-k "
+    "degeneration the whole KMV family shares). n_common/theta exact "
+    "BIGINTs; one multiply + one divide on doubles, engine-identical",
+    oracle="""
+WITH hv_view AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events WHERE event_type = 'view' ORDER BY hv LIMIT 64
+), hv_click AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events WHERE event_type = 'click' ORDER BY hv LIMIT 64
+), sa AS (
+  SELECT COUNT(*) AS n_a, MAX(hv) AS kth_a FROM hv_view
+), sb AS (
+  SELECT COUNT(*) AS n_b, MAX(hv) AS kth_b FROM hv_click
+), st AS (
+  SELECT LEAST(
+           CASE WHEN n_a >= 64 THEN kth_a ELSE 1152921504606846976 END,
+           CASE WHEN n_b >= 64 THEN kth_b ELSE 1152921504606846976 END
+         ) AS theta
+  FROM sa CROSS JOIN sb
+), c AS (
+  SELECT COUNT(*) AS n_common
+  FROM hv_view a JOIN hv_click b USING (hv) CROSS JOIN st
+  WHERE a.hv <= st.theta
+)
+SELECT CAST(c.n_common AS BIGINT) AS n_common,
+       CAST(st.theta AS BIGINT) AS theta,
+       CASE WHEN st.theta >= 1152921504606846976 THEN CAST(c.n_common AS DOUBLE)
+            ELSE CAST(c.n_common AS DOUBLE) * 1152921504606846976.0
+                 / CAST(st.theta AS DOUBLE) END AS intersection_estimate
+FROM c CROSS JOIN st
+""",
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.approx import kmv_intersect, kmv_mins
+
+    ev = load_table(spark, sf_dir, "events")
+    s_view = kmv_mins(ev.filter(F.col("event_type") == "view"), "user_id")
+    s_click = kmv_mins(ev.filter(F.col("event_type") == "click"), "user_id")
+    return kmv_intersect(s_view, s_click, k=64)
+
+
+@register(
     "dedup_bow_cosine",
     survey="LLM-dedup (lexical cosine)",
     desc="near-dup pairs by exact bag-of-words cosine: dot products "
@@ -8871,13 +8923,13 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text_line_dedup, text_quality/gopher gates, dedup_exact,
 # pack_sequences, text_normalize, sample_temperature_mixture — and
 # v3–v6 keep composition coverage driver-visible). Net driver-visible
-# surface: 174 − 2 retired + 3 r16 additions (dedup_simhash_pairs_
-# capped, sketch_cms_grouped_served, sketch_hll_distinct) = 175;
-# steady-state staleness ceil(175/50) = 3.5 rounds, inside the ≤4
-# bound, but the ~180 trigger is now ≤2 normal rounds out — r17
-# should either hold additions ≤2 or execute retirement step 2
-# (embedding_quantize_int8's error-audit row to pytest-only) per the
-# documented order below.
+# surface: 174 − 2 retired + 4 r16 additions (dedup_simhash_pairs_
+# capped, sketch_cms_grouped_served, sketch_hll_distinct,
+# sketch_kmv_intersection) = 176; steady-state staleness
+# ceil(176/50) = 3.6 rounds, inside the ≤4 bound, but the ~180
+# trigger is now ONE normal round out — r17 should either hold
+# additions ≤2 or execute retirement step 2 (embedding_quantize_int8's
+# error-audit row to pytest-only) per the documented order below.
 #   2. embedding_quantize_int8's companion ERROR-AUDIT columns are
 #      instrumentation riding an operator row — if a slot is still
 #      needed, split mentality applies: the operator (quantize) is

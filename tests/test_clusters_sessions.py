@@ -1469,6 +1469,58 @@ def test_hll_union_law_estimate_and_accuracy(spark):
     assert abs(corrected - 300) / 300 < 0.05
 
 
+def test_kmv_intersect_regimes(spark):
+    """KMV intersection (the Theta-sketch set operation): with both
+    sketches unsaturated the estimate IS the exact intersection count;
+    in the saturated regime the estimate lands within ~4/sqrt(k) of
+    exact; a mixed regime (one complete sketch) uses the saturated
+    side's kth as theta. Also the algebra sanity: intersection +
+    union estimates never invert containment."""
+    from blockchair_etl_spark.operators.approx import (
+        kmv_intersect,
+        kmv_mins,
+        kmv_union,
+    )
+
+    def seg(prefix, n):
+        return spark.range(n).selectExpr(f"concat('{prefix}', id) AS key")
+
+    # exact regime: |A|=30, |B|=25, overlap 10 (k=64 > both)
+    a_small = seg("x", 30)
+    b_small = seg("x", 10).unionByName(seg("y", 15))
+    got = kmv_intersect(
+        kmv_mins(a_small, "key"), kmv_mins(b_small, "key"), k=64
+    ).first()
+    assert got.n_common == 10 and got.intersection_estimate == 10.0
+    assert got.theta == 1 << 60
+
+    # saturated regime: |A|=|B|=5000, overlap 2000
+    a_big = seg("a", 3000).unionByName(seg("c", 2000))
+    b_big = seg("b", 3000).unionByName(seg("c", 2000))
+    est = kmv_intersect(
+        kmv_mins(a_big, "key", k=256),
+        kmv_mins(b_big, "key", k=256),
+        k=256,
+    ).first()
+    assert est.theta < (1 << 60)
+    assert abs(est.intersection_estimate - 2000) / 2000 < 4 / (256 ** 0.5)
+    # the union estimate of the same sketches covers the true union
+    # within the same tolerance — no containment inversion
+    uni = kmv_union(
+        [kmv_mins(a_big, "key", k=256), kmv_mins(b_big, "key", k=256)], k=256
+    ).first()
+    assert est.intersection_estimate < uni.distinct_estimate
+
+    # mixed regime: complete A (40 keys), saturated B — theta = B's kth
+    mixed = kmv_intersect(
+        kmv_mins(seg("c", 40), "key", k=64),
+        kmv_mins(b_big, "key", k=64),
+        k=64,
+    ).first()
+    kth_b = kmv_mins(b_big, "key", k=64).agg(F.max("hv")).first()[0]
+    assert mixed.theta == kth_b
+
+
 def test_hll_oracle_constant_drift_gate():
     """The sketch_hll_distinct oracle inlines the raw-estimate
     numerator as a literal (queryset._HLL_C); this gate pins it to the
