@@ -1521,6 +1521,29 @@ def test_kmv_intersect_regimes(spark):
     assert mixed.theta == kth_b
 
 
+def test_hll_registers_plan_shape(spark):
+    """Plan gate: the register build is ONE map-side-combined hash
+    aggregation — exactly one exchange, keyed on bucket, with a partial
+    max upstream of it, so the shuffle carries at most 2^p rows per
+    map task regardless of input size (the fixed-memory claim as a
+    plan property, not just a row-count one)."""
+    from blockchair_etl_spark.operators.approx import hll_registers
+
+    df = spark.range(10_000).selectExpr("concat('u', id) AS key")
+    plan = (
+        hll_registers(df, "key", p=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" in plan
+    # partial aggregation runs below the exchange: the first (deepest)
+    # aggregate in the string is the FINAL one, so a partial_max must
+    # also appear (Spark prints partial aggregates with partial_ fns)
+    assert "partial_max" in plan
+
+
 def test_hll_oracle_constant_drift_gate():
     """The sketch_hll_distinct oracle inlines the raw-estimate
     numerator as a literal (queryset._HLL_C); this gate pins it to the
