@@ -134,6 +134,11 @@ FAMILY = [
     # pigeonhole buckets collapse per FULL fingerprint (lossless by
     # identity: hamming 0); max_bucket=8 binds on the fixture
     "dedup_simhash_pairs_capped",
+    # round-16: KMV set-intersection — two distinct-hash TakeOrdered
+    # sketches + one O(k) hv equi-join; copy-scaling saturates the
+    # distinct-hash set (copies add occurrences, not users), so alpha
+    # reads the distinct shuffle, the sketch_kmv_grouped scale story
+    "sketch_kmv_intersection",
     # round-15: grouped CMS — cell-bounded state per group; the scale
     # story is the (g, row, col) hash-agg's partial aggregation keeping
     # the exchange at O(groups x depth x width) regardless of stream
