@@ -404,7 +404,8 @@ def _is_swap_window_error(exc: BaseException) -> bool:
         from pyspark.errors import AnalysisException
     except ImportError:  # pragma: no cover - pyspark < 3.4 layout
         from pyspark.sql.utils import AnalysisException  # type: ignore
-    if isinstance(exc, AnalysisException):
+    is_analysis = isinstance(exc, AnalysisException)
+    if is_analysis:
         cond = None
         for getter in ("getCondition", "getErrorClass"):
             fn = getattr(exc, getter, None)
@@ -433,9 +434,18 @@ def _is_swap_window_error(exc: BaseException) -> bool:
         except Exception:
             pass  # py4j gateway hiccup: fall back to the text scan
     # fallback ONLY: class-qualified markers, never bare
-    # 'does not exist' / 'No such file'
+    # 'does not exist' / 'No such file'. The third marker covers the
+    # pyspark<3.4 layout the import fallback above claims to support
+    # (r16 advice): those versions raise plan-time missing-path errors
+    # with NO error condition and the message 'Path does not exist:
+    # ...', which matches neither modern marker — it is qualified by
+    # the AnalysisException isinstance, never scanned on bare text.
     text = str(exc)
-    return "PATH_NOT_FOUND" in text or "java.io.FileNotFoundException" in text
+    return (
+        "PATH_NOT_FOUND" in text
+        or "java.io.FileNotFoundException" in text
+        or (is_analysis and "Path does not exist" in text)
+    )
 
 
 def read_live_store(

@@ -274,8 +274,17 @@ def _collapse_identical_candidates(
     after ONE fast-cosine eval per group therefore reproduces the
     uncapped candidate ranking bit-exactly while a megacluster of h
     identical vectors costs each probe 1 cosine + k+1 rows instead of
-    h cosines. The collect_list is bounded to ids only (never vectors);
-    array_sort makes the selection deterministic."""
+    h cosines. Member selection is the salted two-level min-k cut
+    (the kmv_mins_grouped idiom, r16 advice): a direct collect_list of
+    ALL member ids would concentrate an O(h) aggregation buffer and an
+    O(h log h) single-task sort on exactly the megacluster the cap
+    targets — instead level 1 keeps each salt share's k+1 smallest ids
+    (n_salts parallel windows, each bounded by its share) and level 2
+    cuts the k+1 smallest of the surviving ≤ n_salts·(k+1) rows;
+    min-k union is lossless, so the selected set is IDENTICAL to the
+    direct cut and array_sort keeps it deterministic."""
+    from pyspark.sql import Window
+
     cols = ["id", "v", "blk", "norm", "__members"]
     big_keys = (
         pre.groupBy("blk")
@@ -287,9 +296,18 @@ def _collapse_identical_candidates(
     small = marked.filter(F.col("__big").isNull()).select(
         "id", "v", "blk", "norm", F.array(F.col("id")).alias("__members")
     )
-    reps = (
+    n_salts = 16
+    w1 = Window.partitionBy(
+        "blk", "v", F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_salts))
+    ).orderBy(F.asc("id"))
+    pruned = (
         marked.filter(F.col("__big").isNotNull())
-        .groupBy("blk", "v")
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k + 1)
+        .drop("__rn")
+    )
+    reps = (
+        pruned.groupBy("blk", "v")
         .agg(
             F.min("norm").alias("norm"),  # norm is a function of v
             F.slice(F.array_sort(F.collect_list("id")), 1, k + 1).alias(

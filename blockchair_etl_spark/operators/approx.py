@@ -804,11 +804,17 @@ def kmv_intersect(
     θ-rule: a saturated sketch (n == k) is a complete census of hashes
     ≤ its kth min; an unsaturated one is complete everywhere (θ = hash
     space). Below θ = min(θ_a, θ_b) BOTH sketches are complete, so the
-    common hashes ≤ θ are exactly the intersection's hashes in that
-    range, and the estimate scales by the inclusion fraction θ/space:
-    estimate = n_common·space/θ. When neither sketch is saturated the
-    estimate IS the exact intersection count (the exact-below-k
-    degeneration both kmv_distinct and kmv_union share). Determinism:
+    common hashes STRICTLY below θ are the intersection's hashes in
+    that range, and the estimate scales by the inclusion fraction
+    θ/space: estimate = n_common·space/θ. The strict bound keeps the
+    family's (k-1)/kth convention (r16 advice): when θ is a saturated
+    sketch's kth min, the kth value itself is the boundary and is
+    EXCLUDED — so est(A∩A) on a saturated sketch reads (k-1)·space/kth,
+    bit-identical to kmv_distinct(A), with no k/(k-1) upward bias.
+    When neither sketch is saturated θ = space and every 60-bit hash
+    is strictly below it, so the estimate IS the exact intersection
+    count (the exact-below-k degeneration both kmv_distinct and
+    kmv_union share). Determinism:
     n_common/θ are exact BIGINTs; the estimate is one multiply and one
     divide on doubles — exactly rounded, engine-identical (the
     kmv_union arithmetic contract).
@@ -836,7 +842,7 @@ def kmv_intersect(
     )
     common = mins_a.select("hv").join(mins_b.select("hv"), "hv")
     c_agg = (
-        common.join(F.broadcast(stats), F.col("hv") <= F.col("theta"))
+        common.join(F.broadcast(stats), F.col("hv") < F.col("theta"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     est = F.when(
@@ -850,4 +856,73 @@ def kmv_intersect(
         F.col("n_common").cast("bigint").alias("n_common"),
         "theta",
         est.alias("intersection_estimate"),
+    )
+
+
+def kmv_a_not_b(
+    mins_a: DataFrame,
+    mins_b: DataFrame,
+    k: int = 64,
+    hash_bits: int = 60,
+) -> DataFrame:
+    """KMV set-DIFFERENCE estimate (a-not-b) — the third Theta-sketch
+    set operation, completing the serving algebra beside kmv_union and
+    kmv_intersect: distinct keys in A but NOT in B (users who viewed
+    but never clicked) from two O(k) `mins` relations, never a
+    raw-data anti-join over the corpus.
+
+    Same θ-rule and strict bound as kmv_intersect: below
+    θ = min(θ_a, θ_b) BOTH sketches are complete censuses, so A's
+    hashes strictly below θ that are absent from B's mins are exactly
+    the difference's hashes in that range (B complete below θ means
+    absent-from-mins ⟺ absent-from-B there), and the estimate scales
+    by the inclusion fraction: estimate = n_diff·space/θ. With neither
+    sketch saturated θ = space and the estimate IS the exact
+    difference count. The strict bound keeps the family additive:
+    n_common + n_diff counts exactly A's census strictly below θ, so
+    est(A∩B) + est(A\\B) = est(A) bit-identically whenever θ = θ_a
+    (in particular est(A\\A) = 0 and, against an unsaturated B,
+    est(A\\∅) = est(A)). Determinism: n_diff/θ exact BIGINTs, one
+    multiply + one divide on doubles — the family's arithmetic
+    contract.
+
+    Inputs are kmv_mins()/kmv_merge_mins() relations built with the
+    SAME k and hash family (the module's shared 60-bit md5). Output:
+    one row (n_diff, theta, difference_estimate)."""
+    space = 1 << hash_bits
+    sat_a = F.when(
+        F.col("__n_a") >= k, F.col("__kth_a")
+    ).otherwise(F.lit(space))
+    sat_b = F.when(
+        F.col("__n_b") >= k, F.col("__kth_b")
+    ).otherwise(F.lit(space))
+    stats = (
+        mins_a.agg(
+            F.count(F.lit(1)).alias("__n_a"), F.max("hv").alias("__kth_a")
+        )
+        .crossJoin(
+            mins_b.agg(
+                F.count(F.lit(1)).alias("__n_b"), F.max("hv").alias("__kth_b")
+            )
+        )
+        .select(F.least(sat_a, sat_b).cast("bigint").alias("theta"))
+    )
+    only_a = mins_a.select("hv").join(
+        mins_b.select("hv"), "hv", "left_anti"
+    )
+    d_agg = (
+        only_a.join(F.broadcast(stats), F.col("hv") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    est = F.when(
+        F.col("theta") >= F.lit(space), F.col("n_diff").cast("double")
+    ).otherwise(
+        F.col("n_diff").cast("double")
+        * F.lit(float(space))
+        / F.col("theta").cast("double")
+    )
+    return d_agg.crossJoin(stats).select(
+        F.col("n_diff").cast("bigint").alias("n_diff"),
+        "theta",
+        est.alias("difference_estimate"),
     )

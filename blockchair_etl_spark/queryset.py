@@ -4210,8 +4210,11 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "users who BOTH viewed and clicked, from two O(k) mins relations, "
     "never a raw-data join. theta-rule: below theta = min over "
     "saturated sketches' kth mins both sketches are complete censuses, "
-    "so common hashes <= theta are exact and the estimate scales by "
-    "the inclusion fraction theta/2^60; with neither sketch saturated "
+    "so common hashes STRICTLY below theta are exact and the estimate "
+    "scales by the inclusion fraction theta/2^60 — the strict bound "
+    "keeps the family's (k-1)/kth convention, so est(A^A) on a "
+    "saturated sketch equals kmv_distinct(A) (r16 advice fix); with "
+    "neither sketch saturated "
     "the estimate IS the exact intersection count (the exact-below-k "
     "degeneration the whole KMV family shares). n_common/theta exact "
     "BIGINTs; one multiply + one divide on doubles, engine-identical",
@@ -4235,7 +4238,7 @@ WITH hv_view AS (
 ), c AS (
   SELECT COUNT(*) AS n_common
   FROM hv_view a JOIN hv_click b USING (hv) CROSS JOIN st
-  WHERE a.hv <= st.theta
+  WHERE a.hv < st.theta
 )
 SELECT CAST(c.n_common AS BIGINT) AS n_common,
        CAST(st.theta AS BIGINT) AS theta,
@@ -4252,6 +4255,60 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_view = kmv_mins(ev.filter(F.col("event_type") == "view"), "user_id")
     s_click = kmv_mins(ev.filter(F.col("event_type") == "click"), "user_id")
     return kmv_intersect(s_view, s_click, k=64)
+
+
+@register(
+    "sketch_kmv_difference",
+    survey="A2 (sketch set algebra, r17)",
+    desc="KMV set-DIFFERENCE estimate (a-not-b) — the third Theta-"
+    "sketch operation completing the serving algebra beside union and "
+    "intersection: distinct users who viewed but NEVER clicked, from "
+    "two O(k) mins relations, never a corpus-scale anti-join. Below "
+    "theta = min(theta_a, theta_b) both sketches are complete "
+    "censuses, so A-hashes strictly below theta absent from B's mins "
+    "are exactly the difference's hashes there; estimate scales by "
+    "theta/2^60. Strict bound keeps the algebra additive: "
+    "est(A^B) + est(A-B) = est(A) when theta = theta_a. Neither "
+    "saturated -> exact difference count. n_diff/theta exact BIGINTs; "
+    "one multiply + one divide on doubles, engine-identical",
+    oracle="""
+WITH hv_view AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events WHERE event_type = 'view' ORDER BY hv LIMIT 64
+), hv_click AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events WHERE event_type = 'click' ORDER BY hv LIMIT 64
+), sa AS (
+  SELECT COUNT(*) AS n_a, MAX(hv) AS kth_a FROM hv_view
+), sb AS (
+  SELECT COUNT(*) AS n_b, MAX(hv) AS kth_b FROM hv_click
+), st AS (
+  SELECT LEAST(
+           CASE WHEN n_a >= 64 THEN kth_a ELSE 1152921504606846976 END,
+           CASE WHEN n_b >= 64 THEN kth_b ELSE 1152921504606846976 END
+         ) AS theta
+  FROM sa CROSS JOIN sb
+), d AS (
+  SELECT COUNT(*) AS n_diff
+  FROM hv_view a CROSS JOIN st
+  WHERE a.hv < st.theta
+    AND NOT EXISTS (SELECT 1 FROM hv_click b WHERE b.hv = a.hv)
+)
+SELECT CAST(d.n_diff AS BIGINT) AS n_diff,
+       CAST(st.theta AS BIGINT) AS theta,
+       CASE WHEN st.theta >= 1152921504606846976 THEN CAST(d.n_diff AS DOUBLE)
+            ELSE CAST(d.n_diff AS DOUBLE) * 1152921504606846976.0
+                 / CAST(st.theta AS DOUBLE) END AS difference_estimate
+FROM d CROSS JOIN st
+""",
+)
+def sketch_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.approx import kmv_a_not_b, kmv_mins
+
+    ev = load_table(spark, sf_dir, "events")
+    s_view = kmv_mins(ev.filter(F.col("event_type") == "view"), "user_id")
+    s_click = kmv_mins(ev.filter(F.col("event_type") == "click"), "user_id")
+    return kmv_a_not_b(s_view, s_click, k=64)
 
 
 @register(
@@ -8930,6 +8987,15 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trigger is now ONE normal round out — r17 should either hold
 # additions ≤2 or execute retirement step 2 (embedding_quantize_int8's
 # error-audit row to pytest-only) per the documented order below.
+#
+# r17 ACTION: held additions to ONE driver-visible entry —
+# sketch_kmv_difference (a-not-b), completing the Theta-sketch set
+# algebra (union / intersection / difference). Net driver-visible
+# surface: 176 + 1 = 177, still below the ~180 trigger; steady-state
+# staleness ceil(177/50) = 3.6 rounds, inside the ≤4 bound. The
+# 26-entry r13 cohort leads the r17 window automatically under the
+# oldest-first rotation. Retirement step 2 remains the documented next
+# lever when the trigger binds (~r18 at the current addition rate).
 #   2. embedding_quantize_int8's companion ERROR-AUDIT columns are
 #      instrumentation riding an operator row — if a slot is still
 #      needed, split mentality applies: the operator (quantize) is

@@ -1301,6 +1301,15 @@ def test_swap_window_error_matching_is_typed_first(spark, tmp_path):
         raise AssertionError("unresolved column should raise")
     except AnalysisException as exc:
         assert not _is_swap_window_error(exc)
+    # legacy pyspark<3.4 plan-time shape (r16 advice): a CONDITIONLESS
+    # AnalysisException saying 'Path does not exist: ...' — the layout
+    # the import fallback supports — must classify as the swap window,
+    # while the same text on a generic exception stays class-qualified
+    # out.
+    legacy = AnalysisException("Path does not exist: file:/tmp/store/current")
+    if not (legacy.getCondition() if hasattr(legacy, "getCondition") else None):
+        assert _is_swap_window_error(legacy)
+    assert not _is_swap_window_error(Exception("Path does not exist: /x"))
 
 
 def test_kmv_estimate_grouped_input_contract(spark):
@@ -1511,6 +1520,18 @@ def test_kmv_intersect_regimes(spark):
     ).first()
     assert est.intersection_estimate < uni.distinct_estimate
 
+    # algebra self-consistency (r16 advice): est(A^A) on a SATURATED
+    # sketch must equal kmv_distinct(A) exactly — the strict hv < theta
+    # bound excludes the kth min itself, giving the family's
+    # (k-1)*space/kth, not k*space/kth (a k/(k-1) upward bias).
+    from blockchair_etl_spark.operators.approx import kmv_distinct
+
+    a_mins = kmv_mins(a_big, "key", k=256)
+    self_est = kmv_intersect(a_mins, a_mins, k=256).first()
+    direct = kmv_distinct(a_big, "key", k=256).first()
+    assert self_est.n_common == 255  # k-1 strictly below the kth min
+    assert self_est.intersection_estimate == direct.distinct_estimate
+
     # mixed regime: complete A (40 keys), saturated B — theta = B's kth
     mixed = kmv_intersect(
         kmv_mins(seg("c", 40), "key", k=64),
@@ -1519,6 +1540,66 @@ def test_kmv_intersect_regimes(spark):
     ).first()
     kth_b = kmv_mins(b_big, "key", k=64).agg(F.max("hv")).first()[0]
     assert mixed.theta == kth_b
+
+
+def test_kmv_a_not_b_regimes(spark):
+    """KMV a-not-b (the third Theta-sketch operation): exact when both
+    sketches are unsaturated; within ~4/sqrt(k) of truth when
+    saturated; and the strict-theta algebra is ADDITIVE —
+    est(A∩B) + est(A\\B) equals est(A) bit-identically when
+    theta = theta_a (both terms scale counts that partition A's
+    census strictly below its own kth min). Degenerations:
+    est(A\\A) = 0 and est(A\\∅) = est(A)."""
+    from blockchair_etl_spark.operators.approx import (
+        kmv_a_not_b,
+        kmv_distinct,
+        kmv_intersect,
+        kmv_mins,
+    )
+
+    def seg(prefix, n):
+        return spark.range(n).selectExpr(f"concat('{prefix}', id) AS key")
+
+    # exact regime: |A|=30 (10 shared + 20 own), |B|=25 -> |A\B| = 20
+    a_small = seg("x", 10).unionByName(seg("z", 20))
+    b_small = seg("x", 10).unionByName(seg("y", 15))
+    got = kmv_a_not_b(
+        kmv_mins(a_small, "key"), kmv_mins(b_small, "key"), k=64
+    ).first()
+    assert got.n_diff == 20 and got.difference_estimate == 20.0
+    assert got.theta == 1 << 60
+
+    # saturated regime: |A|=5000 with 3000 exclusive, |B|=5000
+    a_big = seg("a", 3000).unionByName(seg("c", 2000))
+    b_big = seg("b", 3000).unionByName(seg("c", 2000))
+    ma = kmv_mins(a_big, "key", k=256)
+    mb = kmv_mins(b_big, "key", k=256)
+    est = kmv_a_not_b(ma, mb, k=256).first()
+    assert est.theta < (1 << 60)
+    assert abs(est.difference_estimate - 3000) / 3000 < 4 / (256 ** 0.5)
+
+    # additivity (strict-theta law): est(A^B) + est(A\B) == est(A)
+    # exactly when theta comes from A's kth min. Here |A|=|B| with the
+    # same hash family, so theta = min(kth_a, kth_b); restrict to the
+    # self case to pin theta = theta_a deterministically.
+    inter_self = kmv_intersect(ma, ma, k=256).first()
+    diff_self = kmv_a_not_b(ma, ma, k=256).first()
+    direct = kmv_distinct(a_big, "key", k=256).first()
+    assert diff_self.n_diff == 0 and diff_self.difference_estimate == 0.0
+    assert (
+        inter_self.intersection_estimate + diff_self.difference_estimate
+        == direct.distinct_estimate
+    )
+    # and against an unsaturated (complete, tiny) B: theta = theta_a,
+    # the partition law holds with a nonempty intersection
+    mb_small = kmv_mins(seg("c", 40), "key", k=256)
+    inter_ab = kmv_intersect(ma, mb_small, k=256).first()
+    diff_ab = kmv_a_not_b(ma, mb_small, k=256).first()
+    assert inter_ab.theta == diff_ab.theta
+    assert (
+        inter_ab.intersection_estimate + diff_ab.difference_estimate
+        == direct.distinct_estimate
+    )
 
 
 def test_hll_registers_plan_shape(spark):

@@ -877,3 +877,82 @@ def test_ann_index_store_flatten_retention_roundtrip(spark, tmp_path):
     assert batch_store_retention(store, keep_last=2) == ["batch_id=0"]
     assert {r.vec_id for r in spark.read.parquet(store).collect()} == keep_ids
     assert spark.read.parquet(flat_dir).count() == n
+
+
+def test_winnowing_store_flatten_retention_roundtrip(spark, tmp_path):
+    """Store maintenance over the WINNOWING fingerprint store (r16
+    verdict #3): a batch_id-partitioned store built by the real
+    winnowing stream processor survives flatten + retention. The
+    store's load-bearing denormalization — n_fp on every fingerprint
+    row, which is what lets the cross probe compute Jaccard
+    denominators without a store-wide per-doc aggregation — must
+    survive compaction bit-exactly, and a post-flatten cross probe
+    must return identical pairs to the partitioned store."""
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.io.sinks import (
+        batch_store_retention,
+        flatten_batch_store,
+    )
+    from blockchair_etl_spark.io.sources import load_table
+    from blockchair_etl_spark.llmdata.text import (
+        winnowing_cross_pairs,
+        winnowing_fingerprint_store,
+    )
+    from blockchair_etl_spark.streaming.dedup_stream import (
+        make_winnowing_batch_processor,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store = str(tmp_path / "win_store")
+    pairs_dir = str(tmp_path / "win_pairs")
+    proc = make_winnowing_batch_processor(store, pairs_dir, exactly_once=True)
+    for i in range(3):
+        proc(docs.filter(F.col("doc_id") % 3 == i), i)
+
+    # layout: same batch_id partitioning as the sibling stores, with
+    # the winnowing-specific denormalized n_fp column
+    full = spark.read.parquet(store)
+    assert set(full.columns) == {"doc", "fp", "n_fp", "batch_id"}
+
+    flat_dir = str(tmp_path / "win_flat")
+    n = flatten_batch_store(spark, store, flat_dir, n_files=2)
+    flat = spark.read.parquet(flat_dir)
+    assert n == full.count()
+    assert set(flat.columns) == {"doc", "fp", "n_fp"}
+
+    # the denormalized n_fp survives compaction bit-exactly: on every
+    # flattened row it equals a recount of that doc's fingerprint rows
+    recount = flat.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("n_fp").alias("__lo"),
+        F.max("n_fp").alias("__hi"),
+    )
+    assert (
+        recount.filter(
+            (F.col("__n") != F.col("__lo")) | (F.col("__lo") != F.col("__hi"))
+        ).count()
+        == 0
+    )
+
+    # probe parity after compaction: winnowing_cross_pairs against the
+    # flattened store returns exactly the pairs the partitioned store
+    # returns (jaccard is a deterministic bigint/bigint division, so
+    # exact comparison is legitimate)
+    probe = winnowing_fingerprint_store(docs.filter(F.col("doc_id") % 7 == 0))
+    got = {
+        (r.id_a, r.id_b, r.n_shared, r.jaccard)
+        for r in winnowing_cross_pairs(probe, flat).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.n_shared, r.jaccard)
+        for r in winnowing_cross_pairs(probe, full.drop("batch_id")).collect()
+    }
+    assert got == want and got
+
+    # retention drops the oldest batch; the flattened copy (taken
+    # before the sweep) still holds the full index
+    keep = {(r.doc, r.fp) for r in full.filter(F.col("batch_id") >= 1).collect()}
+    assert batch_store_retention(store, keep_last=2) == ["batch_id=0"]
+    assert {(r.doc, r.fp) for r in spark.read.parquet(store).collect()} == keep
+    assert spark.read.parquet(flat_dir).count() == n
