@@ -429,6 +429,28 @@ sample_kcenter_coreset reads 1.35 s in-sweep (5.6 s in the r13 sweep)
 — the incremental-fold reshape holding under sweep conditions. No
 regression candidates.
 
+r17 MOVER TRIAGE of the seven r15→r16 record movers (r16 verdict #2,
+the established protocol): the sched-normalized --compare of the
+committed records (canary_ratio 1.155, sched_ratio 1.265) leaves only
+TWO entries above the 1.25 band — sketch_histogram_quantiles
+(normalized 1.392 but Δ=0.16 s absolute, below the 0.5 s A/B
+threshold; sched_normalized 1.271, marginal) and media_dedup_survivors
+(normalized 1.289, sched_normalized 1.177 — i.e. INSIDE the band under
+sched normalization; Δ=+1.04 s). The other five verdict-listed movers
+(ann_ivfpq_incremental, dedup_bow_cosine_zipf, corpus_prep_v4/v5,
+dedup_incremental_clusters, dedup_connected_clusters) normalize into
+the band: box variance. media_dedup_survivors got the full isolated
+treatment on one box (sched canary 1.77–2.31, the r16-record-class
+box): CURRENT code median 3.409 s (13.03 warmup/3.41/3.51/3.01/3.15)
+vs the R15 CODE run from a git worktree on the SAME box median
+3.466 s — r15 code is NOT faster, and the optimized plans of the
+uncapped simhash_near_pairs AND simhash_cross_pairs paths are
+structurally IDENTICAL r15-vs-r17 (23 nodes, expression-id-stripped
+diff empty), proving the max_bucket=None fast path adds zero plan
+nodes (r16 verdict's specific ask). Attribution: the +1.04 s is
+entirely box variance on the documented persist+CC/sched-sensitive
+class; zero code regression.
+
 r16 BASELINE PIN for the two winnowing entries (r15 verdict #4 — no
 record history before this round): isolated canary-bracketed 5-run
 A/B on a neutral box (canary 0.969/0.598 — the pre reading is the
