@@ -712,6 +712,9 @@ HEADLINE = [
     # round-16: KMV set-intersection (the Theta-sketch algebra beside
     # sketch_kmv_union — two O(k) mins relations, one hv equi-join)
     "sketch_kmv_intersection",
+    # round-17: KMV a-not-b completes the Theta algebra (strict-theta
+    # anti-join form; same two O(k) mins relations, one hv anti-join)
+    "sketch_kmv_difference",
 ]
 
 

@@ -139,6 +139,10 @@ FAMILY = [
     # distinct-hash set (copies add occurrences, not users), so alpha
     # reads the distinct shuffle, the sketch_kmv_grouped scale story
     "sketch_kmv_intersection",
+    # round-17: a-not-b — the anti-join sibling of the intersection;
+    # same copy-scaling saturation story (copies add occurrences, not
+    # distinct users), alpha reads the distinct-hash shuffle
+    "sketch_kmv_difference",
     # round-15: grouped CMS — cell-bounded state per group; the scale
     # story is the (g, row, col) hash-agg's partial aggregation keeping
     # the exchange at O(groups x depth x width) regardless of stream

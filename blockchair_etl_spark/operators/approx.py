@@ -512,6 +512,7 @@ def histogram_quantiles(
     group_col: str,
     quantile_pcts: tuple[int, ...] = (50, 90, 99),
     bin_scale: int = 8,
+    value_range: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Quantiles from a fixed-bin histogram sketch — the mergeable,
     DETERMINISTIC alternative to percentile_approx (whose GK sketch is
@@ -529,8 +530,12 @@ def histogram_quantiles(
     Rank thresholds use pure integer arithmetic ((n·pct + 99) div 100),
     no float rounding at the decision boundary.
 
+    ``value_range`` forwards to histogram_bins' range contract (see
+    there): declared bounds turn production value drift into a loud
+    in-plan failure instead of unbounded cell state.
+
     Output: (group, n, p<pct> DOUBLE per requested percentile)."""
-    bins = histogram_bins(df, value_col, group_col, bin_scale)
+    bins = histogram_bins(df, value_col, group_col, bin_scale, value_range)
     return histogram_quantiles_from_bins(
         bins, group_col, quantile_pcts, bin_scale
     )
@@ -541,14 +546,52 @@ def histogram_bins(
     value_col: str,
     group_col: str,
     bin_scale: int = 8,
+    value_range: tuple[float, float] | None = None,
 ) -> DataFrame:
     """The sketch half of histogram_quantiles: the (g, bin, cnt) cell
     relation. Exposed separately because this is the MERGEABLE state —
     two sketches merge by summing cnt per (g, bin), which is what the
     streaming maintainer (streaming.incremental.make_histogram_updater)
-    persists and cell-merges per trigger."""
+    persists and cell-merges per trigger.
+
+    ``value_range`` is the RANGE CONTRACT (r16 verdict stretch #7):
+    the fixed-bin sketch's state bound is O(groups × range × scale) —
+    it holds only while production values stay inside the scale the
+    bins were sized for. When the contract is declared, a value outside
+    [lo, hi] raises IN-PLAN with the offending value in the message
+    (the winnowing ≥1e9-guard pattern: one O(1)-per-row when-branch on
+    the already-cast double, never a separate validation scan), so a
+    silent range drift becomes a loud ingest-time failure instead of an
+    unbounded cell store and a degraded quantile read. NULLs pass
+    through unchanged (null comparisons fall to the otherwise branch).
+    The rangeless alternative for genuinely unbounded domains is a
+    rank-based sketch (KLL-style) — documented, not implemented: its
+    randomized compaction cannot be made bit-portable across engines
+    under this module's oracle contract without a seeded determinism
+    story the fixed-bin form doesn't need."""
     g = F.col(group_col)
-    b = F.floor(F.col(value_col).cast("double") * bin_scale).cast("bigint")
+    v = F.col(value_col).cast("double")
+    if value_range is not None:
+        lo, hi = float(value_range[0]), float(value_range[1])
+        v = F.when(
+            (v < F.lit(lo)) | (v > F.lit(hi)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"histogram_bins: value outside the declared "
+                        f"range contract [{lo}, {hi}] for column "
+                        f"'{value_col}' (got "
+                    ),
+                    v.cast("string"),
+                    F.lit(
+                        "): production value drift breaks the "
+                        "fixed-bin state bound — widen the contract "
+                        "or re-bin the store"
+                    ),
+                )
+            ).cast("double"),
+        ).otherwise(v)
+    b = F.floor(v * bin_scale).cast("bigint")
     return (
         df.select(g.alias("g"), b.alias("bin"))
         .groupBy("g", "bin")
@@ -665,6 +708,59 @@ def hll_merge(sketches: list[DataFrame]) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("bucket").agg(F.max("r").alias("r"))
+
+
+def hll_corrected_estimate(row) -> float:
+    """SERVING-SIDE readout of one hll_estimate / hll_estimate_grouped
+    row: applies the Flajolet small-range correction m·ln(m/V) (linear
+    counting) when the row's regime flag says so, else returns the raw
+    estimate. libm ln stays OUT of hash-compared engine columns (the
+    bit-portability contract) — this is the documented driver/dashboard
+    step that consumes the emitted (m, zero_registers, raw_estimate,
+    use_linear_counting) sufficient statistics."""
+    import math
+
+    if row.use_linear_counting:
+        return row.m * math.log(row.m / row.zero_registers)
+    return row.raw_estimate
+
+
+def hll_intersect_estimate(
+    reg_a: DataFrame, reg_b: DataFrame, p: int = HLL_P
+) -> dict:
+    """Serving-side HLL set-INTERSECTION estimate by inclusion-
+    exclusion over live register stores: |A∩B| ≈ est(A) + est(B) −
+    est(A∪B), with the union sketch from the idempotent register-wise
+    max merge (hll_merge) — three O(2^p) readouts, never a raw-data
+    join, the dashboard composition over the same stores the streaming
+    maintainers keep live (r16 verdict stretch #6).
+
+    ERROR CAVEAT vs the KMV θ-based estimate (kmv_intersect): each of
+    the three HLL readouts carries ~1.04/√m relative error of ITS OWN
+    cardinality, so the ABSOLUTE error of the difference scales with
+    |A∪B| — for a small intersection of large sets the relative error
+    is amplified by ~|A∪B|/|A∩B| and can exceed 100% (the estimate is
+    clamped at 0). kmv_intersect's error scales with the intersection
+    itself (hashes are sampled uniformly below θ), so prefer it when
+    the intersection may be small relative to the union; use this form
+    when only HLL register stores are live. Exact degenerations the
+    algebra preserves: est(A∩A) = est(A) bit-identically (max-merge
+    idempotence makes est(A∪A) = est(A)), and disjoint saturated sets
+    read near 0.
+
+    Returns a dict (est_a, est_b, est_union, intersection_estimate),
+    each after the serving-side linear-counting correction."""
+    ea = hll_corrected_estimate(hll_estimate(reg_a, p).first())
+    eb = hll_corrected_estimate(hll_estimate(reg_b, p).first())
+    eu = hll_corrected_estimate(
+        hll_estimate(hll_merge([reg_a, reg_b]), p).first()
+    )
+    return {
+        "est_a": ea,
+        "est_b": eb,
+        "est_union": eu,
+        "intersection_estimate": max(0.0, ea + eb - eu),
+    }
 
 
 def _hll_constant(p: int) -> float:
@@ -925,4 +1021,68 @@ def kmv_a_not_b(
         F.col("n_diff").cast("bigint").alias("n_diff"),
         "theta",
         est.alias("difference_estimate"),
+    )
+
+
+def kmv_jaccard(
+    mins_a: DataFrame,
+    mins_b: DataFrame,
+    k: int = 64,
+    hash_bits: int = 60,
+) -> DataFrame:
+    """KMV Jaccard-similarity estimate — the serving-side ratio the
+    Theta-sketch algebra makes exact-by-construction: below
+    θ = min(θ_a, θ_b) both sketches are complete censuses, so
+    J = |A∩B|/|A∪B| restricted to hashes strictly below θ is a ratio
+    of two EXACT integer counts over a uniform hash sample of the
+    key space — n_common/n_union, no inclusion scaling needed (the
+    θ/space factor cancels). With neither sketch saturated the ratio
+    IS the exact Jaccard. Same strict bound as
+    kmv_intersect/kmv_a_not_b, so the three stay mutually consistent:
+    n_union = n_common + n_diff(A,B) + n_diff(B,A) on the same θ.
+    Empty-union degeneration returns jaccard = NULL (0/0 is undefined,
+    not 0 — the caller decides). Output: one row (n_common, n_union,
+    theta, jaccard_estimate); determinism is one exactly-rounded
+    BIGINT/BIGINT double division."""
+    space = 1 << hash_bits
+    sat_a = F.when(
+        F.col("__n_a") >= k, F.col("__kth_a")
+    ).otherwise(F.lit(space))
+    sat_b = F.when(
+        F.col("__n_b") >= k, F.col("__kth_b")
+    ).otherwise(F.lit(space))
+    stats = (
+        mins_a.agg(
+            F.count(F.lit(1)).alias("__n_a"), F.max("hv").alias("__kth_a")
+        )
+        .crossJoin(
+            mins_b.agg(
+                F.count(F.lit(1)).alias("__n_b"), F.max("hv").alias("__kth_b")
+            )
+        )
+        .select(F.least(sat_a, sat_b).cast("bigint").alias("theta"))
+    )
+    union_hv = mins_a.select("hv").unionByName(mins_b.select("hv")).distinct()
+    common_hv = mins_a.select("hv").join(mins_b.select("hv"), "hv")
+    u_agg = (
+        union_hv.join(F.broadcast(stats), F.col("hv") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_union"))
+    )
+    c_agg = (
+        common_hv.join(F.broadcast(stats), F.col("hv") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        c_agg.crossJoin(u_agg)
+        .crossJoin(stats)
+        .select(
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("n_union").cast("bigint").alias("n_union"),
+            "theta",
+            F.when(
+                F.col("n_union") > 0,
+                F.col("n_common").cast("double")
+                / F.col("n_union").cast("double"),
+            ).alias("jaccard_estimate"),
+        )
     )

@@ -682,6 +682,7 @@ def make_histogram_updater(
     value_col: str = "value",
     group_col: str = "event_type",
     bin_scale: int = 8,
+    value_range: "tuple[float, float] | None" = None,
 ):
     """foreachBatch body maintaining a fixed-bin histogram-quantile
     sketch store — the third continuously-maintained sketch beside CMS
@@ -699,7 +700,12 @@ def make_histogram_updater(
     watermark (exact-last replay skipped, below-watermark raises,
     batch-seeded watermark-less stores accepted), crash-window recovery
     via recover_swapped_store. Like CMS (and unlike KMV), a re-merge
-    DOUBLE-COUNTS, so the watermark is load-bearing here."""
+    DOUBLE-COUNTS, so the watermark is load-bearing here.
+
+    ``value_range`` forwards to histogram_bins' range contract: a
+    drifting production value fails the micro-batch loudly in-plan
+    instead of silently inflating the cell store past the state bound
+    the scale was sized for (r16 verdict stretch #7)."""
     import os
 
     from ..io.sinks import atomic_swap_store, recover_swapped_store
@@ -707,7 +713,9 @@ def make_histogram_updater(
 
     def _update(batch_df: DataFrame, batch_id: int) -> None:
         recover_swapped_store(store_dir)
-        batch_bins = histogram_bins(batch_df, value_col, group_col, bin_scale)
+        batch_bins = histogram_bins(
+            batch_df, value_col, group_col, bin_scale, value_range
+        )
         if os.path.exists(store_dir):
             prior = batch_df.sparkSession.read.parquet(store_dir)
             last = None
@@ -744,13 +752,16 @@ def stream_histogram_maintain(
     value_col: str = "value",
     group_col: str = "event_type",
     bin_scale: int = 8,
+    value_range: "tuple[float, float] | None" = None,
 ) -> "StreamingQuery":
     """Continuously maintained histogram-quantile sketch — always-on
     per-group quantile tracking with bounded state; the streaming form
     of operators.approx.histogram_quantiles via the cell-merge
     contract."""
     stream = spark.readStream.schema(schema).parquet(events_dir)
-    _update = make_histogram_updater(store_dir, value_col, group_col, bin_scale)
+    _update = make_histogram_updater(
+        store_dir, value_col, group_col, bin_scale, value_range
+    )
     return (
         stream.writeStream.foreachBatch(_update)
         .option("checkpointLocation", checkpoint_dir)

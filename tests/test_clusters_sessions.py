@@ -1602,6 +1602,166 @@ def test_kmv_a_not_b_regimes(spark):
     )
 
 
+def test_kmv_jaccard_regimes_and_algebra_consistency(spark):
+    """kmv_jaccard (the serving-side ratio of the Theta algebra):
+    exact when both sketches are unsaturated; the θ/space inclusion
+    factor cancels so the saturated form is a ratio of two exact
+    counts over the below-θ hash sample. The strict-θ convention makes
+    the three operations mutually consistent on the same inputs:
+    n_union = n_common + n_diff(A,B) + n_diff(B,A). Degenerations:
+    J(A,A) = 1.0 exactly, disjoint = 0.0."""
+    from blockchair_etl_spark.operators.approx import (
+        kmv_a_not_b,
+        kmv_intersect,
+        kmv_jaccard,
+        kmv_mins,
+    )
+
+    def seg(prefix, n):
+        return spark.range(n).selectExpr(f"concat('{prefix}', id) AS key")
+
+    # exact regime: |A∩B|=10, |A∪B|=45 -> J = 10/45
+    a_small = seg("x", 10).unionByName(seg("z", 20))
+    b_small = seg("x", 10).unionByName(seg("y", 15))
+    got = kmv_jaccard(
+        kmv_mins(a_small, "key"), kmv_mins(b_small, "key"), k=64
+    ).first()
+    assert (got.n_common, got.n_union) == (10, 45)
+    assert got.jaccard_estimate == 10.0 / 45.0
+
+    # saturated regime: true J = 2000/8000 = 0.25
+    a_big = seg("a", 3000).unionByName(seg("c", 2000))
+    b_big = seg("b", 3000).unionByName(seg("c", 2000))
+    ma = kmv_mins(a_big, "key", k=256)
+    mb = kmv_mins(b_big, "key", k=256)
+    j = kmv_jaccard(ma, mb, k=256).first()
+    assert j.theta < (1 << 60)
+    assert abs(j.jaccard_estimate - 0.25) < 4 / (256 ** 0.5)
+
+    # mutual consistency on the SAME theta: the below-theta union
+    # census partitions into common + a-only + b-only
+    n_ab = kmv_a_not_b(ma, mb, k=256).first().n_diff
+    n_ba = kmv_a_not_b(mb, ma, k=256).first().n_diff
+    n_c = kmv_intersect(ma, mb, k=256).first().n_common
+    assert j.n_union == n_c + n_ab + n_ba
+    assert j.n_common == n_c
+
+    # degenerations
+    assert kmv_jaccard(ma, ma, k=256).first().jaccard_estimate == 1.0
+    dis = kmv_jaccard(
+        kmv_mins(seg("a", 3000), "key", k=256),
+        kmv_mins(seg("b", 3000), "key", k=256),
+        k=256,
+    ).first()
+    assert dis.jaccard_estimate == 0.0
+
+
+def test_histogram_range_contract(spark):
+    """r16 verdict stretch #7: the fixed-bin histogram sketch's state
+    bound is O(groups × range × scale) and silently breaks if the
+    production value range drifts past the scale the bins were sized
+    for. With a declared value_range contract: (a) in-range data binds
+    identically to the contract-less form — the guard is a pure
+    when-branch, zero behavior change; (b) an out-of-range value fails
+    the job LOUDLY in-plan with the offending value in the message;
+    (c) NULLs still pass through (null comparisons fall to the
+    otherwise branch, the pre-contract semantics)."""
+    import pytest
+
+    from blockchair_etl_spark.operators.approx import (
+        histogram_bins,
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.25), ("b", 0.0), ("b", 100.0), ("a", None)],
+        "g string, value double",
+    )
+    def cells(b):
+        return sorted(
+            map(tuple, b.collect()),
+            key=lambda t: (t[0], t[1] is None, t[1]),
+        )
+
+    free = cells(histogram_bins(df, "value", "g"))
+    bound = cells(
+        histogram_bins(df, "value", "g", value_range=(0.0, 100.0))
+    )
+    assert free == bound  # in-range: bit-identical cells, NULLs kept
+
+    drifted = df.unionByName(
+        spark.createDataFrame([("a", 1.0e12)], "g string, value double")
+    )
+    with pytest.raises(Exception, match="range contract"):
+        histogram_bins(
+            drifted, "value", "g", value_range=(0.0, 100.0)
+        ).collect()
+    # the composed quantile read enforces the same contract
+    with pytest.raises(Exception, match="range contract"):
+        histogram_quantiles(
+            drifted, "value", "g", value_range=(0.0, 100.0)
+        ).collect()
+    # and without a declared contract the drift stays silent — the
+    # documented reason to declare one in production
+    assert histogram_bins(drifted, "value", "g").count() == len(free) + 1
+
+
+def test_hll_intersect_estimate_inclusion_exclusion(spark):
+    """r16 verdict stretch #6: serving-side HLL set-intersection by
+    inclusion-exclusion over the live register stores — |A∩B| ≈
+    est(A)+est(B)−est(A∪B) with the union from the idempotent
+    register-wise max merge. Exact degeneration: est(A∩A) = est(A)
+    bit-identically (merge idempotence). The documented error caveat
+    vs the KMV θ-based estimate: each readout errs ~1.04/√m of its OWN
+    cardinality, so the difference's absolute error scales with |A∪B|
+    — wider than kmv_intersect's intersection-scaled error on the same
+    segments."""
+    import math
+
+    from blockchair_etl_spark.operators.approx import (
+        hll_corrected_estimate,
+        hll_estimate,
+        hll_intersect_estimate,
+        hll_registers,
+        kmv_intersect,
+        kmv_mins,
+    )
+
+    def seg(prefix, n):
+        return spark.range(n).selectExpr(f"concat('{prefix}', id) AS key")
+
+    a = seg("a", 3000).unionByName(seg("c", 2000))
+    b = seg("b", 3000).unionByName(seg("c", 2000))
+    ra, rb = hll_registers(a, "key"), hll_registers(b, "key")
+    got = hll_intersect_estimate(ra, rb)
+    m, sigma = 1024, 1.04 / math.sqrt(1024)
+    assert abs(got["est_union"] - 8000) < 4 * sigma * 8000
+    # inclusion-exclusion tolerance: three ~independent readouts, the
+    # union term dominating — conservative 4·σ·√3·|A∪B| absolute band
+    assert abs(got["intersection_estimate"] - 2000) < 4 * sigma * math.sqrt(3) * 8000
+
+    # exact degeneration via merge idempotence: est(A∩A) == est(A)
+    self_got = hll_intersect_estimate(ra, ra)
+    ea = hll_corrected_estimate(hll_estimate(ra).first())
+    assert self_got["est_union"] == ea
+    assert self_got["intersection_estimate"] == ea
+
+    # disjoint segments: clamped at zero, never negative
+    d = hll_intersect_estimate(
+        hll_registers(seg("a", 3000), "key"),
+        hll_registers(seg("b", 3000), "key"),
+    )
+    assert 0.0 <= d["intersection_estimate"] < 4 * sigma * math.sqrt(3) * 6000
+
+    # the caveat, measured on the same segments: the KMV θ-based
+    # estimate stays inside ITS intersection-scaled band (4/√k of
+    # |A∩B|), which is the tighter contract for small intersections
+    kmv = kmv_intersect(
+        kmv_mins(a, "key", k=256), kmv_mins(b, "key", k=256), k=256
+    ).first()
+    assert abs(kmv.intersection_estimate - 2000) / 2000 < 4 / (256 ** 0.5)
+
+
 def test_hll_registers_plan_shape(spark):
     """Plan gate: the register build is ONE map-side-combined hash
     aggregation — exactly one exchange, keyed on bucket, with a partial
