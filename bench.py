@@ -715,6 +715,10 @@ HEADLINE = [
     # round-17: KMV a-not-b completes the Theta algebra (strict-theta
     # anti-join form; same two O(k) mins relations, one hv anti-join)
     "sketch_kmv_difference",
+    # round-17: the per-dimension Theta algebra — one O(groups x k)
+    # pass over two grouped mins relations serving intersection, both
+    # differences, and Jaccard per group (viewers vs clickers per day)
+    "sketch_kmv_grouped_algebra",
 ]
 
 

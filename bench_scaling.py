@@ -143,6 +143,10 @@ FAMILY = [
     # same copy-scaling saturation story (copies add occurrences, not
     # distinct users), alpha reads the distinct-hash shuffle
     "sketch_kmv_difference",
+    # round-17: the grouped algebra — per-day grouped mins (the
+    # sketch_kmv_grouped two-level cut) feeding the O(groups x k)
+    # stats pass; same saturation story per group
+    "sketch_kmv_grouped_algebra",
     # round-15: grouped CMS — cell-bounded state per group; the scale
     # story is the (g, row, col) hash-agg's partial aggregation keeping
     # the exchange at O(groups x depth x width) regardless of stream

@@ -1024,6 +1024,124 @@ def kmv_a_not_b(
     )
 
 
+def kmv_set_stats_grouped(
+    mins_a: DataFrame,
+    mins_b: DataFrame,
+    k: int = 64,
+    hash_bits: int = 60,
+) -> DataFrame:
+    """Per-GROUP Theta-sketch set algebra — ONE O(groups × k) pass
+    over two grouped `mins` relations (kmv_mins_grouped or the grouped
+    streaming store) serving ALL the set reads per group: intersection,
+    both a-not-b differences, and the Jaccard ratio. The dashboard's
+    per-dimension segment-overlap primitive (viewers ∩ clickers per
+    day) without a raw-data join: state in, state out.
+
+    Per group, θ = min over the two sides' saturated kth mins (an
+    UNSATURATED or ABSENT side is a complete census, θ = hash space —
+    so a group present in only one relation reads intersection 0 and
+    difference = that side's exact census, never a null). Below its θ
+    each group's strict census partitions exactly into common + a-only
+    + b-only (the flat algebra's additivity law, now per group), and
+    each estimate scales by the inclusion fraction θ/space; the
+    Jaccard ratio needs no scaling (the factor cancels). All counts
+    are exact BIGINTs; each estimate is one multiply + one divide on
+    doubles — the family's engine-identical arithmetic contract, and
+    every law the flat ops obey (strict-θ self-consistency,
+    exact-below-k degeneration) holds group-wise.
+
+    Scale shape: two O(groups) aggregates over O(groups × k) rows,
+    (g, hv)-keyed joins for the common/only splits, one broadcastable
+    stats relation — no raw-data scan, no per-group window. Inputs
+    must share k and the module's 60-bit md5 hash family. Output: one
+    row per group present in EITHER relation — (g, theta, n_common,
+    n_only_a, n_only_b, intersection_estimate, a_not_b_estimate,
+    b_not_a_estimate, jaccard_estimate)."""
+    space = 1 << hash_bits
+
+    def side_stats(mins, n_name, kth_name):
+        return mins.groupBy("g").agg(
+            F.count(F.lit(1)).alias(n_name), F.max("hv").alias(kth_name)
+        )
+
+    sa = side_stats(mins_a, "__n_a", "__kth_a")
+    sb = side_stats(mins_b, "__n_b", "__kth_b")
+    theta_a = F.when(
+        F.coalesce(F.col("__n_a"), F.lit(0)) >= k, F.col("__kth_a")
+    ).otherwise(F.lit(space))
+    theta_b = F.when(
+        F.coalesce(F.col("__n_b"), F.lit(0)) >= k, F.col("__kth_b")
+    ).otherwise(F.lit(space))
+    stats = sa.join(sb, "g", "full_outer").select(
+        "g", F.least(theta_a, theta_b).cast("bigint").alias("theta")
+    )
+
+    # ONE full-outer (g, hv) join + ONE aggregation splits the below-θ
+    # census into common / a-only / b-only simultaneously — membership
+    # flags survive the join as non-null markers, so three joins and
+    # three agg rounds collapse into a single pass over the O(groups×k)
+    # state (the base cost of this operator is tiny-stage overhead,
+    # not data).
+    a_tag = mins_a.select("g", "hv", F.lit(True).alias("__in_a"))
+    b_tag = mins_b.select("g", "hv", F.lit(True).alias("__in_b"))
+    counted = (
+        a_tag.join(b_tag, ["g", "hv"], "full_outer")
+        .join(F.broadcast(stats), "g")
+        .filter(F.col("hv") < F.col("theta"))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__in_a").isNotNull() & F.col("__in_b").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_common"),
+            F.sum(
+                F.when(
+                    F.col("__in_a").isNotNull() & F.col("__in_b").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_only_a"),
+            F.sum(
+                F.when(
+                    F.col("__in_b").isNotNull() & F.col("__in_a").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_only_b"),
+        )
+    )
+    out = stats.join(counted, "g", "left").select(
+        "g",
+        "theta",
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias("n_common"),
+        F.coalesce(F.col("n_only_a"), F.lit(0)).cast("bigint").alias("n_only_a"),
+        F.coalesce(F.col("n_only_b"), F.lit(0)).cast("bigint").alias("n_only_b"),
+    )
+
+    def scaled(n_col):
+        return F.when(
+            F.col("theta") >= F.lit(space), F.col(n_col).cast("double")
+        ).otherwise(
+            F.col(n_col).cast("double")
+            * F.lit(float(space))
+            / F.col("theta").cast("double")
+        )
+
+    n_union = F.col("n_common") + F.col("n_only_a") + F.col("n_only_b")
+    return out.select(
+        "g",
+        "theta",
+        "n_common",
+        "n_only_a",
+        "n_only_b",
+        scaled("n_common").alias("intersection_estimate"),
+        scaled("n_only_a").alias("a_not_b_estimate"),
+        scaled("n_only_b").alias("b_not_a_estimate"),
+        F.when(
+            n_union > 0,
+            F.col("n_common").cast("double") / n_union.cast("double"),
+        ).alias("jaccard_estimate"),
+    )
+
+
 def kmv_jaccard(
     mins_a: DataFrame,
     mins_b: DataFrame,

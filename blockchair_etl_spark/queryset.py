@@ -4312,6 +4312,107 @@ def sketch_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_kmv_grouped_algebra",
+    survey="A2 (sketch set algebra, per-dimension, r17)",
+    desc="per-GROUP Theta-sketch set algebra: viewers vs clickers per "
+    "DAY — intersection, both differences, and the Jaccard ratio of "
+    "the two segments' user sets for every day, from two grouped O(k) "
+    "mins relations in ONE O(groups x k) pass, never a raw-data join. "
+    "Per group theta = min over saturated kth mins (absent/unsaturated "
+    "side = complete census, theta = 2^60, so one-sided days read "
+    "exact counts, not nulls); below its theta each group's strict "
+    "census partitions exactly into common + a-only + b-only (the "
+    "flat additivity law, group-wise) and estimates scale by "
+    "theta/2^60; the Jaccard ratio needs no scaling. Counts exact "
+    "BIGINTs, one multiply + one divide per estimate — the family's "
+    "engine-identical arithmetic; grouped mins from the two-level "
+    "salted min-k cut (lossless, oracle computes the direct form)",
+    oracle="""
+WITH base AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS g,
+         event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+ha AS (SELECT DISTINCT g, hv FROM base WHERE event_type = 'view'),
+hb AS (SELECT DISTINCT g, hv FROM base WHERE event_type = 'click'),
+ma AS (SELECT g, hv FROM (SELECT g, hv,
+        ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv ASC) AS rn FROM ha)
+       WHERE rn <= 32),
+mb AS (SELECT g, hv FROM (SELECT g, hv,
+        ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv ASC) AS rn FROM hb)
+       WHERE rn <= 32),
+sa AS (SELECT g, COUNT(*) AS n_a, MAX(hv) AS kth_a FROM ma GROUP BY g),
+sb AS (SELECT g, COUNT(*) AS n_b, MAX(hv) AS kth_b FROM mb GROUP BY g),
+st AS (
+  SELECT COALESCE(sa.g, sb.g) AS g,
+         LEAST(
+           CASE WHEN COALESCE(n_a, 0) >= 32 THEN kth_a
+                ELSE 1152921504606846976 END,
+           CASE WHEN COALESCE(n_b, 0) >= 32 THEN kth_b
+                ELSE 1152921504606846976 END
+         ) AS theta
+  FROM sa FULL OUTER JOIN sb ON sa.g = sb.g
+),
+c AS (SELECT ma.g, COUNT(*) AS n FROM ma
+      JOIN mb ON mb.g = ma.g AND mb.hv = ma.hv
+      JOIN st ON st.g = ma.g WHERE ma.hv < st.theta GROUP BY ma.g),
+oa AS (SELECT ma.g, COUNT(*) AS n FROM ma JOIN st ON st.g = ma.g
+       WHERE ma.hv < st.theta
+         AND NOT EXISTS (SELECT 1 FROM mb
+                         WHERE mb.g = ma.g AND mb.hv = ma.hv)
+       GROUP BY ma.g),
+ob AS (SELECT mb.g, COUNT(*) AS n FROM mb JOIN st ON st.g = mb.g
+       WHERE mb.hv < st.theta
+         AND NOT EXISTS (SELECT 1 FROM ma
+                         WHERE ma.g = mb.g AND ma.hv = mb.hv)
+       GROUP BY mb.g)
+SELECT st.g AS day,
+       st.theta AS theta,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(oa.n, 0) AS BIGINT) AS n_only_a,
+       CAST(COALESCE(ob.n, 0) AS BIGINT) AS n_only_b,
+       CASE WHEN st.theta >= 1152921504606846976
+            THEN CAST(COALESCE(c.n, 0) AS DOUBLE)
+            ELSE CAST(COALESCE(c.n, 0) AS DOUBLE) * 1152921504606846976.0
+                 / CAST(st.theta AS DOUBLE) END AS intersection_estimate,
+       CASE WHEN st.theta >= 1152921504606846976
+            THEN CAST(COALESCE(oa.n, 0) AS DOUBLE)
+            ELSE CAST(COALESCE(oa.n, 0) AS DOUBLE) * 1152921504606846976.0
+                 / CAST(st.theta AS DOUBLE) END AS a_not_b_estimate,
+       CASE WHEN st.theta >= 1152921504606846976
+            THEN CAST(COALESCE(ob.n, 0) AS DOUBLE)
+            ELSE CAST(COALESCE(ob.n, 0) AS DOUBLE) * 1152921504606846976.0
+                 / CAST(st.theta AS DOUBLE) END AS b_not_a_estimate,
+       CASE WHEN COALESCE(c.n, 0) + COALESCE(oa.n, 0) + COALESCE(ob.n, 0) > 0
+            THEN CAST(COALESCE(c.n, 0) AS DOUBLE)
+                 / CAST(COALESCE(c.n, 0) + COALESCE(oa.n, 0)
+                        + COALESCE(ob.n, 0) AS DOUBLE)
+       END AS jaccard_estimate
+FROM st LEFT JOIN c ON c.g = st.g
+        LEFT JOIN oa ON oa.g = st.g
+        LEFT JOIN ob ON ob.g = st.g
+""",
+)
+def sketch_kmv_grouped_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.approx import kmv_mins_grouped, kmv_set_stats_grouped
+
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "user_id",
+        "event_type",
+    )
+    ma = kmv_mins_grouped(
+        day.filter(F.col("event_type") == "view"), "day", "user_id", k=32
+    )
+    mb = kmv_mins_grouped(
+        day.filter(F.col("event_type") == "click"), "day", "user_id", k=32
+    )
+    return kmv_set_stats_grouped(ma, mb, k=32).withColumnRenamed("g", "day")
+
+
+@register(
     "dedup_bow_cosine",
     survey="LLM-dedup (lexical cosine)",
     desc="near-dup pairs by exact bag-of-words cosine: dot products "
@@ -8988,14 +9089,18 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # additions ≤2 or execute retirement step 2 (embedding_quantize_int8's
 # error-audit row to pytest-only) per the documented order below.
 #
-# r17 ACTION: held additions to ONE driver-visible entry —
-# sketch_kmv_difference (a-not-b), completing the Theta-sketch set
-# algebra (union / intersection / difference). Net driver-visible
-# surface: 176 + 1 = 177, still below the ~180 trigger; steady-state
-# staleness ceil(177/50) = 3.6 rounds, inside the ≤4 bound. The
-# 26-entry r13 cohort leads the r17 window automatically under the
-# oldest-first rotation. Retirement step 2 remains the documented next
-# lever when the trigger binds (~r18 at the current addition rate).
+# r17 ACTION: held additions to TWO driver-visible entries —
+# sketch_kmv_difference (a-not-b, completing the flat Theta-sketch
+# algebra: union / intersection / difference / jaccard) and
+# sketch_kmv_grouped_algebra (the per-dimension form: one
+# O(groups × k) pass serving all the set reads per group). Net
+# driver-visible surface: 176 + 2 = 178, at the documented ≤2 bound
+# and still below the ~180 trigger; steady-state staleness
+# ceil(178/50) = 3.6 rounds, inside the ≤4 bound. The 26-entry r13
+# cohort leads the r17 window automatically under the oldest-first
+# rotation. r18 MUST either hold additions ≤1 or execute retirement
+# step 2 (embedding_quantize_int8 → pytest-only, order below) — the
+# trigger is now at most one normal round out.
 #   2. embedding_quantize_int8's companion ERROR-AUDIT columns are
 #      instrumentation riding an operator row — if a slot is still
 #      needed, split mentality applies: the operator (quantize) is

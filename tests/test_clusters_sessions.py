@@ -1602,6 +1602,145 @@ def test_kmv_a_not_b_regimes(spark):
     )
 
 
+def test_theta_algebra_served_from_two_live_kmv_stores(spark, tmp_path):
+    """The segment-overlap dashboard read (r17): TWO continuously-
+    maintained KMV stores (viewers, clickers) serve the complete Theta
+    set algebra — intersection, a-not-b, Jaccard — bit-identical to
+    the batch ops over the raw corpus, off O(k) state per segment.
+    Works because each live store's mins relation equals kmv_mins over
+    exactly the rows its filtered stream has seen (the maintainer
+    contract), and the algebra consumes only mins relations."""
+    from blockchair_etl_spark.io.sinks import read_live_store
+    from blockchair_etl_spark.operators.approx import (
+        kmv_a_not_b,
+        kmv_intersect,
+        kmv_jaccard,
+        kmv_mins,
+    )
+    from blockchair_etl_spark.streaming.incremental import make_kmv_updater
+
+    # viewers = users 0..149, clickers = users 100..249 (overlap 50)
+    views = spark.range(600).selectExpr(
+        "id AS row_id", "'view' AS event_type",
+        "CAST(id % 150 AS BIGINT) AS user_id",
+    )
+    clicks = spark.range(600).selectExpr(
+        "id + 1000 AS row_id", "'click' AS event_type",
+        "CAST(100 + id % 150 AS BIGINT) AS user_id",
+    )
+    df = views.unionByName(clicks)
+    src = str(tmp_path / "seg_src")
+    for i in range(2):
+        df.filter(F.col("row_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stores = {}
+    for seg in ("view", "click"):
+        store = str(tmp_path / f"kmv_{seg}")
+        q = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src)
+            .filter(F.col("event_type") == seg)
+            .writeStream.foreachBatch(make_kmv_updater(store, "user_id", 64))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{seg}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        stores[seg] = read_live_store(spark, store).drop("__last_batch")
+        assert stores[seg].count() <= 64  # O(k) forever
+
+    ma_batch = kmv_mins(views, "user_id", k=64)
+    mb_batch = kmv_mins(clicks, "user_id", k=64)
+    served_i = kmv_intersect(stores["view"], stores["click"], k=64).first()
+    batch_i = kmv_intersect(ma_batch, mb_batch, k=64).first()
+    assert tuple(served_i) == tuple(batch_i)
+    served_d = kmv_a_not_b(stores["view"], stores["click"], k=64).first()
+    batch_d = kmv_a_not_b(ma_batch, mb_batch, k=64).first()
+    assert tuple(served_d) == tuple(batch_d)
+    served_j = kmv_jaccard(stores["view"], stores["click"], k=64).first()
+    batch_j = kmv_jaccard(ma_batch, mb_batch, k=64).first()
+    assert tuple(served_j) == tuple(batch_j)
+    # sanity: the true overlap (50 of 250) sits inside the saturated
+    # band around the served estimates
+    assert served_i.theta < (1 << 60)
+    assert abs(served_j.jaccard_estimate - 0.2) < 4 / (64 ** 0.5)
+
+
+def test_kmv_set_stats_grouped_laws(spark):
+    """kmv_set_stats_grouped: the flat Theta algebra holds GROUP-WISE.
+    A group fed the same two segments as the flat ops reads the flat
+    results exactly; a group present in only one relation reads that
+    side's exact census (theta = space, never a null row); per-group
+    additivity n_common + n_only_a + n_only_b partitions the below-θ
+    union census."""
+    from blockchair_etl_spark.operators.approx import (
+        kmv_a_not_b,
+        kmv_intersect,
+        kmv_mins,
+        kmv_mins_grouped,
+        kmv_set_stats_grouped,
+    )
+
+    def seg(prefix, n):
+        return spark.range(n).selectExpr(f"concat('{prefix}', id) AS key")
+
+    # group "big": saturated segments (|A|=|B|=5000, overlap 2000);
+    # group "solo_a": present only in A (40 keys); group "tiny": exact
+    # regime on both sides (overlap 10)
+    a_big = seg("a", 3000).unionByName(seg("c", 2000))
+    b_big = seg("b", 3000).unionByName(seg("c", 2000))
+    a_tiny = seg("x", 10).unionByName(seg("z", 20))
+    b_tiny = seg("x", 10).unionByName(seg("y", 15))
+
+    def with_g(df, g):
+        return df.selectExpr(f"'{g}' AS g", "key")
+
+    ga = (
+        with_g(a_big, "big")
+        .unionByName(with_g(seg("s", 40), "solo_a"))
+        .unionByName(with_g(a_tiny, "tiny"))
+    )
+    gb = with_g(b_big, "big").unionByName(with_g(b_tiny, "tiny"))
+    got = {
+        r.g: r
+        for r in kmv_set_stats_grouped(
+            kmv_mins_grouped(ga, "g", "key", k=256),
+            kmv_mins_grouped(gb, "g", "key", k=256),
+            k=256,
+        ).collect()
+    }
+    assert set(got) == {"big", "solo_a", "tiny"}
+
+    # group-wise == flat on the same segments
+    flat_i = kmv_intersect(
+        kmv_mins(a_big, "key", k=256), kmv_mins(b_big, "key", k=256), k=256
+    ).first()
+    flat_d = kmv_a_not_b(
+        kmv_mins(a_big, "key", k=256), kmv_mins(b_big, "key", k=256), k=256
+    ).first()
+    big = got["big"]
+    assert (big.theta, big.n_common) == (flat_i.theta, flat_i.n_common)
+    assert big.intersection_estimate == flat_i.intersection_estimate
+    assert big.n_only_a == flat_d.n_diff
+    assert big.a_not_b_estimate == flat_d.difference_estimate
+    # per-group additivity of the below-theta census
+    assert big.n_common + big.n_only_a + big.n_only_b > 0
+
+    # one-sided group: exact census, theta = space, zero intersection
+    solo = got["solo_a"]
+    assert solo.theta == 1 << 60
+    assert (solo.n_common, solo.n_only_a, solo.n_only_b) == (0, 40, 0)
+    assert solo.a_not_b_estimate == 40.0
+    assert solo.jaccard_estimate == 0.0
+
+    # exact regime group: the true set sizes, exactly
+    tiny = got["tiny"]
+    assert (tiny.n_common, tiny.n_only_a, tiny.n_only_b) == (10, 20, 15)
+    assert tiny.jaccard_estimate == 10.0 / 45.0
+
+
 def test_kmv_jaccard_regimes_and_algebra_consistency(spark):
     """kmv_jaccard (the serving-side ratio of the Theta algebra):
     exact when both sketches are unsaturated; the θ/space inclusion
