@@ -429,6 +429,30 @@ sample_kcenter_coreset reads 1.35 s in-sweep (5.6 s in the r13 sweep)
 — the incremental-fold reshape holding under sweep conditions. No
 regression candidates.
 
+r17 SESSION BENCH (two back-to-back full-headline runs, 100 queries):
+189.405 s (canary 0.784/0.680, sched 1.587/2.579 — degraded DURING
+the run, taken right after the 29-min pytest suite) then 183.471 s
+(canary 0.734/0.639, sched 2.102/1.602). The committed BENCH_DETAIL is
+the second, cleaner run. vs the r16 DRIVER record (150.2 s / 98 q) the
+normalized median ratio reads 1.164 with ~20 above-band movers — but
+the inflation is UNIFORM and lands on entries untouched for rounds
+(TPC-H q9/q18/q21, text_repetition 0.46→1.78, text_tfidf_topk,
+graph_pagerank), while every query whose code r17 actually touched is
+FLAT or better: sketch_kmv_intersection 0.434 vs 0.430 (strict-θ fix),
+multimodal_crossmodal_knn and the capped kNN entries absent from the
+mover list (bounded member-selection rewrite), sketch_histogram_
+quantiles absent (value_range plumb). Touched-code parity + untouched-
+code uniform inflation + the same testdata (mtime-checked, unchanged
+since the r16 record) = background box load during both session
+sweeps, not code; the canary's tight CPU loop under-detects memory-
+bandwidth co-tenancy, which is why the flag relies on the touched-path
+split. New-entry in-sweep costs: sketch_kmv_difference 0.408,
+sketch_kmv_grouped_algebra 0.969 (one-pass census split; the
+three-join shape read 3.75 s isolated and was rewritten before
+shipping, see the r17 scaling rows α 0.10/0.02). r18 triage should
+compare the DRIVER's BENCH_r17 record against BENCH_r16 per protocol
+and treat this session record as the slow-box envelope.
+
 r17 MOVER TRIAGE of the seven r15→r16 record movers (r16 verdict #2,
 the established protocol): the sched-normalized --compare of the
 committed records (canary_ratio 1.155, sched_ratio 1.265) leaves only
