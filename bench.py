@@ -449,9 +449,16 @@ bandwidth co-tenancy, which is why the flag relies on the touched-path
 split. New-entry in-sweep costs: sketch_kmv_difference 0.408,
 sketch_kmv_grouped_algebra 0.969 (one-pass census split; the
 three-join shape read 3.75 s isolated and was rewritten before
-shipping, see the r17 scaling rows α 0.10/0.02). r18 triage should
-compare the DRIVER's BENCH_r17 record against BENCH_r16 per protocol
-and treat this session record as the slow-box envelope.
+shipping, see the r17 scaling rows α 0.10/0.02). The grouped-algebra
+entry's persist-vs-recompute A/B (mins relations feed both the stats
+and tag sides, so the events scan runs twice per side): 5-run medians
+BOTH orders read recompute 1.011/0.833 vs persist 0.900/1.108 — a
+wash inside the noise of a degrading box (canary 0.814→1.031), so the
+recompute shape is KEPT per the v4/v6/simhash precedent; the α
+0.10/0.02 rows show the double scan stays immaterial at 100×
+(saturating distinct + fixed stage overhead dominate). r18 triage
+should compare the DRIVER's BENCH_r17 record against BENCH_r16 per
+protocol and treat this session record as the slow-box envelope.
 
 r17 MOVER TRIAGE of the seven r15→r16 record movers (r16 verdict #2,
 the established protocol): the sched-normalized --compare of the

@@ -1741,6 +1741,38 @@ def test_kmv_set_stats_grouped_laws(spark):
     assert tiny.jaccard_estimate == 10.0 / 45.0
 
 
+def test_kmv_set_stats_grouped_plan_gate(spark):
+    """Plan gate for the grouped Theta algebra: the O(groups) stats
+    relation joins back by BROADCAST (never a shuffle of the census
+    side on a 100 TB-derived store), and there is no cartesian product
+    anywhere in the plan — the census split is the single full-outer
+    (g, hv) equi-join."""
+    from blockchair_etl_spark.operators.approx import (
+        kmv_mins_grouped,
+        kmv_set_stats_grouped,
+    )
+
+    ga = spark.range(5000).selectExpr(
+        "CAST(id % 3 AS STRING) AS g", "concat('u', id % 700) AS key"
+    )
+    gb = spark.range(5000).selectExpr(
+        "CAST(id % 3 AS STRING) AS g", "concat('v', id % 700) AS key"
+    )
+    plan = (
+        kmv_set_stats_grouped(
+            kmv_mins_grouped(ga, "g", "key", k=64),
+            kmv_mins_grouped(gb, "g", "key", k=64),
+            k=64,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1  # stats side broadcast
+    assert "FullOuter" in plan  # the single census-split join shape
+
+
 def test_kmv_jaccard_regimes_and_algebra_consistency(spark):
     """kmv_jaccard (the serving-side ratio of the Theta algebra):
     exact when both sketches are unsaturated; the θ/space inclusion
