@@ -454,3 +454,72 @@ def test_grouped_kmv_merge_lossless(spark, rows, n_parts):
     for g, hvs in model.items():
         if len(hvs) < k:
             assert est[g] == (len(hvs), float(len(hvs)))  # exact below k
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 40), min_size=0, max_size=30),
+    st.lists(st.integers(0, 40), min_size=0, max_size=30),
+)
+def test_theta_algebra_matches_python_model(spark, xs, ys):
+    """For random value sets at a k small enough to saturate often:
+    the flat Theta-sketch ops (intersect / a-not-b / jaccard, r17's
+    strict hv < theta convention) match a pure-python reference of the
+    rule EXACTLY — counts, theta, and the one-multiply-one-divide
+    estimates — and the below-theta census partition law
+    n_union = n_common + n_only_a + n_only_b holds on every draw
+    (empty and sub-k sets included)."""
+    import hashlib
+
+    from blockchair_etl_spark.operators.approx import (
+        kmv_a_not_b,
+        kmv_intersect,
+        kmv_jaccard,
+        kmv_mins,
+    )
+
+    k, space = 4, 1 << 60
+
+    def hset(vals):
+        return {
+            int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            for v in set(vals)
+        }
+
+    ha, hb = hset(xs), hset(ys)
+    ma, mb = sorted(ha)[:k], sorted(hb)[:k]
+    theta = min(
+        ma[-1] if len(ma) >= k else space,
+        mb[-1] if len(mb) >= k else space,
+    )
+    sa, sb = set(ma), set(mb)
+    n_common = sum(1 for h in sa & sb if h < theta)
+    n_only_a = sum(1 for h in sa - sb if h < theta)
+    n_only_b = sum(1 for h in sb - sa if h < theta)
+
+    def scaled(n):
+        if theta >= space:
+            return float(n)
+        return float(n) * float(space) / float(theta)
+
+    dfa = spark.createDataFrame([(v,) for v in xs], "v bigint")
+    dfb = spark.createDataFrame([(v,) for v in ys], "v bigint")
+    sk_a, sk_b = kmv_mins(dfa, "v", k=k), kmv_mins(dfb, "v", k=k)
+
+    got_i = kmv_intersect(sk_a, sk_b, k=k).first()
+    assert (got_i.n_common, got_i.theta) == (n_common, theta)
+    assert got_i.intersection_estimate == scaled(n_common)
+
+    got_d = kmv_a_not_b(sk_a, sk_b, k=k).first()
+    assert (got_d.n_diff, got_d.theta) == (n_only_a, theta)
+    assert got_d.difference_estimate == scaled(n_only_a)
+
+    got_j = kmv_jaccard(sk_a, sk_b, k=k).first()
+    n_union = n_common + n_only_a + n_only_b
+    assert (got_j.n_common, got_j.n_union, got_j.theta) == (
+        n_common, n_union, theta,
+    )
+    if n_union:
+        assert got_j.jaccard_estimate == float(n_common) / float(n_union)
+    else:
+        assert got_j.jaccard_estimate is None
