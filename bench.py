@@ -788,6 +788,32 @@ def canary(spark, runs: int = 3) -> float:
     return round(statistics.median(samples), 3)
 
 
+def mem_canary(spark, runs: int = 3) -> float:
+    """Memory-bandwidth canary (r17 methodology addendum): the CPU
+    canary's tight xxhash64 register loop under-detects MEMORY-BUS
+    co-tenancy — the r17 session sweeps read clean CPU/sched canaries
+    while real queries ran ~16% high across untouched families, the
+    signature of a co-tenant saturating memory bandwidth rather than
+    cores. This canary times a full aggregate scan over a ~1 GB CACHED
+    in-memory relation (built once per call, dropped after): the
+    block-manager columnar read is bandwidth-bound, so bus contention
+    moves THIS reading while leaving the CPU canary flat. Recorded as
+    canary_mem_pre/post_sec from r17 on; compare_records uses it as
+    diagnostic context only (older records lack it)."""
+    df = spark.range(128_000_000).selectExpr(
+        "id", "id * 2654435761 AS a", "id + 7 AS b", "CAST(id AS DOUBLE) AS d"
+    )
+    df.persist()
+    df.count()  # materialize the cached columnar blocks
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df.selectExpr("sum(a) AS sa", "sum(d) AS sd").collect()
+        samples.append(time.perf_counter() - t0)
+    df.unpersist()
+    return round(statistics.median(samples), 3)
+
+
 def compare_records(old_path: str, new_path: str, flag_ratio: float = 1.25) -> dict:
     """Canary-normalized cross-record comparison (module docstring, r11
     methodology note): divide every per-query ratio by the canary ratio
@@ -853,6 +879,26 @@ def compare_records(old_path: str, new_path: str, flag_ratio: float = 1.25) -> d
         "normalized_median_ratio": round(statistics.median(norm.values()), 3),
         "flag_band": [round(1.0 / flag_ratio, 3), flag_ratio],
     }
+    # Memory-bandwidth canary ratio (records from r17 on): DIAGNOSTIC
+    # context only, never a normalizer — the r17 session sweeps showed
+    # clean CPU/sched canaries with uniform ~16% query inflation, the
+    # memory-bus co-tenancy signature this third canary exists to name.
+    # When both records carry it, a high mem_ratio alongside flat
+    # canary_ratio says "bus contention, read the mover list as box
+    # state"; absent on either side it is simply omitted.
+    mem = [
+        [
+            rec.get(k)
+            for k in ("canary_mem_pre_sec", "canary_mem_post_sec")
+            if rec.get(k) is not None
+        ]
+        for rec in (old, new)
+    ]
+    if mem[0] and mem[1]:
+        old_mem = statistics.median(mem[0])
+        new_mem = statistics.median(mem[1])
+        if old_mem > 0 and new_mem > 0:
+            out["mem_ratio"] = round(new_mem / old_mem, 3)
     # Scheduler-jitter canary ratio (records from r11 on): the CPU
     # canary is ONE job and reads core speed only; sched_canary (20
     # sequential one-task jobs) reads per-job scheduling overhead — the
@@ -942,6 +988,7 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     canary_pre = canary(spark)
     sched_pre = sched_canary(spark)
+    mem_pre = mem_canary(spark)
     # SPARK_GRAFT_BENCH_ALL=1 times every registry entry (full-surface
     # sweep for regression hunting); default is the curated headline list.
     if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
@@ -1079,6 +1126,7 @@ def main() -> None:
 
     canary_post = canary(spark)
     sched_post = sched_canary(spark)
+    mem_post = mem_canary(spark)
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -1093,6 +1141,8 @@ def main() -> None:
         "canary_post_sec": canary_post,
         "canary_sched_pre_sec": sched_pre,
         "canary_sched_post_sec": sched_post,
+        "canary_mem_pre_sec": mem_pre,
+        "canary_mem_post_sec": mem_post,
     }
     # The driver tail-captures stdout with a HARD 2,000-byte cap, and
     # ~74 per-query timings need ~3 KB — chunked stdout alone can never
@@ -1143,6 +1193,8 @@ def main() -> None:
                 "canary_post_sec": canary_post,
                 "canary_sched_pre_sec": sched_pre,
                 "canary_sched_post_sec": sched_post,
+                "canary_mem_pre_sec": mem_pre,
+                "canary_mem_post_sec": mem_post,
             },
             separators=(",", ":"),
         )
