@@ -794,8 +794,10 @@ def mem_canary(spark, runs: int = 3) -> float:
     co-tenancy — the r17 session sweeps read clean CPU/sched canaries
     while real queries ran ~16% high across untouched families, the
     signature of a co-tenant saturating memory bandwidth rather than
-    cores. This canary times a full aggregate scan over a ~1 GB CACHED
-    in-memory relation (built once per call, dropped after): the
+    cores. This canary times a full aggregate scan over a ~2.5 GB
+    CACHED in-memory columnar relation (built once per call, dropped
+    after; the delta-encodable id/b columns compress away while the
+    random a and double d columns read at full width): the
     block-manager columnar read is bandwidth-bound, so bus contention
     moves THIS reading while leaving the CPU canary flat. Recorded as
     canary_mem_pre/post_sec from r17 on; compare_records uses it as

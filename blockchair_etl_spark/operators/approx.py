@@ -763,6 +763,51 @@ def hll_intersect_estimate(
     }
 
 
+def hll_intersect_estimate_grouped(
+    reg_a: DataFrame, reg_b: DataFrame, p: int = HLL_P
+) -> dict:
+    """Per-GROUP serving-side HLL intersection by inclusion-exclusion —
+    the grouped sibling of hll_intersect_estimate and the register-
+    store counterpart of kmv_set_stats_grouped's intersection column:
+    for every group present in EITHER grouped register relation,
+    |A∩B|_g ≈ est(A_g) + est(B_g) − est(A_g ∪ B_g), the union from
+    the idempotent grouped max-merge. Three O(groups × 2^p) readouts
+    collected driver-side (the bounded serving-read posture), linear-
+    counting correction applied per row from the emitted statistics.
+
+    Same error caveat as the flat form (absolute error scales with the
+    group's union, so prefer the KMV θ-based grouped column when small
+    intersections matter); exact degenerations per group: a group on
+    ONE side only reads exactly 0 (est_a + 0 − est_a), and A∩A reads
+    est(A_g) bit-identically. Returns {g: {est_a, est_b, est_union,
+    intersection_estimate}}."""
+    ea = {
+        r.g: hll_corrected_estimate(r)
+        for r in hll_estimate_grouped(reg_a, "g", p).collect()
+    }
+    eb = {
+        r.g: hll_corrected_estimate(r)
+        for r in hll_estimate_grouped(reg_b, "g", p).collect()
+    }
+    eu = {
+        r.g: hll_corrected_estimate(r)
+        for r in hll_estimate_grouped(
+            hll_merge_grouped([reg_a, reg_b]), "g", p
+        ).collect()
+    }
+    return {
+        g: {
+            "est_a": ea.get(g, 0.0),
+            "est_b": eb.get(g, 0.0),
+            "est_union": u,
+            "intersection_estimate": max(
+                0.0, ea.get(g, 0.0) + eb.get(g, 0.0) - u
+            ),
+        }
+        for g, u in eu.items()
+    }
+
+
 def _hll_constant(p: int) -> float:
     """alpha_m * m^2 * 2^(w+1) — the raw-estimate numerator, computed
     driver-side ONCE so both engines divide the SAME double literal by
@@ -1029,6 +1074,7 @@ def kmv_set_stats_grouped(
     mins_b: DataFrame,
     k: int = 64,
     hash_bits: int = 60,
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Per-GROUP Theta-sketch set algebra — ONE O(groups × k) pass
     over two grouped `mins` relations (kmv_mins_grouped or the grouped
@@ -1051,10 +1097,16 @@ def kmv_set_stats_grouped(
     exact-below-k degeneration) holds group-wise.
 
     Scale shape: two O(groups) aggregates over O(groups × k) rows,
-    (g, hv)-keyed joins for the common/only splits, one broadcastable
-    stats relation — no raw-data scan, no per-group window. Inputs
-    must share k and the module's 60-bit md5 hash family. Output: one
-    row per group present in EITHER relation — (g, theta, n_common,
+    ONE full-outer (g, hv)-keyed join splitting the census, the stats
+    relation joined back per group — no raw-data scan, no per-group
+    window. ``broadcast_stats`` (default True) hints the O(groups)
+    stats side into a broadcast hash join, right for the bounded group
+    domains dashboards use (days, event types, sources); for an
+    UNBOUNDED group domain (per-user, per-document) pass False and let
+    Spark/AQE pick the join — the g-keyed shuffle is then the honest
+    cost and the broadcast would be the scale hazard. Inputs must
+    share k and the module's 60-bit md5 hash family. Output: one row
+    per group present in EITHER relation — (g, theta, n_common,
     n_only_a, n_only_b, intersection_estimate, a_not_b_estimate,
     b_not_a_estimate, jaccard_estimate)."""
     space = 1 << hash_bits
@@ -1084,9 +1136,10 @@ def kmv_set_stats_grouped(
     # not data).
     a_tag = mins_a.select("g", "hv", F.lit(True).alias("__in_a"))
     b_tag = mins_b.select("g", "hv", F.lit(True).alias("__in_b"))
+    stats_join = F.broadcast(stats) if broadcast_stats else stats
     counted = (
         a_tag.join(b_tag, ["g", "hv"], "full_outer")
-        .join(F.broadcast(stats), "g")
+        .join(stats_join, "g")
         .filter(F.col("hv") < F.col("theta"))
         .groupBy("g")
         .agg(

@@ -1933,6 +1933,58 @@ def test_hll_intersect_estimate_inclusion_exclusion(spark):
     assert abs(kmv.intersection_estimate - 2000) / 2000 < 4 / (256 ** 0.5)
 
 
+def test_hll_intersect_estimate_grouped(spark):
+    """Grouped inclusion-exclusion over grouped HLL register stores:
+    per-group estimates land in the compounded band; a group with the
+    SAME stream on both sides reads est(A_g) bit-identically (merge
+    idempotence); a group present on one side only reads exactly 0
+    (est_a + 0 − est_a, not merely clamped)."""
+    import math
+
+    from blockchair_etl_spark.operators.approx import (
+        hll_corrected_estimate,
+        hll_estimate_grouped,
+        hll_intersect_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    def seg(g, prefix, n):
+        return spark.range(n).selectExpr(
+            f"'{g}' AS g", f"concat('{prefix}', id) AS key"
+        )
+
+    # group "both": |A|=|B|=5000, overlap 2000; group "same": identical
+    # 4000-key stream on both sides; group "only_a": one-sided
+    a = (
+        seg("both", "a", 3000).unionByName(seg("both", "c", 2000))
+        .unionByName(seg("same", "s", 4000))
+        .unionByName(seg("only_a", "o", 3000))
+    )
+    b = seg("both", "b", 3000).unionByName(seg("both", "c", 2000)).unionByName(
+        seg("same", "s", 4000)
+    )
+    ra = hll_registers_grouped(a, "g", "key")
+    rb = hll_registers_grouped(b, "g", "key")
+    got = hll_intersect_estimate_grouped(ra, rb)
+    assert set(got) == {"both", "same", "only_a"}
+
+    m, sigma = 1024, 1.04 / math.sqrt(1024)
+    both = got["both"]
+    assert abs(both["est_union"] - 8000) < 4 * sigma * 8000
+    assert (
+        abs(both["intersection_estimate"] - 2000)
+        < 4 * sigma * math.sqrt(3) * 8000
+    )
+
+    same_direct = {
+        r.g: hll_corrected_estimate(r)
+        for r in hll_estimate_grouped(ra, "g").collect()
+    }
+    assert got["same"]["intersection_estimate"] == same_direct["same"]
+    assert got["only_a"]["intersection_estimate"] == 0.0
+    assert got["only_a"]["est_b"] == 0.0
+
+
 def test_hll_registers_plan_shape(spark):
     """Plan gate: the register build is ONE map-side-combined hash
     aggregation — exactly one exchange, keyed on bucket, with a partial
