@@ -523,3 +523,86 @@ def test_theta_algebra_matches_python_model(spark, xs, ys):
         assert got_j.jaccard_estimate == float(n_common) / float(n_union)
     else:
         assert got_j.jaccard_estimate is None
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 30)),
+        min_size=0,
+        max_size=50,
+    ),
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "d"]), st.integers(0, 30)),
+        min_size=0,
+        max_size=50,
+    ),
+)
+def test_grouped_theta_algebra_matches_python_model(spark, rows_a, rows_b):
+    """kmv_set_stats_grouped vs a pure-python per-group strict-theta
+    model on random grouped multisets (groups overlapping, one-sided,
+    or absent; sub-k and saturated regimes mixed at k=4): every
+    output row's theta, census split, estimates, and Jaccard match the
+    model exactly, and the output covers exactly the groups present in
+    either relation."""
+    import hashlib
+
+    from blockchair_etl_spark.operators.approx import (
+        kmv_mins_grouped,
+        kmv_set_stats_grouped,
+    )
+
+    k, space = 4, 1 << 60
+
+    def model_mins(rows):
+        by_g: dict[str, set[int]] = {}
+        for g, v in rows:
+            by_g.setdefault(g, set()).add(
+                int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            )
+        return {g: sorted(hvs)[:k] for g, hvs in by_g.items()}
+
+    ma, mb = model_mins(rows_a), model_mins(rows_b)
+
+    def scaled(n, theta):
+        if theta >= space:
+            return float(n)
+        return float(n) * float(space) / float(theta)
+
+    want = {}
+    for g in set(ma) | set(mb):
+        a, b = ma.get(g, []), mb.get(g, [])
+        theta = min(
+            a[-1] if len(a) >= k else space,
+            b[-1] if len(b) >= k else space,
+        )
+        sa, sb = set(a), set(b)
+        n_c = sum(1 for h in sa & sb if h < theta)
+        n_a = sum(1 for h in sa - sb if h < theta)
+        n_b = sum(1 for h in sb - sa if h < theta)
+        n_u = n_c + n_a + n_b
+        want[g] = (
+            theta, n_c, n_a, n_b,
+            scaled(n_c, theta), scaled(n_a, theta), scaled(n_b, theta),
+            float(n_c) / float(n_u) if n_u else None,
+        )
+
+    dfa = spark.createDataFrame(
+        [(g, v) for g, v in rows_a], "g string, v bigint"
+    ) if rows_a else spark.createDataFrame([], "g string, v bigint")
+    dfb = spark.createDataFrame(
+        [(g, v) for g, v in rows_b], "g string, v bigint"
+    ) if rows_b else spark.createDataFrame([], "g string, v bigint")
+    got = {
+        r.g: (
+            r.theta, r.n_common, r.n_only_a, r.n_only_b,
+            r.intersection_estimate, r.a_not_b_estimate,
+            r.b_not_a_estimate, r.jaccard_estimate,
+        )
+        for r in kmv_set_stats_grouped(
+            kmv_mins_grouped(dfa, "g", "v", k=k),
+            kmv_mins_grouped(dfb, "g", "v", k=k),
+            k=k,
+        ).collect()
+    }
+    assert got == want
