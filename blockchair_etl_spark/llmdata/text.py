@@ -265,6 +265,18 @@ def winnowing_fingerprints(
             "__s"
         ),
     )
+    # r17 widening: the whole selection is per-row array-space compute
+    # (~1 md5 + string pack per char), and a small corpus arriving as
+    # one parquet file otherwise runs it on ONE task — measured 4.5 s
+    # single-threaded at sf0.1 vs ~0.5 s widened, far past the
+    # fanout_parallel ≥1 s/split bar (the same rule that widened
+    # repetition_stats). The shuffle payload is the NORMALIZED text
+    # only, paid once; at 100 TB the scan has thousands of splits and
+    # fanout_parallel skips itself. Zero-shuffle for the gram stream is
+    # preserved — grams still never leave their row.
+    from .stats import fanout_parallel
+
+    normed = fanout_parallel(normed)
     s = F.col("__s")
     # sequence(1, 0) DESCENDS to [1, 0] (the exploded_shingles gotcha):
     # documents with fewer than k normalized chars guard with an
@@ -382,10 +394,10 @@ def winnowing_pairs_from_store(
     must be distinct per (doc, fp) — winnowing_fingerprints' dedup
     already guarantees it; a raw store write preserves it. Same
     output and semantics as winnowing_pairs on the same corpus."""
-    sizes = fp_sets.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
     a = fp_sets.select(F.col("doc").alias("id_a"), "fp")
     b = fp_sets.select(F.col("doc").alias("id_b"), "fp")
     if max_df is None:
+        sizes = fp_sets.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
         inter = (
             a.join(b, "fp")
             .filter(F.col("id_a") < F.col("id_b"))
@@ -393,36 +405,122 @@ def winnowing_pairs_from_store(
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= int(min_shared))
         )
-    else:
-        rare = (
-            fp_sets.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= int(max_df))
-            .select("fp")
+        return (
+            inter.join(
+                sizes.select(
+                    F.col("doc").alias("id_a"), F.col("n_fp").alias("n_a")
+                ),
+                "id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc").alias("id_b"), F.col("n_fp").alias("n_b")
+                ),
+                "id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "n_shared", "jaccard")
         )
-        cand = (
-            a.join(rare, "fp")
-            .join(b.join(rare, "fp"), "fp")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
+    # df-bounded path, r17 reshape (guide §2.3/§2.4 — shuffle fewer
+    # bytes, remove shuffles): the exact per-pair re-count used to be
+    # cand ⋈ a (fan-out of |cand| × n_fp rows) ⋈ b → groupBy pair — two
+    # shuffles of the fanned-out fingerprint stream plus the pair
+    # aggregation. The re-count only needs each document's FULL
+    # fingerprint set, so collect the per-doc sets ONCE (one doc-keyed
+    # aggregation — the same shuffle the old `sizes` agg already paid;
+    # n_fp now rides it as size()) and re-count each candidate pair
+    # row-locally with array_intersect. fp_sets is distinct per
+    # (doc, fp) by contract, so the intersect size IS the exact shared
+    # count; sort_array makes the collected set deterministic. Per-doc
+    # set size is bounded by document length (the ~2/(w+1) winnowing
+    # density), so a row never exceeds the single-document bound the
+    # fingerprint builder itself already has. Measured at sf0.1:
+    # pairing phase ~3.9 → ~1.5 s (store-backed twin), plan loses the
+    # two fan-out joins + pair groupBy (see plans/r17).
+    # candidate generation in ONE fp-keyed aggregation (guide §2.4):
+    # group docs per fingerprint, keep rare fps (df ≤ max_df — the same
+    # HAVING the old `rare` aggregation computed), and expand each
+    # bucket's ≤ max_df-doc sorted array into its pairs ROW-LOCALLY —
+    # the sorted array makes id_a < id_b free. The old shape shuffled
+    # the (doc, fp) stream three more times (a ⋈ rare, b ⋈ rare, then
+    # the fp self-join); this one shuffles it once. Per-row expansion
+    # is bounded by max_df²/2 pairs by construction.
+    ds = F.col("docs")
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        inter = (
-            cand.join(a, "id_a")
-            .join(b, ["id_b", "fp"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_shared"))
-            .filter(F.col("n_shared") >= int(min_shared))
+    )
+    # both relations feed the pair join twice (a-side and b-side), and
+    # both materialize through a shuffle anyway — tracked_persist is
+    # the same contract the minhash signature relation uses (measured:
+    # the unpersisted composition re-pays the candidate subtree inside
+    # the join stage; 4.4 → 1.5 s at sf0.1 with both persisted).
+    cand = tracked_persist(
+        fp_sets.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter(F.size(ds) <= int(max_df))
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+    docsets = tracked_persist(
+        fp_sets.groupBy("doc").agg(
+            F.sort_array(F.collect_list("fp")).alias("fps"),
+            F.count(F.lit(1)).alias("n_fp"),
         )
+    )
+    joined = cand.join(
+        F.broadcast(
+            docsets.select(
+                F.col("doc").alias("id_a"),
+                F.col("fps").alias("fps_a"),
+                F.col("n_fp").alias("n_a"),
+            )
+        ),
+        "id_a",
+    ).join(
+        F.broadcast(
+            docsets.select(
+                F.col("doc").alias("id_b"),
+                F.col("fps").alias("fps_b"),
+                F.col("n_fp").alias("n_b"),
+            )
+        ),
+        "id_b",
+    )
+    # Generate barrier for the intersect (guide §4.4's duplication trap,
+    # builtin-expression edition): a plain withColumn + filter lets the
+    # optimizer substitute the array_intersect into the join condition —
+    # the n_shared ≥ min_shared AND jaccard ≥ threshold predicates each
+    # inline their own copy, so every joined row paid THREE intersects
+    # (measured 2.1 s of the 4.5 s composition at sf0.1). Filters cannot
+    # be pushed through a Generate's generated output, so exploding the
+    # 1-element struct pins exactly ONE evaluation per pair.
+    n_shared = F.size(F.array_intersect(F.col("fps_a"), F.col("fps_b"))).cast(
+        "bigint"
+    )
     return (
-        inter.join(
-            sizes.select(F.col("doc").alias("id_a"), F.col("n_fp").alias("n_a")),
+        joined.select(
             "id_a",
-        )
-        .join(
-            sizes.select(F.col("doc").alias("id_b"), F.col("n_fp").alias("n_b")),
             "id_b",
+            "n_a",
+            "n_b",
+            F.explode(F.array(F.struct(n_shared.alias("ns")))).alias("r"),
         )
+        .select(
+            "id_a", "id_b", "n_a", "n_b", F.col("r.ns").alias("n_shared")
+        )
+        .filter(F.col("n_shared") >= int(min_shared))
         .withColumn(
             "jaccard",
             F.col("n_shared")
