@@ -100,14 +100,61 @@ def seed_pq_codebooks(
     ksub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stats=None,
 ) -> np.ndarray:
     """Deterministic (m, ksub, dim/m) codebooks: the ksub ivf seed
     vectors (every ⌊n/ksub⌋-th row by id), sliced per subspace. Like
     ivf.seed_centroids this is both the Lloyd init and a valid
-    data-derived codebook that a SQL oracle can re-derive."""
+    data-derived codebook that a SQL oracle can re-derive. ``stats``
+    (stats.corpus_stats) passes through to seed_centroids so composed
+    pipelines skip the count() job — callers commonly hand this a
+    residual_frame, and an unshared count there is a whole extra
+    scan+codegen pass over the residual plan (guide §1.2: don't compute
+    things you throw away)."""
     dsub = _check_geometry(dim, m)
-    seeds = seed_centroids(emb, n_centroids=ksub, id_col=id_col, vec_col=vec_col)
+    seeds = seed_centroids(
+        emb, n_centroids=ksub, id_col=id_col, vec_col=vec_col, stats=stats
+    )
     return np.stack([seeds[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+
+
+def seed_pq_codebooks_residual(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats=None,
+) -> np.ndarray:
+    """Seed codebooks over the RESIDUAL distribution without a
+    Spark-side residual pass — bit-identical to
+    ``seed_pq_codebooks(residual_frame(emb, centroids), ...)``.
+
+    The residual-frame form pays the coarse-assignment argmin's
+    analysis+codegen for a job that only ever returns ksub rows
+    (measured ~1 s/action at any scale — pure fixed cost, guide §1.2).
+    Seed selection depends on ids only, and seed ids are identical on
+    the raw frame (residual_frame is row-preserving), so collect the
+    ksub RAW seed vectors with the cheap plan and replay assignment +
+    subtraction driver-side: ``exact_probe_order`` IS the documented
+    driver replica of ``_sq_dist_col``'s exact-decimal argmin (same
+    distances, same first-minimum/lowest-id tiebreak), and numpy's
+    elementwise float64 subtract is the same IEEE op as the zip_with
+    ``x.cast(double) - y.cast(double)``. Equality is pinned by
+    test_ivf.py's residual-seed parity test."""
+    from .ivf import exact_probe_order
+
+    dsub = _check_geometry(dim, m)
+    seeds = seed_centroids(
+        emb, n_centroids=ksub, id_col=id_col, vec_col=vec_col, stats=stats
+    )
+    cents = np.asarray(centroids, dtype=float)
+    res = np.stack(
+        [s - cents[exact_probe_order(cents, s)[0]] for s in seeds]
+    )
+    return np.stack([res[:, j * dsub : (j + 1) * dsub] for j in range(m)])
 
 
 def train_pq_codebooks(
@@ -243,10 +290,28 @@ def ivfpq_encode(
 ) -> DataFrame:
     """IVF-PQ index rows: (id, ivf_cluster, codes) — coarse cluster plus
     PQ codes of the residual. Storage per vector: log2(k_coarse) bits +
-    m codes; the payload a billion-vector store actually persists."""
-    res = residual_frame(emb, centroids, id_col, vec_col)
-    coded = pq_encode(res, codebooks, id_col=id_col, vec_col="residual")
-    return res.select(F.col(id_col), "ivf_cluster").join(coded, id_col)
+    m codes; the payload a billion-vector store actually persists.
+
+    r17 reshape (guide §2.4): the first form derived (id, cluster) and
+    (id, codes) as two branches of the residual frame and equi-joined
+    them back on id — a self-join that shuffled both sides AND ran the
+    coarse-assignment argmin twice, once on the UNWIDENED branch (a
+    single input split executes the whole decimal argmin on one task).
+    Cluster and codes are both per-row functions of the same residual
+    row, so one staged projection (the ivfpq_adc_topk shape) emits both:
+    zero joins, one widened assign pass. Same rows, same schema."""
+    from .stats import fanout_parallel
+
+    m, _, dsub = codebooks.shape
+    res = residual_frame(fanout_parallel(emb), centroids, id_col, vec_col)
+    rcol = F.col("residual")
+    return res.select(
+        F.col(id_col),
+        "ivf_cluster",
+        F.array(
+            *[_sub_code(rcol, codebooks[j], j, dsub) for j in range(m)]
+        ).alias("codes"),
+    )
 
 
 def ivfpq_index_append(

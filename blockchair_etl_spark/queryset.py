@@ -6982,8 +6982,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmdata.pq import pq_adc_topk, seed_pq_codebooks
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     books = seed_pq_codebooks(emb, dim=64, m=4, ksub=16)
+    # the vec_id=0 query vector IS the first seed codeword of every
+    # subspace concatenated (seeds are every ⌊n/16⌋-th row by id
+    # starting at 0, sliced per subspace) — reassemble it from the
+    # collected codebooks instead of paying a second head() scan job
+    qv = [float(v) for j in range(books.shape[0]) for v in books[j][0]]
     return pq_adc_topk(emb, books, qv, k=10)
 
 
@@ -7078,16 +7082,25 @@ SELECT vec_id, adc FROM scored ORDER BY adc ASC, vec_id ASC LIMIT 10
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmdata.ivf import seed_centroids
-    from .llmdata.pq import ivfpq_adc_topk, residual_frame, seed_pq_codebooks
+    from .llmdata.pq import ivfpq_adc_topk, seed_pq_codebooks_residual
+
+    from .llmdata.stats import corpus_stats
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = seed_centroids(emb, n_centroids=8)
+    # ONE shared count for both seed derivations (guide §1.2) — the
+    # residual frame is row-preserving, so its count equals emb's
+    st = corpus_stats(emb, vec_col=None)
+    cents = seed_centroids(emb, n_centroids=8, stats=st)
     # the vec_id=0 query vector IS the first seed centroid (seeds are
     # every ⌊n/8⌋-th row by id starting at 0) — reuse the collected
     # value instead of paying a second scan job for head()
     qv = [float(v) for v in cents[0]]
-    res = residual_frame(emb, cents)
-    books = seed_pq_codebooks(res, dim=64, m=4, ksub=16, vec_col="residual")
+    # residual seeds replayed driver-side (bit-identical; the Spark-side
+    # residual pass paid the argmin plan's analysis+codegen for a
+    # ksub-row collect — see seed_pq_codebooks_residual)
+    books = seed_pq_codebooks_residual(
+        emb, cents, dim=64, m=4, ksub=16, stats=st
+    )
     return ivfpq_adc_topk(emb, cents, books, qv, k=10, n_probe=2)
 
 
@@ -7189,16 +7202,23 @@ def ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_adc_topk_from_index,
         ivfpq_encode,
         ivfpq_index_append,
-        residual_frame,
-        seed_pq_codebooks,
+        seed_pq_codebooks_residual,
     )
+    from .llmdata.stats import corpus_stats
 
     emb = load_table(spark, sf_dir, "embeddings")
     initial = emb.filter(F.col("vec_id") % 4 != 0)
     arriving = emb.filter(F.col("vec_id") % 4 == 0)
-    cents = seed_centroids(initial, n_centroids=8)
-    books = seed_pq_codebooks(
-        residual_frame(initial, cents), dim=64, m=4, ksub=16, vec_col="residual"
+    # ONE shared count feeds both seed derivations (guide §1.2): the
+    # residual frame is row-preserving over `initial`, so its count is
+    # initial's count by construction — the unshared form paid a second
+    # count() action through the residual plan's codegen.
+    st = corpus_stats(initial, vec_col=None)
+    cents = seed_centroids(initial, n_centroids=8, stats=st)
+    # residual seeds replayed driver-side (bit-identical — see
+    # seed_pq_codebooks_residual)
+    books = seed_pq_codebooks_residual(
+        initial, cents, dim=64, m=4, ksub=16, stats=st
     )
     store = ivfpq_encode(initial, cents, books)
     appended = ivfpq_index_append(store, arriving, cents, books)
@@ -7863,16 +7883,21 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmdata.pq import (
         ivfpq_adc_topk_from_index,
         ivfpq_encode,
-        residual_frame,
-        seed_pq_codebooks,
+        seed_pq_codebooks_residual,
     )
     from .llmdata.similarity import cosine_topk
+    from .llmdata.stats import corpus_stats
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = seed_centroids(emb, n_centroids=8)
+    # ONE shared count for both seed derivations (guide §1.2)
+    st = corpus_stats(emb, vec_col=None)
+    cents = seed_centroids(emb, n_centroids=8, stats=st)
     qv = [float(v) for v in cents[0]]
-    res = residual_frame(emb, cents)
-    books = seed_pq_codebooks(res, dim=64, m=4, ksub=16, vec_col="residual")
+    # residual seeds replayed driver-side (bit-identical — see
+    # seed_pq_codebooks_residual)
+    books = seed_pq_codebooks_residual(
+        emb, cents, dim=64, m=4, ksub=16, stats=st
+    )
     brute = cosine_topk(emb, qv, k=10).select("vec_id", F.lit(1).alias("__hit"))
     # encode ONCE, query per probe setting through the index-backed
     # path (bit-identical routing to ivfpq_adc_topk) — the deployed

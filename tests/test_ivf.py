@@ -746,3 +746,25 @@ def test_streaming_ivfpq_in_batch_duplicate_ids(spark, sf_dir, tmp_path):
         for r in ivfpq_encode(emb, cents, books).collect()
     }
     assert {(r.vec_id, r.ivf_cluster, tuple(r.codes)) for r in got.collect()} == want
+
+
+def test_seed_pq_codebooks_residual_matches_spark_side(spark, sf_dir):
+    # the driver-side residual-seed replay must be BIT-identical to the
+    # Spark-side residual_frame pass it replaces (r17 optimization:
+    # the argmin plan's analysis+codegen was pure fixed cost for a
+    # ksub-row collect)
+    from blockchair_etl_spark.llmdata.ivf import seed_centroids
+    from blockchair_etl_spark.llmdata.pq import (
+        residual_frame,
+        seed_pq_codebooks,
+        seed_pq_codebooks_residual,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, n_centroids=8)
+    via_spark = seed_pq_codebooks(
+        residual_frame(emb, cents), dim=64, m=4, ksub=16, vec_col="residual"
+    )
+    via_driver = seed_pq_codebooks_residual(emb, cents, dim=64, m=4, ksub=16)
+    assert via_spark.shape == via_driver.shape == (4, 16, 16)
+    assert np.array_equal(via_spark, via_driver)  # exact, not allclose
