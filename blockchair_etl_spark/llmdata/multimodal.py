@@ -207,6 +207,15 @@ def resize_images(
             f"unknown decoder {decoder!r}: expected 'rng' or 'bytegrid'"
         )
     out_cols = [f.name for f in RESIZED_SCHEMA.fields]
+    # r17 widening A/B (REJECTED, guide §1): wrapping this in
+    # fanout_parallel before the Python boundary was measured isolated
+    # both ways at sf0.1 — warm medians 1.2 s widened vs 1.2 s
+    # unwidened (the 3.9 s cold reading that motivated the test was
+    # codegen + Python-worker startup, paid once per session, not
+    # single-task decode). The stub decode of small payloads is far
+    # under fanout_parallel's ≥1 s/split bar, and at real media scale
+    # the scan has enough splits that the widening self-skips anyway —
+    # so the extra payload exchange buys nothing at either end.
     pruned = media.filter(F.col("kind") == "image").select(
         "media_id", "content", "width", "height"
     )
