@@ -722,14 +722,27 @@ def embedding_dup_pairs(
             lsh_bucket_col(F.col(vec_col), dim, n_planes=lsh_planes, seed=s)
             for s in seed_list
         ]
+        # r17: the exact-decimal plane folds are the dominant per-row
+        # cost of this operator (measured sf0.1: 1.9 s for the 2000-row
+        # projection, single-task because the relation is one parquet
+        # split) — widen the scan so the fold stage runs at cluster
+        # parallelism (stats.fanout_parallel self-skips on wide scans).
+        # The block_col path skips this: its bucket expression is a
+        # plain column reference, nothing to widen here.
+        from .stats import fanout_parallel
+
+        emb = fanout_parallel(emb)
 
     # All seeds' bucket ids are computed in ONE scan and exploded to
     # (seed_idx, blk) rows, so multi-seed probing joins ONCE on the
-    # composite key instead of running one blocked join per seed. The
-    # repartition on the join key makes the two sides byte-identical
-    # subplans up to the exchange, so Spark reuses it (ReusedExchange)
-    # and the expensive plane-fold buckets + norm are computed ONCE per
-    # row instead of once per side.
+    # composite key. The projection is tracked_persist'ed below because
+    # the intended ReusedExchange between the two join sides does NOT
+    # fire at runtime: Catalyst broadcasts one side, and the broadcast
+    # build plans its own copy of the subtree, so the plane folds +
+    # norms ran TWICE (measured r17: full query ≈ 2×pre + join). The
+    # persist makes every consumer — both join sides and the max_bucket
+    # branches — read the one materialization.
+    from ..caching import tracked_persist
     from .similarity import dot_expr
 
     par = emb.sparkSession.sparkContext.defaultParallelism
@@ -746,6 +759,7 @@ def embedding_dup_pairs(
         # BIT-IDENTICAL to cosine_expr's value.
         F.sqrt(dot_expr(vec, vec)).alias("norm_d"),
     )
+    pre = tracked_persist(pre)
     stars = None
     if max_bucket is not None:
         cols = ["id", "v", "seed_idx", "blk", "norm", "norm_d"]
@@ -1566,7 +1580,9 @@ def semantic_dedup_survivors(
     twin (numpy assignment + per-cluster BLAS gram pairs, no pair
     join) see semantic_dedup_survivors_grouped.
     """
+    from ..caching import tracked_persist
     from .ivf import assign_cluster, assign_cluster_pruned
+    from .stats import fanout_parallel
 
     if pruned_assign:
         if dim is None:
@@ -1574,7 +1590,16 @@ def semantic_dedup_survivors(
         assigned = assign_cluster_pruned(F.col(vec_col), centroids, dim=dim, seed=seed)
     else:
         assigned = assign_cluster(F.col(vec_col), centroids)
-    indexed = emb.withColumn("sem_cluster", assigned)
+    # r17: the exact-decimal argmin is ~0.6 ms/row and the plan
+    # evaluated it THREE times (both pair-join sides + the survivor
+    # join-back), each single-task on sf0.1's one-split scan — widen
+    # the scan so the argmin runs distributed, and persist so every
+    # consumer reads the one materialization (measured 3.9 → ~1.5 s
+    # isolated; output unchanged — persist/repartition are
+    # semantics-free and the min-id survivor rule is order-independent)
+    indexed = tracked_persist(
+        fanout_parallel(emb).withColumn("sem_cluster", assigned)
+    )
     pairs = embedding_dup_pairs(
         indexed,
         threshold=threshold,
