@@ -543,11 +543,28 @@ def dsir_proxy_scores(
     )
     n1 = F.expr(f"instr('{hexd}', substring(md5(token), 1, 1))") - 1
     n2 = F.expr(f"instr('{hexd}', substring(md5(token), 2, 1))") - 1
-    tok_buckets = (
-        toks.select("token").distinct()
-        .select("token", F.pmod(n1 * 16 + n2, F.lit(n_buckets)).cast("bigint").alias("bucket"))
+    # bucket per OCCURRENCE, map-side (r17): the distinct-token
+    # featurization + join-back shape this shared with
+    # linear_classifier_scores paid two shuffles of the occurrence
+    # stream to save a ~100 ns md5 — see classify.py for the measured
+    # A/B (outputs identical; the direct form keeps everything before
+    # the two hash aggregations shuffle-free at any scale). The narrow
+    # (id, target, bucket) relation feeds BOTH the frequency agg and
+    # the final scored agg, so persist it — otherwise each consumer
+    # re-tokenizes the corpus (isolated 7-run medians both orders:
+    # joined 1.41-1.57 s, direct unpersisted 1.59-1.65, direct+persist
+    # 1.01-1.14). At scale the cache is disk-backed at worst — the
+    # same bytes the old shape pushed through two shuffles, minus the
+    # network hop.
+    from ..caching import tracked_persist
+
+    with_b = tracked_persist(
+        toks.select(
+            F.col(id_col),
+            F.col("__target"),
+            F.pmod(n1 * 16 + n2, F.lit(n_buckets)).cast("bigint").alias("bucket"),
+        )
     )
-    with_b = toks.join(tok_buckets, "token")
     freq = with_b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cnt_raw"),
         F.count(F.when(F.col("__target"), F.lit(1))).alias("cnt_target"),
