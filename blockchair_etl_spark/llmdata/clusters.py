@@ -163,26 +163,29 @@ def connected_clusters(
 
     fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # tracked as a backstop: both paths release this cache eagerly
-    # (the local finish checkpoints then unpersists below; the loop
-    # unpersists once the first round materializes), but the
-    # non-convergence raise would otherwise leak it — release_tracked
-    # catches that, and the normal-path double-unpersist is a no-op.
-    edges = tracked_persist(edges.distinct())
+    # ONE action materializes the distinct edge set AND reads its count
+    # (r17, guide §1.2/§2.4): the count rides the eager localCheckpoint
+    # via the Observation API — the same fuse the per-round convergence
+    # count already uses — replacing the previous persist + counting
+    # action + separate checkpoint action (the pair-generation subtree
+    # ran under the count and the cache was then re-read to build the
+    # checkpoint; two jobs and a duplicate block copy for the same
+    # bytes). Checkpoint blocks back both paths: the local finish's
+    # returned plan reads them directly (reclaimed by the
+    # ContextCleaner once the plan is GC'd, as before), and the
+    # iterative loop re-reads them per round exactly as it re-read the
+    # old cache. The non-convergence raise releases them explicitly —
+    # the job the old tracked-persist backstop did.
+    obs = Observation()
+    edges = (
+        edges.distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = int(obs.get["n"])
 
-    if local_finish_edges is not None and edges.count() <= local_finish_edges:
-        # the count materializes the cache the loop's round 0 would
-        # have paid for anyway — the big-graph branch loses nothing.
-        # Cut the returned plan loose from the cache before handing it
-        # back: the edge set is <= local_finish_edges rows by the gate,
-        # so an eager localCheckpoint is one cheap cache read, and the
-        # persist releases NOW — library callers invoking this
-        # repeatedly without release_tracked() no longer accumulate a
-        # MEMORY_AND_DISK edge relation per call (checkpoint blocks
-        # are reclaimed by the ContextCleaner once the plan is GC'd).
-        finished = edges.localCheckpoint(eager=True)
-        edges.unpersist()
-        return _local_label_components(finished)
+    if local_finish_edges is not None and n_edges <= local_finish_edges:
+        return _local_label_components(edges)
 
     mapping = None
     if contract_first:
@@ -216,9 +219,9 @@ def connected_clusters(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        # the raw edge cache stays alive until the loop's first action
-        # materializes the contracted relation; both are tracked, so
-        # the final unpersist below plus the harness release cover them
+        # the raw edge checkpoint stays alive until the loop's first
+        # action materializes the contracted relation; released
+        # explicitly after the loop (or by the non-convergence raise)
         raw_edges = edges
         edges = tracked_persist(contracted)
 
@@ -287,8 +290,13 @@ def connected_clusters(
         if not changed:
             converged = True
             break
-    edges.unpersist()
+    if mapping is not None:
+        edges.unpersist()  # the tracked-persisted contracted relation
+    else:
+        release_local_checkpoint(edges)
     if not converged:
+        if mapping is not None:
+            release_local_checkpoint(raw_edges)
         raise RuntimeError(
             f"connected_clusters did not converge within {max_iterations} "
             "rounds; raise max_iterations (rounds needed = O(log diameter) "
@@ -299,7 +307,7 @@ def connected_clusters(
         # compose the contraction mapping with the converged roots of
         # the contracted graph; labels whose edges fully collapsed in
         # the pre-pass are their own component minimum (coalesce)
-        raw_edges.unpersist()
+        release_local_checkpoint(raw_edges)
         roots = labels.select(
             F.col("vertex").alias("__lbl"), F.col("label").alias("__root")
         )

@@ -571,45 +571,62 @@ def simhash_over_occurrences(occ: DataFrame, bits: int = 32) -> DataFrame:
     fingerprint folds in a projection. The md5 runs once per
     occurrence instead of once per distinct (doc, token) — a ~25%
     hash overhead on gram streams, far cheaper than the shuffle it
-    replaces. Bit semantics unchanged: bit j reads hex nibble
-    j div 4 of md5(token) (most-significant first), lsb-first within
-    the nibble — identical fingerprints to the exploded form and to
-    the DuckDB oracle."""
+    replaces.
+
+    Per-row form (r17, guide §1.2 step 2): the md5 hex prefix decodes
+    through ONE conv() per 8 hex chars (a 32-bit integer each) instead
+    of per-nibble substring+instr columns, and each per-bit aggregate
+    is a plain sum of (v >> shift) & 1 — the ±1 CASE is algebraically
+    equivalent to 2·ones_j − n with n = count(*) riding the same agg,
+    so the sign test becomes 2·Σbit_j ≥ n in the fingerprint fold.
+    Fewer expression nodes per occurrence (1 conv vs 8 substr+instr,
+    no CASE per bit) and a ~6× smaller driver-side expression tree
+    (the py4j construction cost of this plan was measurable — ~0.5 s
+    per build at ANY scale). Bit semantics unchanged: bit j reads hex
+    nibble j div 4 of md5(token) (most-significant first), lsb-first
+    within the nibble — identical fingerprints to the exploded form
+    and to the DuckDB oracle (parity pinned by
+    test_simhash_conv_form_matches_md5_model_multiword)."""
     nib_chars = bits // 4
-    # one instr() per hex char (reused by its 4 bits), constant
-    # offsets; codegen CSEs the md5 across the nib_chars expressions
-    h = F.substring(F.md5(F.col("token")), 1, nib_chars)
-    nibs = occ.select(
-        "doc",
+    # 8 hex chars = 32 bits per conv word (bigint-safe; conv of >15
+    # chars would overflow the signed cast)
+    n_words = (nib_chars + 7) // 8
+    words = []
+    for w in range(n_words):
+        lo = 8 * w + 1
+        ln = min(8, nib_chars - 8 * w)
+        words.append(
+            f"CAST(conv(substring(md5(token), {lo}, {ln}), 16, 10) AS BIGINT)"
+            f" AS __v{w}"
+        )
+    vals = occ.selectExpr("doc", *words)
+
+    def _shift(j: int) -> tuple[int, int]:
+        c = j // 4  # hex char index within the whole prefix
+        w, cc = c // 8, c % 8  # word index, char index within the word
+        ln = min(8, nib_chars - 8 * w)  # chars in this word
+        return w, (ln - 1 - cc) * 4 + (j % 4)
+
+    sums = [
+        "COUNT(*) AS __n",
         *[
-            (
-                F.instr(
-                    F.lit("0123456789abcdef"),
-                    F.substring(h, c + 1, 1),
-                )
-                - 1
-            ).alias(f"__n{c}")
-            for c in range(nib_chars)
-        ],
-    )
-    per_doc = nibs.groupBy("doc").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col(f"__n{j // 4}"), j % 4) % 2 == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1))
-            ).alias(f"__s{j}")
+            "SUM((__v{w} >> {s}) & 1) AS __s{j}".format(
+                w=_shift(j)[0], s=_shift(j)[1], j=j
+            )
             for j in range(bits)
-        ]
+        ],
+    ]
+    per_doc = vals.groupBy("doc").agg(
+        *[F.expr(s) for s in sums[1:]], F.expr(sums[0])
     )
-    # fingerprint = Σ bit_j · 2^j  (fits a bigint for bits ≤ 62)
-    fingerprint = None
-    for j in range(bits):
-        term = F.when(F.col(f"__s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return per_doc.select(
-        F.col("doc"), fingerprint.cast("bigint").alias("simhash")
+    # fingerprint = Σ bit_j · 2^j  (fits a bigint for bits ≤ 62);
+    # bit j set ⇔ ±1-sum ≥ 0 ⇔ 2·ones_j ≥ n
+    fold = " + ".join(
+        f"(CASE WHEN 2 * __s{j} >= __n THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return per_doc.selectExpr(
+        "doc", f"CAST({fold} AS BIGINT) AS simhash"
     )
 
 

@@ -1105,6 +1105,46 @@ def test_streaming_incremental_media_matches_batch(spark, docs, tmp_path):
     assert spark.read.parquet(store_dir).count() == store_once == n_fp
 
 
+def test_simhash_conv_form_matches_md5_model_multiword(spark):
+    """r17 per-row form: the md5 hex prefix decodes through one conv()
+    per 8 hex chars. bits=32 is one conv word; bits=64 exercises the
+    MULTI-WORD split (two conv words, per-word shift arithmetic) that
+    no 32-bit caller reaches — pin both against the python md5 model,
+    including repeated tokens (frequency weighting). 48 (not 64)
+    because the fingerprint fold needs 1 << j to fit a BIGINT (bits
+    <= 62, same bound as the docstring), and 48 additionally covers a
+    SHORT second conv word (4 hex chars)."""
+    import hashlib
+    from collections import Counter
+
+    from blockchair_etl_spark.llmdata.dedup import simhash_over_occurrences
+
+    toks = [
+        (0, ["alpha", "beta", "alpha", "gamma"]),
+        (1, ["beta"] * 7 + ["delta"]),
+        (2, ["x"]),
+        (3, [f"t{i}" for i in range(50)] + ["t0", "t1", "t1"]),
+    ]
+    occ = spark.createDataFrame(
+        [(d, t) for d, ts in toks for t in ts], "doc bigint, token string"
+    )
+    for bits in (32, 48):
+        got = {
+            r.doc: r.simhash
+            for r in simhash_over_occurrences(occ, bits=bits).collect()
+        }
+        exp = {}
+        for d, ts in toks:
+            acc = [0] * bits
+            for w, freq in Counter(ts).items():
+                hexd = hashlib.md5(w.encode()).hexdigest()
+                for j in range(bits):
+                    nib = int(hexd[j // 4], 16)
+                    acc[j] += freq if (nib >> (j % 4)) & 1 else -freq
+            exp[d] = sum(1 << j for j in range(bits) if acc[j] >= 0)
+        assert got == exp, f"bits={bits}"
+
+
 def test_simhash_locality(docs):
     # near-dup docs (jaccard >= 0.8) should have small hamming distance
     fp = {r.doc: r.simhash for r in simhash_fingerprints(docs).collect()}
