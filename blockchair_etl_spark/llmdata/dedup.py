@@ -1799,34 +1799,39 @@ def repeated_ngram_stats(
 
     Unlike exploded_shingles this keeps EVERY window position (no
     distinct): the fraction weighs a shingle by how often the doc uses
-    it. Linear shape: one tokenize+posexplode per doc, lead() windows,
-    one groupBy on the shingle for the document-frequency, one join
-    back. At 100 TB the shingle df agg is the big shuffle — same key
+    it. Linear shape: one tokenize per doc with ROW-LOCAL window
+    construction (r17, guide §2.4: the windows are slices of the
+    per-row token array — transform(sequence)+slice, the winnowing
+    array-space pattern — where the previous lead()-window form paid a
+    partition-by-doc shuffle AND a per-doc sort, twice, since this
+    relation feeds both the df agg and the join-back branch), one
+    groupBy on the shingle for the document-frequency, one join back.
+    At 100 TB the shingle df agg is the big shuffle — same key
     distribution as every shingle pipeline here, and the join back is
     shuffle-on-shingle too, so AQE can co-plan them.
 
     Output: (id, n_windows, n_dup_windows, dup_fraction) — one row per
     input document, zeros for docs shorter than n tokens.
     """
-    from pyspark.sql import Window
-
     from .text import tokens_col
 
     par = df.sparkSession.sparkContext.defaultParallelism
-    tok_rows = df.repartition(par).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(tokens_col(text_col)).alias("pos", "token"),
+    toks = df.repartition(par).select(
+        F.col(id_col).alias("doc"), tokens_col(text_col).alias("__t")
     )
-    w = Window.partitionBy("doc").orderBy("pos")
-    leads = [F.lead("token", k).over(w) for k in range(1, n)]
-    windows = (
-        tok_rows.select(
-            "doc",
-            F.concat_ws(" ", F.col("token"), *leads).alias("feat"),
-            leads[-1].alias("last"),
-        )
-        .filter(F.col("last").isNotNull())
-        .select("doc", "feat")
+    # one n-token window string per start position, built in-row; docs
+    # shorter than n yield an empty array (sequence() must be guarded:
+    # a stop below the start would count DOWN, not return empty)
+    windows = toks.select(
+        "doc",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(__t) >= {n} THEN "
+                f"transform(sequence(1, size(__t) - {n - 1}), "
+                f"i -> array_join(slice(__t, i, {n}), ' ')) "
+                "ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("feat"),
     )
     docs_per_feat = windows.groupBy("feat").agg(
         F.count_distinct("doc").alias("n_docs")
@@ -1875,18 +1880,22 @@ def remove_duplicated_spans(
     artifact the paper documents.
 
     Shape at scale (all linear, no pair fan-out): the tokenize +
-    posexplode + lead()-window prefix runs TWICE — once under the
-    shingle hash-agg for (df, canonical), once on the cut side of the
-    join — the same 2×-scan-over-persist trade line_dedup documents
-    (persisting the window relation would hold O(corpus tokens));
-    the join back is shuffle-on-shingle, position coverage is a single
-    rows-between max over the per-doc sort (posexplode emits dense
-    positions, so row frames equal position frames — no n× explode of
-    covered positions), and reassembly is one ordered hash-agg per doc. The shingle agg + join
-    shuffle full window strings like every shingle pipeline here;
-    hashing feats to 64 bits would cut that volume but admits
-    birthday-collision over-cutting at 10^12-shingle scale, so the
-    exact strings stay.
+    in-row window prefix runs TWICE — once under the shingle hash-agg
+    for (df, canonical), once on the cut side of the join — the same
+    2×-scan-over-persist trade line_dedup documents (persisting the
+    window relation would hold O(corpus tokens)). Window strings are
+    built ROW-LOCALLY from the token array (r17, guide §2.4:
+    transform-with-index + slice — the previous lead()-window form
+    paid a partition-by-doc shuffle and a per-doc sort on BOTH
+    branches purely to assemble them); the join back is
+    shuffle-on-shingle, position coverage is a single rows-between max
+    over the per-doc sort (posexplode emits dense positions, so row
+    frames equal position frames — no n× explode of covered
+    positions), and reassembly is one ordered hash-agg per doc. The
+    shingle agg + join shuffle full window strings like every shingle
+    pipeline here; hashing feats to 64 bits would cut that volume but
+    admits birthday-collision over-cutting at 10^12-shingle scale, so
+    the exact strings stay.
 
     Output: (doc_id, clean_text, n_tokens_kept, n_tokens_removed) —
     one row per input document (anchored on the input ids: zero-token
@@ -1898,23 +1907,23 @@ def remove_duplicated_spans(
 
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = df.repartition(par).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(tokens_col(text_col)).alias("pos", "token"),
+        F.col(id_col).alias("doc"), tokens_col(text_col).alias("__t")
     )
-    w = Window.partitionBy("doc").orderBy("pos")
-    leads = [F.lead("token", k).over(w) for k in range(1, n)]
+    # (pos, token, feat): feat is the n-token window STARTING at pos,
+    # NULL where fewer than n tokens remain — one posexplode of an
+    # in-row struct array, no lead() window, no per-doc sort
     wins = toks.select(
         "doc",
-        "pos",
-        "token",
-        F.concat_ws(" ", F.col("token"), *leads).alias("feat"),
-        # a window is valid only where all n tokens exist; concat_ws
-        # skips nulls, so tail rows carry a SHORT feat — the isNotNull
-        # flag below keeps them out of both the stats and the cuts
-        leads[-1].isNotNull().alias("valid"),
-    )
+        F.posexplode(
+            F.expr(
+                "transform(__t, (tok, i) -> struct(tok AS token, "
+                f"CASE WHEN i + {n} <= size(__t) THEN "
+                f"array_join(slice(__t, i + 1, {n}), ' ') END AS feat))"
+            )
+        ).alias("pos", "__w"),
+    ).select("doc", "pos", F.col("__w.token").alias("token"), F.col("__w.feat").alias("feat"))
     feat_stats = (
-        wins.filter("valid")
+        wins.filter(F.col("feat").isNotNull())
         .groupBy("feat")
         .agg(
             F.count_distinct("doc").alias("n_docs"),
@@ -1926,7 +1935,7 @@ def remove_duplicated_spans(
         "pos",
         "token",
         (
-            F.col("valid")
+            F.col("feat").isNotNull()
             & (F.col("n_docs") >= 2)
             & (F.col("doc") != F.col("canon"))
         )

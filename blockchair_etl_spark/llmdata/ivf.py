@@ -19,6 +19,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .similarity import DEC, cosine_expr
+from .stats import lit_double_array, lit_double_array2d
 
 
 def _sq_dist_col(vec_col: Column, centroid: Column) -> Column:
@@ -38,7 +39,7 @@ def _sq_dist_col(vec_col: Column, centroid: Column) -> Column:
 
 
 def _sq_dist(vec_col: Column, centroid: np.ndarray) -> Column:
-    return _sq_dist_col(vec_col, F.array(*[F.lit(float(v)) for v in centroid]))
+    return _sq_dist_col(vec_col, lit_double_array(centroid))
 
 
 def exact_probe_order(centroids: np.ndarray, q) -> list[int]:
@@ -75,9 +76,7 @@ def assign_cluster(vec_col: Column, centroids: np.ndarray) -> Column:
     bottleneck (~5 s per plan build at k=64, growing linearly in k),
     which caps the usable codebook size long before executor time does.
     Same distances, same assignment, ~k-fold smaller expression tree."""
-    cents = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
-    )
+    cents = lit_double_array2d(centroids)
     dists = F.transform(cents, lambda c: _sq_dist_col(vec_col, c))
     return F.array_position(dists, F.array_min(dists)).cast("int") - 1
 
@@ -192,7 +191,7 @@ def ivf_ann_topk(
     # Exact-decimal probe ranking (ties by list id) — the same
     # arithmetic the oracle's ORDER BY dist, c evaluates.
     probes = exact_probe_order(centroids, q)[:n_probe]
-    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    qcol = lit_double_array(query_vec)
     cand = indexed.filter(F.col("ivf_cluster").isin(probes))
     scored = cand.select(F.col(id_col), cosine_expr(F.col(vec_col), qcol).alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
@@ -259,7 +258,7 @@ def assign_cluster_pruned(
             *[
                 F.struct(
                     F.lit(c).alias("c"),
-                    F.array(*[F.lit(float(v)) for v in centroids[c]]).alias("cv"),
+                    lit_double_array(centroids[c]).alias("cv"),
                 )
                 for c in by_bucket[b]
             ]

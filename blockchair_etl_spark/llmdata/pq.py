@@ -38,6 +38,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .ivf import seed_centroids, train_ivf_centroids
+from .stats import lit_double_array, lit_double_array2d
 
 # Fixed-point scale for PQ distances: every per-dimension squared diff
 # is floor(diff^2 * 2^24) as a BIGINT. Long arithmetic keeps the m*ksub
@@ -78,7 +79,7 @@ def _book_lit(book: np.ndarray) -> Column:
     m=4, ksub=16. One transform() over a literal array keeps a single
     lambda subtree per subspace — same generated work per row, ~20x
     smaller tree."""
-    return F.array(*[F.array(*[F.lit(float(v)) for v in cw]) for cw in book])
+    return lit_double_array2d(book)
 
 
 def _dists_over_book(sub: Column, book_lit: Column) -> Column:
@@ -233,7 +234,7 @@ def pq_adc_topk(
 
     total = F.lit(0).cast("bigint")
     for j in range(m):
-        qsub = F.array(*[F.lit(v) for v in q[j * dsub : (j + 1) * dsub]])
+        qsub = lit_double_array(q[j * dsub : (j + 1) * dsub])
         table = _dists_over_book(qsub, _book_lit(codebooks[j]))
         code = _sub_code(vec, codebooks[j], j, dsub)
         total = total + F.element_at(table, code + 1)
@@ -259,7 +260,7 @@ def residual_frame(
     from .ivf import assign_cluster
 
     cents = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+        *[lit_double_array(c) for c in centroids]
     )
     # TWO projections on purpose: the assignment argmin is expensive and
     # referenced again by the residual; as a materialized intermediate

@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .stats import CorpusStats
+from .stats import CorpusStats, lit_double_array
 
 # (30,18) not (38,18): decimal addition at precision 38 overflows and
 # Spark shrinks the result scale to 17, rounding every fold step. With
@@ -63,7 +63,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k against a literal query vector.
     Deterministic tiebreak on id."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = lit_double_array(query_vec)
     scored = emb.select(
         F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cosine")
     )
@@ -113,7 +113,7 @@ def lsh_bucket_col(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 7) 
     planes = _planes(dim, n_planes, seed)
     bucket = F.lit(0)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[p]])
+        plane = lit_double_array(planes[p])
         prods = F.zip_with(
             vec_col, plane, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC)
         )

@@ -78,6 +78,46 @@ def corpus_stats(
     return CorpusStats(n_rows=int(row["__n"]), dim=dim)
 
 
+def lit_double_array(vals) -> "Column":
+    """A literal array<double> Column built from ONE parsed SQL
+    expression instead of one py4j round trip per element (r17, guide
+    §1.2: constructing a 64-element plane or a 16×64 centroid array
+    via ``F.array(*[F.lit(float(v)) …])`` costs ~0.7 s of driver time
+    PER ARRAY at any data scale; the expr-string form is ~3 ms and
+    bit-identical — ``CAST('<repr>' AS DOUBLE)`` round-trips exactly
+    because Python's repr is shortest-round-trip and Java parses it to
+    the same IEEE double, verified by struct-level comparison).
+
+    Falls back to the per-element form when any value is non-finite
+    (repr 'nan'/'inf' spellings are not portable SQL literals)."""
+    import math
+
+    fvals = [float(v) for v in vals]
+    if all(math.isfinite(v) for v in fvals):
+        return F.expr(
+            "array(" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in fvals) + ")"
+        )
+    return F.array(*[F.lit(v) for v in fvals])
+
+
+def lit_double_array2d(rows) -> "Column":
+    """Nested array<array<double>> literal — one expr parse for e.g. a
+    whole centroid table (see :func:`lit_double_array`)."""
+    import math
+
+    frows = [[float(v) for v in r] for r in rows]
+    if all(math.isfinite(v) for r in frows for v in r):
+        return F.expr(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in r) + ")"
+                for r in frows
+            )
+            + ")"
+        )
+    return F.array(*[F.array(*[F.lit(v) for v in r]) for r in frows])
+
+
 def fanout_parallel(df: DataFrame) -> DataFrame:
     """Ensure a heavy PER-ROW-COMPUTE stage runs at cluster
     parallelism. A small corpus arriving in one or two parquet files
