@@ -865,11 +865,15 @@ def line_dedup(
     the segmentation differs, the dedup semantics (the C4 pipeline's
     "discard any line repeated across the corpus" rule) are the same.
 
-    Shape at scale: tokens explode once (linear), lines form with one
-    (doc, line_no) hash-agg, the line-frequency relation is one
-    hash-agg on line text, and the removal join shuffles on line text —
-    boilerplate lines are exactly the high-frequency (skewed) keys, and
-    AQE skew-join handles them. Reassembly is one ordered hash-agg per
+    Shape at scale: lines are ROW-LOCAL slices of the per-doc token
+    array (r17, guide §2.4 — the previous form exploded the token
+    stream and re-assembled lines with a (doc, line_no) hash-agg: a
+    full token-stream shuffle plus a sort-inside-agg, paid on BOTH
+    executions of the prefix since it feeds the line-df and removal
+    branches), the line-frequency relation is one hash-agg on line
+    text, and the removal join shuffles on line text — boilerplate
+    lines are exactly the high-frequency (skewed) keys, and AQE
+    skew-join handles them. Reassembly is one ordered hash-agg per
     doc. No window over the whole corpus, no driver state.
 
     Output: (doc_id, clean_text, n_lines_kept, n_lines_removed); docs
@@ -877,28 +881,24 @@ def line_dedup(
     keep a row with clean_text = '' (left join back to the input ids,
     so the output has exactly one row per input document).
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens_col(text_col)).alias("pos", "token"),
-    )
-    lines = (
-        toks.select(
-            "doc_id",
-            (F.col("pos") / line_tokens).cast("bigint").alias("line_no"),
-            "pos",
-            "token",
-        )
-        .groupBy("doc_id", "line_no")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
-                    lambda s: s.getField("token"),
-                ),
-                " ",
-            ).alias("line_text")
-        )
-    )
+    lt = int(line_tokens)
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__t")
+    ).select(
+        "doc_id",
+        # one line per ceil(n_tokens/lt) window, 0-based line_no from
+        # posexplode == floor(pos/lt) of the exploded form; the tail
+        # line is naturally short (slice past the end). sequence() must
+        # be guarded: a stop below the start counts DOWN.
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(__t) > 0 THEN "
+                f"transform(sequence(1, (size(__t) + {lt - 1}) div {lt}), "
+                f"i -> array_join(slice(__t, (i - 1) * {lt} + 1, {lt}), ' ')) "
+                "ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("line_no", "line_text"),
+    ).select("doc_id", F.col("line_no").cast("bigint").alias("line_no"), "line_text")
     line_df = lines.groupBy("line_text").agg(
         F.count_distinct("doc_id").alias("line_df")
     )
