@@ -22,11 +22,11 @@ Scale shape — the classic scalable-BPE factoring:
   Python stage): greedy left-to-right, the original BPE semantics —
   [a a a] under merge (a,a) becomes [aa a], because after a merge the
   accumulator tail is the merged symbol and no longer matches `l`.
-- Apply encodes DISTINCT words only (one fold chain per distinct word,
-  k chained aggregates in one projection — JVM-side but INTERPRETED at
-  this nesting depth: higher-order functions are CodegenFallback, a
-  fact measured in r12's jstack and the reason the vectorized
-  mapInPandas twin exists for production vocabularies) and joins the
+- Apply encodes DISTINCT words only (ONE doubly-nested aggregate per
+  projection folding the merge list as data — JVM-side but INTERPRETED:
+  higher-order functions are CodegenFallback, a fact measured in r12's
+  jstack and the reason the vectorized mapInPandas twin exists for
+  production vocabularies) and joins the
   encodings back to the token stream — repeated words are never
   re-encoded, the same distinct-side trick the classifier's
   featurizer uses. Document reassembly is one ordered hash-agg per
@@ -39,6 +39,8 @@ python reference).
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -66,7 +68,10 @@ def word_frequency_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _merge_fold(syms: Column, left: str, right: str) -> Column:
     """Greedy left-to-right merge of adjacent (left, right) into
-    left+right — one JVM-side aggregate, no Python. Overlapping runs
+    left+right — one JVM-side aggregate, no Python. This is the
+    single-merge REFERENCE form; production paths fold the whole merge
+    list as data in one expression (_merge_fold_all, r18) — same inner
+    fold, constant-depth analysis. Overlapping runs
     merge non-overlapping from the left ([a a a] -> [aa a]) because the
     merged tail symbol no longer equals `left` (left+right != left for
     nonempty right).
@@ -92,6 +97,66 @@ def _merge_fold(syms: Column, left: str, right: str) -> Column:
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
+
+
+def _merge_fold_all(syms: Column, merges: list[tuple[str, str]]) -> Column:
+    """Every merge of ``merges`` applied IN ORDER with ONE doubly-nested
+    aggregate: the merge list enters the plan as DATA — an
+    array<struct<l,r,o>> literal the outer lambda folds over, running
+    the same greedy inner fold as :func:`_merge_fold` per element
+    (o = left+right, precomputed so the hot branch appends a plain
+    field instead of concatenating). Chaining one nested ``aggregate``
+    per merge instead costs Catalyst a fixed-point Resolution iteration
+    PER NESTING LEVEL, so analysis grows superlinearly with the merge
+    count — measured r18 on the driver word table: analyze 0.47 s at
+    depth 8 / 2.95 s at depth 64 chained, vs 0.08-0.14 s at ANY depth
+    here, with the end-to-end encode action 0.43 s → 0.17 s at the
+    8-merge oracle depth. Bit-identical to the chained form (same
+    per-merge fold, same order; pytest parity + the fuzz test vs
+    _py_fold_merges).
+
+    The literal is ONE parsed expression (the lit_double_array
+    precedent — F.lit per symbol costs a py4j round trip each); symbols
+    outside the tokenizer's [a-z0-9]+ contract fall back to the
+    per-element builder rather than risking SQL-literal escaping."""
+    if all(_SQL_SAFE_SYM.fullmatch(s) for l, r in merges for s in (l, r)):
+        pairs = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('l','{l}','r','{r}','o','{l}{r}')"
+                for l, r in merges
+            )
+            + ")"
+        )
+    else:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(l).alias("l"), F.lit(r).alias("r"), F.lit(l + r).alias("o")
+                )
+                for l, r in merges
+            ]
+        )
+    return F.aggregate(
+        pairs,
+        syms,
+        lambda cur, m: F.aggregate(
+            cur,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.get(acc, F.size(acc) - 1) == m.getField("l"))
+                & (x == m.getField("r")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(m.getField("o"))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        ),
+    )
+
+
+# symbols that embed verbatim in a SQL string literal; the token
+# contract is [a-z0-9]+ so real vocabularies always pass
+_SQL_SAFE_SYM = re.compile(r"[a-z0-9]+")
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
@@ -238,10 +303,9 @@ def bpe_train(
             if rewriter == "vectorized":
                 rewritten = _rewrite_syms_vectorized(words, picked)
             else:
-                col = F.col("syms")
-                for l, r in picked:
-                    col = _merge_fold(col, l, r)
-                rewritten = words.withColumn("syms", col)
+                rewritten = words.withColumn(
+                    "syms", _merge_fold_all(F.col("syms"), picked)
+                )
             nxt = rewritten.localCheckpoint()
             # release_local_checkpoint, NOT DataFrame.unpersist: the
             # latter never frees checkpoint blocks (caching.py), so the
@@ -292,13 +356,14 @@ def encode_words(
     """Add `toks` (the BPE encoding) to a relation carrying a `word`
     column: character split, then every merge applied IN ORDER.
 
-    Merges chain as nested fold expressions, so expression-tree depth
-    grows with the merge count — fine at tens of merges, but a
-    production vocabulary (10k-50k merges) would blow Catalyst's
-    recursion long before any job ran (and Catalyst's CollapseProject
-    re-inlines split projections, so chunked .select alone doesn't
-    bound the depth). Every ``chunk`` merges the partial encoding is
-    therefore localCheckpointed — a real optimizer barrier. The
+    Each ``chunk``-sized slice of the merge list is applied as ONE
+    data-driven fold (_merge_fold_all, r18) — constant-depth analysis,
+    so the old nested-per-merge Catalyst blowup no longer applies to a
+    slice. The chunk/checkpoint machinery is RETAINED as the pinned
+    contract for >chunk lists (runtime per-row cost still grows with
+    the merge count — the vectorized encoder stays the production-vocab
+    answer) and every ``chunk`` merges the partial encoding is
+    localCheckpointed — a real optimizer barrier. The
     checkpointed relation is the DISTINCT-WORD table (bpe_apply's
     contract), so the materialization cost is vocabulary-sized, not
     corpus-sized; with merges <= chunk (the common case and every
@@ -332,12 +397,14 @@ def encode_words(
     CHUNK POLICY (r12 recorded A/B, 99,705 distinct words × 1024
     merges, widened, local[32], canary 0.75): chunk=32 read 78–85 s
     and chunk=64 77–84 s — within noise of each other — while
-    chunk=128 FAILED ANALYSIS outright ("Max iterations (100) reached
-    for batch Resolution": nested lambda resolution costs the analyzer
-    a fixed-point iteration per level). So 64 stays the default, the
-    ceiling is guarded (_MAX_FOLD_CHAIN), and the real production-vocab
-    decision is not chunk at all: encode_words_vectorized ran the same
-    workload in 6.2 s (≈13×) — use it past ~hundreds of merges."""
+    chunk=128 FAILED ANALYSIS outright under the then-chained fold
+    ("Max iterations (100) reached for batch Resolution"). The r18
+    data-driven fold removed that analyzer wall, but 64 stays the
+    default and the _MAX_FOLD_CHAIN guard stays the pinned contract
+    (the registry is frozen and nothing needs deeper slices): the real
+    production-vocab decision is not chunk at all —
+    encode_words_vectorized ran the same workload in 6.2 s (≈13×) —
+    use it past ~hundreds of merges."""
     if chunk < 1:
         raise ValueError(f"chunk must be >= 1, got {chunk}")
     # the actual per-projection depth is min(chunk, len(merges)) — a
@@ -355,10 +422,10 @@ def encode_words(
     out = words.withColumn("toks", F.expr(_SYMS))
     prev_ckpt: DataFrame | None = None
     for i in range(0, len(merges), chunk):
-        col = F.col("toks")
-        for l, r in merges[i : i + chunk]:
-            col = _merge_fold(col, l, r)
-        out = out.withColumn("toks", col)
+        # merge-list-as-data fold (_merge_fold_all): constant-depth
+        # analysis regardless of the slice length (r18; the chained
+        # per-merge form cost Catalyst a Resolution iteration per level)
+        out = out.withColumn("toks", _merge_fold_all(F.col("toks"), merges[i : i + chunk]))
         if i + chunk < len(merges):
             out = out.localCheckpoint()
             if prev_ckpt is not None:
@@ -372,13 +439,14 @@ def encode_words(
     return out
 
 
-# Hard ceiling on chained merge-fold expressions in ONE projection:
-# measured r12 — a 128-deep nested higher-order aggregate fails ANALYSIS
-# outright ("Max iterations (100) reached for batch Resolution": each
-# nested lambda costs the analyzer a fixed-point iteration), and 64 is
-# the deepest chain the suite pins green. Guarded in encode_words
-# (chunk) and bpe_train (batch_k) so callers hit a named error, not the
-# analyzer's.
+# Ceiling on merges applied per projection. Historically an ANALYZER
+# hard wall (measured r12: a 128-deep chained higher-order aggregate
+# failed Resolution — each nested lambda cost the analyzer a fixed-point
+# iteration); the r18 merge-list-as-data fold (_merge_fold_all) analyzes
+# at constant depth, so the ceiling is now a RETAINED compatibility
+# bound (pinned by tests, harmless at 64, and the error message's
+# advice — use the vectorized encoder for production vocabularies —
+# remains the right runtime call regardless of analysis cost).
 _MAX_FOLD_CHAIN = 64
 
 

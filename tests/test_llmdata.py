@@ -3357,6 +3357,49 @@ def test_bpe_fold_ansi_mode_safe(spark):
     }
 
 
+def test_merge_fold_all_matches_python_fold_fuzz(spark):
+    """r18: the merge-list-as-data fold (_merge_fold_all — one
+    doubly-nested aggregate, constant-depth analysis) must be
+    bit-identical to the python sequential-greedy reference
+    (_py_fold_merges, itself pinned against the historical chained
+    form) over random words and a merge chain that exercises
+    multi-char symbols, overlapping runs, chunk-boundary merges and
+    inapplicable merges."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.llmdata.tokenizer import (
+        _merge_fold_all,
+        _py_fold_merges,
+        _SYMS,
+    )
+
+    rng = random.Random(18)
+    alphabet = "abc0"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+        for _ in range(300)
+    ]
+    words += ["aaaa", "ababab", "a", "", "cccc", "abcabc"]
+    # ordered chain: later merges consume earlier outputs; ("z","z")
+    # never applies (symbol absent) and must be a no-op
+    merges = [
+        ("a", "b"), ("ab", "c"), ("a", "a"), ("aa", "aa"),
+        ("z", "z"), ("c", "0"), ("abc", "abc"), ("0", "a"),
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r.word: list(r.toks)
+        for r in df.select(
+            "word", _merge_fold_all(F.expr(_SYMS), merges).alias("toks")
+        ).collect()
+    }
+    for w in words:
+        syms = [""] if w == "" else list(w)
+        assert got[w] == _py_fold_merges(syms, merges), w
+
+
 def test_encode_words_releases_superseded_checkpoints(spark):
     """Advisor r11 + r12 review: the chunked path must unpersist each
     superseded localCheckpoint once its successor materializes — a
