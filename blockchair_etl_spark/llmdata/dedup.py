@@ -432,8 +432,16 @@ def minhash_pairs_from_store(
             .filter(F.col("__bucket_n") > int(max_bucket))
             .select("band_idx", "band_key", F.lit(True).alias("__big"))
         )
-        marked = banded.join(
-            F.broadcast(big_keys), ["band_idx", "band_key"], "left"
+        # the marked band stream feeds SIX plan branches (small and the
+        # reps on BOTH self-join sides, plus the two star aggregations)
+        # — unpersisted, each branch re-ran the explode + sig_key md5 +
+        # count-agg + broadcast-join subtree (r18 plan audit: 39
+        # Generate / 52 Exchange nodes in the capped driver entry).
+        # One narrow (doc, sig_key, band_idx, band_key, __big) cache —
+        # the same rows/bytes class as the band store persist itself —
+        # collapses them to InMemoryTableScans.
+        marked = tracked_persist(
+            banded.join(F.broadcast(big_keys), ["band_idx", "band_key"], "left")
         )
         small = marked.filter(F.col("__big").isNull())
         big = marked.filter(F.col("__big").isNotNull())
@@ -1148,7 +1156,13 @@ def simhash_near_pairs(
             .filter(F.col("__bucket_n") > int(max_bucket))
             .select("bi", "bv", F.lit(True).alias("__big"))
         )
-        marked = exploded.join(F.broadcast(big_keys), ["bi", "bv"], "left")
+        # same six-branch fan-out as the minhash cap (r18): persist the
+        # narrow (doc, fp, bi, bv, __big) block stream so the upstream
+        # fingerprint aggregation + block explode + count/broadcast-join
+        # run once instead of per branch
+        marked = tracked_persist(
+            exploded.join(F.broadcast(big_keys), ["bi", "bv"], "left")
+        )
         small = marked.filter(F.col("__big").isNull()).select(
             "doc", "fp", "bi", "bv"
         )
