@@ -1439,6 +1439,27 @@ def test_hll_registers_match_python_reference(spark):
     assert got == want and got
 
 
+def test_bitlen_tree_boundaries(spark):
+    """r18: the CASE-tree bit length (_bitlen_tree) must equal the
+    minimal-binary-string length at every power-of-two boundary and the
+    domain extremes — the exact values the HLL rank decode feeds it."""
+    from pyspark.sql import functions as F
+
+    from blockchair_etl_spark.operators.approx import _bitlen_tree
+
+    w = 50
+    vals = sorted(
+        {1, (1 << w) - 1}
+        | {1 << k for k in range(w - 1)}
+        | {(1 << k) - 1 for k in range(1, w)}
+        | {(1 << k) + 1 for k in range(w - 1)}
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x bigint")
+    got = {r.x: r.bl for r in df.select("x", _bitlen_tree(F.col("x"), w).alias("bl")).collect()}
+    for v in vals:
+        assert got[v] == v.bit_length(), v
+
+
 def test_hll_union_law_estimate_and_accuracy(spark):
     """Register-wise max of two half-corpus sketches equals the sketch
     of the union (the merge law, bit-exact); re-merging a sketch into
