@@ -642,6 +642,7 @@ def kcenter_select(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_rows: int = 1024,
 ) -> list[int]:
     """Greedy k-center coreset selection (Gonzalez '85; the classic
     2-approximation of the k-center cover): seed with the minimum-id
@@ -651,41 +652,67 @@ def kcenter_select(
     standard diversity-selection primitive for training-data curation
     (pick prototypes to label/keep, cap redundancy after dedup).
 
-    Scale/determinism shape — the Lloyd-loop contract (ivf.py): k
-    driver rounds, each collecting exactly ONE (id, vector) row via a
-    total order (distance DESC, id ASC). Min-distance-to-selected is
-    maintained INCREMENTALLY through a persisted chain: round i's
-    relation is (id, vec, __d) with __d = least(prior __d, exact-
-    DECIMAL squared distance to the newest center — the _sq_dist
-    arithmetic the SQL oracle replays bit-for-bit; DECIMAL least() is
-    associative, so the fold equals the oracle's flat F.least over all
-    selected centers exactly). Each round's plan therefore carries ONE
-    constant-size distance expression instead of i growing ones —
-    O(n*k) total distance evals and O(1) analyzer/codegen work per
-    round, where the naive re-derivation is O(n*k^2) with a regrowing
-    plan (measured r14 at sf0.1, k=8: 5.36 s naive, 4.39 s with a
-    loop persist alone, ~2x less with the incremental fold). Each
-    generation is released only after the next one materializes, so
-    nothing recomputes from parquet; driver traffic stays O(k * dim)
-    floats. For k in the thousands use cluster_balanced_sample, the
-    bucketed approximation of exactly this objective.
+    Scale/determinism shape (r18 — batched rounds): the old loop ran k
+    driver rounds of one top-1 collect each (k full jobs at the fixed
+    per-action floor). Each cluster round now collects the TOP
+    ``batch_rows`` rows by (distance DESC, id ASC) — a bounded
+    O(batch_rows * dim) driver payload (~0.5 MB at the default, the
+    same traffic class as a small broadcast) — and continues the
+    greedy selection DRIVER-SIDE over that candidate pool with the
+    SAME exact-decimal arithmetic Spark runs (per-dim IEEE (a-b)^2,
+    shortest-repr-quantized to 18 decimals — the double→DECIMAL(38,18)
+    cast law pinned in r13 — summed exactly; python Decimal mirrors it
+    bit-for-bit, the exact_probe_order precedent). A driver-side pick
+    is taken ONLY while it provably dominates every row left on the
+    cluster: uncollected rows can only have current distance ≤ the
+    last collected row's (distances only shrink as centers are added),
+    so picks require best > that bound STRICTLY (a tie could hide a
+    smaller-id uncollected winner). When the bound fails, the relation
+    is extended incrementally — least(__d, distance to each
+    driver-side pick), the same associative DECIMAL fold as before, so
+    it still equals the oracle's flat F.least exactly — re-persisted
+    and re-collected; the first pick after any fresh collect is the
+    relation's true global argmax, so every round makes progress and
+    the job count is at worst the old k (distance evals stay O(n*k)
+    total) and at best 2 jobs (seed + one batch) when one pool serves
+    all k picks. Driver traffic stays O(batch_rows * dim) floats
+    regardless of corpus size. For k in the thousands use
+    cluster_balanced_sample, the bucketed approximation of exactly
+    this objective.
 
     Degenerate k: if the relation has fewer than k DISTINCT vectors,
     selection stops when the coverage radius reaches 0 and returns the
     distinct centers found (the unrolled SQL oracle instead replays
     full rounds, so the oracle'd entry keeps k well under the
     fixture's distinct count)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     import numpy as np
 
     from .ivf import _sq_dist
 
     if k < 1:
         raise ValueError(f"k={k}: need at least one center")
+    if batch_rows < 1:
+        raise ValueError(f"batch_rows={batch_rows}: need at least one row")
     first = emb.select(id_col, vec_col).orderBy(id_col).limit(1).collect()
     if not first:
         raise ValueError("kcenter_select over an empty relation")
     selected = [(first[0][0], [float(x) for x in first[0][1]])]
     vec = F.col(vec_col)
+
+    quantum = Decimal("0.000000000000000001")  # 18 frac digits = DEC(38,18)
+
+    def sq_py(a: list[float], b: list[float]) -> Decimal:
+        # Decimal(repr(.)) — shortest-repr rounding, matching Spark's
+        # double->decimal(38,18) cast (r13: Decimal(d*d) would quantize
+        # the exact binary double and diverge at the 18th digit)
+        total = Decimal(0)
+        for x, y in zip(a, b):
+            d = x - y
+            total += Decimal(repr(d * d)).quantize(quantum, rounding=ROUND_HALF_UP)
+        return total
+
     # scoped persist chain, NOT the global tracked registry (the
     # unigram_train reason: callers may hold tracked frames a global
     # release would free mid-plan); prev is released AFTER the collect
@@ -694,30 +721,66 @@ def kcenter_select(
         id_col, vec_col, _sq_dist(vec, np.asarray(selected[0][1])).alias("__d")
     ).persist()
     prev = None
+    n_applied = 1  # how many selected centers cur's __d folds in
+    radius_zero = False
     try:
-        while len(selected) < k:
-            row = (
-                cur.orderBy(F.desc("__d"), F.asc(id_col)).limit(1).collect()
-            )[0]
+        while len(selected) < k and not radius_zero:
+            rows = (
+                cur.orderBy(F.desc("__d"), F.asc(id_col))
+                .limit(batch_rows)
+                .collect()
+            )
             if prev is not None:
                 prev.unpersist()
                 prev = None
-            if row["__d"] == 0:
-                # every vector coincides with a selected center:
-                # coverage radius is 0 and further rounds would re-pick
-                # the min-id seed forever (r13 review) — return the < k
-                # DISTINCT centers that already cover the set exactly
+            # a full batch means rows may remain on the cluster; their
+            # CURRENT distance is <= the last collected row's (it only
+            # shrinks as centers are added), the driver-pick bound
+            has_outside = len(rows) == batch_rows
+            d_bound = rows[-1]["__d"] if has_outside else None
+            ids = [r[0] for r in rows]
+            vecs = [[float(x) for x in r[1]] for r in rows]
+            dists = [r["__d"] for r in rows]
+            varr = np.asarray(vecs, dtype=np.float64)
+            fresh = True
+            while len(selected) < k:
+                dmax = max(dists)
+                if not (fresh or not has_outside or dmax > d_bound):
+                    break  # an uncollected row could win — re-collect
+                if dmax == 0:
+                    # every vector coincides with a selected center:
+                    # coverage radius is 0 (the first post-collect pick
+                    # is the TRUE global argmax, so this is exact) —
+                    # return the < k DISTINCT centers (r13 review)
+                    radius_zero = True
+                    break
+                bi = min(i for i, d in enumerate(dists) if d == dmax)
+                bvec = vecs[bi]
+                selected.append((ids[bi], bvec))
+                fresh = False
+                if len(selected) == k:
+                    break
+                # fold the new center into the pool's distances — exact
+                # Decimal only where a float screen (generous 1e-6
+                # relative + 1e-15 absolute margin vs ~1e-14 true float
+                # error) says the min could actually change; everywhere
+                # else min(d, new) is provably d
+                appr = ((varr - np.asarray(bvec)) ** 2).sum(axis=1)
+                for i, d in enumerate(dists):
+                    if appr[i] - 1e-6 * appr[i] - 1e-15 <= float(d):
+                        nd = sq_py(vecs[i], bvec)
+                        if nd < d:
+                            dists[i] = nd
+            if len(selected) == k or radius_zero:
                 break
-            selected.append((row[0], [float(x) for x in row[1]]))
-            if len(selected) == k:
-                break
-            nxt = cur.select(
-                id_col,
-                vec_col,
-                F.least(
-                    F.col("__d"), _sq_dist(vec, np.asarray(selected[-1][1]))
-                ).alias("__d"),
-            ).persist()
+            # bound failed: extend the relation with the driver-side
+            # picks (incremental least over the persisted generation —
+            # associative DECIMAL min, equal to the flat oracle fold)
+            dist_col = F.col("__d")
+            for _, cv in selected[n_applied:]:
+                dist_col = F.least(dist_col, _sq_dist(vec, np.asarray(cv)))
+            nxt = cur.select(id_col, vec_col, dist_col.alias("__d")).persist()
+            n_applied = len(selected)
             prev, cur = cur, nxt
     finally:
         cur.unpersist()

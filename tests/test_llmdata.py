@@ -4817,3 +4817,40 @@ def test_kcenter_select_matches_python_greedy(spark, sf_dir):
         "vec_id bigint, embedding array<float>",
     )
     assert kcenter_select(tiny, k=5) == [1, 2, 3]
+
+
+def test_kcenter_batched_rounds_match_unbatched(spark):
+    """r18: the batched driver rounds (top-``batch_rows`` pool +
+    driver-side greedy under the strict dominance bound, cluster
+    fallback when it fails) must select EXACTLY the same centers as
+    one-row-per-round selection, for every batch size — including
+    batch_rows small enough to force repeated bound failures and
+    incremental relation rebuilds, duplicated vectors, and k larger
+    than the distinct count."""
+    import random
+
+    from blockchair_etl_spark.llmdata.sampling import kcenter_select
+
+    rng = random.Random(181)
+    rows = []
+    for i in range(60):
+        base = [round(rng.uniform(-2, 2), 3) for _ in range(6)]
+        rows.append((i, base))
+        if i % 7 == 0:  # exact duplicates under different ids
+            rows.append((1000 + i, list(base)))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    want = kcenter_select(emb, k=9, batch_rows=1)  # one pick per collect
+    for br in (2, 3, 7, 64, 4096):
+        got = kcenter_select(emb, k=9, batch_rows=br)
+        assert got == want, (br, got, want)
+
+    # k past the distinct count stops at radius 0 for every batch size
+    dup = spark.createDataFrame(
+        [(i, [float(i % 3), 0.0]) for i in range(12)],
+        "vec_id bigint, embedding array<double>",
+    )
+    want_dup = kcenter_select(dup, k=8, batch_rows=1)
+    assert len(want_dup) == 3
+    for br in (2, 5, 1024):
+        assert kcenter_select(dup, k=8, batch_rows=br) == want_dup
