@@ -19,8 +19,11 @@ the simplified formulation) — fine for ranking, documented here.
 
 Scale shape per round: one join of edges against the rank relation
 (shuffle on src), one hash-agg on dst, one left join back to the
-vertex set. Edges+outdeg are computed once and persisted; rounds are
-O(E) with no driver-side state beyond the loop counter.
+vertex set. Edges+outdeg are computed once and persisted; the vertex
+set's persist is SIZE-GATED (see pagerank_fixed_point — recompute wins
+on small local scans, a cache wins once each re-derivation is a real
+edge-table pass); rounds are O(E) with no driver-side state beyond the
+loop counter.
 """
 
 from __future__ import annotations
@@ -54,7 +57,6 @@ def pagerank_fixed_point(
         .union(ed.select(F.col("dst").alias("vertex")))
         .distinct()
     )
-    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # edd is re-joined every iteration of the (lazy) rank recurrence;
     # tracked_persist keeps the cache alive through the CALLER's action
     # (an eager unpersist here would land before any job runs, making
@@ -62,6 +64,44 @@ def pagerank_fixed_point(
     # it on the next harness/registry release_tracked() call.
     from ..caching import tracked_persist
 
+    # `vertices` is ALSO re-derived per use (the init projection plus
+    # one left join per iteration — i+1 copies of the scan+distinct+
+    # union chain; zero ReusedExchange, r17 plan audit). Persisting it
+    # unconditionally LOSES locally — the duplicated subtrees run as
+    # concurrent stages on idle cores over a ~2 MB scan while a
+    # blocking cache write+read serializes (r17 interleaved A/B:
+    # 1.16 s -> 2.20 s, rejected) — but at cluster scale each
+    # re-derivation is a full edge-table scan + two shuffles. The
+    # persist is therefore gated on the optimizer's size estimate of
+    # the edge input (r18, verdict #2): local fixtures stay on the
+    # fast no-persist path, anything past the threshold (conf
+    # spark.blockchair.graph.vertexPersistMinBytes, default 256 MB —
+    # the point where one cached pass clearly beats iterations+1
+    # re-scans even with free cores) caches the narrow vertex set
+    # once. Size estimation is best-effort: if the JVM call fails the
+    # gate stays off, which only ever costs recompute, never
+    # correctness (persist does not change results).
+    try:
+        est_bytes = int(
+            edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if est_bytes >= (1 << 63) - 1:
+            # Long.MaxValue is Spark's "no statistics" sentinel (e.g. a
+            # LogicalRDD from createDataFrame) — treat unknown as small
+            # rather than letting the sentinel force a persist
+            est_bytes = 0
+    except Exception:
+        est_bytes = 0
+    min_bytes = int(
+        edges.sparkSession.conf.get(
+            "spark.blockchair.graph.vertexPersistMinBytes",
+            str(256 * 1024 * 1024),
+        )
+    )
+    if est_bytes >= min_bytes:
+        vertices = tracked_persist(vertices)
+
+    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edd = tracked_persist(ed.join(deg, "src"))
     base = SCALE * (100 - damping_pct) // 100
 

@@ -23,6 +23,41 @@ def test_pagerank_star_center_wins(spark):
     assert leaves[0] == SCALE * 15 // 100
 
 
+def test_pagerank_vertex_persist_gate(spark, tmp_path):
+    """r18: the vertex-set persist is size-gated — local-scale inputs
+    stay on the no-persist fast path (no extra InMemoryTableScan for
+    the vertex relation), forcing the threshold down flips the persist
+    on, and the ranks are bit-identical either way (a persist must
+    never change results). Parquet-backed edges so the optimizer has a
+    REAL size estimate (an unknown-stats relation — the Long.MaxValue
+    sentinel — deliberately stays on the no-persist path)."""
+    from blockchair_etl_spark.caching import release_tracked
+
+    spark.createDataFrame(
+        [(i, (i * 7 + 3) % 20) for i in range(40)], ["src", "dst"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "edges"))
+    edges = spark.read.parquet(str(tmp_path / "edges"))
+    key = "spark.blockchair.graph.vertexPersistMinBytes"
+
+    def run():
+        df = pagerank_fixed_point(edges, iterations=3)
+        rows = {r.vertex: r.rank_s for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        release_tracked()
+        return rows, plan.count("InMemoryTableScan")
+
+    default_rows, default_inmem = run()
+    spark.conf.set(key, "1")
+    try:
+        gated_rows, gated_inmem = run()
+    finally:
+        spark.conf.unset(key)
+    # default path: only the edd persist caches (per-iteration joins);
+    # gated path adds the vertex-relation cache on top
+    assert gated_inmem > default_inmem
+    assert gated_rows == default_rows
+
+
 def test_pagerank_deterministic_and_bounded(spark):
     edges = spark.createDataFrame(
         [(i, (i * 7 + 3) % 20) for i in range(40)] + [(i % 20, (i * 3) % 20) for i in range(40)],
