@@ -34,6 +34,22 @@ MapReduce and Beyond", SoCC'14). The gate is a measured bound, not a
 guess: the count runs on the persisted edge relation the loop's first
 round would have materialized anyway, so the big-graph path does no
 extra work beyond reading one cached count.
+
+Failure recovery at cluster scale: the edge set and each round's label
+table live as ``localCheckpoint`` blocks — lineage-truncated,
+executor-local, UNREPLICATED. That is the right local/batch trade (the
+blocks are written once and re-read per round with no lineage
+re-planning), but it means an executor loss mid-loop fails the job
+where a persist-backed loop would recompute; Spark then retries the
+whole query from the parquet inputs, which is correct (every step here
+is deterministic) but repays all completed rounds. Deployments where
+mid-job executor loss is routine should either run the loop over a
+RELIABLE checkpoint (``spark.sparkContext.setCheckpointDir`` on
+HDFS/object storage + ``DataFrame.checkpoint`` — same barrier
+semantics, blocks survive executor death at the cost of a
+write-through per round) or accept the retry-from-source fallback;
+there is no silent-wrong-result mode either way, which is why the
+cheaper local checkpoint is the default.
 """
 
 from __future__ import annotations
@@ -41,7 +57,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, functions as F
 from pyspark.sql.types import StructField, StructType
 
-from ..caching import release_local_checkpoint
+from ..caching import release_local_checkpoint, tracked_checkpoint_release
 
 
 def _local_label_components(edges: DataFrame) -> DataFrame:
@@ -307,7 +323,16 @@ def connected_clusters(
         # compose the contraction mapping with the converged roots of
         # the contracted graph; labels whose edges fully collapsed in
         # the pre-pass are their own component minimum (coalesce)
-        release_local_checkpoint(raw_edges)
+        #
+        # raw_edges backs `mapping`'s lineage, and the RETURNED
+        # mapping.join(...) is lazy: an eager release here would leave
+        # a window where a lost/evicted mapping cache partition
+        # recomputes into freed checkpoint blocks and fails with
+        # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (r17 advice). Defer to the
+        # tracked registry instead — the blocks outlive the caller's
+        # terminal action and free on the next release_tracked(), the
+        # same contract mapping's own persist has.
+        tracked_checkpoint_release(raw_edges, label="connected_clusters raw_edges")
         roots = labels.select(
             F.col("vertex").alias("__lbl"), F.col("label").alias("__root")
         )

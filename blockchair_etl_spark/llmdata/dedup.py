@@ -616,7 +616,13 @@ def simhash_over_occurrences(occ: DataFrame, bits: int = 32) -> DataFrame:
         return w, (ln - 1 - cc) * 4 + (j % 4)
 
     sums = [
-        "COUNT(*) AS __n",
+        # COUNT over a hash word, not COUNT(*): md5(NULL) is NULL, so a
+        # NULL-token occurrence contributes to no bit sum — counting it
+        # in __n would bias every sign test toward 0 where the old ±1
+        # form was neutral (r17 advice). Current callers cannot emit
+        # NULL tokens, but this core is documented for arbitrary
+        # occurrence producers.
+        "COUNT(__v0) AS __n",
         *[
             "SUM((__v{w} >> {s}) & 1) AS __s{j}".format(
                 w=_shift(j)[0], s=_shift(j)[1], j=j

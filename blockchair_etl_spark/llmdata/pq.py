@@ -259,9 +259,10 @@ def residual_frame(
     than PQ alone at the same code budget."""
     from .ivf import assign_cluster
 
-    cents = F.array(
-        *[lit_double_array(c) for c in centroids]
-    )
+    # one parsed expression for the whole centroid matrix — the r17
+    # literal-array rule; per-row F.array(lit_double_array(...)) paid a
+    # py4j round trip per centroid row (r17 advice)
+    cents = lit_double_array2d(centroids)
     # TWO projections on purpose: the assignment argmin is expensive and
     # referenced again by the residual; as a materialized intermediate
     # column it computes once per row (CollapseProject keeps non-cheap
