@@ -429,6 +429,43 @@ sample_kcenter_coreset reads 1.35 s in-sweep (5.6 s in the r13 sweep)
 — the incremental-fold reshape holding under sweep conditions. No
 regression candidates.
 
+r18 MOVER TRIAGE of the three r17 verdict movers the 8-core record
+could not clear (r17 verdict #2, established protocol), plus the one
+new above-band entry. Context records: the r18 ROUND-START sweep on
+r17-final code read 144.409 s / 100 q (canary 1.041/0.502, sched
+3.343/1.875 — the cleanest post-run canaries in three rounds), and
+the normalized --compare against the r17 end-of-round 32-core sweep
+(157.898 s) reads canary_ratio 1.189 / sched_ratio 1.046 /
+raw_median_ratio 0.899 with ONE entry above the 1.25 band:
+- sample_kcenter_coreset (r17 record 3.05): REAL fixed cost — k top-1
+  collect jobs — OPTIMIZED this round (batched candidate pool; see
+  sampling.kcenter_select). Interleaved A/B: all 7 pairs improved
+  (medians 5.08→3.63 under a decaying burst, clean tail 2.40→2.24);
+  isolated canary-bracketed median 2.233 vs the 3.05 record.
+- dedup_incremental_clusters (r16 3.02 → r17 3.77 raw): isolated
+  7-run median 2.642 on the round-start box — BELOW its r16 record on
+  code untouched since the r17 CC fuse (whose own isolated A/B read
+  3.20→2.91). CLOSED as record-box variance.
+- dedup_bow_cosine_zipf (r16 3.47 → r17 4.10 raw): round-start
+  in-sweep 3.006 — below r16 — and an isolated 7-run taken inside a
+  later co-tenancy burst decayed 13.89→5.01 while the sched canary
+  read 3.56/4.52: the reading tracks the sched canary, not the code
+  (unchanged since r16; the r17 reshape was reverted). CLOSED as
+  sched-sensitive box variance.
+- corpus_prep_v6_pipeline (the one above-band normalized mover,
+  5.83→10.92 in-sweep, sched_norm 1.79): isolated split-profile reads
+  median 5.55 (construct 1.88 / noop 4.15; samples 17.07-burst, 6.99,
+  5.55, 5.08, 5.55 as the sched canary fell 4.36→1.30) — AT its r17
+  record on a neutral box. The in-sweep 10.9 is burst contamination;
+  same verdict for the q3/sessionize/w1 OLD-side readings the compare
+  shows at raw 0.16-0.43 (the r17 sweep's own in-burst inflation,
+  documented in the r17 note below). No regression. v6's 1.88 s
+  CONSTRUCT cost was profiled (2,870 py4j round trips, eager
+  per-DataFrame Catalyst analysis of a deep composed plan) and
+  deliberately left: it is fixed per action and amortizes to noise at
+  cluster scale, and unlike the r18 BPE fold fix it does not grow
+  with any model artifact.
+
 r17 SESSION BENCH (two back-to-back full-headline runs, 100 queries):
 189.405 s (canary 0.784/0.680, sched 1.587/2.579 — degraded DURING
 the run, taken right after the 29-min pytest suite) then 183.471 s
@@ -1181,6 +1218,25 @@ def main() -> None:
                 separators=(",", ":"),
             )
         )
+    # r18 (verdict #8/hygiene): the driver's 2,000-byte tail cap cannot
+    # hold 100 name:value pairs (~3.4 KB — names alone exceed the cap),
+    # so the per-query VALUES also go out as ONE compact array in the
+    # exact key order of the chunk lines above (and of BENCH_DETAIL
+    # .json's "queries" map, committed every round — the name order is
+    # recoverable from either). ~0.7 KB, emitted immediately before the
+    # final summary so both always land inside the captured tail.
+    # ADDITION only: the chunk lines and the summary line are unchanged.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_values",
+                "sf": sf,
+                "order": "chunk-line key order (= BENCH_DETAIL.json queries order)",
+                "values": [timings[k] for k in keys],
+            },
+            separators=(",", ":"),
+        )
+    )
     print(
         json.dumps(
             {
