@@ -738,9 +738,21 @@ def kcenter_select(
             # shrinks as centers are added), the driver-pick bound
             has_outside = len(rows) == batch_rows
             d_bound = rows[-1]["__d"] if has_outside else None
-            ids = [r[0] for r in rows]
-            vecs = [[float(x) for x in r[1]] for r in rows]
-            dists = [r["__d"] for r in rows]
+            # NULL distances (NULL embeddings) sort last under DESC and
+            # can never be picked — drop them from the driver pool; a
+            # NULL bound row means every uncollected row is NULL too,
+            # so the outside bound vacuously holds
+            if has_outside and d_bound is None:
+                has_outside = False
+            keep = [r for r in rows if r["__d"] is not None]
+            if not keep:
+                raise ValueError(
+                    "kcenter_select: every candidate distance is NULL — "
+                    "NULL embedding vectors in the relation?"
+                )
+            ids = [r[0] for r in keep]
+            vecs = [[float(x) for x in r[1]] for r in keep]
+            dists = [r["__d"] for r in keep]
             varr = np.asarray(vecs, dtype=np.float64)
             fresh = True
             while len(selected) < k:

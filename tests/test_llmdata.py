@@ -4854,3 +4854,13 @@ def test_kcenter_batched_rounds_match_unbatched(spark):
     assert len(want_dup) == 3
     for br in (2, 5, 1024):
         assert kcenter_select(dup, k=8, batch_rows=br) == want_dup
+
+    # NULL embeddings: NULL distances sort last under DESC and can
+    # never be picked — the driver pool must drop them (not crash on
+    # max()), for pools that do and don't reach into the NULL tail
+    withnull = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 0.0]), (3, [0.0, 5.0]), (8, None), (9, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    for br in (1, 2, 1024):
+        assert kcenter_select(withnull, k=3, batch_rows=br) == [1, 3, 2]
